@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run Verify output
+against DuckDB oracles and diff. Usage:
+    python3 scripts/local_verify.py /tmp/verify_out /root/testdata/sf0.01
+"""
+import sys, json, math, glob, os
+import duckdb
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(outdir)):
+        d = os.path.join(outdir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no parquet written"); n_fail += 1; continue
+        got = con.sql(f"SELECT * FROM '{d}/*.parquet'").fetchdf()
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(got)} rows)"); n_pass += 1
+            continue
+        try:
+            exp = con.sql(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
+        # driver-style compare: sort columns by name, compare values
+        got = got.reindex(sorted(got.columns), axis=1)
+        exp = exp.reindex(sorted(exp.columns), axis=1)
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+            n_fail += 1; continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
+        bad = None
+        for c in got.columns:
+            gv, ev = got[c].tolist(), exp[c].tolist()
+            for i, (g, e) in enumerate(zip(gv, ev)):
+                gn = g != g if isinstance(g, float) else g is None
+                en = e != e if isinstance(e, float) else e is None
+                try:
+                    import pandas as pd
+                    gn = pd.isna(g); en = pd.isna(e)
+                except Exception:
+                    pass
+                if gn and en:
+                    continue
+                if gn != en or g != e:
+                    bad = (c, i, g, e); break
+            if bad: break
+        if bad:
+            c, i, g, e = bad
+            print(f"FAIL {name}: col {c} row {i}: got {g!r} exp {e!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

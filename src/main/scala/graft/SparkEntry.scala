@@ -1,13 +1,623 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import graft.operators.SortOps.SortBy
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry pairs a Spark implementation with DuckDB oracle SQL over
+  * the same parquet tables. Oracle-parity rules used throughout (the
+  * engines round doubles differently at representation boundaries):
+  *   - money sums (exact 2-dec data) → round(·,2); 4-dec products →
+  *     round(·,4): FP error ≪ half-ulp of the true decimal value.
+  *   - ratios/averages → IEEE division of identically-computed operands
+  *     (bit-reproducible), never round(avg(·)).
+  *   - sums of full-precision random doubles → round(·,2) only.
+  *   - every query ends in a total ORDER BY on a unique key.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects natively:
+    // read the raw int64 nanos and downcast to a µs TimestampType column.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (name == "events") raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      else raw
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** Run `q` through the reference-dialect SQL front end (T4) with `df`
+    * registered as AllData. */
+  private def sql(df: DataFrame, q: String): DataFrame = SqlTransform(q)(df)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- SQL surface (SURVEY §2.4) ------------------------------------
+
+    "q1_agg" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          count(lit(1)).as("count_order"),
+          (round(sum("l_quantity"), 2) / count(lit(1))).as("avg_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q2_filter" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q3_distinct" -> ((s, dir) => {
+      tbl(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
+        .distinct().orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q4_topk" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    }),
+
+    "q5_case_cast" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .select(
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "medium")
+            .otherwise("large").as("bucket"),
+          floor(col("o_totalprice")).as("price_long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("price_long").as("sum_price_long"))
+        .orderBy("bucket")
+    }),
+
+    "q6_like" -> ((s, dir) => {
+      tbl(s, dir, "part")
+        .filter(col("p_name").like("%bolt%") || col("p_type").ilike("%economy%"))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")
+    }),
+
+    "q7_null_handling" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .withColumn("pri", expr("nullif(o_orderpriority, '1-URGENT')"))
+        .groupBy("o_orderstatus")
+        .agg(
+          sum(when(col("pri").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(col("pri").isNotNull, 1L).otherwise(0L)).as("n_not_null"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "q8_having" -> ((s, dir) => {
+      sql(tbl(s, dir, "orders"),
+        """SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spent
+          |FROM AllData GROUP BY o_custkey
+          |HAVING "total_spent" > 1000000 ORDER BY o_custkey""".stripMargin)
+    }),
+
+    "q9_strftime" -> ((s, dir) => {
+      sql(tbl(s, dir, "orders"),
+        """SELECT o_orderkey, STRFTIME(o_orderdate, '%d/%m/%Y') AS dstr
+          |FROM AllData ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    "q10_substr_mod" -> ((s, dir) => {
+      sql(tbl(s, dir, "customer"),
+        """SELECT c_custkey, SUBSTR(c_name, 1, 8) AS name8, c_custkey % 7 AS m
+          |FROM AllData ORDER BY c_custkey""".stripMargin)
+    }),
+
+    "q11_cte" -> ((s, dir) => {
+      sql(tbl(s, dir, "orders"),
+        """WITH spend AS (
+          |  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total
+          |  FROM AllData GROUP BY o_custkey
+          |)
+          |SELECT o_custkey, total FROM spend WHERE total > 500000
+          |ORDER BY o_custkey""".stripMargin)
+    }),
+
+    "q12_star_except" -> ((s, dir) => {
+      sql(tbl(s, dir, "lineitem"),
+        """SELECT * EXCEPT("l_shipdate", "l_tax", "l_discount", "l_partkey", "l_suppkey")
+          |FROM AllData WHERE "l_quantity" >= 49
+          |ORDER BY "l_orderkey", "l_linenumber"""".stripMargin)
+    }),
+
+    "q13_star_combo" -> ((s, dir) => {
+      sql(tbl(s, dir, "orders"),
+        """WITH enriched AS (
+          |  SELECT *, CAST(STRFTIME(o_orderdate, '%Y') AS INTEGER) AS order_year
+          |  FROM AllData
+          |)
+          |SELECT *
+          |  EXCEPT ("o_orderpriority", "o_orderdate")
+          |  REPLACE (SUBSTR("o_orderstatus", 1, 1) AS "o_orderstatus")
+          |  RENAME ("o_custkey" AS "customer_key")
+          |FROM enriched
+          |WHERE order_year >= 1998
+          |ORDER BY "o_orderkey"""".stripMargin)
+    }),
+
+    "q14_sort_nulls" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+        .withColumn("seg", expr("nullif(c_mktsegment, 'BUILDING')"))
+      SortOps.sort(c, Seq(
+        SortBy("seg", ascending = false, nullsLast = false),
+        SortBy("c_custkey", ascending = true, nullsLast = true)))
+        .select("c_custkey", "seg")
+    }),
+
+    "q15_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      tbl(s, dir, "events")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("running_value", round(sum("value").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .withColumn("prev_event", lag("event_id", 1).over(w))
+        .filter(col("rn") <= 3)
+        .select("user_id", "event_id", "rn", "running_value", "prev_event")
+        .orderBy("user_id", "rn")
+    }),
+
+    "q16_join_agg" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem"); val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer"); val n = tbl(s, dir, "nation")
+      val r = tbl(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name")
+    }),
+
+    "q17_anti_join" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer"); val o = tbl(s, dir, "orders")
+      c.join(o.filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    "q18_union" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer"); val o = tbl(s, dir, "orders")
+      c.select(col("c_custkey").as("k"))
+        .union(o.select(col("o_custkey").as("k")))
+        .distinct().orderBy("k")
+    }),
+
+    "q19_rollup" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q20_time_agg" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(col("day").cast("date").cast("string").as("day"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("day", "event_type")
+    }),
+
+    "q21_json" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy("event_id")
+    }),
+
+    // ---- transform pipeline (SURVEY §2.3) ------------------------------
+
+    "t1_drop_regex" -> ((s, dir) => {
+      DropColumnsByRegex("^l_(shipdate|tax|discount)$")(tbl(s, dir, "lineitem"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "t2_normalize_euro" -> ((s, dir) => {
+      val base = tbl(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        concat(col("l_partkey").cast("string"), lit("."),
+          col("l_suppkey").cast("string"), lit(","),
+          col("l_linenumber").cast("string")).as("euro"))
+      NormalizeEuroStrings("^euro$")(base).orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "t3_replace_null" -> ((s, dir) => {
+      val base = tbl(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_linenumber") % 3 === 0, lit(" NA "))
+          .when(col("l_linenumber") % 3 === 1, lit("<N/D>"))
+          .otherwise(col("l_returnflag")).as("marked"))
+      ReplaceWithNull(Seq("", "<N/D>", "NA"))(base)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "t5_remove_null_cols" -> ((s, dir) => {
+      val base = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn("dead", lit(null).cast("string"))
+      RemoveNullColumns(base).orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "t6_row_index" -> ((s, dir) => {
+      AddRowIndex("rid", 1L)(
+        tbl(s, dir, "orders").select("o_orderkey", "o_totalprice").orderBy("o_orderkey"))
+    }),
+
+    "t7_round_floats" -> ((s, dir) => {
+      RoundFloatColumns(0)(
+        tbl(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- dedup (scale tier) --------------------------------------------
+
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(tbl(s, dir, "documents").select("doc_id", "text"), Seq("text"), "doc_id")
+        .select("doc_id", "n_dups").orderBy("doc_id")
+    }),
+
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        Dedup.MinHashConfig(threshold = 0.5))
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_embedding" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, signBits = 0)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- similarity search ---------------------------------------------
+
+    "ann_brute_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 5)
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queriesDf, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("id").as("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- text analysis -------------------------------------------------
+
+    "text_tokens" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      TextAnalysis.withQuality(tbl(s, dir, "documents").select("doc_id", "text"), "text")
+        .drop("text").orderBy("doc_id")
+    }),
+
+    "text_langid" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- multimodal plumbing (stubbed decode) --------------------------
+
+    "mm_decode" -> ((s, dir) => {
+      val withBin = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.decodeImages(withBin, "doc_id", "payload")
+        .toDF().withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    })
+  )
+
+  // ---------------------------------------------------------------------
+
+  /** DuckDB oracle SQL per query (column names must match exactly). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  count(*) AS count_order,
+        |  round(sum(l_quantity), 2) / count(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q3_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+
+    "q4_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+
+    "q5_case_cast" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 150000 THEN 'medium'
+        |            ELSE 'large' END AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price_long
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q6_like" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_name LIKE '%bolt%' OR p_type ILIKE '%economy%'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q7_null_handling" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CASE WHEN pri IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(sum(CASE WHEN pri IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_not_null
+        |FROM (SELECT o_orderstatus, nullif(o_orderpriority, '1-URGENT') AS pri FROM orders) t
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q8_having" ->
+      """SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spent
+        |FROM orders GROUP BY o_custkey
+        |HAVING total_spent > 1000000 ORDER BY o_custkey""".stripMargin,
+
+    "q9_strftime" ->
+      "SELECT o_orderkey, strftime(o_orderdate, '%d/%m/%Y') AS dstr FROM orders ORDER BY o_orderkey",
+
+    "q10_substr_mod" ->
+      """SELECT c_custkey, SUBSTR(c_name, 1, 8) AS name8, c_custkey % 7 AS m
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q11_cte" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT o_custkey, total FROM spend WHERE total > 500000 ORDER BY o_custkey""".stripMargin,
+
+    "q12_star_except" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag, l_linestatus
+        |FROM lineitem WHERE l_quantity >= 49
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q13_star_combo" ->
+      """SELECT o_orderkey, substr(o_orderstatus, 1, 1) AS o_orderstatus,
+        |  o_custkey AS customer_key, o_totalprice, order_year
+        |FROM (SELECT *, CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS order_year FROM orders) t
+        |WHERE order_year >= 1998 ORDER BY o_orderkey""".stripMargin,
+
+    "q14_sort_nulls" ->
+      """SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+        |FROM customer ORDER BY seg DESC NULLS FIRST, c_custkey ASC""".stripMargin,
+
+    "q15_window" ->
+      """SELECT user_id, event_id, rn, running_value, prev_event FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+        |    round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+        |    lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_event
+        |  FROM events) t
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+
+    "q16_join_agg" ->
+      """SELECT r_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q17_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q18_union" ->
+      """SELECT c_custkey AS k FROM customer
+        |UNION SELECT o_custkey AS k FROM orders ORDER BY k""".stripMargin,
+
+    "q19_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q20_time_agg" ->
+      """SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "q21_json" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "t1_drop_regex" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |  l_extendedprice, l_returnflag, l_linestatus
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "t2_normalize_euro" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(replace(replace(
+        |    CAST(l_partkey AS VARCHAR) || '.' || CAST(l_suppkey AS VARCHAR) || ',' ||
+        |    CAST(l_linenumber AS VARCHAR), '.', ''), ',', '.') AS DOUBLE) AS euro
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "t3_replace_null" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN trim(marked) IN ('', '<N/D>', 'NA') THEN NULL ELSE marked END AS marked
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |        CASE WHEN l_linenumber % 3 = 0 THEN ' NA '
+        |             WHEN l_linenumber % 3 = 1 THEN '<N/D>'
+        |             ELSE l_returnflag END AS marked
+        |      FROM lineitem) t
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "t5_remove_null_cols" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "t6_row_index" ->
+      """SELECT row_number() OVER (ORDER BY o_orderkey) AS rid, o_orderkey, o_totalprice
+        |FROM orders ORDER BY rid""".stripMargin,
+
+    "t7_round_floats" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice, 0) AS l_extendedprice,
+        |  round(l_quantity, 0) AS l_quantity
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text) AS ws_ratio,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN en >= de AND en >= fr AND en >= es AND en >= pt AND en > 0 THEN 'en'
+        |    WHEN de >= fr AND de >= es AND de >= pt AND de > 0 THEN 'de'
+        |    WHEN fr >= es AND fr >= pt AND fr > 0 THEN 'fr'
+        |    WHEN es >= pt AND es > 0 THEN 'es'
+        |    WHEN pt > 0 THEN 'pt'
+        |    ELSE 'und' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('the','a','and','of','to','in','is','that'))) AS en,
+        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
+        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('le','la','les','et','est','un','une','dans'))) AS fr,
+        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('el','los','las','es','un','una','que','en'))) AS es,
+        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('o','os','as','um','uma','que','em','para'))) AS pt
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_decode" ->
+      """SELECT doc_id,
+        |  octet_length(CAST(text AS BLOB)) % 640 AS width,
+        |  (octet_length(CAST(text AS BLOB)) * 7) % 480 AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  octet_length(CAST(text AS BLOB)) AS nBytes,
+        |  CASE WHEN octet_length(CAST(text AS BLOB)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // cosine in DuckDB must be spelled as the explicit double-precision
+    // left-to-right fold — verified bit-identical to Spark's aggregate()
+    // (list_cosine_similarity computes in float32 and does NOT match)
+    "ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(c.embedding, q.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos_raw
+        |  FROM embeddings c, q WHERE c.vec_id != q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cosine
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cosine
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+        |      (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH sets AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS words
+        |        FROM documents) t
+        |  WHERE len(words) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+        |FROM sets a, sets b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin
+  )
 }

@@ -1,0 +1,207 @@
+package graft.operators
+
+import graft.functions.{HashFunctions, VectorFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Large-scale document deduplication operators (training-data pipeline
+  * tier). All designed shuffle-minimal for the 100 TB case:
+  *
+  *   - signatures (MinHash/SimHash) are computed MAP-SIDE via native
+  *     Catalyst expressions — the only shuffle is the bucket groupBy,
+  *     keyed on (band, bandHash) whose cardinality is ~num docs × bands,
+  *     uniformly hash-distributed (no skew by construction);
+  *   - candidate pairs are verified by joining signatures back on doc id
+  *     — a key join AQE can plan as broadcast when the candidate set is
+  *     small (the common case: candidates << corpus);
+  *   - nothing ever collects to the driver.
+  */
+object Dedup {
+
+  // ---- tokenization helpers --------------------------------------------
+
+  /** Lower-cased word tokens. */
+  def words(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
+
+  /** Word n-gram shingles as an array<string>. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    when(size(ws) < n, array().cast(ArrayType(StringType)))
+      .otherwise(
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+  }
+
+  /** Character n-gram shingles. */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = lower(trim(text))
+    when(length(t) < n, array().cast(ArrayType(StringType)))
+      .otherwise(
+        transform(sequence(lit(1), length(t) - n + 1), i => substring(t, i, lit(n))))
+  }
+
+  // ---- exact dedup ------------------------------------------------------
+
+  /** Exact dedup, deterministic representative: keeps, per key group, the
+    * row with the smallest `orderCol`. One hash-partitioned aggregate;
+    * map-side partial min(struct) keeps the shuffle at one struct per
+    * (partition, key). */
+  def exact(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains)
+    val packed = struct(col(orderCol) +: payload.filterNot(_ == orderCol).map(col): _*)
+    val agg = df.groupBy(keys.map(col): _*)
+      .agg(min(packed).as("__rep"), count(lit(1)).as("__n_dups"))
+    val restored = (keys.map(col) :+ col("__n_dups").as("n_dups")) ++
+      (orderCol +: payload.filterNot(_ == orderCol).toSeq).map(c => col(s"__rep.$c").as(c))
+    agg.select(restored: _*)
+  }
+
+  /** Exact dedup by content hash — at 100 TB, group on xxhash64(text)
+    * first so the shuffle key is 8 bytes, with the full key kept only to
+    * disambiguate hash collisions. */
+  def exactByHash(df: DataFrame, textCol: String, orderCol: String): DataFrame =
+    exact(df.withColumn("__h", xxhash64(col(textCol))), Seq("__h", textCol), orderCol)
+      .drop("__h")
+
+  // ---- MinHash + LSH ----------------------------------------------------
+
+  final case class MinHashConfig(
+      shingleSize: Int = 3,        // word 3-grams
+      numHashes: Int = 128,
+      bands: Int = 32,             // rows-per-band = numHashes / bands
+      seed: Long = 42L,
+      threshold: Double = 0.7)
+
+  /** doc id + minhash signature (map-side only). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashConfig): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      HashFunctions.minhashSignature(
+        wordShingles(col(textCol), cfg.shingleSize), cfg.numHashes, cfg.seed)
+        .as("sig"))
+
+  /** Candidate near-duplicate pairs via banded LSH, verified by exact
+    * signature agreement (estimated Jaccard), filtered at cfg.threshold.
+    * Output: (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val r = cfg.numHashes / cfg.bands
+    val sigs = minhashSignatures(df, idCol, textCol, cfg)
+
+    // band → hash of the signature slice; explode to (band, bandHash, id)
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(cfg.bands - 1)),
+        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+
+    // bucket join → unordered candidate pairs (id_a < id_b)
+    val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val rt = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val pairs = l.join(rt, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    // estimated Jaccard = fraction of agreeing signature positions
+    pairs.select(
+      col("id_a"), col("id_b"),
+      (aggregate(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).cast("double") / cfg.numHashes)
+        .as("est_jaccard"))
+      .filter(col("est_jaccard") >= cfg.threshold)
+  }
+
+  /** Corpus with MinHash near-duplicates removed: from every candidate
+    * pair above threshold, the larger id is dropped (union-find-free
+    * approximation: min-id representative per connected edge set — one
+    * iteration, which removes every non-minimal member of a clique). */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val doomed = minhashPairs(df, idCol, textCol, cfg)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 64-bit SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+    * Candidate generation: the 64-bit hash is split into 4 16-bit chunks;
+    * two hashes within Hamming ≤ 3 must agree on ≥1 chunk (pigeonhole),
+    * so bucketing on (chunkIdx, chunkValue) finds all such pairs with a
+    * uniform-key shuffle. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+    require(maxHamming <= 3, "chunked candidate generation is exact only for maxHamming <= 3")
+    val hashed = df.select(col(idCol).as("id"),
+      HashFunctions.simhash64(words(col(textCol)), seed).as("sh"))
+    val chunked = hashed.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val l = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- exact n-gram Jaccard ---------------------------------------------
+
+  /** Exact Jaccard similarity over word n-gram shingle SETS for all pairs
+    * with similarity ≥ threshold, via an inverted shingle index
+    * (explode → join on shingle → count co-occurrences). Exact but
+    * O(sum of bucket²) — at 100 TB, run on MinHash candidates instead;
+    * provided as the verification/oracle path. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(wordShingles(col(textCol), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inv = sets.select(col("id"), col("sh"), explode(col("sh")).as("g"))
+    val co = inv.select(col("g"), col("id").as("id_a"), size(col("sh")).as("n_a"))
+      .join(inv.select(col("g"), col("id").as("id_b"), size(col("sh")).as("n_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("inter"))
+    co.select(col("id_a"), col("id_b"),
+      (col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- embedding cosine near-dup ----------------------------------------
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold. Candidates via
+    * random-hyperplane LSH (signBits-bit signature buckets), then exact
+    * cosine verification inside buckets. Deterministic hyperplanes from
+    * `seed`. At small scale set signBits=0 to brute-force all pairs. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, signBits: Int = 8, seed: Long = 42L,
+      dim: Int = 64): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFunctions.norm(col(vecCol)).as("nrm"))
+    val bucketed =
+      if (signBits <= 0) base.withColumn("bucket", lit(0L))
+      else {
+        val planes = Similarity.hyperplanes(signBits, dim, seed)
+        base.withColumn("bucket", Similarity.signBucket(col("v"), planes))
+      }
+    val l = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val r = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (VectorFunctions.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-corpus analysis operators for training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting. All pure
+  * column expressions (codegen'd, shuffle-free, pushdown-transparent) —
+  * a 100 TB corpus pass is a single map stage.
+  *
+  * Determinism notes: ratios are emitted as IEEE divisions of exact
+  * integer counts (bit-reproducible everywhere); fingerprints are md5
+  * over a canonical whitespace-collapsed form.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (long). */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(trim(text), "\\s+"), w => length(w) > 0)).cast("long")
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation
+    * (ASCII classes to stay engine-portable). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Quality features: exact counts + IEEE-division ratios. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val n = length(text).cast("long")
+    val alpha = (n - length(regexp_replace(text, "[A-Za-z]", ""))).cast("long")
+    val punct = (n - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("long")
+    val ws = (n - length(regexp_replace(text, "\\s", ""))).cast("long")
+    val toks = wsTokenCount(text)
+    Seq(
+      "n_chars" -> n,
+      "n_tokens" -> toks,
+      "alpha_ratio" -> alpha.cast("double") / n.cast("double"),
+      "punct_ratio" -> punct.cast("double") / n.cast("double"),
+      "ws_ratio" -> ws.cast("double") / n.cast("double"),
+      "mean_token_len" -> (n - ws).cast("double") / toks.cast("double"))
+  }
+
+  def withQuality(df: DataFrame, textCol: String): DataFrame =
+    qualityColumns(col(textCol)).foldLeft(df) { case (d, (name, c)) =>
+      d.withColumn(name, c)
+    }
+
+  /** Tiny per-language function-word sets for the n-gram-free stopword
+    * language heuristic. Deliberately small and ASCII so the same lists
+    * can be re-stated in an oracle SQL dialect. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "un", "una", "que", "en"),
+    "pt" -> Seq("o", "os", "as", "um", "uma", "que", "em", "para"))
+
+  def stopwordHits(text: Column, wordsList: Seq[String]): Column =
+    size(filter(split(lower(trim(text)), "\\s+"),
+      w => w.isin(wordsList.map(lit): _*))).cast("long")
+
+  /** Predicted language = argmax of stopword hits; ties and all-zero →
+    * first-listed language order ("en" priority), "und" when no hits. */
+  def langId(text: Column): Column = {
+    val scores = stopwords.map { case (lang, ws) => lang -> stopwordHits(text, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // foldRight builds when(en)…otherwise(when(de)…) — earlier-listed
+    // languages win ties, matching the documented priority order
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Stopword ratio against the union of all language lists. */
+  def stopwordRatio(text: Column): Column = {
+    val all = stopwords.flatMap(_._2).distinct
+    stopwordHits(text, all).cast("double") / wsTokenCount(text).cast("double")
+  }
+
+  /** Canonical-form md5 document fingerprint. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** Polynomial rolling hash over words (Rabin-Karp style) — the
+    * order-sensitive cousin of [[fingerprint]]: same word multiset in a
+    * different order → different value. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0),
+      lit(0L),
+      (acc, w) => acc * lit(1000003L) + xxhash64(w))
+}

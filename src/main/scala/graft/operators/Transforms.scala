@@ -1,0 +1,223 @@
+package graft.operators
+
+import graft.GraftError
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.util.matching.Regex
+
+/** The reference's six-stage transform pipeline, re-expressed as lazy
+  * DataFrame→DataFrame compositions so Catalyst sees ONE fused plan per
+  * run instead of six materializations.
+  *
+  * Reference semantics: strategy trait `transforms.rs:11-18`, fixed order
+  * drop → normalize → replace-nulls → SQL → remove-null-cols → row-index
+  * (`data_container.rs:152-190`).
+  *
+  * Scale notes: every stage except T6 (row index) is a pure projection /
+  * filter — no shuffle, fully codegen'd, pushdown-transparent. T5 costs
+  * one map-side-combinable aggregate pass. T6 is the only inherently
+  * sequential-ish operator; see [[AddRowIndex]].
+  */
+trait Transform extends (DataFrame => DataFrame)
+
+object RegexPattern {
+  /** Reference accepts exactly `*` (all) or an anchored `^...$` pattern
+    * (drop.rs:24-90, normalize.rs:44-138). */
+  def resolve(pattern: String, candidates: Seq[String]): Seq[String] = {
+    val p = pattern.trim
+    if (p == "*") candidates
+    else if (!(p.startsWith("^") && p.endsWith("$")))
+      throw GraftError.InvalidRegexFormat(pattern)
+    else {
+      val re: Regex =
+        try p.r
+        catch { case e: Exception => throw GraftError.InvalidRegexSyntax(p, e.getMessage) }
+      candidates.filter(c => re.findFirstIn(c).isDefined)
+    }
+  }
+}
+
+/** T1 — drop columns by regex (reference drop.rs:24-90). */
+final case class DropColumnsByRegex(pattern: String) extends Transform {
+  def apply(df: DataFrame): DataFrame = {
+    val doomed = RegexPattern.resolve(pattern, df.columns.toSeq)
+    if (doomed.isEmpty) df
+    else if (doomed.length == df.columns.length)
+      // all-match → empty 0x0 frame (drop.rs:77-82)
+      df.sparkSession.emptyDataFrame
+    else df.drop(doomed: _*)
+  }
+}
+
+/** T2 — normalize Euro-number strings: strip dots, comma→dot, cast double;
+  * unparseable → null (reference normalize.rs:44-138; the two-pass order is
+  * semantic: `"1.2.3,4.5"` → `"123,45"` → `123.45`, normalize.rs:210,313).
+  * Regex hitting a non-String column is an error (normalize.rs:354-378).
+  */
+final case class NormalizeEuroStrings(pattern: String) extends Transform {
+  def apply(df: DataFrame): DataFrame = {
+    val matched =
+      if (pattern.trim == "*")
+        df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
+      else {
+        val m = RegexPattern.resolve(pattern, df.columns.toSeq)
+        m.foreach { c =>
+          val dt = df.schema(c).dataType
+          if (dt != StringType) throw GraftError.InvalidDataTypeForRegex(c, dt.simpleString)
+        }
+        m
+      }
+    matched.foldLeft(df)((d, c) => d.withColumn(c, NormalizeEuroStrings.expr(col(c))))
+  }
+}
+
+object NormalizeEuroStrings {
+  def expr(c: Column): Column =
+    regexp_replace(regexp_replace(c, "\\.", ""), ",", ".").cast(DoubleType)
+}
+
+/** T3 — replace configured markers with NULL (reference replace.rs:37-135).
+  * String-only mode trims the original string value and nulls it when the
+  * trimmed form is in the marker list; all-columns mode compares the
+  * trimmed *string form* of any dtype (so `3.45` matches marker "3.45" but
+  * `999.0` does not match "999" — replace.rs:346-352).
+  */
+final case class ReplaceWithNull(markers: Seq[String], applyToAllColumns: Boolean = false)
+    extends Transform {
+  def apply(df: DataFrame): DataFrame = {
+    if (markers.isEmpty) return df
+    val lits = markers.map(lit)
+    val cols = df.schema.fields.map { f =>
+      val keep =
+        if (f.dataType == StringType)
+          when(trim(col(f.name)).isin(lits: _*), lit(null)).otherwise(col(f.name))
+        else if (applyToAllColumns)
+          when(trim(col(f.name).cast(StringType)).isin(lits: _*), lit(null).cast(f.dataType))
+            .otherwise(col(f.name))
+        else col(f.name)
+      keep.as(f.name)
+    }
+    df.select(cols.toSeq: _*)
+  }
+}
+
+object ReplaceWithNull {
+  /** Parse the comma-separated, optionally double-quoted marker config
+    * (reference parse_null_values, data_filter.rs:613-630; defaults
+    * `""`, `<N/D>` at data_filter.rs:24). */
+  def parseMarkers(config: String): Seq[String] =
+    config.split(",", -1).toSeq.map(_.trim).map { t =>
+      if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
+        t.substring(1, t.length - 1)
+      else t
+    }.filter(_ => true) match {
+      case s if config.trim.isEmpty => Seq.empty
+      case s => s
+    }
+
+  val DefaultMarkers: Seq[String] = Seq("", "<N/D>")
+}
+
+/** T5 — remove all-null columns (reference remove.rs:16-42). One
+  * map-side-combinable aggregate pass computes non-null counts for every
+  * column at once; zero-row frames lose ALL columns (any() over empty is
+  * false, remove.rs:157-180).
+  */
+case object RemoveNullColumns extends Transform {
+  def apply(df: DataFrame): DataFrame = {
+    if (df.columns.isEmpty) return df
+    val counts: Row =
+      df.select(df.columns.map(c => count(col(c)).as(c)).toSeq: _*).head()
+    val keep = df.columns.zipWithIndex.collect {
+      case (c, i) if counts.getLong(i) > 0L => c
+    }
+    if (keep.isEmpty) df.sparkSession.emptyDataFrame
+    else df.select(keep.map(col).toSeq: _*)
+  }
+}
+
+/** T6 — prepend a contiguous global row-index column
+  * (reference add.rs:18-42 via LazyFrame::with_row_index; name-conflict
+  * suffixing `_1`..`_1000` per data_filter.rs:1195-1229).
+  *
+  * Scale design: contiguous global numbering is inherently two-pass.
+  * `zipWithIndex` does exactly the right distributed thing — one job to
+  * count per-partition sizes, then a map with broadcast prefix offsets.
+  * No shuffle, no single-partition window. Determinism caveat: index
+  * assignment follows the current partition order; apply AFTER any
+  * order-defining operation (the reference pipeline adds it last too,
+  * data_container.rs:181-184). Reference dtype is u32 → widened to long
+  * (SURVEY §1.2).
+  */
+final case class AddRowIndex(name: String = "Row Number", offset: Long = 1L)
+    extends Transform {
+  def apply(df: DataFrame): DataFrame = AddRowIndex.withRowIndex(df, name, offset)
+}
+
+object AddRowIndex {
+  val MaxAttempts = 1000
+
+  /** Resolve `base` to a column name unique in `existing` by suffixing
+    * `_1`,`_2`,… (reference resolve_unique_column_name). */
+  def resolveUniqueName(base: String, existing: Seq[String]): String = {
+    val taken = existing.toSet
+    if (!taken.contains(base)) base
+    else {
+      val found = (1 to MaxAttempts).iterator.map(i => s"${base}_$i").find(!taken.contains(_))
+      found.getOrElse(throw GraftError.UniqueNameExhausted(base, MaxAttempts))
+    }
+  }
+
+  def withRowIndex(df: DataFrame, name: String, offset: Long): DataFrame = {
+    val unique = resolveUniqueName(name, df.columns.toSeq)
+    val schema = StructType(StructField(unique, LongType, nullable = false) +: df.schema.fields)
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq((i + offset) +: r.toSeq)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+}
+
+/** T7 — round every float/double column to n decimals. Spark's `round` is
+  * java.math HALF_UP = round-half-away-from-zero, which is exactly the
+  * reference's HalfAwayFromZero (traits.rs:336-359). */
+final case class RoundFloatColumns(decimals: Int) extends Transform {
+  def apply(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case FloatType  => round(col(f.name), decimals).cast(FloatType).as(f.name)
+        case DoubleType => round(col(f.name), decimals).as(f.name)
+        case _          => col(f.name).as(f.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+}
+
+/** Pipeline assembly with the reference's fixed stage order
+  * (data_container.rs:152-190). Null-marker replacement runs BEFORE SQL so
+  * queries see real nulls; the row index is added LAST so its uniqueness
+  * check sees the post-SQL schema.
+  */
+final case class PipelineConfig(
+    dropRegex: Option[String] = None,
+    normalizeRegex: Option[String] = None,
+    nullMarkers: Seq[String] = ReplaceWithNull.DefaultMarkers,
+    sql: Option[String] = None,
+    tableName: String = "AllData",
+    removeNullCols: Boolean = false,
+    rowIndex: Option[(String, Long)] = None)
+
+object Pipeline {
+  def stages(cfg: PipelineConfig): Seq[Transform] =
+    cfg.dropRegex.map(DropColumnsByRegex).toSeq ++
+      cfg.normalizeRegex.map(NormalizeEuroStrings).toSeq ++
+      Seq(ReplaceWithNull(cfg.nullMarkers)) ++
+      cfg.sql.map(q => SqlTransform(q, cfg.tableName)).toSeq ++
+      (if (cfg.removeNullCols) Seq(RemoveNullColumns) else Seq.empty) ++
+      cfg.rowIndex.map { case (n, o) => AddRowIndex(n, o) }.toSeq
+
+  def run(df: DataFrame, cfg: PipelineConfig): DataFrame =
+    stages(cfg).foldLeft(df)((d, t) => t(d))
+}
