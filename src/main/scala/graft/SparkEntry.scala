@@ -347,6 +347,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- sources & sinks (SURVEY §2.1-2.2) -----------------------------
+    // Roundtrips: write real table data through a graft sink, read it
+    // back through the sniffing/inference reader, prove value fidelity
+    // against the oracle on the ORIGINAL parquet.
+
+    "io_csv_roundtrip" -> ((s, dir) => {
+      val path = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/lineitem_csv.csv"
+      val src = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+      graft.sources.Writers.writeCsv(src, path, delimiter = ';')
+      val (back, detected) = graft.sources.Readers.readAuto(s, path)
+      require(detected.contains(';'), s"sniffer picked $detected")
+      back.select(
+        col("l_orderkey").cast("long"), col("l_linenumber").cast("int"),
+        col("l_returnflag"), col("l_extendedprice").cast("double"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "io_ndjson_roundtrip" -> ((s, dir) => {
+      val path = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/orders.ndjson"
+      val src = tbl(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.sources.Writers.writeNdJson(src, path)
+      val (back, _) = graft.sources.Readers.readAuto(s, path)
+      back.select(col("o_orderkey").cast("long"), col("o_orderstatus"),
+        col("o_totalprice").cast("double"))
+        .orderBy("o_orderkey")
+    }),
+
+    "io_json_array_roundtrip" -> ((s, dir) => {
+      val path = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/nation.json"
+      val src = tbl(s, dir, "nation")
+      graft.sources.Writers.writeJsonArray(src, path)
+      val (back, _) = graft.sources.Readers.readAuto(s, path)
+      back.select(col("n_nationkey").cast("int"), col("n_name"),
+        col("n_regionkey").cast("int"))
+        .orderBy("n_nationkey")
+    }),
+
     // ---- multimodal plumbing (stubbed decode) --------------------------
 
     "mm_decode" -> ((s, dir) => {
@@ -571,6 +609,18 @@ object SparkEntry {
         |  octet_length(CAST(text AS BLOB)) AS nBytes,
         |  CASE WHEN octet_length(CAST(text AS BLOB)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "io_csv_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "io_ndjson_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "io_json_array_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     // cosine in DuckDB must be spelled as the explicit double-precision
     // left-to-right fold — verified bit-identical to Spark's aggregate()

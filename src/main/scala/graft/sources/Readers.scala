@@ -1,0 +1,127 @@
+package graft.sources
+
+import graft.GraftError
+import graft.operators.RegexPattern
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Read-side configuration mirroring the reference's DataFilter
+  * (data_filter.rs:154-198): delimiter, header, bounded schema-inference
+  * window, force-string column overrides, permissive parsing. */
+final case class ReadConfig(
+    delimiter: Option[Char] = None,
+    header: Boolean = true,
+    /** Rows scanned for schema inference; 0 → everything stays String
+      * (reference DEFAULT_INFER_SCHEMA_ROWS = 200, data_filter.rs:42). */
+    inferSchemaRows: Int = 200,
+    /** Regex (`*` or `^…$`) of columns forced to StringType at read time —
+      * protects huge numeric IDs from lossy inference
+      * (reference --force-string-cols, args.rs:76-96). */
+    forceStringRegex: Option[String] = None)
+
+/** S1–S7: format dispatch + readers. All readers return a lazy DataFrame
+  * — no collect; the scan parallelizes over file splits as usual.
+  *
+  * Inference-window emulation: Spark's CSV inference scans the whole
+  * file; the reference bounds it to N rows. We reproduce the bound by
+  * inferring on a head sample (one small job) and applying the resulting
+  * schema to the full scan — same cost profile as the reference.
+  */
+object Readers {
+
+  sealed trait Format
+  object Format {
+    case object Csv extends Format
+    case object Json extends Format
+    case object NdJson extends Format
+    case object Parquet extends Format
+
+    /** Extension → format (reference file_extension.rs:6-36, lowercased). */
+    def fromPath(path: String): Format = {
+      val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
+      ext match {
+        case "csv"             => Csv
+        case "json"            => Json
+        case "ndjson" | "jsonl" => NdJson
+        case "parquet" | "pq"  => Parquet
+        case other             => throw GraftError.UnsupportedFileExtension(other)
+      }
+    }
+  }
+
+  /** S7 dispatch. Returns (frame, detected delimiter for CSV). */
+  def readAuto(spark: SparkSession, path: String,
+      cfg: ReadConfig = ReadConfig()): (DataFrame, Option[Char]) =
+    Format.fromPath(path) match {
+      case Format.Csv =>
+        val d = CsvSniffer.detect(spark, path, cfg.delimiter)
+        (readCsv(spark, path, cfg.copy(delimiter = Some(d))), Some(d))
+      case Format.Json    => (readJson(spark, path, cfg), None)
+      case Format.NdJson  => (readNdJson(spark, path, cfg), None)
+      case Format.Parquet => (readParquet(spark, path), None)
+    }
+
+  /** S2: CSV with bounded inference + force-string overrides. */
+  def readCsv(spark: SparkSession, path: String, cfg: ReadConfig): DataFrame = {
+    val sep = cfg.delimiter.getOrElse(CsvSniffer.detect(spark, path, None)).toString
+    val base = spark.read
+      .option("sep", sep)
+      .option("header", cfg.header)
+      .option("mode", "PERMISSIVE")        // ignore_errors → null
+      .option("nullValue", "")             // missing_is_null
+      .option("enforceSchema", true)
+    val schema = inferCsvSchema(spark, path, sep, cfg)
+    base.schema(schema).csv(path)
+  }
+
+  /** Bounded-window CSV schema inference on a head sample, then
+    * force-string overrides applied. */
+  def inferCsvSchema(spark: SparkSession, path: String, sep: String,
+      cfg: ReadConfig): StructType = {
+    val n = math.max(cfg.inferSchemaRows, 0) + (if (cfg.header) 1 else 0)
+    val inferred: StructType =
+      if (cfg.inferSchemaRows == 0) {
+        // 0 → no inference: header names, all String
+        val sample: Dataset[String] = spark.read.textFile(path).limit(math.max(n, 1))
+        val head = spark.read.option("sep", sep).option("header", cfg.header)
+          .option("inferSchema", false).csv(sample)
+        StructType(head.schema.fields.map(f => f.copy(dataType = StringType)))
+      } else {
+        val sample: Dataset[String] = spark.read.textFile(path).limit(n)
+        spark.read.option("sep", sep).option("header", cfg.header)
+          .option("inferSchema", true)
+          .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
+          .option("preferDate", true)      // try_parse_dates
+          .csv(sample).schema
+      }
+    applyForceString(inferred, cfg.forceStringRegex)
+  }
+
+  /** Force regex-matched columns to StringType (reference
+    * data_filter.rs:1133-1191). */
+  def applyForceString(schema: StructType, pattern: Option[String]): StructType =
+    pattern match {
+      case None => schema
+      case Some(p) =>
+        val matched = RegexPattern.resolve(p, schema.fields.map(_.name).toSeq).toSet
+        StructType(schema.fields.map { f =>
+          if (matched.contains(f.name)) f.copy(dataType = StringType) else f
+        })
+    }
+
+  /** S4: single-document / array JSON. */
+  def readJson(spark: SparkSession, path: String, cfg: ReadConfig): DataFrame =
+    spark.read.option("multiLine", true).option("mode", "PERMISSIVE").json(path)
+
+  /** S5: newline-delimited JSON. */
+  def readNdJson(spark: SparkSession, path: String, cfg: ReadConfig): DataFrame =
+    spark.read.option("mode", "PERMISSIVE").json(path)
+
+  /** S6: Parquet; tolerates TIMESTAMP(NANOS) columns by reading nanos as
+    * long (caller converts if timestamp semantics are needed). */
+  def readParquet(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path)
+  }
+}
