@@ -153,7 +153,7 @@ object SparkEntry {
           |)
           |SELECT *
           |  EXCEPT ("o_orderpriority", "o_orderdate")
-          |  REPLACE (SUBSTR("o_orderstatus", 1, 1) AS "o_orderstatus")
+          |  REPLACE (CONCAT("o_orderstatus", '_x') AS "o_orderstatus")
           |  RENAME ("o_custkey" AS "customer_key")
           |FROM enriched
           |WHERE order_year >= 1998
@@ -468,7 +468,7 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q13_star_combo" ->
-      """SELECT o_orderkey, substr(o_orderstatus, 1, 1) AS o_orderstatus,
+      """SELECT o_orderkey, o_orderstatus || '_x' AS o_orderstatus,
         |  o_custkey AS customer_key, o_totalprice, order_year
         |FROM (SELECT *, CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS order_year FROM orders) t
         |WHERE order_year >= 1998 ORDER BY o_orderkey""".stripMargin,

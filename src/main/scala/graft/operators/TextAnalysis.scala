@@ -87,5 +87,7 @@ object TextAnalysis {
     aggregate(
       filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0),
       lit(0L),
-      (acc, w) => acc * lit(1000003L) + xxhash64(w))
+      // rotate-left-7 then xor: order-sensitive mixing with no Long
+      // overflow (ANSI-safe, unlike multiply-add polynomial hashing)
+      (acc, w) => shiftleft(acc, 7).bitwiseOR(shiftrightunsigned(acc, 57)).bitwiseXOR(xxhash64(w)))
 }

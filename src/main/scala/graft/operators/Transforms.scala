@@ -73,8 +73,16 @@ final case class NormalizeEuroStrings(pattern: String) extends Transform {
 }
 
 object NormalizeEuroStrings {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+
+  /** TRY-mode cast: unparseable → null (the reference's permissive
+    * semantics) even under Spark 4's default ANSI mode. */
+  private def tryCastDouble(c: Column): Column =
+    ColumnBridge.column(Cast(ColumnBridge.expression(c), DoubleType, None, EvalMode.TRY))
+
   def expr(c: Column): Column =
-    regexp_replace(regexp_replace(c, "\\.", ""), ",", ".").cast(DoubleType)
+    tryCastDouble(regexp_replace(regexp_replace(c, "\\.", ""), ",", "."))
 }
 
 /** T3 — replace configured markers with NULL (reference replace.rs:37-135).

@@ -182,7 +182,9 @@ object SqlRewriter {
                 case "except" =>
                   except = items.flatMap(_.headOption).map(identName)
                 case "replace" =>
-                  repl = items.flatMap(it => splitAs(it))
+                  // splitAs yields (expr, alias); REPLACE semantics are
+                  // column-name → replacement-expr
+                  repl = items.flatMap(it => splitAs(it)).map { case (e, a) => (a, e) }
                 case "rename" =>
                   ren = items.flatMap { it =>
                     splitAs(it).map { case (e, a) =>

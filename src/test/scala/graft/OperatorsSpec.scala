@@ -1,0 +1,204 @@
+package graft
+
+import graft.operators._
+import graft.operators.SortOps._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- sort (O1 + 5-state cycle, sort.rs:39-61) ------------------------
+
+  test("5-state cycle: NotSorted → DescNF → AscNF → DescNL → AscNL → NotSorted") {
+    val s0: SortState = NotSorted
+    val s1 = nextState(s0); val s2 = nextState(s1)
+    val s3 = nextState(s2); val s4 = nextState(s3); val s5 = nextState(s4)
+    assert(s1 == Sorted(ascending = false, nullsLast = false))
+    assert(s2 == Sorted(ascending = true, nullsLast = false))
+    assert(s3 == Sorted(ascending = false, nullsLast = true))
+    assert(s4 == Sorted(ascending = true, nullsLast = true))
+    assert(s5 == NotSorted)
+  }
+
+  test("applyClick moves clicked column to end of criteria, cycles it") {
+    val c0 = Seq(SortBy("a", ascending = true, nullsLast = true))
+    val c1 = applyClick(c0, "b")
+    assert(c1 == c0 :+ SortBy("b", ascending = false, nullsLast = false))
+    // clicking b three more times advances its state
+    val c2 = applyClick(applyClick(applyClick(c1, "b"), "b"), "b")
+    assert(c2.last == SortBy("b", ascending = true, nullsLast = true))
+    // fifth click removes it
+    assert(applyClick(c2, "b") == c0)
+  }
+
+  test("sort honors per-column null placement") {
+    val df = Seq(Some(3), None, Some(1), Some(2)).toDF("v")
+    val nf = SortOps.sort(df, Seq(SortBy("v", ascending = true, nullsLast = false)))
+      .as[Option[Int]].collect().toSeq
+    assert(nf == Seq(None, Some(1), Some(2), Some(3)))
+    val nl = SortOps.sort(df, Seq(SortBy("v", ascending = true, nullsLast = true)))
+      .as[Option[Int]].collect().toSeq
+    assert(nl == Seq(Some(1), Some(2), Some(3), None))
+  }
+
+  test("stableSort keeps input order for equal keys") {
+    val df = (0 until 100).map(i => (i % 3, i)).toDF("k", "orig")
+    val out = SortOps.stableSort(df, Seq(SortBy("k", ascending = true, nullsLast = true)))
+      .select("orig").as[Int].collect().toSeq
+    val expected = (0 until 100).sortBy(i => (i % 3, i))
+    assert(out == expected)
+  }
+
+  // ---- dedup -----------------------------------------------------------
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup
+    (4L, "completely different content about spark catalyst optimizer rules"),
+    (5L, "spark catalyst optimizer rules content completely different about") // permuted 4
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id representative with dup count") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+      .select("doc_id", "n_dups").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 2L)      // doc 2 merged into doc 1
+    assert(!out.contains(2L))
+    assert(out(3L) == 1L)
+  }
+
+  test("minhash: identical docs → est_jaccard 1.0; near-dups detected") {
+    // r=2 bands: candidate-miss probability for J≈0.54 is (1-J²)⁶⁴ ≈ 3e-10
+    // (the r=4 default has a ~6% deterministic miss chance at this J)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      Dedup.MinHashConfig(numHashes = 128, bands = 64, threshold = 0.3))
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+  }
+
+  test("minhashDedup removes the non-minimal member of a dup pair") {
+    val kept = Dedup.minhashDedup(docs, "doc_id", "text",
+      Dedup.MinHashConfig(threshold = 0.9))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(2L))
+    assert(kept.contains(3L) && kept.contains(4L) && kept.contains(5L))
+  }
+
+  test("simhash: identical docs at hamming 0; word-permuted docs too (order-free)") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(pairs((4L, 5L)) == 0L)  // simhash ignores order (same token multiset)
+  }
+
+  test("ngram jaccard: exact value for identical docs; none across unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("embedding near-dup finds planted duplicate vector") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f)),   // near dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.9, signBits = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  // ---- similarity ------------------------------------------------------
+
+  val corpus = (0 until 50).map { i =>
+    val v = Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat)
+    (i.toLong, v)
+  }.toDF("vec_id", "embedding")
+
+  test("brute-force top-k: k rows per query, rank 1 = max cosine, self excluded") {
+    val q = corpus.filter($"vec_id" === 0L)
+    val out = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(out.length == 5)
+    assert(out.forall(_._3 != 0L))
+    assert(out.map(_._4).toSeq == out.map(_._4).toSeq.sorted.reverse)
+  }
+
+  test("ivf top-k recalls a planted near-duplicate") {
+    val planted = Seq((999L, Array.tabulate(8)(d => (math.sin(7 * 8 + d) + 1e-4).toFloat)))
+      .toDF("vec_id", "embedding")
+    val c2 = corpus.union(planted)
+    val q = c2.filter($"vec_id" === 7L)
+    val out = Similarity.ivfTopK(c2, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 3, bits = 4, probeHamming = 1, dim = 8)
+      .select("rank", "id").as[(Int, Long)].collect().toMap
+    assert(out(1) == 999L)  // the planted dup is rank 1
+  }
+
+  // ---- text analysis ---------------------------------------------------
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = Seq("Hello world, 42 tokens!").toDF("text")
+    val r = df.select(
+      TextAnalysis.wsTokenCount($"text"),
+      TextAnalysis.bpeTokenCount($"text")).head()
+    assert(r.getLong(0) == 4L)
+    // Hello|world|,|42|tokens|! = 6
+    assert(r.getLong(1) == 6L)
+  }
+
+  test("quality: ratios are exact-count divisions") {
+    val df = Seq("ab cd!").toDF("text")   // 6 chars: 4 alpha, 1 punct, 1 ws
+    val out = TextAnalysis.withQuality(df, "text").head()
+    val schema = TextAnalysis.withQuality(df, "text").columns
+    def at(n: String) = out.get(schema.indexOf(n))
+    assert(at("n_chars") == 6L)
+    assert(at("n_tokens") == 2L)
+    assert(at("alpha_ratio") == 4.0 / 6.0)
+    assert(at("punct_ratio") == 1.0 / 6.0)
+    assert(at("mean_token_len") == 5.0 / 2.0)
+  }
+
+  test("langid picks the language with most stopword hits; und when none") {
+    val df = Seq(
+      "the cat is on the mat and it is happy",
+      "der hund ist nicht das problem und die katze",
+      "le chat est dans la maison et il est content",
+      "xyzzy qwerty plugh").toDF("text")
+    val out = df.select(TextAnalysis.langId($"text")).as[String].collect().toSeq
+    assert(out == Seq("en", "de", "fr", "und"))
+  }
+
+  test("fingerprint is whitespace-canonical; rollingHash is order-sensitive") {
+    val a = Seq("hello   world", "hello world").toDF("text")
+      .select(TextAnalysis.fingerprint($"text")).as[String].collect().toSet
+    assert(a.size == 1)
+    val b = Seq("hello world", "world hello").toDF("text")
+      .select(TextAnalysis.rollingHash($"text")).as[Long].collect().toSet
+    assert(b.size == 2)
+  }
+
+  // ---- multimodal ------------------------------------------------------
+
+  test("decode stub emits deterministic dims from payload bytes") {
+    val df = Seq((1L, "abcdef"), (2L, "xyz")).toDF("id", "t")
+      .select($"id", $"t".cast("binary").as("payload"))
+    val out = Multimodal.decodeImages(df, "id", "payload").collect().map(r => r.id -> r).toMap
+    assert(out(1L).nBytes == 6L && out(1L).width == 6L && out(1L).format == "png")
+    assert(out(2L).nBytes == 3L && out(2L).height == 21L && out(2L).format == "jpeg")
+  }
+
+  test("frame sampling yields stride offsets") {
+    val df = Seq((1L, "0123456789")).toDF("id", "t")
+      .select($"id", $"t".cast("binary").as("payload"))
+    val out = Multimodal.sampleFrameOffsets(df, "id", "payload", stride = 4)
+      .select("frame_offset").as[Long].collect().sorted.toSeq
+    assert(out == Seq(0L, 4L, 8L))
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.sources._
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def tmpFile(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft_src").toFile
+    val f = new java.io.File(dir, name)
+    Files.writeString(f.toPath, content)
+    f.getAbsolutePath
+  }
+
+  // ---- sniffer ---------------------------------------------------------
+
+  test("candidate order: configured first, then defaults, deduped") {
+    assert(CsvSniffer.uniqueCandidates(Some(';')) == Seq(';', ',', '|', '\t', ':'))
+    assert(CsvSniffer.uniqueCandidates(Some(',')) == Seq(',', ';', '|', '\t', ':'))
+    assert(CsvSniffer.uniqueCandidates(None) == Seq(',', ';', '|', '\t', ':'))
+  }
+
+  test("quote-aware field counting") {
+    assert(CsvSniffer.fieldCount("""a,b,"c,d",e""", ',') == 4)
+    assert(CsvSniffer.fieldCount("""a;"x;y";b""", ';') == 3)
+    assert(CsvSniffer.fieldCount("single", ',') == 1)
+  }
+
+  test("detect picks the delimiter with consistent >1 columns") {
+    val p = tmpFile("d.csv", "a;b;c\n1;2;3\n4;5;6\n")
+    assert(CsvSniffer.detect(spark, p) == ';')
+    val p2 = tmpFile("d2.csv", "a\tb\n1\t2\n")
+    assert(CsvSniffer.detect(spark, p2) == '\t')
+  }
+
+  test("detect fails on undelimited content") {
+    val p = tmpFile("x.csv", "justoneword\nanother\n")
+    assertThrows[GraftError.DelimiterNotDetected](CsvSniffer.detect(spark, p))
+  }
+
+  // ---- F1: force-string overrides (data_filter.rs:1273-1439) -----------
+
+  val bigIdCsv =
+    """long_id;value;text
+      |12345678901234567890123456789012345678901234;10.5;abc
+      |98765432109876543210987654321098765432109876;20.0;def
+      |12345;30.7;ghi
+      |""".stripMargin
+
+  test("without override the 44-digit id column is lossy; with ^long_id$ it survives") {
+    val p = tmpFile("ids.csv", bigIdCsv)
+    val plain = Readers.readCsv(spark, p, ReadConfig(delimiter = Some(';')))
+    assert(plain.schema("long_id").dataType != StringType)  // inferred numeric → lossy
+
+    val forced = Readers.readCsv(spark, p,
+      ReadConfig(delimiter = Some(';'), forceStringRegex = Some("^long_id$")))
+    assert(forced.schema("long_id").dataType == StringType)
+    val ids = forced.select("long_id").as[String].collect().toSet
+    assert(ids.contains("12345678901234567890123456789012345678901234"))
+    // non-matching columns keep inferred types
+    assert(forced.schema("value").dataType == DoubleType)
+  }
+
+  test("inferSchemaRows = 0 → everything String (reference 0 = no inference)") {
+    val p = tmpFile("z.csv", "a,b\n1,2.5\n")
+    val df = Readers.readCsv(spark, p, ReadConfig(inferSchemaRows = 0))
+    assert(df.schema.fields.forall(_.dataType == StringType))
+    assert(df.count() == 1)
+  }
+
+  // ---- F7: inference through quoted values (data_format.rs:315-342) ----
+
+  test("quoted ints and bools infer through quotes") {
+    val p = tmpFile("q.csv", "foo,bar,baz\n1,\"4\",\"false\"\n3,\"5\",\"false\"\n5,\"6\",\"true\"\n")
+    val df = Readers.readCsv(spark, p, ReadConfig())
+    assert(df.schema("foo").dataType == IntegerType)
+    assert(df.schema("bar").dataType == IntegerType)
+    assert(df.schema("baz").dataType == BooleanType)
+  }
+
+  // ---- format dispatch + writers --------------------------------------
+
+  test("extension dispatch: unknown extension errors") {
+    assertThrows[GraftError.UnsupportedFileExtension] {
+      Readers.Format.fromPath("/x/y/data.xlsx")
+    }
+    assert(Readers.Format.fromPath("a.JSONL") == Readers.Format.NdJson)
+    assert(Readers.Format.fromPath("a.Parquet") == Readers.Format.Parquet)
+  }
+
+  test("save refuses cross-format overwrite (K1)") {
+    val df = Seq((1, "a")).toDF("i", "s")
+    assertThrows[GraftError.UnsupportedFileExtension] {
+      Writers.save(df, "/tmp/graft_bad.json", Readers.Format.Csv)
+    }
+  }
+
+  test("json-array writer emits a single valid array document") {
+    val df = Seq((1, "a"), (2, "b")).toDF("i", "s")
+    val dir = Files.createTempDirectory("graft_ja").toFile.getAbsolutePath + "/out.json"
+    Writers.writeJsonArray(df, dir)
+    val (back, _) = Readers.readAuto(spark, dir)
+    assert(back.count() == 2)
+    assert(back.columns.sorted.toSeq == Seq("i", "s"))
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import graft.sql.{GraftSql, SqlLexer, SqlRewriter}
+import org.scalatest.funsuite.AnyFunSuite
+
+class SqlRewriterSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- pass 1: quotes + strftime ---------------------------------------
+
+  test("double-quoted identifiers → backticks; string literals untouched") {
+    val in = """SELECT "Ano do Período" FROM t WHERE "Mês" Like 'dez%' AND x = 'it''s'"""
+    val out = SqlRewriter.rewriteQuotesAndFunctions(in)
+    assert(out.contains("`Ano do Período`"))
+    assert(out.contains("`Mês`"))
+    assert(out.contains("'dez%'"))
+    assert(out.contains("'it''s'"))
+  }
+
+  test("comments are stripped, not parsed") {
+    val in = "SELECT a -- \"quoted\" in comment\n, b /* \"x\" */ FROM t"
+    val out = SqlRewriter.rewriteQuotesAndFunctions(in)
+    assert(!out.contains("comment"))
+    assert(!out.contains("\"x\""))
+  }
+
+  test("strftime translation table") {
+    assert(SqlRewriter.translateStrftime("%d/%m/%Y") == "dd/MM/yyyy")
+    assert(SqlRewriter.translateStrftime("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss")
+    assert(SqlRewriter.translateStrftime("%b %Y") == "MMM yyyy")
+    assert(SqlRewriter.translateStrftime("%d%%") == "dd%")
+    // literal letters get quoted for the JVM formatter
+    assert(SqlRewriter.translateStrftime("%YT%H") == "yyyy'T'HH")
+  }
+
+  test("STRFTIME call rewritten to DATE_FORMAT with translated pattern") {
+    val out = SqlRewriter.rewriteQuotesAndFunctions(
+      "SELECT STRFTIME(d, '%d/%m/%Y') FROM t")
+    assert(out.contains("DATE_FORMAT"))
+    assert(out.contains("'dd/MM/yyyy'"))
+  }
+
+  // ---- star modifiers --------------------------------------------------
+
+  test("expandProjection: except → replace → rename order") {
+    val cols = Seq("a", "b", "c", "d")
+    val m = SqlRewriter.StarModifiers(
+      except = Seq("b"),
+      replace = Seq("c" -> "UPPER(`c`)"),
+      rename = Seq("d" -> "dd"))
+    assert(SqlRewriter.expandProjection(cols, m) ==
+      "`a`, UPPER(`c`) AS `c`, `d` AS `dd`")
+  }
+
+  test("replace + rename on the SAME column applies expr then new name") {
+    val m = SqlRewriter.StarModifiers(Seq.empty, Seq("c" -> "f(`c`)"), Seq("c" -> "c2"))
+    assert(SqlRewriter.expandProjection(Seq("c"), m) == "f(`c`) AS `c2`")
+  }
+
+  test("findStarSites parses all three modifier groups") {
+    val toks = SqlLexer.lex(
+      "SELECT * EXCEPT(a, b) REPLACE (f(x) AS c) RENAME (d AS e) FROM t")
+    val sites = SqlRewriter.findStarSites(toks)
+    assert(sites.length == 1)
+    assert(sites.head.mods.except == Seq("a", "b"))
+    assert(sites.head.mods.replace == Seq("c" -> "f(x)"))
+    assert(sites.head.mods.rename == Seq("d" -> "e"))
+  }
+
+  test("bare star is not a site; qualified t.* untouched") {
+    assert(SqlRewriter.findStarSites(SqlLexer.lex("SELECT *, t.* FROM t")).isEmpty)
+  }
+
+  // ---- end-to-end through spark.sql -----------------------------------
+
+  def fixture() = {
+    val df = Seq((2019, "abc-123456789-2019", 10.0, "PER1", "tA"),
+      (2018, "abc-123456789-2018", 20.0, "PER2", "tB"))
+      .toDF("Ano do Período", "Período Apuração", "Valor Total", "PER/DCOMP", "Tipo")
+    df.createOrReplaceTempView("AllData")
+    df
+  }
+
+  test("corpus shape: CTE + EXCEPT + REPLACE + RENAME + double quotes (testes-sqls.txt:64-104)") {
+    fixture()
+    val q =
+      """WITH DadosComAno AS (
+        |  SELECT *, CAST(SUBSTR("Período Apuração", 15, 4) AS INTEGER) AS Ano2
+        |  FROM AllData
+        |)
+        |SELECT *
+        |  EXCEPT ("Valor Total")
+        |  REPLACE (SUBSTR("Período Apuração", 1, 3) AS "Período Apuração")
+        |  RENAME ("PER/DCOMP" AS "Pedido (PER)")
+        |FROM DadosComAno
+        |WHERE Ano2 >= 2019
+        |ORDER BY Ano2 ASC, "Tipo" DESC""".stripMargin
+    val out = GraftSql.run(spark, q)
+    assert(out.columns.toSeq ==
+      Seq("Ano do Período", "Período Apuração", "Pedido (PER)", "Tipo", "Ano2"))
+    val r = out.head()
+    assert(r.getString(1) == "abc")        // REPLACE applied
+    assert(r.getString(2) == "PER1")       // RENAME kept value
+    assert(out.count() == 1)               // WHERE on CTE column
+  }
+
+  test("HAVING on select alias resolves via fallback rewrite") {
+    Seq(("x", 10.0), ("x", 5.0), ("y", 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("hav")
+    val out = GraftSql.run(spark,
+      "SELECT k, SUM(v) AS total FROM hav GROUP BY k HAVING total > 10 ORDER BY k")
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("x"))
+  }
+
+  test("ILIKE and BETWEEN pass through") {
+    fixture()
+    val out = GraftSql.run(spark,
+      """SELECT "Tipo" FROM AllData WHERE "Tipo" ILIKE '%ta%' AND "Ano do Período" BETWEEN 2019 AND 2020""")
+    assert(out.count() == 1)
+  }
+
+  test("STRFTIME end-to-end formats a timestamp") {
+    Seq(java.sql.Timestamp.valueOf("2024-03-07 00:00:00")).toDF("d")
+      .createOrReplaceTempView("dts")
+    val out = GraftSql.run(spark, "SELECT STRFTIME(d, '%d/%m/%Y') AS s FROM dts")
+    assert(out.head().getString(0) == "07/03/2024")
+  }
+}
