@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -41,6 +41,144 @@ object Hashing {
     val b = java.lang.Long.rotateLeft(z, 17)
     a * h + b
   }
+}
+
+/** Shared single-pass tokenizer over UTF8String bytes: whitespace-split,
+  * ASCII-lowercased word FNV hashes — no String allocation per token. */
+object Tokenize {
+  def wordHashes(s: UTF8String, seed: Long): Array[Long] = {
+    val bytes = s.getBytes
+    val out = new scala.collection.mutable.ArrayBuffer[Long](32)
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        var h = 0xcbf29ce484222325L ^ seed
+        while (i < n && !isWs(bytes(i))) {
+          var b = bytes(i)
+          if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
+          h ^= (b & 0xffL)
+          h *= 0x100000001b3L
+          i += 1
+        }
+        out += h
+      }
+    }
+    out.toArray
+  }
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
+
+  /** Order-sensitive combine of the word-hash window [i, i+n). */
+  def shingleHash(wh: Array[Long], i: Int, n: Int): Long = {
+    var h = 0x9e3779b97f4a7c15L
+    var k = i
+    while (k < i + n) {
+      h = java.lang.Long.rotateLeft(h, 13) ^ wh(k)
+      h *= 0x100000001b3L
+      k += 1
+    }
+    h
+  }
+
+  /** Distinct sorted shingle hashes of a text. */
+  def shingleHashes(s: UTF8String, n: Int, seed: Long): Array[Long] = {
+    val wh = wordHashes(s, seed)
+    if (wh.length < n) return Array.empty
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= wh.length) { set.add(shingleHash(wh, i, n)); i += 1 }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+}
+
+/** `text_shingle_hashes(text)` → distinct sorted `array<long>` of word
+  * n-gram shingle hashes. Fused tokenize+shingle+hash in one byte pass —
+  * replaces a split/transform/slice/concat_ws higher-order pipeline that
+  * profiled ~30× slower (per-element array allocs). Hash identity stands
+  * in for string identity; 64-bit collisions are negligible at any
+  * per-document shingle count. */
+case class TextShingleHashes(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(Tokenize.shingleHashes(input.asInstanceOf[UTF8String], n, seed))
+
+  override protected def withNewChildInternal(newChild: Expression): TextShingleHashes =
+    copy(child = newChild)
+}
+
+/** `minhash_from_text(text)` → `array<long>` signature, fusing tokenize →
+  * shingle-hash → permute-min in a single pass (no shingle strings, no
+  * intermediate arrays). */
+case class MinHashFromText(child: Expression, n: Int, numHashes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val wh = Tokenize.wordHashes(input.asInstanceOf[UTF8String], seed)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i + n <= wh.length) {
+      val base = Tokenize.shingleHash(wh, i, n)
+      var k = 0
+      while (k < numHashes) {
+        val h = Hashing.permute(base, k)
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromText =
+    copy(child = newChild)
+}
+
+/** `dot_product(a, b)` → double: strict left-to-right double-precision
+  * accumulation — bit-identical to `aggregate(zip_with(a,b,*),0d,+)` but
+  * a plain loop instead of per-element lambda machinery (~10× faster in
+  * the ANN scan). Accepts float or double arrays. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  private lazy val leftFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val rightFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
 }
 
 /** `minhash_signature(shingles)` → `array<long>` of length `numHashes`.
@@ -116,6 +254,15 @@ object HashFunctions {
   def minhashSignature(shingles: Column, numHashes: Int = 64, seed: Long = 42L): Column =
     toCol(MinHashSignature(toExpr(shingles), numHashes, seed))
 
+  def minhashFromText(text: Column, shingleSize: Int, numHashes: Int, seed: Long): Column =
+    toCol(MinHashFromText(toExpr(text), shingleSize, numHashes, seed))
+
+  def textShingleHashes(text: Column, n: Int, seed: Long = 42L): Column =
+    toCol(TextShingleHashes(toExpr(text), n, seed))
+
   def simhash64(tokens: Column, seed: Long = 42L): Column =
     toCol(SimHash64(toExpr(tokens), seed))
+
+  def dotProduct(a: Column, b: Column): Column =
+    toCol(DotProduct(toExpr(a), toExpr(b)))
 }

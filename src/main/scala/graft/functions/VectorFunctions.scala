@@ -14,12 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Elementwise product then ordered double-precision sum. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  /** Elementwise product then ordered double-precision sum. Evaluated by
+    * the native [[graft.functions.DotProduct]] expression — identical
+    * accumulation order (and therefore bit-identical results) to the
+    * equivalent `aggregate(zip_with(...))` composition, minus the
+    * per-element lambda overhead. */
+  def dot(a: Column, b: Column): Column = HashFunctions.dotProduct(a, b)
 
   def norm2(a: Column): Column = dot(a, a)
 

@@ -74,13 +74,14 @@ object Dedup {
       seed: Long = 42L,
       threshold: Double = 0.7)
 
-  /** doc id + minhash signature (map-side only). */
+  /** doc id + minhash signature (map-side only; fused native expression —
+    * one byte pass per document, no intermediate shingle arrays). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig): DataFrame =
     df.select(
       col(idCol).as("id"),
-      HashFunctions.minhashSignature(
-        wordShingles(col(textCol), cfg.shingleSize), cfg.numHashes, cfg.seed)
+      HashFunctions.minhashFromText(
+        col(textCol), cfg.shingleSize, cfg.numHashes, cfg.seed)
         .as("sig"))
 
   /** Candidate near-duplicate pairs via banded LSH, verified by exact
@@ -99,16 +100,23 @@ object Dedup {
         b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
 
-    // bucket join → unordered candidate pairs (id_a < id_b)
-    val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val rt = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val pairs = l.join(rt, Seq("band", "band_hash"))
+    // bucket join → unordered candidate pairs. Signatures are NOT carried
+    // through the pair shuffle (128 longs × pairs would dominate the
+    // exchange); candidates are deduped as bare (id_a, id_b) first and the
+    // two signatures joined back by id afterwards.
+    val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val rt = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val candidates = l.join(rt, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .distinct()
+
+    val withSigs = candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
 
     // estimated Jaccard = fraction of agreeing signature positions
-    pairs.select(
+    withSigs.select(
       col("id_a"), col("id_b"),
       (aggregate(zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, 1).otherwise(0)),
@@ -158,23 +166,52 @@ object Dedup {
   // ---- exact n-gram Jaccard ---------------------------------------------
 
   /** Exact Jaccard similarity over word n-gram shingle SETS for all pairs
-    * with similarity ≥ threshold, via an inverted shingle index
-    * (explode → join on shingle → count co-occurrences). Exact but
-    * O(sum of bucket²) — at 100 TB, run on MinHash candidates instead;
-    * provided as the verification/oracle path. */
+    * with similarity ≥ threshold.
+    *
+    * Scale shape (PPJoin-style prefix filtering, lossless for J ≥ t):
+    * two shingle sets with Jaccard ≥ t must share at least one of each
+    * set's (|S| - ⌈t·|S|⌉ + 1) globally-RAREST shingles, so only that
+    * prefix is indexed. The inverted-index join then explodes on rare
+    * shingles instead of stop-shingles — Σ count(g)² collapses by orders
+    * of magnitude on natural-language corpora. Candidate pairs travel as
+    * bare (id_a, id_b); exact intersection is computed once per candidate
+    * from the two full arrays (array_intersect), not by re-aggregating
+    * the inverted index. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 64-bit shingle hashes stand in for shingle strings: distinct/
+    // intersect/frequency semantics are preserved (collisions negligible),
+    // and the fused native expression computes each document's set in one
+    // byte pass.
     val sets = df.select(col(idCol).as("id"),
-      array_distinct(wordShingles(col(textCol), n)).as("sh"))
+      HashFunctions.textShingleHashes(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val inv = sets.select(col("id"), col("sh"), explode(col("sh")).as("g"))
-    val co = inv.select(col("g"), col("id").as("id_a"), size(col("sh")).as("n_a"))
-      .join(inv.select(col("g"), col("id").as("id_b"), size(col("sh")).as("n_b")), Seq("g"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("inter"))
-    co.select(col("id_a"), col("id_b"),
+
+    val inv = sets.select(col("id"), size(col("sh")).as("nsh"), explode(col("sh")).as("g"))
+    // global shingle document-frequency; rare-first ordering
+    val freq = inv.groupBy("g").agg(count(lit(1)).as("gdf"))
+    val ranked = inv.join(freq, Seq("g"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("id").orderBy(col("gdf"), col("g"))))
+      .filter(col("r") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
+      .select("g", "id", "nsh")
+
+    val candidates = ranked.select(col("g"), col("id").as("id_a"), col("nsh").as("n_a"))
+      .join(ranked.select(col("g"), col("id").as("id_b"), col("nsh").as("n_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b") &&
+        // size-ratio pruning: J ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t
+        col("n_a") >= col("n_b") * threshold && col("n_b") >= col("n_a") * threshold)
+      .select("id_a", "id_b").distinct()
+
+    val joined = candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+
+    joined.select(col("id_a"), col("id_b"),
       (col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -189,15 +226,21 @@ object Dedup {
       dim: Int = 64): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.norm(col(vecCol)).as("nrm"))
-    val bucketed =
-      if (signBits <= 0) base.withColumn("bucket", lit(0L))
+    val l = base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val r = base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
+    val paired =
+      if (signBits <= 0)
+        // exact all-pairs: a broadcast nested-loop cross join parallelizes
+        // over the left side's partitions (a constant-key equi-join would
+        // funnel EVERY pair through one task)
+        l.crossJoin(broadcast(r))
       else {
         val planes = Similarity.hyperplanes(signBits, dim, seed)
-        base.withColumn("bucket", Similarity.signBucket(col("v"), planes))
+        val lb = l.withColumn("bucket", Similarity.signBucket(col("v_a"), planes))
+        val rb = r.withColumn("bucket", Similarity.signBucket(col("v_b"), planes))
+        lb.join(rb, Seq("bucket"))
       }
-    val l = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
-    val r = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
-    l.join(r, Seq("bucket"))
+    paired
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (VectorFunctions.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("cosine"))

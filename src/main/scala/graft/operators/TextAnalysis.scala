@@ -59,9 +59,21 @@ object TextAnalysis {
       w => w.isin(wordsList.map(lit): _*))).cast("long")
 
   /** Predicted language = argmax of stopword hits; ties and all-zero →
-    * first-listed language order ("en" priority), "und" when no hits. */
+    * first-listed language order ("en" priority), "und" when no hits.
+    *
+    * Single tokenize pass: each token is mapped to a language code once
+    * (chained membership tests), then per-language counts are cheap
+    * filters over the small int array — rather than re-splitting the text
+    * once per language. */
   def langId(text: Column): Column = {
-    val scores = stopwords.map { case (lang, ws) => lang -> stopwordHits(text, ws) }
+    val toks = split(lower(trim(text)), "\\s+")
+    val codes = transform(toks, w =>
+      stopwords.zipWithIndex.foldRight(lit(-1): Column) { case (((_, ws), i), acc) =>
+        when(w.isin(ws.map(lit): _*), lit(i)).otherwise(acc)
+      })
+    val scores = stopwords.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> size(filter(codes, c => c === i)).cast("long")
+    }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     // foldRight builds when(en)…otherwise(when(de)…) — earlier-listed
     // languages win ties, matching the documented priority order
