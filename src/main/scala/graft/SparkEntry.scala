@@ -231,6 +231,76 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q22_minmax_distinct" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          countDistinct("l_partkey").as("n_parts"),
+          min(col("l_shipdate").cast("date").cast("string")).as("first_ship"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q23_intersect" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders"); val c = tbl(s, dir, "customer")
+      o.select(col("o_custkey").as("k"))
+        .intersect(c.filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k")))
+        .orderBy("k")
+    }),
+
+    "q24_except_setop" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders"); val c = tbl(s, dir, "customer")
+      c.select(col("c_custkey").as("k"))
+        .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k")))
+        .orderBy("k")
+    }),
+
+    "q25_strings" -> ((s, dir) => {
+      tbl(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_mktsegment")).as("lo"),
+        length(col("c_name")).cast("long").as("len"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("joined"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"))
+        .orderBy("c_custkey")
+    }),
+
+    "q26_dates" -> ((s, dir) => {
+      tbl(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        date_add(col("o_orderdate").cast("date"), 30).cast("string").as("plus30"),
+        last_day(col("o_orderdate").cast("date")).cast("string").as("eom"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q27_math" -> ((s, dir) => {
+      tbl(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25).as("dev"),
+        sqrt(col("l_quantity")).as("root"),
+        floor(col("l_extendedprice") / 1000).as("kprice_floor"),
+        ceil(col("l_extendedprice") / 1000).as("kprice_ceil"),
+        signum(col("l_quantity") - 25).cast("int").as("sgn"),
+        pow(col("l_linenumber"), 2).as("sq"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q28_explode" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy("word")
+    }),
+
     // ---- transform pipeline (SURVEY §2.3) ------------------------------
 
     "t1_drop_regex" -> ((s, dir) => {
@@ -520,6 +590,60 @@ object SparkEntry {
     "q21_json" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q22_minmax_distinct" ->
+      """SELECT l_returnflag,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR) AS first_ship
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q23_intersect" ->
+      """SELECT o_custkey AS k FROM orders
+        |INTERSECT
+        |SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        |ORDER BY k""".stripMargin,
+
+    "q24_except_setop" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY k""".stripMargin,
+
+    "q25_strings" ->
+      """SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo,
+        |  CAST(length(c_name) AS BIGINT) AS len,
+        |  concat_ws('-', c_mktsegment, c_name) AS joined,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q26_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS d,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q27_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25) AS dev,
+        |  sqrt(l_quantity) AS root,
+        |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS kprice_floor,
+        |  CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS kprice_ceil,
+        |  CAST(sign(l_quantity - 25) AS INTEGER) AS sgn,
+        |  pow(l_linenumber, 2) AS sq
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q28_explode" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY word""".stripMargin,
 
     "t1_drop_regex" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,

@@ -1,0 +1,160 @@
+package graft.meta
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** M1–M3 introspection operators (reference file_info.rs, sqls.rs).
+  *
+  * The example generator reproduces the reference's schema-aware template
+  * set (sqls.rs:561-628): pick the first string/int/float/date/any
+  * columns — skipping generated-looking names — and instantiate ~20 query
+  * shapes. The templates double as the SQL-surface conformance checklist
+  * (each one must run through GraftSql).
+  */
+object Introspect {
+
+  /** M1 — shape. Triggers one count job; cache the frame first when the
+    * shape is displayed repeatedly. */
+  def shape(df: DataFrame): (Long, Int) = (df.count(), df.columns.length)
+
+  /** M2 — schema listing (name, dtype, index). */
+  def schemaListing(df: DataFrame): Seq[(String, String, Int)] =
+    df.schema.fields.zipWithIndex.map { case (f, i) => (f.name, f.dataType.simpleString, i) }.toSeq
+
+  // ---- M3: example-query synthesis ------------------------------------
+
+  /** Generated/aggregate-looking names skipped when picking source
+    * columns (reference COLS_FILTER_OUT, sqls.rs:15-31). */
+  val ColsFilterOut: Seq[String] = Seq(
+    "Row Number", "Average", "Frequency", "Total", "As Float", "Category",
+    "Calculation Result", "Row Count", "Unique Values", "Minimum",
+    "Maximum", "New Name for", "+ 10%", "DMY (day/month/year)")
+
+  def isFilteredCol(name: String): Boolean = {
+    val t = name.trim
+    t.isEmpty || ColsFilterOut.exists(t.contains)
+  }
+
+  /** Nth (0-based) non-filtered column satisfying the dtype predicate. */
+  def findNthCol(schema: StructType, n: Int, pred: DataType => Boolean): Option[String] =
+    schema.fields.iterator
+      .filter(f => !isFilteredCol(f.name) && pred(f.dataType))
+      .slice(n, n + 1).map(_.name).toSeq.headOption
+
+  private def isString(d: DataType) = d == StringType
+  private def isInt(d: DataType) = d match {
+    case ByteType | ShortType | IntegerType | LongType => true; case _ => false
+  }
+  private def isFloat(d: DataType) = d == FloatType || d == DoubleType
+  private def isDate(d: DataType) = d == DateType || d == TimestampType
+  private def isAny(d: DataType) = d != NullType
+
+  val DefaultQuery: String = "-- Select all columns and rows\nSELECT *\nFROM AllData;"
+
+  private def bq(c: String) = s"`$c`"
+
+  /** The full example set for a schema (reference sql_commands,
+    * sqls.rs:561-628). Every emitted query is runnable via GraftSql. */
+  def sqlExamples(schema: StructType, table: String = "AllData"): Seq[String] = {
+    val strCol = findNthCol(schema, 0, isString)
+    val intCol = findNthCol(schema, 0, isInt)
+    val floatCol = findNthCol(schema, 0, isFloat)
+    val dateCol = findNthCol(schema, 0, isDate)
+    val any0 = findNthCol(schema, 0, isAny)
+    val any1 = findNthCol(schema, 1, isAny)
+    val any2 = findNthCol(schema, 2, isAny)
+    val numCol = intCol.orElse(floatCol)
+    val groupCol = dateCol.orElse(intCol).orElse(strCol).orElse(any0)
+
+    val out = Seq.newBuilder[String]
+    out += DefaultQuery
+    out += s"-- Limit the number of rows returned\nSELECT *\nFROM $table\nLIMIT 50;"
+
+    for (c1 <- strCol; c2 <- numCol) out +=
+      s"-- Select specific columns by name\nSELECT\n    ${bq(c1)},\n    ${bq(c2)}\nFROM $table;"
+
+    for (c1 <- any0; c2 <- any2) out +=
+      s"-- Select all columns EXCEPT specific ones\nSELECT *\nEXCEPT (${bq(c1)}, ${bq(c2)})\nFROM $table;"
+
+    for (c1 <- any0; c2 <- any1) out +=
+      s"-- Rename columns while selecting all others\nSELECT *\nRENAME (${bq(c1)} AS `New Name for ${c1}`, ${bq(c2)} AS `New Name for ${c2}`)\nFROM $table;"
+
+    for (c <- floatCol) out +=
+      s"-- Replace a column's values in-place (here: rounded)\nSELECT *\nREPLACE (ROUND(${bq(c)}, 2) AS ${bq(c)})\nFROM $table;"
+
+    for (c1 <- intCol; c2 <- strCol) out +=
+      s"-- Replace cell values conditionally\nSELECT *\nREPLACE (\n    CASE WHEN ${bq(c1)} IS NULL THEN 0 ELSE ${bq(c1)} END AS ${bq(c1)}\n)\nFROM $table;"
+
+    for (cf <- floatCol; ci <- intCol) out +=
+      s"-- Add computed columns from existing ones\nSELECT\n    *,\n    ${bq(cf)} * 1.10 AS `${cf} + 10%`,\n    ${bq(ci)} + 1 AS `${ci} Calculation Result`\nFROM $table;"
+
+    for (c1 <- any0; c2 <- any1; cf <- floatCol) out +=
+      s"-- Combined EXCEPT + REPLACE + RENAME\nSELECT *\nEXCEPT (${bq(c1)})\nREPLACE (ROUND(${bq(cf)}, 1) AS ${bq(cf)})\nRENAME (${bq(c2)} AS `New Name for ${c2}`)\nFROM $table;"
+
+    for (c <- intCol) out +=
+      s"-- Cast an integer column to float\nSELECT\n    ${bq(c)},\n    CAST(${bq(c)} AS DOUBLE) AS `${c} As Float`\nFROM $table;"
+
+    for (c <- numCol) out +=
+      s"-- Conditional logic with CASE WHEN\nSELECT\n    *,\n    CASE\n        WHEN ${bq(c)} > 100 THEN 'High'\n        WHEN ${bq(c)} > 10 THEN 'Medium'\n        ELSE 'Low'\n    END AS `${c} Category`\nFROM $table;"
+
+    for (c <- any0) out +=
+      s"-- Filter rows with NULL values\nSELECT *\nFROM $table\nWHERE ${bq(c)} IS NOT NULL;"
+
+    for (c <- intCol) out +=
+      s"-- Filter by integer comparison\nSELECT *\nFROM $table\nWHERE ${bq(c)} >= 10;"
+
+    for (c <- strCol) out +=
+      s"-- Filter by string pattern (ILIKE is case-insensitive)\nSELECT *\nFROM $table\nWHERE ${bq(c)} ILIKE '%a%';"
+
+    for (ci <- intCol; cs <- strCol) out +=
+      s"-- Combine filters with AND/OR and BETWEEN\nSELECT *\nFROM $table\nWHERE (${bq(ci)} BETWEEN 1 AND 1000) AND ${bq(cs)} IS NOT NULL;"
+
+    for (c1 <- strCol; c2 <- numCol) out +=
+      s"-- Sort by multiple columns\nSELECT *\nFROM $table\nORDER BY ${bq(c1)} ASC, ${bq(c2)} DESC;"
+
+    for (cg <- groupCol; cc <- any2) out +=
+      s"-- Count rows per group\nSELECT\n    ${bq(cg)},\n    COUNT(${bq(cc)}) AS `${cc} Row Count`,\n    COUNT(DISTINCT ${bq(cc)}) AS `${cc} Unique Values`\nFROM $table\nGROUP BY ${bq(cg)}\nORDER BY ${bq(cg)};"
+
+    for (cs <- strCol; cn <- numCol) out +=
+      s"-- Sum per group\nSELECT\n    ${bq(cs)},\n    SUM(${bq(cn)}) AS `${cn} Total`\nFROM $table\nGROUP BY ${bq(cs)};"
+
+    for (cs <- strCol; cn <- numCol) out +=
+      s"-- Multiple aggregates per group\nSELECT\n    ${bq(cs)},\n    COUNT(*) AS `Row Count`,\n    AVG(${bq(cn)}) AS `${cn} Average`,\n    MIN(${bq(cn)}) AS `${cn} Minimum`,\n    MAX(${bq(cn)}) AS `${cn} Maximum`\nFROM $table\nGROUP BY ${bq(cs)};"
+
+    for (cs <- strCol; cn <- numCol) out +=
+      s"-- Filter groups with HAVING on an aggregate alias\nSELECT\n    ${bq(cs)},\n    AVG(${bq(cn)}) AS `${cn} Average`\nFROM $table\nGROUP BY ${bq(cs)}\nHAVING `${cn} Average` > 0;"
+
+    for (c <- dateCol) out +=
+      s"-- Format dates with STRFTIME\nSELECT\n    ${bq(c)},\n    STRFTIME(${bq(c)}, '%d/%m/%Y') AS `${c} DMY (day/month/year)`\nFROM $table;"
+
+    for (c1 <- any0; c2 <- any2) out +=
+      s"-- Unique combinations of columns\nSELECT DISTINCT\n    ${bq(c1)},\n    ${bq(c2)}\nFROM $table;"
+
+    out.result()
+  }
+
+  // ---- M4: cell formatting (presentation-layer pure functions) ---------
+
+  /** Per-dtype alignment (reference data_format.rs:61-106): numbers right,
+    * booleans/dates center, text left. */
+  sealed trait Align
+  case object Left extends Align
+  case object Right extends Align
+  case object Center extends Align
+
+  def alignmentFor(dt: DataType): Align = dt match {
+    case _: NumericType => Right
+    case BooleanType | DateType | TimestampType => Center
+    case _ => Left
+  }
+
+  /** Null → "", floats with fixed decimals (default 2), others toString
+    * (reference data_container.rs:508-543, decimal_and_layout_v2.rs). */
+  def formatCell(value: Any, dt: DataType, floatDecimals: Int = 2): String =
+    value match {
+      case null => ""
+      case d: Double => s"%.${floatDecimals}f".format(d)
+      case f: Float  => s"%.${floatDecimals}f".format(f.toDouble)
+      case other     => other.toString
+    }
+}

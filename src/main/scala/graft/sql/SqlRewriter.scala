@@ -177,10 +177,11 @@ object SqlRewriter {
             else {
               val close = matchParen(toks, open)
               val body = toks.slice(open + 1, close)
-              val items = splitTopLevel(body).map(_.filterNot(_.isInstanceOf[Ws]))
+              // keep whitespace: REPLACE expressions must render verbatim
+              val items = splitTopLevel(body)
               kw match {
                 case "except" =>
-                  except = items.flatMap(_.headOption).map(identName)
+                  except = items.flatMap(_.find(!_.isInstanceOf[Ws])).map(identName)
                 case "replace" =>
                   // splitAs yields (expr, alias); REPLACE semantics are
                   // column-name → replacement-expr
@@ -324,9 +325,8 @@ object SqlRewriter {
     }
     if (fromIdx < 0) return sql
     val items = splitTopLevel(toks.slice(selIdx + 1, fromIdx).toIndexedSeq)
-    val aliases: Map[String, String] = items.flatMap { it =>
-      splitAs(it.filterNot(_.isInstanceOf[Ws]))
-    }.map { case (e, a) => a.toLowerCase -> e }.toMap
+    val aliases: Map[String, String] = items.flatMap(splitAs)
+      .map { case (e, a) => a.toLowerCase -> e }.toMap
     if (aliases.isEmpty) return sql
     // find HAVING clause at depth 0
     var havIdx = -1

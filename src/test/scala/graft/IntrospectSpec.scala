@@ -1,0 +1,66 @@
+package graft
+
+import graft.meta.Introspect
+import graft.sql.GraftSql
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IntrospectSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def frame = Seq(
+    ("alpha", 12, 3.5, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+    ("beta", 150, 7.25, java.sql.Timestamp.valueOf("2024-02-03 00:00:00")),
+    ("alpha", 7, 0.5, java.sql.Timestamp.valueOf("2024-03-04 00:00:00"))
+  ).toDF("name", "qty", "price", "created")
+
+  test("shape and schema listing (M1/M2)") {
+    assert(Introspect.shape(frame) == (3L, 4))
+    assert(Introspect.schemaListing(frame) == Seq(
+      ("name", "string", 0), ("qty", "int", 1),
+      ("price", "double", 2), ("created", "timestamp", 3)))
+  }
+
+  test("column filtering skips generated names (COLS_FILTER_OUT)") {
+    val schema = StructType(Seq(
+      StructField("Row Number", LongType), StructField("x Total", DoubleType),
+      StructField("real", StringType)))
+    assert(Introspect.findNthCol(schema, 0, _ => true).contains("real"))
+  }
+
+  test("example set instantiates all ~20 templates for a full-typed schema") {
+    val ex = Introspect.sqlExamples(frame.schema.asInstanceOf[StructType])
+    assert(ex.length >= 20)
+    assert(ex.exists(_.contains("EXCEPT (")))
+    assert(ex.exists(_.contains("RENAME (")))
+    assert(ex.exists(_.contains("REPLACE (")))
+    assert(ex.exists(_.contains("STRFTIME")))
+    assert(ex.exists(_.contains("HAVING")))
+  }
+
+  test("every generated example RUNS through GraftSql (conformance)") {
+    frame.createOrReplaceTempView("AllData")
+    val ex = Introspect.sqlExamples(frame.schema.asInstanceOf[StructType])
+    ex.foreach { q =>
+      val out = GraftSql.run(spark, q.stripSuffix(";"))
+      out.collect() // force execution
+    }
+  }
+
+  test("examples degrade gracefully for a poor schema (no date/float)") {
+    val schema = StructType(Seq(StructField("only", StringType)))
+    val ex = Introspect.sqlExamples(schema)
+    assert(ex.nonEmpty && ex.head == Introspect.DefaultQuery)
+    assert(!ex.exists(_.contains("STRFTIME")))
+  }
+
+  test("cell formatting: nulls, float decimals, alignment (M4)") {
+    assert(Introspect.formatCell(null, StringType) == "")
+    assert(Introspect.formatCell(3.14159, DoubleType) == "3.14")
+    assert(Introspect.formatCell(3.14159, DoubleType, 4) == "3.1416")
+    assert(Introspect.alignmentFor(IntegerType) == Introspect.Right)
+    assert(Introspect.alignmentFor(StringType) == Introspect.Left)
+    assert(Introspect.alignmentFor(BooleanType) == Introspect.Center)
+  }
+}
