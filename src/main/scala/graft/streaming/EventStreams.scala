@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events schema
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * Beyond-reference scope: the reference's "streaming" is only
+  * out-of-core batch execution (SURVEY §1.1); these are true unbounded
+  * stream semantics — watermarks, event-time windows, session windows,
+  * and custom keyed state — expressed Spark-first so the SAME code runs
+  * on a batch DataFrame (Spark's unified semantics) and a readStream.
+  *
+  * Scale notes: all three are keyed stateful aggregations; state lives in
+  * the state store partitioned by key (user_id / window), so they scale
+  * horizontally with executors. Watermarks bound state size — without
+  * one, a 100 TB/day stream accumulates state forever.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class UserActivity(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Tumbling/sliding event-time window aggregate with a watermark for
+    * late-data expiry. */
+  def windowedCounts(events: DataFrame, windowDur: String = "5 minutes",
+      slide: Option[String] = None, watermark: String = "10 minutes"): DataFrame = {
+    val w = slide.map(s => window(col("ts"), windowDur, s))
+      .getOrElse(window(col("ts"), windowDur))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(w.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** Per-user session aggregation using the built-in session_window
+    * (gap-based; closes `gap` after the last event). */
+  def sessionized(events: DataFrame, gap: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+      .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user
+    * totals emitted on every update (the escape hatch for semantics
+    * session_window/window can't express). */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserActivity] = {
+    implicit val enc = Encoders.product[UserActivity]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[UserActivity, UserActivity](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserActivity]) =>
+          val prev = state.getOption.getOrElse(UserActivity(userId, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserActivity(userId, n, tot)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  def ts(min: Int, sec: Int = 0) =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  def events = Seq(
+    Event(1L, ts(0), 100L, "click", 1.0),
+    Event(2L, ts(1), 100L, "click", 2.0),
+    Event(3L, ts(2), 200L, "view", 3.0),
+    Event(4L, ts(20), 100L, "click", 4.0),   // new session for user 100
+    Event(5L, ts(21), 200L, "view", 5.0))
+
+  test("windowed aggregation over a stream (watermark + event-time window)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.windowedCounts(input.toDF(), "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("win_out").start()
+    input.addData(events: _*)
+    // watermark-past event to close the earlier windows
+    input.addData(Event(9L, ts(59), 1L, "tick", 0.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("win_out")
+      .select("window_start", "event_type", "n", "total_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(rows.contains((ts(0), "click", 2L, 3.0)))
+    assert(rows.contains((ts(0), "view", 1L, 3.0)))
+    assert(rows.contains((ts(20), "click", 1L, 4.0)))
+  }
+
+  test("session windows close after the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionized(input.toDF(), gap = "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    input.addData(events: _*)
+    input.addData(Event(9L, ts(59), 1L, "tick", 0.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sess_out")
+      .select("user_id", "n_events", "session_value")
+      .as[(Long, Long, Double)].collect().toSeq
+    // user 100: session of events 1+2 (value 3.0), then separate session (4.0)
+    assert(rows.contains((100L, 2L, 3.0)))
+    assert(rows.contains((100L, 1L, 4.0)))
+    assert(rows.contains((200L, 1L, 3.0)))
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.runningUserTotals(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("state_out").start()
+    input.addData(events.take(3): _*)
+    q.processAllAvailable()
+    input.addData(events.drop(3): _*)
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("state_out")
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSeq
+    // second batch reflects state carried from the first
+    assert(rows.contains((100L, 2L, 3.0)))   // after batch 1
+    assert(rows.contains((100L, 3L, 7.0)))   // after batch 2 (state kept)
+    assert(rows.contains((200L, 2L, 8.0)))
+  }
+
+  test("same windowed-aggregation code runs in batch mode (unified semantics)") {
+    import spark.implicits._
+    val batch = events.toDF()
+    val out = EventStreams.windowedCounts(batch, "5 minutes")
+      .select("event_type", "n").as[(String, Long)].collect().toMap
+    assert(out("click") == 2L || out("click") == 1L) // per-window rows exist
+    assert(EventStreams.sessionized(batch).count() >= 3)
+  }
+}
