@@ -390,6 +390,49 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivf_topk" -> ((s, dir) => {
+      // approximate scale path (rows-only check: IVF recall is a tradeoff,
+      // not an oracle-exact result)
+      val emb = tbl(s, dir, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 5)
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queriesDf, "vec_id", "embedding", k = 10, bits = 6, probeHamming = 1)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "mm_frame_sample" -> ((s, dir) => {
+      val withBin = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.sampleFrameOffsets(withBin, "doc_id", "payload", stride = 100)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "frame_offset")
+    }),
+
+    "pipeline_e2e" -> ((s, dir) => {
+      // the reference's full fixed-order pipeline over real data:
+      // drop(T1) → normalize(T2) → null-markers(T3) → SQL(T4) →
+      // remove-null-cols(T5) → row-index(T6)
+      val base = tbl(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_tax"),
+        concat(col("l_partkey").cast("string"), lit(","),
+          col("l_linenumber").cast("string")).as("euro"),
+        when(col("l_linenumber") % 2 === 0, lit(" NA "))
+          .otherwise(col("l_returnflag")).as("marked"),
+        lit(null).cast("string").as("dead"))
+      Pipeline.run(base, PipelineConfig(
+        dropRegex = Some("^l_tax$"),
+        normalizeRegex = Some("^euro$"),
+        nullMarkers = Seq("", "<N/D>", "NA"),
+        sql = Some(
+          """SELECT * FROM AllData WHERE "l_linenumber" <= 4
+            |ORDER BY "l_orderkey", "l_linenumber"""".stripMargin),
+        removeNullCols = true,
+        rowIndex = Some(("rid", 1L))))
+    }),
+
     // ---- text analysis -------------------------------------------------
 
     "text_tokens" -> ((s, dir) => {
@@ -724,6 +767,19 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(unnest(range(0, octet_length(CAST(text AS BLOB)), 100)) AS BIGINT) AS frame_offset
+        |FROM documents WHERE doc_id < 50
+        |ORDER BY doc_id, frame_offset""".stripMargin,
+
+    "pipeline_e2e" ->
+      """SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rid,
+        |  l_orderkey, l_linenumber,
+        |  CAST(replace(CAST(l_partkey AS VARCHAR) || ',' || CAST(l_linenumber AS VARCHAR), ',', '.') AS DOUBLE) AS euro,
+        |  CASE WHEN l_linenumber % 2 = 0 THEN NULL ELSE l_returnflag END AS marked
+        |FROM lineitem WHERE l_linenumber <= 4
+        |ORDER BY rid""".stripMargin,
 
     "mm_decode" ->
       """SELECT doc_id,

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers for hot-key joins and aggregations.
+  *
+  * AQE's skew-join splitting handles most cases at runtime; salting is
+  * the explicit tool for the pathological ones (one key = 30% of a
+  * 100 TB fact table) and for aggregations, which AQE does not split.
+  */
+object Skew {
+
+  /** Salted inner equi-join: the skewed (big) side gets a deterministic
+    * salt derived from its other columns; the small side is replicated
+    * `saltFactor` times. Hot keys spread over `saltFactor` reducers at
+    * the cost of replicating the build side — the classic trade.
+    * Result is row-identical to `big.join(small, keys)`. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      saltFactor: Int = 16): DataFrame = {
+    val saltSrc = big.columns.filterNot(keys.contains).map(col)
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(saltSrc.toSeq: _*), lit(saltFactor)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Two-phase aggregation for skewed group keys: partial aggregate on
+    * (key, salt), then final aggregate on key. Exact for decomposable
+    * aggregates (sum/count/min/max). */
+  def saltedSumCount(df: DataFrame, key: String, valueCol: String,
+      saltFactor: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(col(valueCol)), lit(saltFactor)).cast("int"))
+    salted.groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(col(key))
+      .agg(sum("__psum").as("sum"), sum("__pcnt").as("count"))
+  }
+}

@@ -201,4 +201,25 @@ class OperatorsSpec extends AnyFunSuite {
       .select("frame_offset").as[Long].collect().sorted.toSeq
     assert(out == Seq(0L, 4L, 8L))
   }
+
+  // ---- skew helpers ----------------------------------------------------
+
+  test("saltedJoin is row-identical to a plain join") {
+    val big = (0 until 1000).map(i => (if (i < 900) 1L else i.toLong, s"p$i")).toDF("k", "payload")
+    val small = Seq((1L, "hot"), (950L, "cold")).toDF("k", "label")
+    val plain = big.join(small, Seq("k")).select("k", "payload", "label")
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(big, small, Seq("k"), saltFactor = 8)
+      .select("k", "payload", "label").collect().map(_.toSeq).toSet
+    assert(salted == plain && plain.size == 901)
+  }
+
+  test("saltedSumCount matches plain aggregation") {
+    val df = (0 until 500).map(i => (i % 3, i.toDouble)).toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum("v").as("sum"), count(lit(1)).as("count"))
+      .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val salted = Skew.saltedSumCount(df, "k", "v", 8)
+      .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted == plain)
+  }
 }
