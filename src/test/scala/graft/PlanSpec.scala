@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the properties that make queries
+  * scale (pushdown, pruning, broadcast, partial aggregation) asserted on
+  * the actual optimized plans, so a refactor can't silently trade them
+  * away. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q2_filter: predicates push to the parquet scan; projection prunes columns") {
+    val p = planOf("q2_filter")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "range filter not pushed")
+    assert(p.contains("LessThan(l_quantity,24.0)"), "quantity filter not pushed")
+    // scan must NOT read the full 11-column lineitem schema
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_partkey"), "column pruning failed")
+  }
+
+  test("q16_join_agg: dimension joins broadcast; aggregation is two-phase") {
+    val p = planOf("q16_join_agg")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
+    assert(!p.contains("CartesianProduct"))
+    // partial + final HashAggregate pair = map-side combine
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "no partial aggregation")
+  }
+
+  test("q1_agg: scan reads only the aggregated columns") {
+    val p = planOf("q1_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_partkey"))
+  }
+
+  test("q4_topk plans as TakeOrderedAndProject (no global sort of the table)") {
+    val p = planOf("q4_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"got:\n$p")
+  }
+
+  test("t1_drop/t3_replace stay whole-stage-codegen narrow plans (no exchange before sort)") {
+    val p = planOf("t3_replace_null")
+    // exactly one exchange: the final orderBy's range partitioning
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"unexpected shuffles:\n$p")
+    assert(p.contains("WholeStageCodegen") || p.contains("Scan parquet"))
+  }
+
+  test("ann_brute_topk: corpus side is not shuffled before scoring (queries broadcast)") {
+    val p = planOf("ann_brute_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"queries not broadcast:\n$p")
+  }
+}
