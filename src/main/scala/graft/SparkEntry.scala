@@ -498,6 +498,30 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // ---- splits & packing ----------------------------------------------
+
+    "split_hash" -> ((s, dir) => {
+      Sampling.hashSplit(tbl(s, dir, "documents").select("doc_id", "lang"), "doc_id", 80)
+        .orderBy("doc_id")
+    }),
+
+    "split_leakage_safe" -> ((s, dir) => {
+      // near-dup groups follow their representative into one split
+      val docs = tbl(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        Dedup.MinHashConfig(threshold = 0.5))
+      Sampling.leakageSafeSplit(docs.select("doc_id", "lang"), "doc_id", pairs, 80)
+        .orderBy("doc_id")
+    }),
+
+    "pack_nextfit" -> ((s, dir) => {
+      Sampling.nextFitPack(
+        tbl(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        countCol = "n_chars", orderCol = "doc_id",
+        budget = 2048L, shardCol = Some("lang"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal plumbing (stubbed decode) --------------------------
 
     "mm_decode" -> ((s, dir) => {
@@ -766,6 +790,17 @@ object SparkEntry {
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "split_hash" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN (doc_id * 48271) % 100 < 80 THEN 'train' ELSE 'eval' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pack_nextfit" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(ceil(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 2048.0) AS BIGINT) - 1 AS pack_id
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->

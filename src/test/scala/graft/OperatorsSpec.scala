@@ -222,4 +222,34 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getLong(2)))).toMap
     assert(salted == plain)
   }
+
+  // ---- sampling / packing ----------------------------------------------
+
+  test("hashSplit is deterministic and ~trainPct sized") {
+    val df = (0L until 1000L).toDF("id")
+    val out = Sampling.hashSplit(df, "id", 80)
+    val trains = out.filter($"split" === "train").count()
+    assert(trains > 700 && trains < 900)
+    // rerun → identical assignment
+    assert(Sampling.hashSplit(df, "id", 80).collect().toSet == out.collect().toSet)
+  }
+
+  test("leakageSafeSplit keeps near-dup chains in one split") {
+    val df = Seq(1L, 2L, 3L, 10L, 11L, 50L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(df, "doc_id", pairs, 80)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)   // chain follows rep 1
+    assert(out(10L) == out(11L))
+  }
+
+  test("nextFitPack assigns contiguous budget-bounded packs per shard") {
+    val df = Seq((1L, "a", 1000L), (2L, "a", 1000L), (3L, "a", 100L), (4L, "b", 2048L))
+      .toDF("id", "shard", "toks")
+    val out = Sampling.nextFitPack(df, "toks", "id", 2048L, Some("shard"))
+      .select("id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 0L && out(2L) == 0L)   // 2000 <= 2048
+    assert(out(3L) == 1L)                     // 2100 crosses the boundary
+    assert(out(4L) == 0L)                     // own shard, exactly one budget
+  }
 }
