@@ -498,6 +498,25 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    "q29_pivot" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum("l_quantity"), 2))
+        .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
+        .orderBy("l_linestatus")
+    }),
+
+    "q30_unpivot" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    }),
+
     // ---- splits & packing ----------------------------------------------
 
     "split_hash" -> ((s, dir) => {
@@ -791,6 +810,20 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q29_pivot" ->
+      """SELECT l_linestatus,
+        |  round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS qty_a,
+        |  round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS qty_n,
+        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q30_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount' AS measure, l_discount AS val FROM lineitem) t
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
 
     "split_hash" ->
       """SELECT doc_id, lang,

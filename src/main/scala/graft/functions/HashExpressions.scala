@@ -147,6 +147,37 @@ case class MinHashFromText(child: Expression, n: Int, numHashes: Int, seed: Long
     copy(child = newChild)
 }
 
+/** `simhash_from_text(text)` → 64-bit SimHash, fused with tokenization
+  * (single byte pass; same token hashing as [[Tokenize.wordHashes]]). */
+case class SimHashFromText(child: Expression, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val wh = Tokenize.wordHashes(input.asInstanceOf[UTF8String], seed)
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < wh.length) {
+      val h = wh(j)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashFromText =
+    copy(child = newChild)
+}
+
 /** `dot_product(a, b)` → double: strict left-to-right double-precision
   * accumulation — bit-identical to `aggregate(zip_with(a,b,*),0d,+)` but
   * a plain loop instead of per-element lambda machinery (~10× faster in
@@ -262,6 +293,9 @@ object HashFunctions {
 
   def simhash64(tokens: Column, seed: Long = 42L): Column =
     toCol(SimHash64(toExpr(tokens), seed))
+
+  def simhashFromText(text: Column, seed: Long = 42L): Column =
+    toCol(SimHashFromText(toExpr(text), seed))
 
   def dotProduct(a: Column, b: Column): Column =
     toCol(DotProduct(toExpr(a), toExpr(b)))

@@ -147,7 +147,7 @@ object Dedup {
       maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
     require(maxHamming <= 3, "chunked candidate generation is exact only for maxHamming <= 3")
     val hashed = df.select(col(idCol).as("id"),
-      HashFunctions.simhash64(words(col(textCol)), seed).as("sh"))
+      HashFunctions.simhashFromText(col(textCol), seed).as("sh"))
     val chunked = hashed.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))

@@ -21,7 +21,7 @@ object Profile {
     docs.cache().count()
 
     val sets = docs.select(col("doc_id").as("id"),
-      array_distinct(Dedup.wordShingles(col("text"), 3)).as("sh"))
+      graft.functions.HashFunctions.textShingleHashes(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
 
     time("sets materialize")(sets.write.format("noop").mode("overwrite").save())

@@ -126,4 +126,28 @@ class SqlRewriterSpec extends AnyFunSuite {
     val out = GraftSql.run(spark, "SELECT STRFTIME(d, '%d/%m/%Y') AS s FROM dts")
     assert(out.head().getString(0) == "07/03/2024")
   }
+
+  test("star modifiers inside a nested subquery expand against the inner scope") {
+    fixture()
+    val out = GraftSql.run(spark,
+      """SELECT "Tipo", "Valor Total" FROM (
+        |  SELECT * EXCEPT ("PER/DCOMP") FROM AllData
+        |) t WHERE "Valor Total" > 5""".stripMargin)
+    assert(out.columns.toSeq == Seq("Tipo", "Valor Total"))
+    assert(out.count() == 2)
+  }
+
+  test("EXCEPT( inside a string literal is not treated as a modifier") {
+    fixture()
+    val out = GraftSql.run(spark,
+      "SELECT 'use * EXCEPT(x) wisely' AS tip, COUNT(*) AS n FROM AllData")
+    assert(out.head().getString(0).contains("EXCEPT(x)"))
+  }
+
+  test("unknown column still raises a clear AnalysisException") {
+    fixture()
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      GraftSql.run(spark, """SELECT "No Such Column" FROM AllData""").collect()
+    }
+  }
 }
