@@ -50,6 +50,17 @@ object EventStreams {
       .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming deduplication: drop events whose key was already seen
+    * within the watermark horizon — the unbounded-input counterpart of
+    * [[graft.operators.Dedup.exact]]. State per key is bounded by the
+    * watermark (without it, dedup state grows forever on an unbounded
+    * stream). */
+  def dedupedEvents(events: DataFrame, keys: Seq[String] = Seq("event_id"),
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * totals emitted on every update (the escape hatch for semantics
     * session_window/window can't express). */

@@ -75,6 +75,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((200L, 2L, 8.0)))
   }
 
+  test("streaming dedup drops repeated keys within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupedEvents(input.toDF(), Seq("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    input.addData(events.head, events.head, events(1))   // event 1 duplicated
+    q.processAllAvailable()
+    input.addData(events.head)                            // dup again, later batch
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .as[Long].collect().toSeq
+    assert(ids.sorted == Seq(1L, 2L))
+  }
+
   test("same windowed-aggregation code runs in batch mode (unified semantics)") {
     import spark.implicits._
     val batch = events.toDF()
