@@ -827,7 +827,7 @@ object SparkEntry {
 
     "split_hash" ->
       """SELECT doc_id, lang,
-        |  CASE WHEN (doc_id * 48271) % 100 < 80 THEN 'train' ELSE 'eval' END AS split
+        |  CASE WHEN ((doc_id % 100000007) * 48271) % 100 < 80 THEN 'train' ELSE 'eval' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "pack_nextfit" ->

@@ -186,7 +186,8 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // also null on array-dimension mismatch, independent of child nullability
+  override def nullable: Boolean = true
 
   private lazy val leftFloat =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -196,7 +197,10 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // dimension mismatch → null (matching zip_with's null-padding
+    // semantics) rather than a silently-truncated wrong dot product
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {

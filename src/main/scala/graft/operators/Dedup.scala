@@ -19,28 +19,9 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  // ---- tokenization helpers --------------------------------------------
-
-  /** Lower-cased word tokens. */
-  def words(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
-
-  /** Word n-gram shingles as an array<string>. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ws = words(text)
-    when(size(ws) < n, array().cast(ArrayType(StringType)))
-      .otherwise(
-        transform(sequence(lit(0), size(ws) - n),
-          i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-  }
-
-  /** Character n-gram shingles. */
-  def charShingles(text: Column, n: Int): Column = {
-    val t = lower(trim(text))
-    when(length(t) < n, array().cast(ArrayType(StringType)))
-      .otherwise(
-        transform(sequence(lit(1), length(t) - n + 1), i => substring(t, i, lit(n))))
-  }
+  // Tokenization lives in the fused native expressions
+  // (graft.functions.TextShingleHashes / MinHashFromText / SimHashFromText)
+  // — a single byte pass per document; see ARCHITECTURE.md.
 
   // ---- exact dedup ------------------------------------------------------
 
@@ -87,11 +68,17 @@ object Dedup {
   /** Candidate near-duplicate pairs via banded LSH, verified by exact
     * signature agreement (estimated Jaccard), filtered at cfg.threshold.
     * Output: (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
+    *
+    * Documents with fewer than shingleSize words carry NO shingle
+    * evidence (their signature is all Long.MaxValue) and are excluded —
+    * otherwise every pair of short documents would collide in every band
+    * and score a spurious est_jaccard of 1.0.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val r = cfg.numHashes / cfg.bands
     val sigs = minhashSignatures(df, idCol, textCol, cfg)
+      .filter(col("sig").getItem(0) =!= Long.MaxValue)
 
     // band → hash of the signature slice; explode to (band, bandHash, id)
     val banded = sigs.select(

@@ -16,8 +16,11 @@ object Sampling {
   /** Deterministic percentage bucket 0..99 from an id column. Plain
     * integer arithmetic (Weyl-style multiplicative striping) so the same
     * expression is reproducible in any engine; swap for
-    * `pmod(xxhash64(id), 100)` when cross-engine parity isn't needed. */
-  def pctBucket(id: Column): Column = pmod(id * 48271L, lit(100L))
+    * `pmod(xxhash64(id), 100)` when cross-engine parity isn't needed.
+    * The inner pmod bounds the multiplicand so hash-scale ids (|id| up to
+    * 2^63) cannot overflow under ANSI mode: 1e8 × 48271 ≪ Long.Max. */
+  def pctBucket(id: Column): Column =
+    pmod(pmod(id, lit(100000007L)) * 48271L, lit(100L))
 
   /** Deterministic train/eval split: train = bucket < trainPct. */
   def hashSplit(df: DataFrame, idCol: String, trainPct: Int): DataFrame =
@@ -41,11 +44,18 @@ object Sampling {
       .withColumn("rep", col("id"))
     var i = 0
     while (i < rounds) {
+      // superstep 1: take the min over neighbors' representatives (1 hop)
       val viaNeighbor = edges
         .join(rep.select(col("id").as("id_b"), col("rep").as("nrep")), Seq("id_b"))
         .groupBy(col("id_a").as("id")).agg(min("nrep").as("nrep"))
-      rep = rep.join(viaNeighbor, Seq("id"), "left")
+      val hopped = rep.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+      // superstep 2: pointer jumping — rep(v) := rep(rep(v)), which
+      // doubles the closed chain length per round (so `rounds` rounds
+      // close chains of length ~2^rounds, as documented)
+      rep = hopped.alias("h")
+        .join(hopped.select(col("id").as("rid"), col("rep").as("rrep")), col("rep") === col("rid"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("rrep"), col("rep"))).as("rep"))
       i += 1
     }
     df.join(rep.withColumnRenamed("id", idCol), Seq(idCol))

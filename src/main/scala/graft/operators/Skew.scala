@@ -11,16 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Salted inner equi-join: the skewed (big) side gets a deterministic
-    * salt derived from its other columns; the small side is replicated
-    * `saltFactor` times. Hot keys spread over `saltFactor` reducers at
-    * the cost of replicating the build side — the classic trade.
+  /** Salted inner equi-join: each row of the skewed (big) side gets a
+    * per-row salt; the small side is replicated `saltFactor` times. Hot
+    * keys spread over `saltFactor` reducers at the cost of replicating
+    * the build side — the classic trade. The salt comes from
+    * `monotonically_increasing_id` (per-row, never constant), NOT from
+    * payload columns — identical payloads on a hot key would otherwise
+    * hash to one salt and re-funnel the key through a single reducer.
     * Result is row-identical to `big.join(small, keys)`. */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       saltFactor: Int = 16): DataFrame = {
-    val saltSrc = big.columns.filterNot(keys.contains).map(col)
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(saltSrc.toSeq: _*), lit(saltFactor)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")

@@ -61,18 +61,19 @@ object TextAnalysis {
   /** Predicted language = argmax of stopword hits; ties and all-zero →
     * first-listed language order ("en" priority), "und" when no hits.
     *
-    * Single tokenize pass: each token is mapped to a language code once
-    * (chained membership tests), then per-language counts are cheap
-    * filters over the small int array — rather than re-splitting the text
-    * once per language. */
+    * Single tokenize pass: each token is mapped once to a BITMASK of the
+    * languages whose list contains it (a word like "un" sits in both fr
+    * and es and must count for BOTH — a first-match code would diverge
+    * from the documented argmax and the oracle), then per-language counts
+    * are cheap bit-test filters over the small int array. */
   def langId(text: Column): Column = {
     val toks = split(lower(trim(text)), "\\s+")
-    val codes = transform(toks, w =>
-      stopwords.zipWithIndex.foldRight(lit(-1): Column) { case (((_, ws), i), acc) =>
-        when(w.isin(ws.map(lit): _*), lit(i)).otherwise(acc)
-      })
+    val masks = transform(toks, w =>
+      stopwords.zipWithIndex.map { case ((_, ws), i) =>
+        when(w.isin(ws.map(lit): _*), lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _))
     val scores = stopwords.zipWithIndex.map { case ((lang, _), i) =>
-      lang -> size(filter(codes, c => c === i)).cast("long")
+      lang -> size(filter(masks, m => m.bitwiseAND(lit(1 << i)) =!= 0)).cast("long")
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     // foldRight builds when(en)…otherwise(when(de)…) — earlier-listed

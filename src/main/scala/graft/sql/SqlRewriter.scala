@@ -75,8 +75,8 @@ object SqlRewriter {
           // rename the function; its 2nd argument (a string literal) gets
           // pattern-translated in place below
           val open = nextNonWs(toks, i + 1)
-          if (open < toks.length && toks(open) == Punct("(")) {
-            val close = matchParen(toks, open)
+          val close = if (open < toks.length && toks(open) == Punct("(")) matchParen(toks, open) else -1
+          if (close >= 0) {
             out += Word("DATE_FORMAT")
             // copy args, translating every string literal that contains a %
             var j = i + 1
@@ -173,7 +173,8 @@ object SqlRewriter {
           if (kw.isEmpty) continue = false
           else {
             val open = nextNonWs(toks, j + 1)
-            if (open >= toks.length || toks(open) != Punct("(")) continue = false
+            if (open >= toks.length || toks(open) != Punct("(") ||
+              matchParen(toks, open) < 0) continue = false
             else {
               val close = matchParen(toks, open)
               val body = toks.slice(open + 1, close)
@@ -309,8 +310,24 @@ object SqlRewriter {
     * analysis fails. */
   def rewriteHavingAliases(sql: String): String = {
     val toks = lex(sql)
-    // collect top-level select-list aliases: expr AS alias
-    val selIdx = toks.indices.find(k => isWord(toks(k), "select")).getOrElse(return sql)
+    // collect top-level select-list aliases: expr AS alias — the SELECT
+    // must be at paren depth 0 (skip CTE bodies / subqueries)
+    val selIdx = {
+      var depth = 0
+      var found = -1
+      var k = 0
+      while (k < toks.length && found < 0) {
+        toks(k) match {
+          case Punct("(") => depth += 1
+          case Punct(")") => depth -= 1
+          case w: Word if depth == 0 && w.text.equalsIgnoreCase("select") => found = k
+          case _ =>
+        }
+        k += 1
+      }
+      if (found < 0) return sql
+      found
+    }
     var depth = 0
     var fromIdx = -1
     var k = selIdx + 1

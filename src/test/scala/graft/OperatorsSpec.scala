@@ -252,4 +252,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) == 1L)                     // 2100 crosses the boundary
     assert(out(4L) == 0L)                     // own shard, exactly one budget
   }
+
+  // ---- review-found regression guards ----------------------------------
+
+  test("minhash: docs shorter than the shingle size are NOT spurious duplicates") {
+    val short = Seq((1L, "hello"), (2L, "zebra"), (3L, "one two")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(short, "doc_id", "text",
+      Dedup.MinHashConfig(threshold = 0.3))
+    assert(pairs.count() == 0)
+    // and minhashDedup keeps all of them
+    assert(Dedup.minhashDedup(short, "doc_id", "text").count() == 3)
+  }
+
+  test("leakageSafeSplit closes long chains (pointer jumping)") {
+    val df = (1L to 8L).toDF("doc_id")
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(df, "doc_id", chain, 80, rounds = 3)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.values.toSet.size == 1, s"chain split across partitions: $out")
+  }
+
+  test("langId counts overlap words for EVERY language containing them") {
+    // "un" is in fr and es; "que" in es and pt → es wins 3 vs fr 2
+    val out = Seq("un un el que").toDF("text")
+      .select(TextAnalysis.langId($"text")).as[String].head()
+    assert(out == "es")
+  }
+
+  test("hashSplit survives hash-scale ids under ANSI mode (no overflow)") {
+    val df = Seq(Long.MaxValue - 1, Long.MaxValue / 2, 1234567890123456789L).toDF("id")
+    assert(Sampling.hashSplit(df, "id", 80).count() == 3)
+  }
+
+  test("saltedJoin works when keys cover all columns and payloads are constant") {
+    val big = (0 until 100).map(_ => 7L).toDF("k")
+    val small = Seq((7L, "x")).toDF("k", "label")
+    val out = Skew.saltedJoin(big, small, Seq("k"), saltFactor = 4)
+    assert(out.count() == 100)
+  }
+
+  test("dot product is null (not truncated) on dimension mismatch") {
+    import graft.functions.VectorFunctions
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.dot($"a", $"b")).head().isNullAt(0))
+  }
 }

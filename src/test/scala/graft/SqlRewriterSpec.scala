@@ -150,4 +150,21 @@ class SqlRewriterSpec extends AnyFunSuite {
       GraftSql.run(spark, """SELECT "No Such Column" FROM AllData""").collect()
     }
   }
+
+  test("unmatched paren does not hang the rewriter (falls through to Spark's parser)") {
+    val broken = "SELECT STRFTIME(d, '%Y' FROM t"
+    // must terminate; Spark's parser then reports the syntax error
+    assertThrows[org.apache.spark.sql.catalyst.parser.ParseException] {
+      GraftSql.run(spark, broken)
+    }
+  }
+
+  test("HAVING alias works when the query starts with a CTE") {
+    Seq(("x", 10.0), ("x", 5.0), ("y", 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("havc")
+    val out = GraftSql.run(spark,
+      """WITH base AS (SELECT k, v FROM havc)
+        |SELECT k, SUM(v) AS total FROM base GROUP BY k HAVING total > 10 ORDER BY k""".stripMargin)
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("x"))
+  }
 }
