@@ -56,6 +56,11 @@ object Sampling {
       rep = hopped.alias("h")
         .join(hopped.select(col("id").as("rid"), col("rep").as("rrep")), col("rep") === col("rid"), "left")
         .select(col("id"), least(col("rep"), coalesce(col("rrep"), col("rep"))).as("rep"))
+        // cut lineage each round: without this the plan doubles per
+        // iteration and optimizer time dominates (standard iterative-
+        // algorithm checkpointing; swap for checkpoint() on a real
+        // cluster with a reliable checkpoint dir)
+        .localCheckpoint()
       i += 1
     }
     df.join(rep.withColumnRenamed("id", idCol), Seq(idCol))
