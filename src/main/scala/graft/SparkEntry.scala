@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * Every entry pairs a Spark implementation with DuckDB oracle SQL over
   * the same parquet tables. Oracle-parity rules used throughout (the
   * engines round doubles differently at representation boundaries):
-  *   - money sums (exact 2-dec data) → round(·,2); 4-dec products →
-  *     round(·,4): FP error ≪ half-ulp of the true decimal value.
+  *   - money sums (exact 2-dec data) → round(·,2) (error ≪ grid);
+  *     4-dec product sums → sum in DECIMAL(20,4) then cast double: at
+  *     billion-scale magnitudes the accumulated double error exceeds any
+  *     fine rounding grid, but the exact decimal sum is engine-invariant.
   *   - ratios/averages → IEEE division of identically-computed operands
   *     (bit-reproducible), never round(avg(·)).
   *   - sums of full-precision random doubles → round(·,2) only.
@@ -53,7 +55,12 @@ object SparkEntry {
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
           round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          // exact-decimal sum: at sf>=0.1 the accumulated FP error of a
+          // multi-billion double sum exceeds the round-4 grid, so sum in
+          // DECIMAL(20,4) (recovers the exact 4-dec products) and cast the
+          // exact result to double — identical in any engine at any scale
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(20,4)")).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"),
           (round(sum("l_quantity"), 2) / count(lit(1))).as("avg_qty"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -191,7 +198,8 @@ object SparkEntry {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(20,4)")).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("r_name")
     }),
@@ -498,6 +506,19 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    "q31_subqueries" -> ((s, dir) => {
+      tbl(s, dir, "orders"); tbl(s, dir, "customer")
+      // correlated EXISTS + scalar subquery (max-based threshold keeps the
+      // comparison FP-exact across engines)
+      graft.sql.GraftSql.run(s,
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (
+          |  SELECT 1 FROM orders o
+          |  WHERE o.o_custkey = c.c_custkey
+          |    AND o.o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.8)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     "q29_pivot" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
         .groupBy("l_linestatus")
@@ -560,7 +581,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order,
         |  round(sum(l_quantity), 2) / count(*) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -645,7 +666,7 @@ object SparkEntry {
 
     "q16_join_agg" ->
       """SELECT r_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -810,6 +831,14 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_subqueries" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.8)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q29_pivot" ->
       """SELECT l_linestatus,
