@@ -52,11 +52,15 @@ final class Container private (
     new Container(spark, path, original, cfg, criteria, detectedDelimiter)
 
   /** Re-read from file (reference: delimiter/infer-rows change sets
-    * read_data_from_file=true). Unpersists the old original. */
+    * read_data_from_file=true). The old cache is released only AFTER the
+    * new load succeeds — a failed reload (bad path/delimiter) must not
+    * strip the still-live container of its cache. */
   def reload(readCfg: ReadConfig): Container = {
+    val p = path.getOrElse(
+      throw new IllegalStateException("container not backed by a file"))
+    val next = Container.load(spark, p, readCfg, cfg)
     original.unpersist()
-    Container.load(spark, path.getOrElse(
-      throw new IllegalStateException("container not backed by a file")), readCfg, cfg)
+    next
   }
 
   /** M1 shape of the displayed frame. */

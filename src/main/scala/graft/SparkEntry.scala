@@ -856,7 +856,10 @@ object SparkEntry {
 
     "split_hash" ->
       """SELECT doc_id, lang,
-        |  CASE WHEN ((doc_id % 100000007) * 48271) % 100 < 80 THEN 'train' ELSE 'eval' END AS split
+        |  CASE WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 10007
+        |           + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 131
+        |           + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 100 < 80
+        |       THEN 'train' ELSE 'eval' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "pack_nextfit" ->

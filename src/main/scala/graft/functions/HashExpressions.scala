@@ -129,16 +129,27 @@ case class MinHashFromText(child: Expression, n: Int, numHashes: Int, seed: Long
   override protected def nullSafeEval(input: Any): Any = {
     val wh = Tokenize.wordHashes(input.asInstanceOf[UTF8String], seed)
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    while (i + n <= wh.length) {
-      val base = Tokenize.shingleHash(wh, i, n)
+    @inline def absorb(base: Long): Unit = {
       var k = 0
       while (k < numHashes) {
         val h = Hashing.permute(base, k)
         if (h < sig(k)) sig(k) = h
         k += 1
       }
-      i += 1
+    }
+    if (wh.length > 0 && wh.length < n) {
+      // short-document fallback: one shingle spanning all words, so
+      // IDENTICAL short docs still collide (est_jaccard 1.0) while
+      // different short docs get unrelated signatures — without this,
+      // either every short-doc pair scores a spurious 1.0 (all-MaxValue
+      // signatures) or exact short duplicates go undetected
+      absorb(Tokenize.shingleHash(wh, 0, wh.length))
+    } else {
+      var i = 0
+      while (i + n <= wh.length) {
+        absorb(Tokenize.shingleHash(wh, i, n))
+        i += 1
+      }
     }
     new GenericArrayData(sig)
   }

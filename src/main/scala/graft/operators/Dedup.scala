@@ -69,10 +69,11 @@ object Dedup {
     * signature agreement (estimated Jaccard), filtered at cfg.threshold.
     * Output: (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
     *
-    * Documents with fewer than shingleSize words carry NO shingle
-    * evidence (their signature is all Long.MaxValue) and are excluded —
-    * otherwise every pair of short documents would collide in every band
-    * and score a spurious est_jaccard of 1.0.
+    * EMPTY documents (no words → all-MaxValue signature) are excluded —
+    * otherwise every pair of empty documents would collide in every band.
+    * Short-but-nonempty documents use a whole-text fallback shingle (see
+    * MinHashFromText), so identical short docs still pair at 1.0 while
+    * unrelated short docs don't.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {

@@ -13,14 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Deterministic percentage bucket 0..99 from an id column. Plain
-    * integer arithmetic (Weyl-style multiplicative striping) so the same
-    * expression is reproducible in any engine; swap for
-    * `pmod(xxhash64(id), 100)` when cross-engine parity isn't needed.
-    * The inner pmod bounds the multiplicand so hash-scale ids (|id| up to
-    * 2^63) cannot overflow under ANSI mode: 1e8 × 48271 ≪ Long.Max. */
-  def pctBucket(id: Column): Column =
-    pmod(pmod(id, lit(100000007L)) * 48271L, lit(100L))
+  /** Deterministic percentage bucket 0..99 from an id column, via md5 of
+    * the id's decimal string — engine-portable (md5 is identical
+    * everywhere) and structure-free: pure modular arithmetic like
+    * `(id*k) % 100` collapses to a permutation of `id % 100`, which
+    * degenerates on block-allocated id schemes (all multiples of 100 →
+    * one bucket → empty eval split). Three hex chars give 16^3 = 4096
+    * uniform states folded to 0..99. */
+  def pctBucket(id: Column): Column = {
+    val hex = md5(id.cast("string"))
+    pmod(
+      ascii(substring(hex, 1, 1)) * 10007 +
+        ascii(substring(hex, 2, 1)) * 131 +
+        ascii(substring(hex, 3, 1)),
+      lit(100)).cast("long")
+  }
 
   /** Deterministic train/eval split: train = bucket < trainPct. */
   def hashSplit(df: DataFrame, idCol: String, trainPct: Int): DataFrame =
@@ -69,17 +76,17 @@ object Sampling {
       .drop("rep")
   }
 
-  /** Sequential budget packing: stream documents in `orderCol` order;
-    * `pack_id` = how many whole budgets the running token total has
-    * filled — i.e. contiguous runs of documents whose cumulative count
-    * spans one `budget`. A deterministic, single-window approximation of
-    * bin packing (true first-fit-decreasing is inherently sequential and
-    * not worth distributing).
+  /** Cumulative budget packing: stream documents in `orderCol` order;
+    * `pack_id` = whole budgets the running token total has filled.
+    * APPROXIMATION: a document straddling a budget boundary lets the next
+    * pack accumulate up to ~2× budget — use [[nextFitPackExact]] when the
+    * budget is a hard ceiling. The upside is a pure windowed expression
+    * (SQL-expressible, oracle-checkable).
     *
-    * Scale note: the running sum is a single ordered window — one range
-    * shuffle. For 100 TB, pack within partitions (partitionBy a shard
-    * key) to keep the window distributed; global packing of a corpus
-    * that size is not meaningful anyway. */
+    * Scale note: pass `shardCol` on large frames — without it the ordered
+    * window has no partitioning and Spark moves ALL rows through one task
+    * (global sequential packing is inherently so; shards are the parallel
+    * unit). */
   def nextFitPack(df: DataFrame, countCol: String, orderCol: String,
       budget: Long, shardCol: Option[String] = None): DataFrame = {
     val w = shardCol.map(s => Window.partitionBy(s)).getOrElse(Window.partitionBy())
@@ -88,5 +95,30 @@ object Sampling {
     df.withColumn("__cum", sum(col(countCol)).over(w))
       .withColumn("pack_id", ceil(col("__cum") / lit(budget.toDouble)).cast("long") - 1)
       .drop("__cum")
+  }
+
+  /** TRUE next-fit packing: a new pack opens exactly when adding the next
+    * document would exceed `budget`, so no pack exceeds it (oversized
+    * single documents get a pack of their own). Sequential within each
+    * shard via sorted per-group iteration — shards are the parallelism
+    * unit, matching how context-window packing is sharded in practice. */
+  def nextFitPackExact(df: DataFrame, countCol: String, orderCol: String,
+      budget: Long, shardCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val rows = df.select(col(shardCol).cast("string").as("shard"),
+      col(orderCol).cast("long").as("ord"), col(countCol).cast("long").as("cnt"))
+      .as[(String, Long, Long)]
+    rows.groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val sorted = it.toSeq.sortBy(_._2)
+        var pack = 0L
+        var used = 0L
+        sorted.iterator.map { case (_, ord, cnt) =>
+          if (used > 0L && used + cnt > budget) { pack += 1; used = 0L }
+          used += cnt
+          (shard, ord, cnt, pack)
+        }
+      }
+      .toDF(shardCol, orderCol, countCol, "pack_id")
   }
 }

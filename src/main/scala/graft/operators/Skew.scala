@@ -30,11 +30,13 @@ object Skew {
 
   /** Two-phase aggregation for skewed group keys: partial aggregate on
     * (key, salt), then final aggregate on key. Exact for decomposable
-    * aggregates (sum/count/min/max). */
+    * aggregates (sum/count/min/max). Salt is per-row (not value-derived —
+    * a hot key whose rows all carry the same value would otherwise
+    * collapse into one salt and stay skewed). */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
       saltFactor: Int = 16): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(col(valueCol)), lit(saltFactor)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     salted.groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col(key))

@@ -63,20 +63,36 @@ object EventStreams {
 
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * totals emitted on every update (the escape hatch for semantics
-    * session_window/window can't express). */
-  def runningUserTotals(events: Dataset[Event]): Dataset[UserActivity] = {
+    * session_window/window can't express).
+    *
+    * `idleTimeout = Some(d)` (the production default) evicts state for
+    * users idle longer than d — on an unbounded churning key space the
+    * state store would otherwise grow forever. Pass `None` for
+    * bounded-key jobs and for synchronous test harnesses
+    * (processing-time timeouts keep scheduling no-data batches, which
+    * `processAllAvailable` never sees quiesce). */
+  def runningUserTotals(events: Dataset[Event],
+      idleTimeout: Option[String] = Some("1 hour")): Dataset[UserActivity] = {
     implicit val enc = Encoders.product[UserActivity]
+    val timeoutConf = idleTimeout.map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+      .getOrElse(GroupStateTimeout.NoTimeout())
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[UserActivity, UserActivity](
-        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append, timeoutConf) {
         (userId: Long, rows: Iterator[Event], state: GroupState[UserActivity]) =>
-          val prev = state.getOption.getOrElse(UserActivity(userId, 0L, 0.0))
-          var n = prev.n_events
-          var tot = prev.total_value
-          rows.foreach { e => n += 1; tot += e.value }
-          val next = UserActivity(userId, n, tot)
-          state.update(next)
-          Iterator(next)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserActivity(userId, 0L, 0.0))
+            var n = prev.n_events
+            var tot = prev.total_value
+            rows.foreach { e => n += 1; tot += e.value }
+            val next = UserActivity(userId, n, tot)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator(next)
+          }
       }
   }
 }

@@ -255,13 +255,24 @@ class OperatorsSpec extends AnyFunSuite {
 
   // ---- review-found regression guards ----------------------------------
 
-  test("minhash: docs shorter than the shingle size are NOT spurious duplicates") {
-    val short = Seq((1L, "hello"), (2L, "zebra"), (3L, "one two")).toDF("doc_id", "text")
+  test("minhash short docs: no spurious pairs, but identical short docs DO pair") {
+    val short = Seq((1L, "hello"), (2L, "zebra"), (3L, "one two"),
+      (4L, "hello"), (5L, ""), (6L, " ")).toDF("doc_id", "text")
     val pairs = Dedup.minhashPairs(short, "doc_id", "text",
       Dedup.MinHashConfig(threshold = 0.3))
-    assert(pairs.count() == 0)
-    // and minhashDedup keeps all of them
-    assert(Dedup.minhashDedup(short, "doc_id", "text").count() == 3)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs == Map((1L, 4L) -> 1.0))   // exact short dup found; empties excluded
+    assert(Dedup.minhashDedup(short, "doc_id", "text").count() == 5)  // only doc 4 removed
+  }
+
+  test("nextFitPackExact never exceeds the budget") {
+    val df = Seq((1L, "a", 1500L), (2L, "a", 1500L), (3L, "a", 1000L), (4L, "a", 3000L))
+      .toDF("id", "shard", "toks")
+    val out = Sampling.nextFitPackExact(df, "toks", "id", 2048L, "shard")
+      .select("id", "pack_id").as[(Long, Long)].collect().toMap
+    // 1500 | 1500 | 1000 | 3000 → packs 0,1,2,3: no pack mixes docs beyond
+    // the budget; the oversized 3000-token doc gets a pack of its own
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
   }
 
   test("leakageSafeSplit closes long chains (pointer jumping)") {

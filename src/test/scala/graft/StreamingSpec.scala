@@ -60,7 +60,7 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
-    val q = EventStreams.runningUserTotals(input.toDS())
+    val q = EventStreams.runningUserTotals(input.toDS(), idleTimeout = None)
       .writeStream.outputMode("append").format("memory").queryName("state_out").start()
     input.addData(events.take(3): _*)
     q.processAllAvailable()
