@@ -506,6 +506,22 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    "q32_asof_join" -> ((s, dir) => {
+      // enrich synthetic event timeline with the most recent order of the
+      // same customer (right side deduped per (key, ts) for determinism)
+      val left = tbl(s, dir, "events").select(
+        col("event_id"),
+        (col("event_id") % 1500 + 1).as("k"),
+        date_add(lit("1995-01-01").cast("date"),
+          (col("event_id") % 2400).cast("int")).as("t"))
+      val right = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate").cast("date").as("od"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      AsOf.joinAsOf(left, right, "k", "o_custkey", "t", "od")
+        .select(col("event_id"), col("k"), col("o_orderkey"), col("od").cast("string").as("od"))
+        .orderBy("event_id")
+    }),
+
     "q31_subqueries" -> ((s, dir) => {
       tbl(s, dir, "orders"); tbl(s, dir, "customer")
       // correlated EXISTS + scalar subquery (max-based threshold keeps the
@@ -831,6 +847,19 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q32_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2
+        |), l AS (
+        |  SELECT event_id, event_id % 1500 + 1 AS k,
+        |    DATE '1995-01-01' + CAST(event_id % 2400 AS INTEGER) AS t
+        |  FROM events
+        |)
+        |SELECT l.event_id, l.k, r.o_orderkey, CAST(r.od AS VARCHAR) AS od
+        |FROM l ASOF LEFT JOIN r ON l.k = r.o_custkey AND l.t >= r.od
+        |ORDER BY l.event_id""".stripMargin,
 
     "q31_subqueries" ->
       """SELECT c_custkey, c_name FROM customer c

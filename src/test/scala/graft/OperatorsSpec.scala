@@ -307,4 +307,26 @@ class OperatorsSpec extends AnyFunSuite {
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
     assert(df.select(VectorFunctions.dot($"a", $"b")).head().isNullAt(0))
   }
+
+  // ---- as-of join ------------------------------------------------------
+
+  test("asof join picks the most recent right row per key (>= semantics, null when none)") {
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 12L), (2L, 15L)).toDF("k", "t")
+    val right = Seq((1L, 5L, "a"), (1L, 12L, "b"), (2L, 20L, "c")).toDF("k", "t", "v")
+    val out = AsOf.joinAsOf(left, right, "k", "k", "t", "t")
+      .select("k", "t", "v").as[(Long, Long, Option[String])].collect().toSet
+    assert(out == Set(
+      (1L, 10L, Some("a")),   // latest right at t<=10 is (5,a)
+      (1L, 12L, Some("b")),   // equal ts matches (>=)
+      (1L, 20L, Some("b")),
+      (2L, 15L, None)))       // no right row yet for key 2
+  }
+
+  test("asof join keeps all left columns and prefixes colliding right names") {
+    val left = Seq((1L, 10L, "L")).toDF("k", "t", "v")
+    val right = Seq((1L, 5L, "R")).toDF("k", "t", "v")
+    val out = AsOf.joinAsOf(left, right, "k", "k", "t", "t")
+    assert(out.columns.toSeq == Seq("k", "t", "v", "r_t", "r_v"))
+    assert(out.head().getString(4) == "R")
+  }
 }
