@@ -225,6 +225,21 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    "q33_grouping_sets" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    "q34_describe" -> ((s, dir) => {
+      graft.meta.Introspect.numericSummary(
+        tbl(s, dir, "lineitem").select("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("col_name")
+    }),
+
     "q20_time_agg" -> ((s, dir) => {
       tbl(s, dir, "events")
         .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
@@ -704,6 +719,28 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q33_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q34_describe" ->
+      """WITH s AS (SELECT
+        |    count(l_quantity) AS n_q, CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_q,
+        |    CAST(min(l_quantity) AS DOUBLE) AS min_q, CAST(max(l_quantity) AS DOUBLE) AS max_q, round(sum(l_quantity),2) AS sum_q,
+        |    count(l_extendedprice) AS n_e, CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_e,
+        |    CAST(min(l_extendedprice) AS DOUBLE) AS min_e, CAST(max(l_extendedprice) AS DOUBLE) AS max_e, round(sum(l_extendedprice),2) AS sum_e,
+        |    count(l_discount) AS n_d, CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_d,
+        |    CAST(min(l_discount) AS DOUBLE) AS min_d, CAST(max(l_discount) AS DOUBLE) AS max_d, round(sum(l_discount),2) AS sum_d
+        |  FROM lineitem)
+        |SELECT 'l_discount' AS col_name, n_d AS n, nn_d AS n_null, min_d AS min, max_d AS max, sum_d AS sum, sum_d / n_d AS mean FROM s
+        |UNION ALL
+        |SELECT 'l_extendedprice', n_e, nn_e, min_e, max_e, sum_e, sum_e / n_e FROM s
+        |UNION ALL
+        |SELECT 'l_quantity', n_q, nn_q, min_q, max_q, sum_q, sum_q / n_q FROM s
+        |ORDER BY col_name""".stripMargin,
 
     "q20_time_agg" ->
       """SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day, event_type,

@@ -133,6 +133,35 @@ object Introspect {
     out.result()
   }
 
+  /** Numeric column summary in long form: one row per numeric column with
+    * exact-arithmetic stats (count/nulls/min/max, 2dp-rounded sum; mean as
+    * an IEEE division of the rounded sum — engine-reproducible, unlike
+    * round(avg)). One aggregation job over all columns at once. */
+  def numericSummary(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val numeric = df.schema.fields.filter(_.dataType.isInstanceOf[NumericType]).map(_.name)
+    require(numeric.nonEmpty, "no numeric columns to summarize")
+    val aggs = numeric.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"),
+        round(sum(col(c)), 2).as(s"__sum_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = numeric.map { c =>
+      row.select(
+        lit(c).as("col_name"),
+        col(s"__n_$c").as("n"),
+        col(s"__nn_$c").as("n_null"),
+        col(s"__min_$c").as("min"),
+        col(s"__max_$c").as("max"),
+        col(s"__sum_$c").cast("double").as("sum"),
+        (col(s"__sum_$c").cast("double") / col(s"__n_$c")).as("mean"))
+    }
+    perCol.reduce(_.unionByName(_))
+  }
+
   // ---- M4: cell formatting (presentation-layer pure functions) ---------
 
   /** Per-dtype alignment (reference data_format.rs:61-106): numbers right,
