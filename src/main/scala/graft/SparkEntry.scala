@@ -2,7 +2,6 @@ package graft
 
 import graft.operators._
 import graft.operators.SortOps.SortBy
-import graft.functions.VectorFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
