@@ -82,7 +82,10 @@ object NormalizeEuroStrings {
     ColumnBridge.column(Cast(ColumnBridge.expression(c), DoubleType, None, EvalMode.TRY))
 
   def expr(c: Column): Column =
-    tryCastDouble(regexp_replace(regexp_replace(c, "\\.", ""), ",", "."))
+    // literal char replaces: translate (plain byte ops in codegen) rather
+    // than two regex passes; same two-step semantics — dots deleted FIRST,
+    // then comma→dot ("1.2.3,4.5" → "123,45" → 123.45)
+    tryCastDouble(translate(translate(c, ".", ""), ",", "."))
 }
 
 /** T3 — replace configured markers with NULL (reference replace.rs:37-135).
