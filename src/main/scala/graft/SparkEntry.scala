@@ -536,6 +536,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q35_range_join" -> ((s, dir) => {
+      // events (as day offsets) joined into 7-day order windows via the
+      // bucketized range join, then counted per order
+      val points = tbl(s, dir, "events").select((col("event_id") % 2400).as("d"))
+      val intervals = tbl(s, dir, "orders")
+        .filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("st"))
+        .withColumn("en", col("st") + 6)
+      RangeJoin.pointInInterval(points, intervals, "d", "st", "en", bucketWidth = 7L)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_events"))
+        .orderBy("o_orderkey")
+    }),
+
     "q31_subqueries" -> ((s, dir) => {
       tbl(s, dir, "orders"); tbl(s, dir, "customer")
       // correlated EXISTS + scalar subquery (max-based threshold keeps the
@@ -883,6 +898,17 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q35_range_join" ->
+      """WITH p AS (SELECT event_id % 2400 AS d FROM events),
+        |iv AS (
+        |  SELECT o_orderkey,
+        |    datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS st
+        |  FROM orders WHERE o_totalprice > 450000
+        |)
+        |SELECT iv.o_orderkey, count(*) AS n_events
+        |FROM p JOIN iv ON p.d BETWEEN iv.st AND iv.st + 6
+        |GROUP BY iv.o_orderkey ORDER BY iv.o_orderkey""".stripMargin,
 
     "q32_asof_join" ->
       """WITH r AS (

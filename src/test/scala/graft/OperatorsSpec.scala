@@ -329,4 +329,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("k", "t", "v", "r_t", "r_v"))
     assert(out.head().getString(4) == "R")
   }
+
+  test("range join matches the naive BETWEEN join exactly") {
+    val points = (0L until 200L).map(i => (i, i * 7 % 100)).toDF("pid", "t")
+    val intervals = Seq((1L, 10L, 30L), (2L, 25L, 26L), (3L, 90L, 120L), (4L, 50L, 50L))
+      .toDF("iid", "s", "e")
+    val naive = points.join(intervals, $"t" >= $"s" && $"t" <= $"e")
+      .select("pid", "iid").collect().map(_.toSeq).toSet
+    val fast = RangeJoin.pointInInterval(points, intervals, "t", "s", "e", bucketWidth = 16L)
+      .select("pid", "iid").collect().map(_.toSeq).toSet
+    assert(fast == naive && naive.nonEmpty)
+  }
 }
