@@ -149,8 +149,11 @@ object Introspect {
         round(sum(col(c)), 2).as(s"__sum_$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val perCol = numeric.map { c =>
-      row.select(
+    // one plan branch regardless of column count: the single aggregate
+    // row explodes into per-column struct rows (a union of N selects
+    // would replan the aggregation N times)
+    val entries = numeric.map { c =>
+      struct(
         lit(c).as("col_name"),
         col(s"__n_$c").as("n"),
         col(s"__nn_$c").as("n_null"),
@@ -159,7 +162,7 @@ object Introspect {
         col(s"__sum_$c").cast("double").as("sum"),
         (col(s"__sum_$c").cast("double") / col(s"__n_$c")).as("mean"))
     }
-    perCol.reduce(_.unionByName(_))
+    row.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
   }
 
   // ---- M4: cell formatting (presentation-layer pure functions) ---------

@@ -14,9 +14,17 @@ import org.apache.spark.sql.functions._
   * sorted within each key by (ts, side); a running `last(right payload,
   * ignoreNulls)` window then carries the latest right row forward into
   * every left row. One shuffle + one sort — same cost as a single
-  * sort-merge join, no range explosion, no per-key driver loop. Skewed
-  * keys are split by AQE like any other sort; the window is
-  * partition-local after the exchange.
+  * sort-merge join, no range explosion, no per-key driver loop.
+  *
+  * Skew caveat: the window requires each key wholly in one partition, so
+  * a single pathologically hot key IS a straggler (AQE splits skewed
+  * joins, not window exchanges). For such keys, pre-split by coarse time
+  * range and as-of join range-locally, seeding each range with the last
+  * right row of the previous one.
+  *
+  * Null semantics match SQL joins: a NULL key or NULL timestamp never
+  * matches — such left rows surface with null right columns; such right
+  * rows are ignored.
   *
   * Tie semantics: a right row at exactly left.ts matches (>=). Right
   * rows must be unique per (key, ts) for a deterministic result —
@@ -34,8 +42,15 @@ object AsOf {
       rightPrefix: String = "r_"): DataFrame = {
     val leftCols = left.columns.toSeq
     val rightPayloadCols = right.columns.toSeq.filterNot(c => c == rightKey)
-    val outRightNames = rightPayloadCols.map(c =>
-      if (leftCols.contains(c)) rightPrefix + c else c)
+    val outRightNames = {
+      val taken = scala.collection.mutable.Set(leftCols: _*)
+      rightPayloadCols.map { c =>
+        var out = c
+        while (taken.contains(out)) out = rightPrefix + out
+        taken += out
+        out
+      }
+    }
 
     val l = left.select(
       col(leftKey).as("__k"), col(leftTs).as("__t"), lit(true).as("__isL"),
@@ -53,13 +68,21 @@ object AsOf {
       .orderBy(col("__t").asc, col("__isL").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    l.unionByName(r)
-      .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
-      .filter(col("__isL"))
-      .select(
+    def project(df: DataFrame, matched: Column): DataFrame =
+      df.select(
         leftCols.map(c => col(s"__lp.$c").as(c)) ++
           rightPayloadCols.zip(outRightNames).map { case (c, out) =>
-            col(s"__m.$c").as(out)
+            matched.getField(c).as(out)
           }: _*)
+
+    val validKey = col("__k").isNotNull && col("__t").isNotNull
+    val carried = l.filter(validKey)
+      .unionByName(r.filter(validKey))
+      .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__isL"))
+    // SQL null semantics: left rows with null key/ts never match
+    val unmatchable = l.filter(!validKey)
+      .withColumn("__m", col("__rp"))
+    project(carried, col("__m")).unionByName(project(unmatchable, col("__m")))
   }
 }

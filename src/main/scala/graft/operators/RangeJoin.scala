@@ -23,6 +23,9 @@ object RangeJoin {
       pointCol: String, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points and intervals must have disjoint column names (shared: ${shared.mkString(", ")}) — rename before joining")
     val p = points.withColumn("__bucket",
       floor(col(pointCol).cast("long") / bucketWidth))
     val iv = intervals.withColumn("__bucket",

@@ -340,4 +340,21 @@ class OperatorsSpec extends AnyFunSuite {
       .select("pid", "iid").collect().map(_.toSeq).toSet
     assert(fast == naive && naive.nonEmpty)
   }
+
+  test("asof join: NULL key or ts never matches (SQL semantics); cascaded prefix avoids collisions") {
+    val left = Seq((Option(1L), Option(10L), "L1"), (Option.empty[Long], Option(9L), "L2"),
+      (Option(1L), Option.empty[Long], "L3")).toDF("k", "t", "v")
+    val right = Seq((Option(1L), Option(5L), "R1"), (Option.empty[Long], Option(1L), "R2"))
+      .toDF("k", "t", "v")
+    val out = AsOf.joinAsOf(left, right, "k", "k", "t", "t")
+      .select("v", "r_v").as[(String, Option[String])].collect().toMap
+    assert(out("L1") == Some("R1"))
+    assert(out("L2").isEmpty)      // null key never matches
+    assert(out("L3").isEmpty)      // null ts never matches
+    // collision cascade: left already has r_v → right v becomes r_r_v? no:
+    val left2 = Seq((1L, 10L, "x", "existing")).toDF("k", "t", "v", "r_v")
+    val out2 = AsOf.joinAsOf(left2, right.na.drop(), "k", "k", "t", "t")
+    assert(out2.columns.count(_ == "r_v") == 1)
+    assert(out2.columns.contains("r_r_v"))
+  }
 }
