@@ -189,6 +189,34 @@ case class SimHashFromText(child: Expression, seed: Long)
     copy(child = newChild)
 }
 
+/** `sorted_intersect_count(a, b)` → int: size of the intersection of two
+  * SORTED long arrays via a two-pointer merge — O(n+m) with zero
+  * allocation, vs array_intersect's per-row hash-set build. Inputs must
+  * be sorted ascending and duplicate-free (TextShingleHashes guarantees
+  * both). */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0
+    val nx = x.numElements(); val ny = y.numElements()
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    java.lang.Integer.valueOf(n)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongIntersectCount =
+    copy(left = l, right = r)
+}
+
 /** `dot_product(a, b)` → double: strict left-to-right double-precision
   * accumulation — bit-identical to `aggregate(zip_with(a,b,*),0d,+)` but
   * a plain loop instead of per-element lambda machinery (~10× faster in
@@ -314,4 +342,7 @@ object HashFunctions {
 
   def dotProduct(a: Column, b: Column): Column =
     toCol(DotProduct(toExpr(a), toExpr(b)))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    toCol(SortedLongIntersectCount(toExpr(a), toExpr(b)))
 }

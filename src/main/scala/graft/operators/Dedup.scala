@@ -195,7 +195,8 @@ object Dedup {
     val joined = candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // two-pointer merge over the sorted hash arrays — no per-row hash set
+      .withColumn("inter", HashFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
 
     joined.select(col("id_a"), col("id_b"),
       (col("inter").cast("double") /
