@@ -232,6 +232,10 @@ case class DotProduct(left: Expression, right: Expression)
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
   private lazy val rightFloat =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val leftMayHoldNull =
+    left.dataType.asInstanceOf[ArrayType].containsNull
+  private lazy val rightMayHoldNull =
+    right.dataType.asInstanceOf[ArrayType].containsNull
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -243,6 +247,11 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // a null element → null result, matching the documented-equivalent
+      // aggregate(zip_with(a,b,*),0d,+) null propagation (reading the
+      // slot uninspected would yield an arbitrary value)
+      if ((leftMayHoldNull && x.isNullAt(i)) ||
+          (rightMayHoldNull && y.isNullAt(i))) return null
       val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv

@@ -31,11 +31,17 @@ object Dedup {
     * (partition, key). */
   def exact(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
     val payload = df.columns.filterNot(keys.contains)
-    val packed = struct(col(orderCol) +: payload.filterNot(_ == orderCol).map(col): _*)
+    // orderCol may itself be a key (then it's constant within each group
+    // and already projected from the keys — re-projecting it from __rep
+    // would duplicate the column)
+    val packedFields =
+      if (keys.contains(orderCol)) payload.toSeq
+      else orderCol +: payload.filterNot(_ == orderCol).toSeq
+    val packed = struct((col(orderCol) +: packedFields.filterNot(_ == orderCol).map(col)): _*)
     val agg = df.groupBy(keys.map(col): _*)
       .agg(min(packed).as("__rep"), count(lit(1)).as("__n_dups"))
     val restored = (keys.map(col) :+ col("__n_dups").as("n_dups")) ++
-      (orderCol +: payload.filterNot(_ == orderCol).toSeq).map(c => col(s"__rep.$c").as(c))
+      packedFields.map(c => col(s"__rep.$c").as(c))
     agg.select(restored: _*)
   }
 
@@ -113,14 +119,20 @@ object Dedup {
       .filter(col("est_jaccard") >= cfg.threshold)
   }
 
-  /** Corpus with MinHash near-duplicates removed: from every candidate
-    * pair above threshold, the larger id is dropped (union-find-free
-    * approximation: min-id representative per connected edge set — one
-    * iteration, which removes every non-minimal member of a clique). */
+  /** Corpus with MinHash near-duplicates removed: exact min-id
+    * connected components over the candidate-pair graph
+    * ([[Sampling.connectedComponents]], fixpoint — a chain a-b, b-c keeps
+    * only a, however long the chain), then every non-representative member
+    * is dropped. The component computation runs over the pair MEMBERS only
+    * (the near-dup subgraph), not the corpus. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val doomed = minhashPairs(df, idCol, textCol, cfg)
-      .select(col("id_b").as(idCol)).distinct()
+    val pairs = minhashPairs(df, idCol, textCol, cfg)
+    val members = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val doomed = Sampling.connectedComponents(members, pairs)
+      .filter(col("rep") =!= col("id"))
+      .select(col("id").as(idCol))
     df.join(doomed, Seq(idCol), "left_anti")
   }
 
@@ -134,8 +146,14 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
     require(maxHamming <= 3, "chunked candidate generation is exact only for maxHamming <= 3")
-    val hashed = df.select(col(idCol).as("id"),
-      HashFunctions.simhashFromText(col(textCol), seed).as("sh"))
+    // exclude token-free documents (mirrors minhashPairs' empty-doc
+    // exclusion): every no-word doc simhashes to the degenerate all-zero
+    // signature, so empties would pair with each other O(n²) at hamming 0
+    // and with sparse real docs. \S matches exactly the tokenizer's
+    // non-whitespace classes (Tokenize.isWs = Java regex \s).
+    val hashed = df.filter(col(textCol).rlike("\\S"))
+      .select(col(idCol).as("id"),
+        HashFunctions.simhashFromText(col(textCol), seed).as("sh"))
     val chunked = hashed.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))

@@ -34,45 +34,75 @@ object Sampling {
     df.withColumn("split",
       when(pctBucket(col(idCol)) < trainPct, "train").otherwise("eval"))
 
-  /** Leakage-safe split: members of a near-duplicate group (edges from
-    * e.g. [[Dedup.minhashPairs]]) follow their group representative.
+  /** Min-id connected components over an undirected edge set: for every
+    * id in `ids`, the minimum id reachable over `pairs` edges. Output:
+    * (id, rep). Pointer-jumping min-propagation run TO FIXPOINT — each
+    * round closes chains of length 2^round, and the loop stops as soon as
+    * a round changes no representative (bounded by `maxRounds` as a
+    * runaway guard, so pathological graphs terminate).
     *
-    * Group id = minimum id reachable over the edge set, computed by
-    * iterative min-propagation (`rounds` supersteps of join+min — each a
-    * key-partitioned shuffle; rounds=3 closes chains of length 2^3).
-    * Exact connected components needs iteration to fixpoint; near-dup
-    * clusters are overwhelmingly tiny cliques, so a small constant rounds
-    * is the right scale trade. */
-  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
-      trainPct: Int, rounds: Int = 3): DataFrame = {
+    * Scale shape: the edge set is materialized ONCE before the loop
+    * (`localCheckpoint`; swap for `checkpoint()` on a cluster with a
+    * reliable checkpoint dir). `pairs` usually hangs off an expensive
+    * candidate-generation DAG (MinHash signatures + LSH bucket join), and
+    * a lazy reference inside the loop would re-run that whole DAG every
+    * superstep — at 100 TB that is rounds+1 corpus passes instead of one.
+    * Supersteps then cost O(|edges|) per round, independent of corpus
+    * size; callers should pass only the edge-member ids when singletons
+    * are not needed. */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 16): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-    var rep = df.select(col(idCol).as("id")).distinct()
-      .withColumn("rep", col("id"))
+      .localCheckpoint()
+    var rep = ids.select(col("id")).distinct().withColumn("rep", col("id"))
+    var changed = 1L
     var i = 0
-    while (i < rounds) {
+    while (changed > 0 && i < maxRounds) {
       // superstep 1: take the min over neighbors' representatives (1 hop)
       val viaNeighbor = edges
         .join(rep.select(col("id").as("id_b"), col("rep").as("nrep")), Seq("id_b"))
         .groupBy(col("id_a").as("id")).agg(min("nrep").as("nrep"))
-      val hopped = rep.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-      // superstep 2: pointer jumping — rep(v) := rep(rep(v)), which
-      // doubles the closed chain length per round (so `rounds` rounds
-      // close chains of length ~2^rounds, as documented)
-      rep = hopped.alias("h")
-        .join(hopped.select(col("id").as("rid"), col("rep").as("rrep")), col("rep") === col("rid"), "left")
-        .select(col("id"), least(col("rep"), coalesce(col("rrep"), col("rep"))).as("rep"))
+      val hopped = rep.withColumnRenamed("rep", "prev")
+        .join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"), col("prev"),
+          least(col("prev"), coalesce(col("nrep"), col("prev"))).as("rep"))
+      // superstep 2: pointer jumping — rep(v) := rep(rep(v)), doubling the
+      // closed chain length per round
+      val jumped = hopped.alias("h")
+        .join(hopped.select(col("id").as("rid"), col("rep").as("rrep")),
+          col("rep") === col("rid"), "left")
+        .select(col("id"), col("prev"),
+          least(col("rep"), coalesce(col("rrep"), col("rep"))).as("rep"))
         // cut lineage each round: without this the plan doubles per
-        // iteration and optimizer time dominates (standard iterative-
-        // algorithm checkpointing; swap for checkpoint() on a real
-        // cluster with a reliable checkpoint dir)
+        // iteration and optimizer time dominates
         .localCheckpoint()
+      // converge check on the already-materialized checkpoint (cheap scan)
+      changed = jumped.filter(col("rep") =!= col("prev")).count()
+      rep = jumped.select("id", "rep")
       i += 1
     }
-    df.join(rep.withColumnRenamed("id", idCol), Seq(idCol))
+    rep
+  }
+
+  /** Leakage-safe split: members of a near-duplicate group (edges from
+    * e.g. [[Dedup.minhashPairs]]) follow their group representative —
+    * exact connected components via [[connectedComponents]] (fixpoint, so
+    * arbitrarily long chains land in one split; `maxRounds` only guards
+    * against pathological graphs).
+    *
+    * The component computation runs over the EDGE MEMBERS only — the
+    * near-dup subgraph, typically a tiny fraction of the corpus — and is
+    * joined back; singletons keep themselves as representative. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int, rounds: Int = 16): DataFrame = {
+    val members = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val rep = connectedComponents(members, pairs, rounds)
+    df.join(rep.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("split",
-        when(pctBucket(col("rep")) < trainPct, "train").otherwise("eval"))
+        when(pctBucket(coalesce(col("rep"), col(idCol))) < trainPct, "train")
+          .otherwise("eval"))
       .drop("rep")
   }
 

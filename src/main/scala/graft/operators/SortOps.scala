@@ -10,8 +10,12 @@ import org.apache.spark.sql.functions._
   * Scale notes: Spark's distributed sort is range-partitioned (sampled
   * boundaries) — no single-reducer bottleneck. It is NOT stable; the
   * reference sorts with `maintain_order(true)`, so [[stableSort]] appends
-  * a per-partition-offset row index as the final tiebreaker key (one extra
-  * long per row during the sort, dropped after).
+  * `monotonically_increasing_id()` as the final tiebreaker key: it is
+  * partition-prefixed (partitionId << 33 | offset), so it preserves the
+  * frame's current row order — which is all a tiebreaker needs — with
+  * zero extra jobs, staying inside Tungsten. (Contiguity would require
+  * the zipWithIndex round-trip; only T6's user-facing row index needs
+  * that.)
   */
 object SortOps {
 
@@ -33,8 +37,7 @@ object SortOps {
   def stableSort(df: DataFrame, criteria: Seq[SortBy]): DataFrame = {
     if (criteria.isEmpty) return df
     val tie = AddRowIndex.resolveUniqueName("__graft_order", df.columns.toSeq)
-    val indexed = AddRowIndex.withRowIndex(df, tie, 0L)
-    indexed
+    df.withColumn(tie, monotonically_increasing_id())
       .orderBy(criteria.map(sortCol) :+ col(tie).asc: _*)
       .drop(tie)
   }

@@ -61,27 +61,15 @@ object TextAnalysis {
   /** Predicted language = argmax of stopword hits; ties and all-zero →
     * first-listed language order ("en" priority), "und" when no hits.
     *
-    * Single tokenize pass: each token is mapped once to a BITMASK of the
-    * languages whose list contains it (a word like "un" sits in both fr
-    * and es and must count for BOTH — a first-match code would diverge
-    * from the documented argmax and the oracle), then per-language counts
-    * are cheap bit-test filters over the small int array. */
-  def langId(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val masks = transform(toks, w =>
-      stopwords.zipWithIndex.map { case ((_, ws), i) =>
-        when(w.isin(ws.map(lit): _*), lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _))
-    val scores = stopwords.zipWithIndex.map { case ((lang, _), i) =>
-      lang -> size(filter(masks, m => m.bitwiseAND(lit(1 << i)) =!= 0)).cast("long")
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    // foldRight builds when(en)…otherwise(when(de)…) — earlier-listed
-    // languages win ties, matching the documented priority order
-    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
-      when(s === best && best > 0, lit(lang)).otherwise(acc)
-    }
-  }
+    * A token sitting in SEVERAL languages' lists (e.g. "un" in both fr
+    * and es) counts for each — first-match would diverge from the
+    * documented argmax and the oracle. Delegates to the fused native
+    * expression [[graft.functions.StopwordLangId]]: one byte pass with
+    * per-language counters, replacing a transform/isin/size(filter)
+    * pipeline whose per-row lambda machinery measured ~6× slower at
+    * sf0.1. */
+  def langId(text: Column): Column =
+    graft.functions.TextFunctions.stopwordLangId(text, stopwords)
 
   /** Stopword ratio against the union of all language lists. */
   def stopwordRatio(text: Column): Column = {

@@ -283,6 +283,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.values.toSet.size == 1, s"chain split across partitions: $out")
   }
 
+  test("connectedComponents reaches fixpoint on a chain of 20 (one component)") {
+    val ids = (1L to 20L).toDF("id")
+    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val rep = Sampling.connectedComponents(ids, chain)
+      .as[(Long, Long)].collect().toMap
+    assert(rep.values.toSet == Set(1L), s"chain of 20 not fully merged: $rep")
+    // and the default leakageSafeSplit (fixpoint) puts the whole chain in one split
+    val out = Sampling.leakageSafeSplit((1L to 20L).toDF("doc_id"), "doc_id", chain, 80)
+      .select("split").distinct().count()
+    assert(out == 1L)
+  }
+
+  test("simhashPairs excludes token-free documents (no degenerate all-zero bucket)") {
+    val short = Seq((1L, "hello world again"), (2L, "hello world again"),
+      (3L, ""), (4L, " \t\n"), (5L, "  ")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(short, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs == Set((1L, 2L)), s"empty docs paired: $pairs")
+  }
+
+  test("exact dedup tolerates orderCol being one of the keys (no dup column)") {
+    val df = Seq((1L, "a", 10), (1L, "a", 20), (2L, "b", 30)).toDF("id", "k", "v")
+    val out = Dedup.exact(df, Seq("id", "k"), "id")
+    assert(out.columns.count(_ == "id") == 1)
+    val m = out.select("id", "n_dups").as[(Long, Long)].collect().toMap
+    assert(m == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("dot product propagates a null array element as null (zip_with parity)") {
+    val df = Seq((Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+    val native = df.select(graft.functions.HashFunctions.dotProduct($"a", $"b"))
+      .as[Option[Double]].head()
+    val hof = df.select(aggregate(zip_with($"a", $"b", _ * _), lit(0.0), _ + _))
+      .as[Option[Double]].head()
+    assert(native.isEmpty && hof.isEmpty)
+  }
+
   test("langId counts overlap words for EVERY language containing them") {
     // "un" is in fr and es; "que" in es and pt → es wins 3 vs fr 2
     val out = Seq("un un el que").toDF("text")
