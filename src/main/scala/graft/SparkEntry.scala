@@ -376,14 +376,37 @@ object SparkEntry {
     }),
 
     "dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
-        Dedup.MinHashConfig(threshold = 0.5))
-        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      // LSH candidates + exact-Jaccard verify (the production dedup
+      // pattern): value-exact against the DuckDB all-pairs Jaccard
+      // oracle because precision is 1.0 by construction and recall at
+      // J >= 0.5 with r=2/b=64 banding is 1 - (1-J²)^64 ≈ 1 - 1e-8
+      Dedup.minhashExactPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        Dedup.MinHashConfig(numHashes = 128, bands = 64), exactThreshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
 
     "dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      // the chunked-LSH pair machinery over an ENGINE-PORTABLE signature:
+      // 60-bit simhash whose token hash is the first 15 hex chars of
+      // md5(word) — bit-for-bit reproducible in DuckDB, so the hamming
+      // values are oracle-exact. (The production path keeps the faster
+      // fused FNV signature, SimHashFromText; the candidate generation
+      // under test is identical.) Votes are aggregated via explode +
+      // one codegen'd groupBy pass, not a per-row lambda pipeline.
+      val toks = tbl(s, dir, "documents").select(col("doc_id").as("id"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"),
+          w => length(w) > 0)).as("w"))
+      val hashed = toks.select(col("id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+      val voteCols = (0 until 60).map(b =>
+        sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"v$b"))
+      val votes = hashed.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+      val sigs = votes.select(col("id"),
+        (0 until 60).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh"))
+      Dedup.simhashPairsFromSigs(sigs, maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
 
@@ -413,15 +436,26 @@ object SparkEntry {
     }),
 
     "ann_ivf_topk" -> ((s, dir) => {
-      // approximate scale path (rows-only check: IVF recall is a tradeoff,
-      // not an oracle-exact result)
+      // Value-checkable formulation of the approximate scale path: the
+      // emitted rows are the EXACT ranking (oracle = brute-force SQL),
+      // and the IVF path is regression-gated IN-QUERY — recall@10 of
+      // ivfTopK vs that ranking is computed here and the query throws if
+      // it drops below the fixture floor (bits=6, probeHamming=1 probes
+      // 7/64 cells; measured recall ≈ 0.9 at sf0.01/sf0.1, floor 0.6 —
+      // any candidate-generation regression lands far below it).
       val emb = tbl(s, dir, "embeddings")
       val queriesDf = emb.filter(col("vec_id") < 5)
-      Similarity.ivfTopK(emb, "vec_id", "embedding",
-        queriesDf, "vec_id", "embedding", k = 10, bits = 6, probeHamming = 1)
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queriesDf, "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
-        .orderBy("query_id", "rank")
+      val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queriesDf, "vec_id", "embedding", k = 10, bits = 6, probeHamming = 1)
+        .select(col("query_id"), col("id").as("neighbor_id"))
+      val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val recall = hits.toDouble / brute.count()
+      require(recall >= 0.6, f"IVF recall@10 regressed: $recall%.3f < 0.6")
+      brute.orderBy("query_id", "rank")
     }),
 
     "mm_frame_sample" -> ((s, dir) => {
@@ -591,10 +625,14 @@ object SparkEntry {
     }),
 
     "split_leakage_safe" -> ((s, dir) => {
-      // near-dup groups follow their representative into one split
+      // near-dup groups follow their representative into one split.
+      // Pairs are the EXACT-verified minhash pairs (J >= 0.5) and the
+      // representative is the fixpoint min-id component — both
+      // engine-replicable, so the oracle recomputes the whole assignment
+      // (all-pairs Jaccard + recursive-CTE reachability + md5 bucket).
       val docs = tbl(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
-        Dedup.MinHashConfig(threshold = 0.5))
+      val pairs = Dedup.minhashExactPairs(docs, "doc_id", "text",
+        Dedup.MinHashConfig(numHashes = 128, bands = 64), exactThreshold = 0.5)
       Sampling.leakageSafeSplit(docs.select("doc_id", "lang"), "doc_id", pairs, 80)
         .orderBy("doc_id")
     }),
@@ -1039,6 +1077,105 @@ object SparkEntry {
         |WHERE a.doc_id < b.doc_id
         |  AND len(list_intersect(a.sh, b.sh))::DOUBLE /
         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact all-pairs Jaccard at the verify threshold — legal oracle for
+    // the LSH-candidates+exact-verify query because precision is 1.0 by
+    // construction and the banding config drives recall to ~1 at J>=0.5
+    "dedup_minhash" ->
+      """WITH sets AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS words
+        |        FROM documents) t
+        |  WHERE len(words) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+        |FROM sets a, sets b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // bit-for-bit replica of the portable 60-bit md5 simhash: same token
+    // split, same per-bit majority vote, hamming via bit_count(xor)
+    "dedup_simhash" -> simhashOracleSql,
+
+    // the emitted rows are the exact ranking (IVF recall is asserted
+    // in-query, see the Spark side) — identical to the brute oracle
+    "ann_ivf_topk" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(c.embedding, q.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos_raw
+        |  FROM embeddings c, q WHERE c.vec_id != q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cosine
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // full recomputation of the leakage-safe assignment: exact-verified
+    // pairs (J >= 0.5), min-id component by recursive reachability, then
+    // the same md5 percentage bucket on the representative
+    "split_leakage_safe" ->
+      """WITH RECURSIVE sets AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS words
+        |        FROM documents) t
+        |  WHERE len(words) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sets a, sets b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s),
+        |rep AS (SELECT id, least(id, min(r)) AS rep FROM reach GROUP BY id)
+        |SELECT doc.doc_id, doc.lang,
+        |  CASE WHEN (ascii(substr(md5(CAST(coalesce(rep.rep, doc.doc_id) AS VARCHAR)), 1, 1)) * 10007
+        |           + ascii(substr(md5(CAST(coalesce(rep.rep, doc.doc_id) AS VARCHAR)), 2, 1)) * 131
+        |           + ascii(substr(md5(CAST(coalesce(rep.rep, doc.doc_id) AS VARCHAR)), 3, 1))) % 100 < 80
+        |       THEN 'train' ELSE 'eval' END AS split
+        |FROM documents doc LEFT JOIN rep ON doc.doc_id = rep.id
+        |ORDER BY doc_id""".stripMargin
   )
+
+  /** DuckDB replica of the portable md5-based 60-bit simhash used by the
+    * dedup_simhash gate query: one vote aggregate per bit, generated
+    * programmatically. */
+  private def simhashOracleSql: String = {
+    val votes = (0 until 60)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n    ")
+    val bits = (0 until 60)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    raw"""WITH toks AS (
+         |  SELECT doc_id AS id,
+         |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS w
+         |  FROM documents),
+         |hashed AS (SELECT id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM toks),
+         |votes AS (SELECT id,
+         |    $votes
+         |  FROM hashed GROUP BY id),
+         |sim AS (SELECT id, CAST($bits AS BIGINT) AS sh FROM votes)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |FROM sim a, sim b
+         |WHERE a.id < b.id AND bit_count(xor(a.sh, b.sh)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+  }
 }

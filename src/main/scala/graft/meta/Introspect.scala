@@ -180,6 +180,37 @@ object Introspect {
     case _ => Left
   }
 
+  /** Per-column decimal/layout overrides (reference
+    * decimal_and_layout_v2.rs:10-11 COL_SPECIAL/COL_DECIMAL behind the
+    * format-special build flag): float columns whose name matches an
+    * override pattern (unanchored regex — the reference uses substring
+    * `contains`) format with that many decimals and CENTER; other floats
+    * use the global decimals and the dtype alignment. */
+  final case class FormatConfig(
+      floatDecimals: Int = 2,
+      /** unanchored column-name regex → decimals for matching floats
+        * (reference default: the Alíq/Aliq tax-rate columns at 4). */
+      decimalOverrides: Seq[(String, Int)] = Seq("Alíq|Aliq" -> 4))
+
+  private def overrideFor(name: String, cfg: FormatConfig): Option[Int] =
+    cfg.decimalOverrides.collectFirst {
+      case (p, d) if p.r.findFirstIn(name).isDefined => d
+    }
+
+  /** (decimals, alignment) for a column — the get_decimal_and_layout
+    * port (decimal_and_layout_v2.rs:21-70): floats get Some(decimals)
+    * (override-aware), everything else None; special float columns
+    * center. */
+  def decimalAndAlignment(name: String, dt: DataType,
+      cfg: FormatConfig = FormatConfig()): (Option[Int], Align) = dt match {
+    case FloatType | DoubleType =>
+      overrideFor(name, cfg) match {
+        case Some(d) => (Some(d), Center)
+        case None    => (Some(cfg.floatDecimals), alignmentFor(dt))
+      }
+    case other => (None, alignmentFor(other))
+  }
+
   /** Null → "", floats with fixed decimals (default 2), others toString
     * (reference data_container.rs:508-543, decimal_and_layout_v2.rs). */
   def formatCell(value: Any, dt: DataType, floatDecimals: Int = 2): String =
@@ -189,4 +220,11 @@ object Introspect {
       case f: Float  => s"%.${floatDecimals}f".format(f.toDouble)
       case other     => other.toString
     }
+
+  /** Column-aware cell formatting: decimals resolved per column via
+    * [[decimalAndAlignment]]. */
+  def formatCell(value: Any, colName: String, dt: DataType,
+      cfg: FormatConfig): String =
+    formatCell(value, dt, decimalAndAlignment(colName, dt, cfg)._1
+      .getOrElse(cfg.floatDecimals))
 }

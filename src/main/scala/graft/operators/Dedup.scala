@@ -83,27 +83,9 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val r = cfg.numHashes / cfg.bands
     val sigs = minhashSignatures(df, idCol, textCol, cfg)
       .filter(col("sig").getItem(0) =!= Long.MaxValue)
-
-    // band → hash of the signature slice; explode to (band, bandHash, id)
-    val banded = sigs.select(
-      col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(cfg.bands - 1)),
-        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-
-    // bucket join → unordered candidate pairs. Signatures are NOT carried
-    // through the pair shuffle (128 longs × pairs would dominate the
-    // exchange); candidates are deduped as bare (id_a, id_b) first and the
-    // two signatures joined back by id afterwards.
-    val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
-    val rt = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
-    val candidates = l.join(rt, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val candidates = lshCandidates(sigs, cfg)
 
     val withSigs = candidates
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -117,6 +99,60 @@ object Dedup {
         lit(0), (acc, x) => acc + x).cast("double") / cfg.numHashes)
         .as("est_jaccard"))
       .filter(col("est_jaccard") >= cfg.threshold)
+  }
+
+  /** Banded-LSH candidate pairs from a signature frame (id, sig):
+    * band → hash of the signature slice, bucket equi-join on
+    * (band, bandHash), deduped bare (id_a, id_b) with id_a < id_b.
+    * Signatures are NOT carried through the pair shuffle (128 longs ×
+    * pairs would dominate the exchange); callers join whatever they need
+    * back by id. */
+  private def lshCandidates(sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
+    val r = cfg.numHashes / cfg.bands
+    val banded = sigs.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(cfg.bands - 1)),
+        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val rt = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    l.join(rt, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** LSH-candidates-then-EXACT-verify near-dup pairs: candidate pairs
+    * from banded MinHash-LSH (every bucket collision, no estimated-
+    * Jaccard filter), each verified by exact shingle-set Jaccard
+    * (two-pointer sorted intersect over the fused-expression hash sets).
+    * Output: (id_a, id_b, jaccard EXACT) with jaccard >= exactThreshold.
+    *
+    * The production dedup pattern at 100 TB: LSH bounds the candidate
+    * set (never all-pairs), the exact verify makes precision 1.0, and
+    * recall is the band-collision probability 1-(1-J^r)^b — driven to
+    * ~1 at the target threshold by config (e.g. numHashes=128, bands=64
+    * → r=2: a J=0.5 pair is missed with probability 0.75^64 ≈ 1e-8).
+    * Value-exact against an all-pairs Jaccard oracle at such configs.
+    * Docs with fewer than shingleSize words have no shingle set and are
+    * excluded (the short-doc fallback only affects estimated pairs). */
+  def minhashExactPairs(df: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig(numHashes = 128, bands = 64),
+      exactThreshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, cfg)
+      .filter(col("sig").getItem(0) =!= Long.MaxValue)
+    val candidates = lshCandidates(sigs, cfg)
+    val sets = df.select(col(idCol).as("id"),
+      HashFunctions.textShingleHashes(col(textCol), cfg.shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val joined = candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", HashFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+    joined.select(col("id_a"), col("id_b"),
+      (col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= exactThreshold)
   }
 
   /** Corpus with MinHash near-duplicates removed: exact min-id
@@ -145,7 +181,6 @@ object Dedup {
     * uniform-key shuffle. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
-    require(maxHamming <= 3, "chunked candidate generation is exact only for maxHamming <= 3")
     // exclude token-free documents (mirrors minhashPairs' empty-doc
     // exclusion): every no-word doc simhashes to the degenerate all-zero
     // signature, so empties would pair with each other O(n²) at hamming 0
@@ -154,6 +189,15 @@ object Dedup {
     val hashed = df.filter(col(textCol).rlike("\\S"))
       .select(col(idCol).as("id"),
         HashFunctions.simhashFromText(col(textCol), seed).as("sh"))
+    simhashPairsFromSigs(hashed, maxHamming)
+  }
+
+  /** Pair generation over PRE-COMPUTED 64-bit signatures (id, sh) —
+    * the candidate machinery of [[simhashPairs]] with the hash function
+    * pluggable (e.g. an engine-portable md5-derived signature whose
+    * values an external oracle can reproduce). */
+  def simhashPairsFromSigs(hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "chunked candidate generation is exact only for maxHamming <= 3")
     val chunked = hashed.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))

@@ -84,6 +84,8 @@ object Similarity {
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
       bits: Int = 6, probeHamming: Int = 1, seed: Long = 42L,
       dim: Int = 64): DataFrame = {
+    require(probeHamming <= 2,
+      s"probe offsets are enumerated only up to Hamming distance 2 (got $probeHamming)")
     val planes = hyperplanes(bits, dim, seed)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nv"), signBucket(col(vecCol), planes).as("cell"))

@@ -37,13 +37,20 @@ object CsvSniffer {
     count
   }
 
-  /** Probe `lines` with a candidate: accepted iff it parses >1 column and
-    * every probe row agrees with the header's column count (reference
-    * rejects ≤1 column, data_filter.rs:484-531). */
+  /** Probe `lines` with a candidate: accepted iff the MODAL field count
+    * across the probe rows is > 1 (ties prefer the higher count). The
+    * reference rejects only ≤ 1 parsed column and then reads permissively
+    * with missing_is_null (data_filter.rs:484-531) — so a ragged CSV
+    * (trailing fields omitted on some rows) must still detect; PERMISSIVE
+    * read null-pads the short rows. Requiring every row to match the
+    * header (the previous rule) was stricter than the reference. The
+    * modal vote still rejects a wrong delimiter that happens to split
+    * only the header. */
   def probe(lines: Seq[String], sep: Char): Boolean = {
     if (lines.isEmpty) return false
-    val header = fieldCount(lines.head, sep)
-    header > 1 && lines.forall(fieldCount(_, sep) == header)
+    val counts = lines.map(fieldCount(_, sep))
+    val modal = counts.groupBy(identity).maxBy { case (c, g) => (g.size, c) }._1
+    modal > 1
   }
 
   def headLines(spark: SparkSession, path: String, n: Int = ProbeRows): Seq[String] = {

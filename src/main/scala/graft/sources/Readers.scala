@@ -110,13 +110,79 @@ object Readers {
         })
     }
 
-  /** S4: single-document / array JSON. */
-  def readJson(spark: SparkSession, path: String, cfg: ReadConfig): DataFrame =
-    spark.read.option("multiLine", true).option("mode", "PERMISSIVE").json(path)
+  /** S4: single-document / array JSON, with the same bounded inference +
+    * force-string semantics as CSV (reference applies infer_schema_len to
+    * both JSON readers, data_filter.rs:312,340 — the huge-numeric-ID
+    * lossy-inference hazard is identical). The head sample is produced by
+    * STREAM-parsing only the first `inferSchemaRows` array elements off
+    * the file head (Jackson incremental parser — never a full-document
+    * pass just to infer). */
+  def readJson(spark: SparkSession, path: String, cfg: ReadConfig): DataFrame = {
+    val schema = inferJsonSchema(spark,
+      headJsonArrayElements(spark, path, math.max(cfg.inferSchemaRows, 1)), cfg)
+    val base = spark.read.option("multiLine", true).option("mode", "PERMISSIVE")
+    schema.fold(base.json(path))(s => base.schema(s).json(path))
+  }
 
-  /** S5: newline-delimited JSON. */
-  def readNdJson(spark: SparkSession, path: String, cfg: ReadConfig): DataFrame =
-    spark.read.option("mode", "PERMISSIVE").json(path)
+  /** S5: newline-delimited JSON with bounded inference + force-string
+    * (one-small-job head sample, like the CSV path). */
+  def readNdJson(spark: SparkSession, path: String, cfg: ReadConfig): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val head = spark.read.textFile(path)
+      .limit(math.max(cfg.inferSchemaRows, 1)).collectAsList().asScala.toSeq
+    val schema = inferJsonSchema(spark, head, cfg)
+    val base = spark.read.option("mode", "PERMISSIVE")
+    schema.fold(base.json(path))(s => base.schema(s).json(path))
+  }
+
+  /** Schema from a head sample of JSON documents: inferred by Spark's
+    * JSON reader over the sample, then force-string overrides; with
+    * inferSchemaRows == 0 every top-level field becomes String (Spark's
+    * JSON parser renders any non-string token — numbers, objects — as its
+    * raw text when the schema says String, so nothing is lost). None →
+    * sample empty, let the full read infer. */
+  def inferJsonSchema(spark: SparkSession, sample: Seq[String],
+      cfg: ReadConfig): Option[StructType] = {
+    if (sample.isEmpty) return None
+    import spark.implicits._
+    val inferred = spark.read.json(spark.createDataset(sample)).schema
+    val bounded =
+      if (cfg.inferSchemaRows == 0)
+        StructType(inferred.fields.map(_.copy(dataType = StringType)))
+      else inferred
+    Some(applyForceString(bounded, cfg.forceStringRegex))
+  }
+
+  /** First `n` elements of a JSON array document as individual JSON
+    * strings, reading only the file head (Jackson streaming). Directory
+    * inputs use their first contained file. */
+  def headJsonArrayElements(spark: SparkSession, path: String, n: Int): Seq[String] = {
+    import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file =
+      if (fs.getFileStatus(hPath).isDirectory)
+        fs.listStatus(hPath).filter(_.isFile).map(_.getPath)
+          .sortBy(_.getName).headOption.getOrElse(hPath)
+      else hPath
+    val in = fs.open(file)
+    try {
+      val factory = new JsonFactory()
+      val parser = factory.createParser(in: java.io.InputStream)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var t = parser.nextToken()
+      if (t == JsonToken.START_ARRAY) t = parser.nextToken()
+      while (out.length < n && t != null && t != JsonToken.END_ARRAY) {
+        val w = new java.io.StringWriter()
+        val g = factory.createGenerator(w)
+        g.copyCurrentStructure(parser)
+        g.close()
+        out += w.toString
+        t = parser.nextToken()
+      }
+      out.toSeq
+    } finally in.close()
+  }
 
   /** S6: Parquet; tolerates TIMESTAMP(NANOS) columns by reading nanos as
     * long (caller converts if timestamp semantics are needed). */

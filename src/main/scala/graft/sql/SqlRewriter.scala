@@ -62,8 +62,16 @@ object SqlRewriter {
 
   /** Pass 1: double-quoted identifiers → backticks; STRFTIME → DATE_FORMAT
     * with a translated pattern. */
-  def rewriteQuotesAndFunctions(sql: String): String = {
-    val toks = lex(sql)
+  def rewriteQuotesAndFunctions(sql: String): String =
+    render(rewriteToks(lex(sql)))
+
+  /** Recursive token rewrite. STRFTIME handling is argument-aware: only
+    * the FORMAT argument (2nd) has its string literal pattern-translated —
+    * a '%' inside any other argument's literal is data, not a pattern
+    * (e.g. `STRFTIME(x,'%Y') || ' %done'`) — and value arguments are
+    * rewritten recursively so a nested STRFTIME is also renamed instead of
+    * surviving as an unresolvable function. */
+  private def rewriteToks(toks: Vector[Tok]): Vector[Tok] = {
     val out = ArrayBuffer.empty[Tok]
     var i = 0
     while (i < toks.length) {
@@ -72,30 +80,31 @@ object SqlRewriter {
           out += BQuot("`" + d.name.replace("`", "``") + "`")
           i += 1
         case w: Word if w.text.equalsIgnoreCase("strftime") =>
-          // rename the function; its 2nd argument (a string literal) gets
-          // pattern-translated in place below
           val open = nextNonWs(toks, i + 1)
           val close = if (open < toks.length && toks(open) == Punct("(")) matchParen(toks, open) else -1
           if (close >= 0) {
             out += Word("DATE_FORMAT")
-            // copy args, translating every string literal that contains a %
-            var j = i + 1
-            while (j <= close) {
-              toks(j) match {
-                case s: SStr if s.text.contains("%") =>
-                  val body = s.text.substring(1, s.text.length - 1).replace("''", "'")
-                  val jvm = translateStrftime(body)
-                  out += SStr("'" + jvm.replace("'", "''") + "'")
-                case t => out += t
-              }
-              j += 1
+            out ++= toks.slice(i + 1, open + 1) // pre-paren ws + '('
+            val args = splitTopLevel(toks.slice(open + 1, close))
+            args.zipWithIndex.foreach { case (arg, k) =>
+              if (k > 0) out += Punct(",")
+              val nonWs = arg.filterNot(_.isInstanceOf[Ws])
+              if (k == 1 && nonWs.length == 1 && nonWs.head.isInstanceOf[SStr]) {
+                out ++= arg.map {
+                  case s: SStr =>
+                    val body = s.text.substring(1, s.text.length - 1).replace("''", "'")
+                    SStr("'" + translateStrftime(body).replace("'", "''") + "'")
+                  case t => t
+                }
+              } else out ++= rewriteToks(arg.toVector)
             }
+            out += Punct(")")
             i = close + 1
           } else { out += w; i += 1 }
         case t => out += t; i += 1
       }
     }
-    render(out.toSeq)
+    out.toVector
   }
 
   // ---- star-modifier expansion ------------------------------------------

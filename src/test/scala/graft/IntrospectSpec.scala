@@ -63,4 +63,25 @@ class IntrospectSpec extends AnyFunSuite {
     assert(Introspect.alignmentFor(StringType) == Introspect.Left)
     assert(Introspect.alignmentFor(BooleanType) == Introspect.Center)
   }
+
+  test("per-column decimal overrides match decimal_and_layout_v2 semantics") {
+    val cfg = Introspect.FormatConfig()
+    // special float column ("Alíq"/"Aliq" substring): 4 decimals, centered
+    assert(Introspect.decimalAndAlignment("Alíquota PIS", DoubleType, cfg) ==
+      (Some(4), Introspect.Center))
+    assert(Introspect.decimalAndAlignment("Aliq ICMS", FloatType, cfg) ==
+      (Some(4), Introspect.Center))
+    // ordinary float: global decimals, dtype alignment (right)
+    assert(Introspect.decimalAndAlignment("valor", DoubleType, cfg) ==
+      (Some(2), Introspect.Right))
+    // non-float: no decimals even if the name matches
+    assert(Introspect.decimalAndAlignment("Alíquota", IntegerType, cfg) ==
+      (None, Introspect.Right))
+    // formatting threads the per-column decimals through
+    assert(Introspect.formatCell(0.015987, "Alíquota PIS", DoubleType, cfg) == "0.0160")
+    assert(Introspect.formatCell(0.015987, "valor", DoubleType, cfg) == "0.02")
+    // custom override map
+    val c2 = Introspect.FormatConfig(decimalOverrides = Seq("^rate_" -> 6))
+    assert(Introspect.decimalAndAlignment("rate_x", DoubleType, c2)._1 == Some(6))
+  }
 }

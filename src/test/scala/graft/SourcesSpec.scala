@@ -73,6 +73,71 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.count() == 1)
   }
 
+  test("ragged CSV (trailing fields omitted) still detects and null-pads") {
+    // reference rejects only <=1-column parses and reads missing_is_null —
+    // the old every-row-must-match-header probe errored on this fixture
+    val p = tmpFile("ragged.csv", "a;b;c\n1;2;3\n4;5\n6;7;8\n")
+    assert(CsvSniffer.detect(spark, p) == ';')
+    val (df, d) = Readers.readAuto(spark, p)
+    assert(d.contains(';'))
+    val rows = df.orderBy("a").collect()
+    assert(rows.length == 3)
+    assert(rows(1).isNullAt(2), "short row's missing trailing field must be null")
+  }
+
+  test("wrong delimiter splitting only the header is still rejected (modal vote)") {
+    // ',' splits the header into 2 fields but no data row: modal count 1
+    val p = tmpFile("hdr.csv", "a,b\n1\n2\n3\n4\n")
+    assertThrows[GraftError.DelimiterNotDetected](CsvSniffer.detect(spark, p))
+  }
+
+  // ---- JSON/NDJSON inference parity (data_filter.rs:312,340) -----------
+
+  val bigIdNdjson =
+    """{"long_id": 12345678901234567890123456789012345678901234, "value": 10.5}
+      |{"long_id": 98765432109876543210987654321098765432109876, "value": 20.0}
+      |{"long_id": 12345, "value": 30.7}
+      |""".stripMargin
+
+  test("NDJSON: 44-digit id survives with force-string override; lossy without") {
+    val p = tmpFile("ids.ndjson", bigIdNdjson)
+    val plain = Readers.readNdJson(spark, p, ReadConfig())
+    assert(plain.schema("long_id").dataType != StringType)
+
+    val forced = Readers.readNdJson(spark, p,
+      ReadConfig(forceStringRegex = Some("^long_id$")))
+    assert(forced.schema("long_id").dataType == StringType)
+    val ids = forced.select("long_id").as[String].collect().toSet
+    assert(ids.contains("12345678901234567890123456789012345678901234"))
+    assert(forced.schema("value").dataType == DoubleType)
+  }
+
+  test("JSON array: force-string override applies; inference is bounded to the window") {
+    val arr =
+      """[{"long_id": 12345678901234567890123456789012345678901234, "v": 1},
+        | {"long_id": 5, "v": 2}]""".stripMargin
+    val p = tmpFile("ids.json", arr)
+    val forced = Readers.readJson(spark, p, ReadConfig(forceStringRegex = Some("^long_id$")))
+    assert(forced.schema("long_id").dataType == StringType)
+    assert(forced.select("long_id").as[String].collect()
+      .contains("12345678901234567890123456789012345678901234"))
+
+    // a field type that changes AFTER the inference window keeps the
+    // window's schema (reference infer_schema_len semantics)
+    val drift = (1 to 5).map(i => s"""{"x": $i}""") :+ """{"x": "not a number"}"""
+    val p2 = tmpFile("drift.ndjson", drift.mkString("\n"))
+    val win = Readers.readNdJson(spark, p2, ReadConfig(inferSchemaRows = 5))
+    assert(win.schema("x").dataType == LongType)
+    assert(win.filter(col("x").isNull).count() == 1)  // permissive → null
+  }
+
+  test("NDJSON inferSchemaRows = 0 → everything String") {
+    val p = tmpFile("s.ndjson", """{"a": 1, "b": 2.5}""")
+    val df = Readers.readNdJson(spark, p, ReadConfig(inferSchemaRows = 0))
+    assert(df.schema.fields.forall(_.dataType == StringType))
+    assert(df.select("a").as[String].head() == "1")
+  }
+
   // ---- F7: inference through quoted values (data_format.rs:315-342) ----
 
   test("quoted ints and bools infer through quotes") {

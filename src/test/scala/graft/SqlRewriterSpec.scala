@@ -41,6 +41,21 @@ class SqlRewriterSpec extends AnyFunSuite {
     assert(out.contains("'dd/MM/yyyy'"))
   }
 
+  test("STRFTIME: only the FORMAT argument is translated, not other % literals") {
+    val out = SqlRewriter.rewriteQuotesAndFunctions(
+      "SELECT STRFTIME(COALESCE(d, '% raw'), '%Y') || ' %done' FROM t")
+    assert(out.contains("'yyyy'"))
+    assert(out.contains("'% raw'"), out)     // 1st-arg literal untouched
+    assert(out.contains("' %done'"), out)    // post-call literal untouched
+  }
+
+  test("STRFTIME nested inside an argument is also rewritten") {
+    val out = SqlRewriter.rewriteQuotesAndFunctions(
+      "SELECT STRFTIME(to_date(STRFTIME(d, '%Y-%m-%d'), 'yyyy-MM-dd'), '%b %Y') FROM t")
+    assert(!out.toLowerCase.contains("strftime"), out)
+    assert(out.contains("'yyyy-MM-dd'") && out.contains("'MMM yyyy'"), out)
+  }
+
   // ---- star modifiers --------------------------------------------------
 
   test("expandProjection: except → replace → rename order") {
