@@ -30,4 +30,9 @@ object GraftError {
 
   final case class DelimiterNotDetected(path: String)
       extends GraftError(s"Could not detect a CSV delimiter for $path")
+
+  /** Bad command-line argument (reference error.rs PolarsViewError::
+    * InvalidArgument — carried arg name + reason). */
+  final case class InvalidArgument(argName: String, reason: String)
+      extends GraftError(s"Invalid argument $argName: $reason")
 }

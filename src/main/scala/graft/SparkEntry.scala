@@ -390,22 +390,15 @@ object SparkEntry {
       // the chunked-LSH pair machinery over an ENGINE-PORTABLE signature:
       // 60-bit simhash whose token hash is the first 15 hex chars of
       // md5(word) — bit-for-bit reproducible in DuckDB, so the hamming
-      // values are oracle-exact. (The production path keeps the faster
-      // fused FNV signature, SimHashFromText; the candidate generation
-      // under test is identical.) Votes are aggregated via explode +
-      // one codegen'd groupBy pass, not a per-row lambda pipeline.
-      val toks = tbl(s, dir, "documents").select(col("doc_id").as("id"),
-        explode(filter(split(lower(trim(col("text"))), "\\s+"),
-          w => length(w) > 0)).as("w"))
-      val hashed = toks.select(col("id"),
-        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
-      val voteCols = (0 until 60).map(b =>
-        sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-          .otherwise(-1)).as(s"v$b"))
-      val votes = hashed.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
-      val sigs = votes.select(col("id"),
-        (0 until 60).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("sh"))
+      // values are oracle-exact. Computed by the fused native expression
+      // SimHashMd5FromText (one byte pass per doc, map-side) — replaces
+      // round 2's explode + 60-column vote aggregate, which shuffled every
+      // token and tripped Spark's "plan too large" warning. Zero-token
+      // docs signature to NULL and are dropped, exactly as the explode
+      // formulation (and the DuckDB unnest oracle) drops them.
+      val sigs = tbl(s, dir, "documents").select(col("doc_id").as("id"),
+        graft.functions.HashFunctions.simhashMd5FromText(col("text")).as("sh"))
+        .filter(col("sh").isNotNull)
       Dedup.simhashPairsFromSigs(sigs, maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
@@ -440,9 +433,12 @@ object SparkEntry {
       // emitted rows are the EXACT ranking (oracle = brute-force SQL),
       // and the IVF path is regression-gated IN-QUERY — recall@10 of
       // ivfTopK vs that ranking is computed here and the query throws if
-      // it drops below the fixture floor (bits=6, probeHamming=1 probes
-      // 7/64 cells; measured recall ≈ 0.9 at sf0.01/sf0.1, floor 0.6 —
-      // any candidate-generation regression lands far below it).
+      // it drops below the fixture floor. Config chosen from
+      // graft.tools.IvfSweep measurements: bits=4, probeHamming=2 probes
+      // |ball(2)|=1+4+6=11 of 16 cells, recall@10 = 0.82 (sf0.1) / 0.84
+      // (sf0.01); floor 0.6 holds with margin and any candidate-generation
+      // regression lands far below it. (bits=6/probe=1, shipped in r2,
+      // measured 0.200/0.240 — do not use.)
       val emb = tbl(s, dir, "embeddings")
       val queriesDf = emb.filter(col("vec_id") < 5)
       val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
@@ -450,7 +446,7 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
       val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
-        queriesDf, "vec_id", "embedding", k = 10, bits = 6, probeHamming = 1)
+        queriesDf, "vec_id", "embedding", k = 10, bits = 4, probeHamming = 2)
         .select(col("query_id"), col("id").as("neighbor_id"))
       val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
       val recall = hits.toDouble / brute.count()
@@ -532,6 +528,28 @@ object SparkEntry {
         col("l_orderkey").cast("long"), col("l_linenumber").cast("int"),
         col("l_returnflag"), col("l_extendedprice").cast("double"))
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "io_csv_euro_roundtrip" -> ((s, dir) => {
+      // Euro-decimal CSV: every data row is full of commas (decimal
+      // separators) while the delimiter is ';' — the exact input class
+      // the reference was built for (comma-decimal money + semicolon
+      // delimiter, data_filter.rs:484-531) and the one the r2 sniffer
+      // regression broke: a data-row-anchored probe sees the commas and
+      // picks ','. Detection must anchor on the HEADER, which contains
+      // no comma. Value fidelity is proven by normalizing the Euro
+      // string back to a double and matching the ORIGINAL parquet.
+      val path = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/lineitem_euro.csv"
+      val src = tbl(s, dir, "lineitem")
+        .filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          regexp_replace(col("l_extendedprice").cast("string"), "\\.", ",").as("euro_price"))
+      graft.sources.Writers.writeCsv(src, path, delimiter = ';')
+      val (back, detected) = graft.sources.Readers.readAuto(s, path)
+      require(detected.contains(';'), s"sniffer picked $detected on a Euro-decimal CSV")
+      back.select(col("l_orderkey").cast("long"), col("l_returnflag"),
+        regexp_replace(col("euro_price"), ",", ".").cast("double").as("l_extendedprice"))
+        .orderBy("l_orderkey")
     }),
 
     "io_ndjson_roundtrip" -> ((s, dir) => {
@@ -1022,6 +1040,10 @@ object SparkEntry {
     "io_csv_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "io_csv_euro_roundtrip" ->
+      """SELECT l_orderkey, l_returnflag, l_extendedprice
+        |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin,
 
     "io_ndjson_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice

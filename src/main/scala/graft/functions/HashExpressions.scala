@@ -189,6 +189,84 @@ case class SimHashFromText(child: Expression, seed: Long)
     copy(child = newChild)
 }
 
+/** `simhash_md5_from_text(text)` → ENGINE-PORTABLE 60-bit SimHash, fused
+  * into one pass per document: tokens are the non-whitespace runs of
+  * `lower(text)` (byte-level walk — UTF-8 continuation bytes are ≥ 0x80,
+  * so splitting on ASCII `\s` bytes is exactly the regex `\s+` split),
+  * each token's hash is the first 15 hex chars of md5(token) parsed
+  * base-16 (60 bits, big-endian nibbles — bit-for-bit what DuckDB's
+  * `('0x' || substr(md5(w),1,15))::BIGINT` computes), per-bit ±1 majority
+  * vote over bits 0..59, sign → bit.
+  *
+  * Returns NULL for documents with zero tokens — the explode-based
+  * formulation drops such docs (no rows to aggregate), so callers filter
+  * `isNotNull` to keep identical semantics (and empty docs must be
+  * excluded from pairing anyway: they'd all collide at hamming 0).
+  *
+  * Replaces the gate query's explode + 60-column vote aggregate, which
+  * cost a full shuffle on id plus a wide-agg plan (~5-6 s at sf0.1 and a
+  * "plan too large" warning) for what is one map-side byte pass. */
+case class SimHashMd5FromText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  // null input OR zero-token input → null
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].toLowerCase.getBytes
+    val md = SimHashMd5FromText.digests.get()
+    val votes = new Array[Int](60)
+    var any = false
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && SimHashMd5FromText.isWs(bytes(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !SimHashMd5FromText.isWs(bytes(i))) i += 1
+        md.reset()
+        md.update(bytes, start, i - start)
+        val d = md.digest()
+        // first 15 hex nibbles = bytes 0..6 + the high nibble of byte 7
+        var h = 0L
+        var k = 0
+        while (k < 7) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+        h = (h << 4) | ((d(7) & 0xffL) >>> 4)
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        any = true
+      }
+    }
+    if (!any) null
+    else {
+      var out = 0L
+      var b = 0
+      while (b < 60) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5FromText =
+    copy(child = newChild)
+}
+
+object SimHashMd5FromText {
+  // MessageDigest is stateful and not thread-safe; local-mode tasks share
+  // the JVM, so keep one instance per thread
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Exactly the Java-regex `\s` class (= Tokenize.isWs). */
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
+}
+
 /** `sorted_intersect_count(a, b)` → int: size of the intersection of two
   * SORTED long arrays via a two-pointer merge — O(n+m) with zero
   * allocation, vs array_intersect's per-row hash-set build. Inputs must
@@ -348,6 +426,9 @@ object HashFunctions {
 
   def simhashFromText(text: Column, seed: Long = 42L): Column =
     toCol(SimHashFromText(toExpr(text), seed))
+
+  def simhashMd5FromText(text: Column): Column =
+    toCol(SimHashMd5FromText(toExpr(text)))
 
   def dotProduct(a: Column, b: Column): Column =
     toCol(DotProduct(toExpr(a), toExpr(b)))

@@ -52,6 +52,9 @@ object Sampling {
     * are not needed. */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
       maxRounds: Int = 16): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.StructType
+    val spark = ids.sparkSession
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint()
@@ -74,12 +77,26 @@ object Sampling {
           col("rep") === col("rid"), "left")
         .select(col("id"), col("prev"),
           least(col("rep"), coalesce(col("rrep"), col("rep"))).as("rep"))
-        // cut lineage each round: without this the plan doubles per
-        // iteration and optimizer time dominates
-        .localCheckpoint()
-      // converge check on the already-materialized checkpoint (cheap scan)
-      changed = jumped.filter(col("rep") =!= col("prev")).count()
-      rep = jumped.select("id", "rep")
+      // The convergence check is FOLDED INTO the checkpoint job: an
+      // accumulator counts rep!=prev rows while the round's result
+      // materializes — one Spark job per round instead of checkpoint+count
+      // (the per-round job overhead dominated wall time at small scale).
+      // Task retries/speculation can only over-count a nonzero round, and
+      // a converged round sums 0 from every attempt, so the zero-vs-
+      // nonzero decision is retry-safe on a real cluster. The checkpoint
+      // also cuts lineage: without it the self-referencing plan doubles
+      // per iteration and optimizer time dominates.
+      val acc = spark.sparkContext.longAccumulator(s"cc_changed_round_$i")
+      val outSchema = StructType(Seq(jumped.schema("id"), jumped.schema("rep")))
+      val next = jumped.mapPartitions { it =>
+        it.map { r =>
+          if (!java.util.Objects.equals(r.get(1), r.get(2))) acc.add(1L)
+          Row(r.get(0), r.get(2))
+        }
+      }(Encoders.row(outSchema))
+        .localCheckpoint() // eager: runs the round's single job
+      changed = acc.value
+      rep = next
       i += 1
     }
     rep

@@ -37,19 +37,28 @@ object CsvSniffer {
     count
   }
 
-  /** Probe `lines` with a candidate: accepted iff the MODAL field count
-    * across the probe rows is > 1 (ties prefer the higher count). The
-    * reference rejects only ≤ 1 parsed column and then reads permissively
-    * with missing_is_null (data_filter.rs:484-531) — so a ragged CSV
-    * (trailing fields omitted on some rows) must still detect; PERMISSIVE
-    * read null-pads the short rows. Requiring every row to match the
-    * header (the previous rule) was stricter than the reference. The
-    * modal vote still rejects a wrong delimiter that happens to split
-    * only the header. */
+  /** Probe `lines` with a candidate — HEADER-ANCHORED (reference
+    * semantics, data_filter.rs:484-531: the header row defines the column
+    * count and a candidate is rejected when ≤ 1 column parses):
+    *
+    *   1. the header's quote-aware field count must be > 1 (primary
+    *      signal — a Euro-decimal CSV like `name;qty;euro` / `beta;2;1.000,5`
+    *      rejects ',' here because the header contains no comma, even
+    *      though data rows do);
+    *   2. the MODAL field count over the data rows must also be > 1
+    *      (consistency check only — rejects a delimiter that splits just
+    *      the header, e.g. `a,b` over undelimited data rows).
+    *
+    * Ragged CSVs (trailing fields omitted on some rows) still detect:
+    * short rows don't drag the modal count to 1, and the PERMISSIVE read
+    * null-pads them (missing_is_null). */
   def probe(lines: Seq[String], sep: Char): Boolean = {
     if (lines.isEmpty) return false
-    val counts = lines.map(fieldCount(_, sep))
-    val modal = counts.groupBy(identity).maxBy { case (c, g) => (g.size, c) }._1
+    if (fieldCount(lines.head, sep) <= 1) return false
+    val data = lines.tail
+    if (data.isEmpty) return true
+    val modal = data.map(fieldCount(_, sep))
+      .groupBy(identity).maxBy { case (c, g) => (g.size, c) }._1
     modal > 1
   }
 

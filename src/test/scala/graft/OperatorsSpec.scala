@@ -303,6 +303,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)), s"empty docs paired: $pairs")
   }
 
+  test("SimHashMd5FromText matches the explode-based md5 vote formulation") {
+    import graft.functions.HashFunctions
+    val corpus = Seq(
+      (1L, "The Quick Brown Fox"),
+      (2L, "the quick  brown\tfox"),              // same tokens after lower + \s+ split
+      (3L, "Ünïcode Tökens Mixed WITH ascii"),    // multibyte lowercase path
+      (4L, "single"),
+      (5L, ""), (6L, " \t\n ")                    // zero tokens → NULL / absent
+    ).toDF("doc_id", "text")
+    val fused = corpus.select(col("doc_id"),
+      HashFunctions.simhashMd5FromText(col("text")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .as[(Long, Long)].collect().toMap
+    // reference formulation: explode tokens, conv(md5 hex prefix), vote
+    val toks = corpus.select(col("doc_id"),
+      explode(filter(split(lower(trim(col("text"))), "\\s+"),
+        w => length(w) > 0)).as("w"))
+    val hashed = toks.select(col("doc_id"),
+      conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+    val voteCols = (0 until 60).map(b =>
+      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$b"))
+    val votes = hashed.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val expected = votes.select(col("doc_id"),
+      (0 until 60).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(fused == expected)
+    assert(fused.keySet == Set(1L, 2L, 3L, 4L))
+    assert(fused(1L) == fused(2L))  // token multiset identical → same signature
+  }
+
   test("exact dedup tolerates orderCol being one of the keys (no dup column)") {
     val df = Seq((1L, "a", 10), (1L, "a", 20), (2L, "b", 30)).toDF("id", "k", "v")
     val out = Dedup.exact(df, Seq("id", "k"), "id")
