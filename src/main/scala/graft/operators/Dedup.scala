@@ -83,8 +83,14 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    // signatures are consumed three times (LSH self-join left + right,
+    // then the sig_a/sig_b verification joins) and Spark re-executes the
+    // whole tokenize+hash DAG per consumer — materialize once. Signature
+    // frames are ~1-2% of corpus bytes, the standard cache-vs-recompute
+    // trade for LSH dedup at scale.
     val sigs = minhashSignatures(df, idCol, textCol, cfg)
       .filter(col("sig").getItem(0) =!= Long.MaxValue)
+      .localCheckpoint()
     val candidates = lshCandidates(sigs, cfg)
 
     val withSigs = candidates
@@ -139,12 +145,17 @@ object Dedup {
   def minhashExactPairs(df: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig(numHashes = 128, bands = 64),
       exactThreshold: Double = 0.5): DataFrame = {
+    // both per-doc hash frames are self-joined downstream (LSH left+right;
+    // sh_a/sh_b verify joins) — materialize each once instead of
+    // re-running the fused tokenize+hash expressions per consumer
     val sigs = minhashSignatures(df, idCol, textCol, cfg)
       .filter(col("sig").getItem(0) =!= Long.MaxValue)
+      .localCheckpoint()
     val candidates = lshCandidates(sigs, cfg)
     val sets = df.select(col(idCol).as("id"),
       HashFunctions.textShingleHashes(col(textCol), cfg.shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint()
     val joined = candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -163,7 +174,11 @@ object Dedup {
     * (the near-dup subgraph), not the corpus. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    // materialize the candidate DAG once — consumed 4x below (members
+    // union + undirected edge union), and Spark does not share common
+    // subplans across union branches
     val pairs = minhashPairs(df, idCol, textCol, cfg)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
     val members = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
     val doomed = Sampling.connectedComponents(members, pairs)
@@ -198,7 +213,10 @@ object Dedup {
     * values an external oracle can reproduce). */
   def simhashPairsFromSigs(hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "chunked candidate generation is exact only for maxHamming <= 3")
-    val chunked = hashed.select(col("id"), col("sh"),
+    // the signature frame feeds both sides of the chunk-bucket self-join;
+    // materialize once so the per-doc hash expression doesn't run twice
+    val sigs = hashed.localCheckpoint()
+    val chunked = sigs.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
@@ -234,9 +252,13 @@ object Dedup {
     // intersect/frequency semantics are preserved (collisions negligible),
     // and the fused native expression computes each document's set in one
     // byte pass.
+    // the shingle-set frame is consumed three times (inverted index +
+    // sh_a/sh_b verify joins) and the prefix index twice (candidate
+    // self-join) — materialize each once
     val sets = df.select(col(idCol).as("id"),
       HashFunctions.textShingleHashes(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint()
 
     val inv = sets.select(col("id"), size(col("sh")).as("nsh"), explode(col("sh")).as("g"))
     // global shingle document-frequency; rare-first ordering
@@ -246,6 +268,7 @@ object Dedup {
         Window.partitionBy("id").orderBy(col("gdf"), col("g"))))
       .filter(col("r") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
       .select("g", "id", "nsh")
+      .localCheckpoint()
 
     val candidates = ranked.select(col("g"), col("id").as("id_a"), col("nsh").as("n_a"))
       .join(ranked.select(col("g"), col("id").as("id_b"), col("nsh").as("n_b")), Seq("g"))

@@ -113,9 +113,16 @@ object Sampling {
     * joined back; singletons keep themselves as representative. */
   def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
       trainPct: Int, rounds: Int = 16): DataFrame = {
-    val members = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
-    val rep = connectedComponents(members, pairs, rounds)
+    // Materialize the pair DAG ONCE: `pairs` usually hangs off expensive
+    // candidate generation (MinHash signatures + LSH join + exact verify),
+    // and it is consumed four times below — twice for members (id_a/id_b
+    // union) and twice inside connectedComponents' undirected edge union.
+    // Spark does not share common subplans across union branches, so
+    // without this the whole candidate DAG executes 4x.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val members = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id"))).distinct()
+    val rep = connectedComponents(members, p, rounds)
     df.join(rep.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("split",
         when(pctBucket(coalesce(col("rep"), col(idCol))) < trainPct, "train")
