@@ -441,10 +441,14 @@ object SparkEntry {
       // measured 0.200/0.240 — do not use.)
       val emb = tbl(s, dir, "embeddings")
       val queriesDf = emb.filter(col("vec_id") < 5)
+      // materialized once: consumed three times below (recall join, the
+      // denominator count, and the emitted result) and Spark would
+      // re-execute the whole scored-scan DAG per consumer
       val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
         queriesDf, "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+        .localCheckpoint()
       val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
         queriesDf, "vec_id", "embedding", k = 10, bits = 4, probeHamming = 2)
         .select(col("query_id"), col("id").as("neighbor_id"))
