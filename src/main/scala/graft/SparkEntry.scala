@@ -659,6 +659,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "skew_salted_agg" -> ((s, dir) => {
+      // per-row-salted two-phase aggregation must be value-identical to a
+      // plain GROUP BY for decomposable aggregates (l_quantity is
+      // integer-valued, so the double sum is order-independent and exact)
+      Skew.saltedSumCount(
+        tbl(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
+        "l_returnflag", "l_quantity")
+        .select(col("l_returnflag"), round(col("sum"), 2).as("sum_qty"),
+          col("count").as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
+    "skew_salted_join" -> ((s, dir) => {
+      // salted inner join must be row-identical to the plain equi-join;
+      // the replicated small side is the filtered orders dimension
+      val big = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      val small = tbl(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      Skew.saltedJoin(big, small, Seq("l_orderkey"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "o_orderstatus")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "pack_nextfit" -> ((s, dir) => {
       Sampling.nextFitPack(
         tbl(s, dir, "documents").select("doc_id", "lang", "n_chars"),
@@ -1012,6 +1037,17 @@ object SparkEntry {
         |           + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 100 < 80
         |       THEN 'train' ELSE 'eval' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "skew_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "skew_salted_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, o.o_orderstatus
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey % 10 = 0
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
 
     "pack_nextfit" ->
       """SELECT doc_id, lang, n_chars,
