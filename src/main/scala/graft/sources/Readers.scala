@@ -50,50 +50,73 @@ object Readers {
     }
   }
 
-  /** S7 dispatch. Returns (frame, detected delimiter for CSV). */
+  /** S7 dispatch. Returns (frame, detected delimiter for CSV).
+    *
+    * CSV head sampling is SHARED: one small head job feeds both the
+    * delimiter probe and the bounded schema inference (previously each
+    * fetched its own head — two jobs and two file-head reads per open). */
   def readAuto(spark: SparkSession, path: String,
       cfg: ReadConfig = ReadConfig()): (DataFrame, Option[Char]) =
     Format.fromPath(path) match {
       case Format.Csv =>
-        val d = CsvSniffer.detect(spark, path, cfg.delimiter)
-        (readCsv(spark, path, cfg.copy(delimiter = Some(d))), Some(d))
+        val headN = math.max(CsvSniffer.ProbeRows,
+          math.max(cfg.inferSchemaRows, 1) + (if (cfg.header) 1 else 0))
+        val head = CsvSniffer.headLines(spark, path, headN)
+        val d = CsvSniffer.uniqueCandidates(cfg.delimiter)
+          .find(CsvSniffer.probe(head.take(CsvSniffer.ProbeRows), _))
+          .getOrElse(throw GraftError.DelimiterNotDetected(path))
+        val schema = inferCsvSchemaFromSample(spark, head, d.toString, cfg)
+        (csvReader(spark, d.toString, cfg).schema(schema).csv(path), Some(d))
       case Format.Json    => (readJson(spark, path, cfg), None)
       case Format.NdJson  => (readNdJson(spark, path, cfg), None)
       case Format.Parquet => (readParquet(spark, path), None)
     }
 
-  /** S2: CSV with bounded inference + force-string overrides. */
-  def readCsv(spark: SparkSession, path: String, cfg: ReadConfig): DataFrame = {
-    val sep = cfg.delimiter.getOrElse(CsvSniffer.detect(spark, path, None)).toString
-    val base = spark.read
+  private def csvReader(spark: SparkSession, sep: String, cfg: ReadConfig) =
+    spark.read
       .option("sep", sep)
       .option("header", cfg.header)
       .option("mode", "PERMISSIVE")        // ignore_errors → null
       .option("nullValue", "")             // missing_is_null
       .option("enforceSchema", true)
+
+  /** S2: CSV with bounded inference + force-string overrides. */
+  def readCsv(spark: SparkSession, path: String, cfg: ReadConfig): DataFrame = {
+    val sep = cfg.delimiter.getOrElse(CsvSniffer.detect(spark, path, None)).toString
     val schema = inferCsvSchema(spark, path, sep, cfg)
-    base.schema(schema).csv(path)
+    csvReader(spark, sep, cfg).schema(schema).csv(path)
   }
 
   /** Bounded-window CSV schema inference on a head sample, then
     * force-string overrides applied. */
   def inferCsvSchema(spark: SparkSession, path: String, sep: String,
       cfg: ReadConfig): StructType = {
+    val n = math.max(cfg.inferSchemaRows, 1) + (if (cfg.header) 1 else 0)
+    import scala.jdk.CollectionConverters._
+    val sample = spark.read.textFile(path).limit(n).collectAsList().asScala.toSeq
+    inferCsvSchemaFromSample(spark, sample, sep, cfg)
+  }
+
+  /** Schema inference over an already-fetched head sample (no extra job
+    * beyond the local-sample parse). */
+  def inferCsvSchemaFromSample(spark: SparkSession, sample: Seq[String],
+      sep: String, cfg: ReadConfig): StructType = {
+    import spark.implicits._
     val n = math.max(cfg.inferSchemaRows, 0) + (if (cfg.header) 1 else 0)
     val inferred: StructType =
       if (cfg.inferSchemaRows == 0) {
         // 0 → no inference: header names, all String
-        val sample: Dataset[String] = spark.read.textFile(path).limit(math.max(n, 1))
+        val ds: Dataset[String] = spark.createDataset(sample.take(math.max(n, 1)))
         val head = spark.read.option("sep", sep).option("header", cfg.header)
-          .option("inferSchema", false).csv(sample)
+          .option("inferSchema", false).csv(ds)
         StructType(head.schema.fields.map(f => f.copy(dataType = StringType)))
       } else {
-        val sample: Dataset[String] = spark.read.textFile(path).limit(n)
+        val ds: Dataset[String] = spark.createDataset(sample.take(n))
         spark.read.option("sep", sep).option("header", cfg.header)
           .option("inferSchema", true)
           .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
           .option("preferDate", true)      // try_parse_dates
-          .csv(sample).schema
+          .csv(ds).schema
       }
     applyForceString(inferred, cfg.forceStringRegex)
   }
