@@ -180,13 +180,32 @@ object AddRowIndex {
     }
   }
 
+  /** Contiguous global numbering WITHOUT an RDD round-trip (the
+    * zipWithIndex formulation serialized InternalRow→Row→InternalRow and
+    * broke whole-stage codegen around the pipeline's last stage). Same
+    * two-pass shape zipWithIndex uses — one job for per-partition sizes,
+    * then a narrow pass — but expressed in DataFrame land:
+    * `monotonically_increasing_id` is documented as
+    * (partitionId << 33) + recordNumber, so the in-partition record
+    * number is `mid - (pid << 33)`, and the global index adds a
+    * broadcast prefix-sum of partition sizes (numPartitions rows — the
+    * tiny single-partition window over them is fine at any scale).
+    * Index assignment follows partition order, as before. */
   def withRowIndex(df: DataFrame, name: String, offset: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val unique = resolveUniqueName(name, df.columns.toSeq)
-    val schema = StructType(StructField(unique, LongType, nullable = false) +: df.schema.fields)
-    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq((i + offset) +: r.toSeq)
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+    val local = df
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__local",
+        monotonically_increasing_id() - shiftleft(col("__pid").cast("long"), 33))
+    val prefixes = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__prefix",
+        coalesce(sum("__cnt").over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__prefix")
+    local.join(broadcast(prefixes), Seq("__pid"))
+      .withColumn(unique, col("__local") + col("__prefix") + lit(offset))
+      .select((col(unique) +: df.columns.map(col).toSeq): _*)
   }
 }
 

@@ -56,4 +56,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"queries not broadcast:\n$p")
   }
+
+  test("t6_row_index: no RDD round-trip; prefix offsets broadcast, main pass narrow") {
+    val p = planOf("t6_row_index")
+    // the zipWithIndex formulation showed up as `Scan ExistingRDD` and
+    // broke whole-stage codegen — guard against reintroducing it
+    assert(!p.contains("Scan ExistingRDD"), s"row index went through an RDD:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"prefix offsets not broadcast:\n$p")
+    assert(p.contains("PushedFilters") || p.contains("Scan parquet"),
+      "main pass no longer reads parquet directly")
+  }
 }
