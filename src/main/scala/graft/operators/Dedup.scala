@@ -166,26 +166,50 @@ object Dedup {
       .filter(col("jaccard") >= exactThreshold)
   }
 
-  /** Corpus with MinHash near-duplicates removed: exact min-id
-    * connected components over the candidate-pair graph
-    * ([[Sampling.connectedComponents]], fixpoint — a chain a-b, b-c keeps
-    * only a, however long the chain), then every non-representative member
-    * is dropped. The component computation runs over the pair MEMBERS only
-    * (the near-dup subgraph), not the corpus. */
-  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
-      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    // materialize the candidate DAG once — consumed 4x below (members
-    // union + undirected edge union), and Spark does not share common
-    // subplans across union branches
-    val pairs = minhashPairs(df, idCol, textCol, cfg)
-      .select(col("id_a"), col("id_b")).localCheckpoint()
-    val members = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
-    val doomed = Sampling.connectedComponents(members, pairs)
+  /** Corpus with the near-duplicate groups of `pairs` collapsed to their
+    * min-id representative: exact fixpoint connected components over the
+    * pair graph ([[Sampling.connectedComponents]] — a chain a-b, b-c
+    * keeps only a, however long the chain), then every non-representative
+    * member is dropped via one anti join. The component computation runs
+    * over the pair MEMBERS only (the near-dup subgraph, typically a tiny
+    * fraction of the corpus), not the corpus.
+    *
+    * The pair DAG is materialized once — it is consumed four times
+    * (members union + undirected edge union) and Spark shares no common
+    * subplans across union branches. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val members = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id"))).distinct()
+    val doomed = Sampling.connectedComponents(members, p)
       .filter(col("rep") =!= col("id"))
       .select(col("id").as(idCol))
     df.join(doomed, Seq(idCol), "left_anti")
   }
+
+  /** Corpus with MinHash near-duplicates removed. */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    dropNearDuplicates(df, idCol, minhashPairs(df, idCol, textCol, cfg))
+
+  /** Corpus with SimHash near-duplicates (Hamming ≤ maxHamming) removed. */
+  def simhashDedup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, seed: Long = 42L): DataFrame =
+    dropNearDuplicates(df, idCol, simhashPairs(df, idCol, textCol, maxHamming, seed))
+
+  /** Corpus with exact n-gram-Jaccard near-duplicates (J ≥ threshold)
+    * removed. */
+  def ngramJaccardDedup(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame =
+    dropNearDuplicates(df, idCol, ngramJaccardPairs(df, idCol, textCol, n, threshold))
+
+  /** Corpus with embedding-cosine near-duplicates (cos ≥ threshold)
+    * removed. */
+  def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, signBits: Int = 8, seed: Long = 42L,
+      dim: Int = 64): DataFrame =
+    dropNearDuplicates(df, idCol,
+      embeddingNearDupPairs(df, idCol, vecCol, threshold, signBits, seed, dim))
 
   // ---- SimHash ----------------------------------------------------------
 

@@ -87,6 +87,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.contains(3L) && kept.contains(4L) && kept.contains(5L))
   }
 
+  test("simhashDedup / ngramJaccardDedup collapse dup groups to the min id") {
+    val keptS = Dedup.simhashDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptS.contains(1L) && !keptS.contains(2L), s"simhash kept $keptS")
+    val keptN = Dedup.ngramJaccardDedup(docs, "doc_id", "text", n = 3, threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptN.contains(1L) && !keptN.contains(2L), s"ngram kept $keptN")
+    assert(keptN.contains(4L) && keptN.contains(5L))
+  }
+
   test("simhash: identical docs at hamming 0; word-permuted docs too (order-free)") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
