@@ -23,8 +23,16 @@ echo "$TESTLOG" | grep -q "All tests passed." || { echo "PREFLIGHT: sbt test RED
 
 echo "== 2/4 graft.Verify @ ${SF001}"
 rm -rf "$OUT"
-if sbt -batch "runMain graft.Verify ${SF001} ${OUT}" 2>&1 | grep "\[verify\]"; then
+VLOG=$(sbt -batch "runMain graft.Verify ${SF001} ${OUT}" 2>&1)
+VRC=$?
+# both failure modes: per-query failures print "[verify]"; a crash
+# outside the per-query try exits nonzero WITHOUT printing it (and
+# local_verify would then green-light the partial dump)
+if echo "$VLOG" | grep "\[verify\]"; then
   echo "PREFLIGHT: Verify had per-query failures"; FAIL=1
+fi
+if [ "$VRC" -ne 0 ]; then
+  echo "PREFLIGHT: Verify exited $VRC (possibly partial dump)"; FAIL=1
 fi
 
 echo "== 3/4 DuckDB oracle compare"

@@ -68,7 +68,15 @@ object Arguments {
 
     def setOpt(short: Char, display: String, value: => String): Unit = {
       short match {
-        case 'd' => args = args.copy(delimiter = value)
+        case 'd' =>
+          // clap's char value_parser rejects anything but a single char;
+          // silently truncating "||" to '|' (or "" to auto-detect) would
+          // diverge from the reference
+          val v = value
+          if (v.length != 1)
+            throw GraftError.InvalidArgument(display,
+              s"delimiter must be exactly one character (got ${v.length})")
+          args = args.copy(delimiter = v)
         case 'e' => args = args.copy(excludeNullCols = true)
         case 'f' => args = args.copy(forceStringPatterns =
           Some(validateCliRegex(value, "--force-string-cols")))
@@ -164,8 +172,7 @@ object GraftCli {
     try {
       val c = Container.load(spark, path, args.toReadConfig, args.toPipelineConfig)
       val (rows, cols) = c.shape
-      args.delimiter.headOption.foreach(_ =>
-        c.detectedDelimiter.foreach(d => println(s"delimiter: '$d'")))
+      c.detectedDelimiter.foreach(d => println(s"delimiter: '$d'"))
       println(s"shape: $rows rows x $cols cols")
       c.current.show(20, truncate = false)
       c.release()

@@ -68,7 +68,13 @@ object Tokenize {
     out.toArray
   }
 
-  @inline private def isWs(b: Byte): Boolean =
+  /** THE byte-level whitespace class for every tokenizing expression in
+    * this package — exactly the Java-regex `\s` set, so byte-level
+    * tokenization matches `split("\\s+")` (UTF-8 continuation bytes are
+    * ≥ 0x80 and can never be mistaken for these). One definition: the
+    * cross-formulation equalities the oracle gates pin (fused expression
+    * == explode/split SQL) depend on every expression agreeing on it. */
+  @inline def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
 
   /** Order-sensitive combine of the word-hash window [i, i+n). */
@@ -221,10 +227,10 @@ case class SimHashMd5FromText(child: Expression)
     var i = 0
     val n = bytes.length
     while (i < n) {
-      while (i < n && SimHashMd5FromText.isWs(bytes(i))) i += 1
+      while (i < n && Tokenize.isWs(bytes(i))) i += 1
       if (i < n) {
         val start = i
-        while (i < n && !SimHashMd5FromText.isWs(bytes(i))) i += 1
+        while (i < n && !Tokenize.isWs(bytes(i))) i += 1
         md.reset()
         md.update(bytes, start, i - start)
         val d = md.digest()
@@ -261,10 +267,6 @@ object SimHashMd5FromText {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
-
-  /** Exactly the Java-regex `\s` class (= Tokenize.isWs). */
-  @inline private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
 }
 
 /** `sorted_intersect_count(a, b)` → int: size of the intersection of two

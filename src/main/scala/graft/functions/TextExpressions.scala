@@ -50,8 +50,8 @@ case class StopwordLangId(child: Expression, langs: Seq[(String, Seq[String])])
     m
   }
 
-  @inline private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
+  // the single shared tokenizer whitespace class — see Tokenize.isWs
+  @inline private def isWs(b: Byte): Boolean = Tokenize.isWs(b)
 
   private def sameLowered(w: Array[Byte], bytes: Array[Byte], start: Int, end: Int): Boolean = {
     if (w.length != end - start) return false

@@ -90,7 +90,7 @@ object Dedup {
     // trade for LSH dedup at scale.
     val sigs = minhashSignatures(df, idCol, textCol, cfg)
       .filter(col("sig").getItem(0) =!= Long.MaxValue)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val candidates = lshCandidates(sigs, cfg)
 
     val withSigs = candidates
@@ -150,12 +150,12 @@ object Dedup {
     // re-running the fused tokenize+hash expressions per consumer
     val sigs = minhashSignatures(df, idCol, textCol, cfg)
       .filter(col("sig").getItem(0) =!= Long.MaxValue)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val candidates = lshCandidates(sigs, cfg)
     val sets = df.select(col(idCol).as("id"),
       HashFunctions.textShingleHashes(col(textCol), cfg.shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val joined = candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -178,7 +178,7 @@ object Dedup {
     * (members union + undirected edge union) and Spark shares no common
     * subplans across union branches. */
   def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(eager = false)
     val members = p.select(col("id_a").as("id"))
       .union(p.select(col("id_b").as("id"))).distinct()
     val doomed = Sampling.connectedComponents(members, p)
@@ -239,7 +239,7 @@ object Dedup {
     require(maxHamming <= 3, "chunked candidate generation is exact only for maxHamming <= 3")
     // the signature frame feeds both sides of the chunk-bucket self-join;
     // materialize once so the per-doc hash expression doesn't run twice
-    val sigs = hashed.localCheckpoint()
+    val sigs = hashed.localCheckpoint(eager = false)
     val chunked = sigs.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
@@ -282,7 +282,7 @@ object Dedup {
     val sets = df.select(col(idCol).as("id"),
       HashFunctions.textShingleHashes(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     val inv = sets.select(col("id"), size(col("sh")).as("nsh"), explode(col("sh")).as("g"))
     // global shingle document-frequency; rare-first ordering
@@ -292,7 +292,7 @@ object Dedup {
         Window.partitionBy("id").orderBy(col("gdf"), col("g"))))
       .filter(col("r") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
       .select("g", "id", "nsh")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     val candidates = ranked.select(col("g"), col("id").as("id_a"), col("nsh").as("n_a"))
       .join(ranked.select(col("g"), col("id").as("id_b"), col("nsh").as("n_b")), Seq("g"))

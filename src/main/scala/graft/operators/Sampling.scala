@@ -57,7 +57,7 @@ object Sampling {
     val spark = ids.sparkSession
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var rep = ids.select(col("id")).distinct().withColumn("rep", col("id"))
     var changed = 1L
     var i = 0
@@ -119,7 +119,7 @@ object Sampling {
     // union) and twice inside connectedComponents' undirected edge union.
     // Spark does not share common subplans across union branches, so
     // without this the whole candidate DAG executes 4x.
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(eager = false)
     val members = p.select(col("id_a").as("id"))
       .union(p.select(col("id_b").as("id"))).distinct()
     val rep = connectedComponents(members, p, rounds)

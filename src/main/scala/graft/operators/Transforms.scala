@@ -184,27 +184,41 @@ object AddRowIndex {
     * zipWithIndex formulation serialized InternalRow→Row→InternalRow and
     * broke whole-stage codegen around the pipeline's last stage). Same
     * two-pass shape zipWithIndex uses — one job for per-partition sizes,
-    * then a narrow pass — but expressed in DataFrame land:
+    * then a narrow pass — expressed in DataFrame land:
     * `monotonically_increasing_id` is documented as
     * (partitionId << 33) + recordNumber, so the in-partition record
     * number is `mid - (pid << 33)`, and the global index adds a
     * broadcast prefix-sum of partition sizes (numPartitions rows — the
     * tiny single-partition window over them is fine at any scale).
-    * Index assignment follows partition order, as before. */
+    * Index assignment follows partition order, as before.
+    *
+    * The (pid, local)-stamped frame is checkpointed ONCE and both the
+    * counts pass and the output read it: two independently-planned
+    * branches over a live plan could otherwise end up with DIFFERENT
+    * partition spaces (AQE coalesces the column-pruned counts branch
+    * differently from the full-width output branch after a shuffle),
+    * silently corrupting or dropping indexes. zipWithIndex was immune
+    * only because both its passes ran on the same RDD object — and it
+    * recomputed the upstream twice; the checkpoint computes it once.
+    * Temp column names are collision-proofed against user columns. */
   def withRowIndex(df: DataFrame, name: String, offset: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val unique = resolveUniqueName(name, df.columns.toSeq)
-    val local = df
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__local",
-        monotonically_increasing_id() - shiftleft(col("__pid").cast("long"), 33))
-    val prefixes = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
-      .withColumn("__prefix",
-        coalesce(sum("__cnt").over(
-          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__prefix")
-    local.join(broadcast(prefixes), Seq("__pid"))
-      .withColumn(unique, col("__local") + col("__prefix") + lit(offset))
+    val pidCol = resolveUniqueName("__pid", df.columns.toSeq :+ unique)
+    val localCol = resolveUniqueName("__local", df.columns.toSeq :+ unique :+ pidCol)
+    val prefixCol = resolveUniqueName("__prefix", df.columns.toSeq :+ unique :+ pidCol :+ localCol)
+    val snap = df
+      .withColumn(pidCol, spark_partition_id())
+      .withColumn(localCol,
+        monotonically_increasing_id() - shiftleft(col(pidCol).cast("long"), 33))
+      .localCheckpoint()
+    val prefixes = snap.groupBy(pidCol).agg(count(lit(1)).as(localCol))
+      .withColumn(prefixCol,
+        coalesce(sum(localCol).over(
+          Window.orderBy(pidCol).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(pidCol), col(prefixCol))
+    snap.join(broadcast(prefixes), Seq(pidCol))
+      .withColumn(unique, col(localCol) + col(prefixCol) + lit(offset))
       .select((col(unique) +: df.columns.map(col).toSeq): _*)
   }
 }

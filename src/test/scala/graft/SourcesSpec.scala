@@ -85,6 +85,16 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(2), "short row's missing trailing field must be null")
   }
 
+  test("headerless probe (hasHeader=false) uses the modal vote, no line-0 veto") {
+    // no header to anchor on: a first line that lacks the delimiter must
+    // not veto a candidate the data rows consistently support
+    val lines = Seq("preamble", "1;2;3", "4;5;6", "7;8;9")
+    assert(CsvSniffer.probe(lines, ';', hasHeader = false))
+    assert(!CsvSniffer.probe(lines, ';', hasHeader = true))   // header anchor vetoes
+    // undelimited content still rejected in headerless mode
+    assert(!CsvSniffer.probe(Seq("just", "words"), ';', hasHeader = false))
+  }
+
   test("wrong delimiter splitting only the header is still rejected (modal vote)") {
     // ',' splits the header into 2 fields but no data row: modal count 1
     val p = tmpFile("hdr.csv", "a,b\n1\n2\n3\n4\n")
