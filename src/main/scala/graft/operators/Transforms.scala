@@ -211,7 +211,9 @@ object AddRowIndex {
       .withColumn(pidCol, spark_partition_id())
       .withColumn(localCol,
         monotonically_increasing_id() - shiftleft(col(pidCol).cast("long"), 33))
-      .localCheckpoint()
+      // lazy: materializes on the first consumer (the broadcast prefix
+      // job) and pins ONE partition space for both passes
+      .localCheckpoint(eager = false)
     val prefixes = snap.groupBy(pidCol).agg(count(lit(1)).as(localCol))
       .withColumn(prefixCol,
         coalesce(sum(localCol).over(
