@@ -24,17 +24,25 @@ object Bench {
     SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop")
       .mode("overwrite").save()
 
+    // single-shot numbers on shared sandboxes carry large variance
+    // (observed ±20 s across one full run); SPARK_GRAFT_REPEAT=N>1
+    // reports the per-query MEDIAN of N runs instead
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+          // a query that threw records -1, not its elapsed time — a fast
+          // failure must not masquerade as a fast pass in BENCH_r* diffs
+          -1.0
         }
-      // a query that threw records -1, not its elapsed time — a fast
-      // failure must not masquerade as a fast pass in BENCH_r* diffs
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      }
+      val ok = times.forall(_ >= 0)
+      val t = if (!ok) -1.0 else times.sorted.apply(times.length / 2)
+      (name, t, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

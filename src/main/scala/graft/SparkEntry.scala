@@ -458,6 +458,31 @@ object SparkEntry {
       brute.orderBy("query_id", "rank")
     }),
 
+    "ann_ivf_centroid_topk" -> ((s, dir) => {
+      // TRUE (centroid-based) IVF, same gate pattern as ann_ivf_topk:
+      // exact brute ranking emitted, centroid-IVF recall@10 asserted
+      // in-query. IvfSweep: numCentroids=16/nprobe=8 → recall 0.78
+      // (sf0.01) / 0.80 (sf0.1); floor 0.5 with margin. The synthetic
+      // embeddings have NO cluster structure, so 16/8 scans ~half the
+      // corpus here — on real clustered embeddings the same machinery
+      // probes a far smaller fraction at the same recall (and
+      // sampleCentroids is the swap-in point for trained k-means).
+      val emb = tbl(s, dir, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 5)
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queriesDf, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+        .localCheckpoint()
+      val ivf = Similarity.ivfCentroidTopK(emb, "vec_id", "embedding",
+        queriesDf, "vec_id", "embedding", k = 10, numCentroids = 16, nprobe = 8)
+        .select(col("query_id"), col("id").as("neighbor_id"))
+      val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val recall = hits.toDouble / brute.count()
+      require(recall >= 0.5, f"centroid-IVF recall@10 regressed: $recall%.3f < 0.5")
+      brute.orderBy("query_id", "rank")
+    }),
+
     "mm_frame_sample" -> ((s, dir) => {
       val withBin = tbl(s, dir, "documents")
         .filter(col("doc_id") < 50)
@@ -1167,6 +1192,21 @@ object SparkEntry {
 
     // the emitted rows are the exact ranking (IVF recall is asserted
     // in-query, see the Spark side) — identical to the brute oracle
+    "ann_ivf_centroid_topk" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(c.embedding, q.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos_raw
+        |  FROM embeddings c, q WHERE c.vec_id != q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cosine
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "ann_ivf_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
         |scored AS (

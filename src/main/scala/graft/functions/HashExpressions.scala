@@ -344,6 +344,57 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `nearest_centroids(vec)` → `array<int>` of the `n` centroid indices
+  * with the highest dot product against the (unit-normalized) centroid
+  * set — the cell-assignment / probe-selection primitive for true
+  * (centroid-based) IVF. With unit centroids, argmax dot == argmax
+  * cosine, so the query vector's own norm never needs computing here.
+  * One tight loop per row; `n` is tiny (1 for assignment, nprobe for
+  * probing) so selection is insertion into a fixed-size top list. */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private lazy val childFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val m = math.min(n, centroids.length)
+    val bestIdx = new Array[Int](m)
+    val bestDot = new Array[Double](m)
+    java.util.Arrays.fill(bestDot, Double.NegativeInfinity)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var acc = 0.0
+      var i = 0
+      val lim = math.min(dim, cent.length)
+      while (i < lim) {
+        val xv = if (childFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        acc += xv * cent(i)
+        i += 1
+      }
+      // insertion into the descending top-m list
+      if (acc > bestDot(m - 1)) {
+        var p = m - 1
+        while (p > 0 && bestDot(p - 1) < acc) {
+          bestDot(p) = bestDot(p - 1); bestIdx(p) = bestIdx(p - 1); p -= 1
+        }
+        bestDot(p) = acc; bestIdx(p) = c
+      }
+      c += 1
+    }
+    new GenericArrayData(bestIdx)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 /** `minhash_signature(shingles)` → `array<long>` of length `numHashes`.
   * Empty/null arrays → array of Long.MaxValue (no shingle evidence).
   */
@@ -437,4 +488,7 @@ object HashFunctions {
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     toCol(SortedLongIntersectCount(toExpr(a), toExpr(b)))
+
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]], n: Int): Column =
+    toCol(NearestCentroids(toExpr(vec), centroids, n))
 }

@@ -78,6 +78,56 @@ object Similarity {
       .withColumn("rank", row_number().over(globalW)).filter(col("rank") <= k)
   }
 
+  /** Deterministic coarse-centroid sample for [[ivfCentroidTopK]]: the
+    * `numCentroids` corpus vectors with the smallest md5(id ++ seed),
+    * unit-normalized. A driver-side model parameter (numCentroids × dim
+    * doubles — a few KB), exactly like the trained centroids a production
+    * IVF ships to every executor; at 100 TB swap the sampler for a real
+    * k-means fit over a corpus sample without touching the query path. */
+  def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, seed: Long): Array[Array[Double]] = {
+    val rows = corpus
+      .select(col(vecCol).cast("array<double>").as("v"),
+        md5(concat(col(idCol).cast("string"), lit(seed.toString))).as("__r"))
+      .orderBy("__r").limit(numCentroids)
+      .select("v").collect()
+    rows.map { r =>
+      val arr = r.getSeq[Double](0).toArray
+      val nrm = math.sqrt(arr.map(x => x * x).sum)
+      if (nrm == 0.0) arr else arr.map(_ / nrm)
+    }
+  }
+
+  /** TRUE (centroid-based) IVF ANN: corpus vectors are assigned to their
+    * nearest coarse centroid (one cell per vector); a query scans only
+    * the `nprobe` cells whose centroids are closest to it — the scanned
+    * fraction is ~nprobe/numCentroids with cluster-locality on top.
+    * Complements [[ivfTopK]] (sign-LSH cells): centroids adapt to the
+    * data distribution, sign-LSH needs no training pass.
+    *
+    * Scale shape: assignment and probe selection are map-side native
+    * expressions against broadcast centroids; the only joins are the
+    * (cell) equi-join with the broadcast query probes and the partial
+    * top-k. Each (query, corpus) pair can appear at most once — a
+    * corpus vector lives in exactly one cell — so no dedup pass. */
+  def ivfCentroidTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      numCentroids: Int = 64, nprobe: Int = 8, seed: Long = 42L): DataFrame = {
+    import graft.functions.HashFunctions.nearestCentroids
+    val cents = sampleCentroids(corpus, idCol, vecCol, numCentroids, seed)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nv"),
+      element_at(nearestCentroids(col(vecCol), cents, 1), 1).as("cell"))
+    val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("qv"),
+      norm(col(qvecCol)).as("nq"))
+      .withColumn("cell", explode(nearestCentroids(col("qv"), cents, nprobe)))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        (dot(col("v"), col("qv")) / (col("nv") * col("nq"))).as("cosine"))
+    topKPerKey(scored, Seq("query_id"), col("cosine").desc, k)
+  }
+
   /** IVF-style ANN: cell = hyperplane sign bucket; query probes cells
     * whose bucket differs in ≤ `probeBits` bits (Hamming ball). */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,

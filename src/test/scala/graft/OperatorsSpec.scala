@@ -275,6 +275,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.minhashDedup(short, "doc_id", "text").count() == 5)  // only doc 4 removed
   }
 
+  test("ivfCentroidTopK finds a planted duplicate at rank 1 (same cell as its query)") {
+    val corpus = (1L to 200L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31.0 + d * 7.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    val planted = Seq((999L, Array.tabulate(8)(d => math.sin(7 * 31.0 + d * 7.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val c2 = corpus.union(planted)
+    val q = c2.filter($"vec_id" === 7L)
+    val out = Similarity.ivfCentroidTopK(c2, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 3, numCentroids = 16, nprobe = 2)
+      .select("rank", "id").as[(Int, Long)].collect().toMap
+    // the duplicate has the identical vector, hence the identical nearest
+    // centroid — it is found regardless of global recall
+    assert(out(1) == 999L, s"planted dup not rank 1: $out")
+  }
+
   test("nextFitPackExact never exceeds the budget") {
     val df = Seq((1L, "a", 1500L), (2L, "a", 1500L), (3L, "a", 1000L), (4L, "a", 3000L))
       .toDF("id", "shard", "toks")

@@ -27,6 +27,13 @@ object IvfSweep {
       val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
       println(f"[sweep] $dir bits=$bits probe=$ph recall=${hits.toDouble / total}%.3f")
     }
+    for (nc <- Seq(16, 32, 64); np <- Seq(2, 4, 8)) {
+      val ivf = Similarity.ivfCentroidTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, numCentroids = nc, nprobe = np)
+        .select(col("query_id"), col("id").as("neighbor_id"))
+      val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
+      println(f"[sweep] $dir centroids=$nc nprobe=$np recall=${hits.toDouble / total}%.3f")
+    }
     spark.stop()
   }
 }
