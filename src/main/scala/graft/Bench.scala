@@ -26,8 +26,15 @@ object Bench {
 
     // single-shot numbers on shared sandboxes carry large variance
     // (observed ±20 s across one full run); SPARK_GRAFT_REPEAT=N>1
-    // reports the per-query MEDIAN of N runs instead
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt.max(1)
+    // reports the per-query MEDIAN of the successful runs. A query is
+    // failed only when a MAJORITY of its runs threw — repeats exist to
+    // smooth environmental flakes, so one transient error must not
+    // discard N-1 valid timings (while a deterministic bug still fails
+    // every run and lands in failed:[]).
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT")
+      .map(s => s.trim.toIntOption.getOrElse(
+        sys.error(s"SPARK_GRAFT_REPEAT must be an integer, got '$s'")))
+      .getOrElse(1).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
@@ -35,13 +42,14 @@ object Bench {
               (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          // a query that threw records -1, not its elapsed time — a fast
-          // failure must not masquerade as a fast pass in BENCH_r* diffs
+          // a failed run records -1 — a fast failure must not masquerade
+          // as a fast pass in BENCH_r* diffs
           -1.0
         }
       }
-      val ok = times.forall(_ >= 0)
-      val t = if (!ok) -1.0 else times.sorted.apply(times.length / 2)
+      val good = times.filter(_ >= 0)
+      val ok = good.length * 2 > times.length
+      val t = if (!ok) -1.0 else good.sorted.apply(good.length / 2)
       (name, t, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

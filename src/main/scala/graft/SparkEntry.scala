@@ -38,6 +38,29 @@ object SparkEntry {
     * registered as AllData. */
   private def sql(df: DataFrame, q: String): DataFrame = SqlTransform(q)(df)
 
+  /** Shared body of the approximate-ANN gates: emit the exact brute
+    * ranking (its oracle is [[annBruteOracleSql]]) and assert `ivfFn`'s
+    * recall@10 against it in-query. The brute frame is materialized
+    * once — it is consumed three times (recall join, denominator count,
+    * emitted result) and Spark would re-execute the scored-scan DAG per
+    * consumer. */
+  private def annRecallGate(s: SparkSession, dir: String, floor: Double, label: String)(
+      ivfFn: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val queriesDf = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queriesDf, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+      .localCheckpoint()
+    val ivf = ivfFn(emb, queriesDf)
+      .select(col("query_id"), col("id").as("neighbor_id"))
+    val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hits.toDouble / brute.count()
+    require(recall >= floor, f"$label recall@10 regressed: $recall%.3f < $floor%.1f")
+    brute.orderBy("query_id", "rank")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -428,60 +451,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    "ann_ivf_topk" -> ((s, dir) => {
-      // Value-checkable formulation of the approximate scale path: the
-      // emitted rows are the EXACT ranking (oracle = brute-force SQL),
-      // and the IVF path is regression-gated IN-QUERY — recall@10 of
-      // ivfTopK vs that ranking is computed here and the query throws if
-      // it drops below the fixture floor. Config chosen from
-      // graft.tools.IvfSweep measurements: bits=4, probeHamming=2 probes
-      // |ball(2)|=1+4+6=11 of 16 cells, recall@10 = 0.82 (sf0.1) / 0.84
-      // (sf0.01); floor 0.6 holds with margin and any candidate-generation
-      // regression lands far below it. (bits=6/probe=1, shipped in r2,
-      // measured 0.200/0.240 — do not use.)
-      val emb = tbl(s, dir, "embeddings")
-      val queriesDf = emb.filter(col("vec_id") < 5)
-      // materialized once: consumed three times below (recall join, the
-      // denominator count, and the emitted result) and Spark would
-      // re-execute the whole scored-scan DAG per consumer
-      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        queriesDf, "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("rank").cast("long").as("rank"),
-          col("id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
-        .localCheckpoint()
-      val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
-        queriesDf, "vec_id", "embedding", k = 10, bits = 4, probeHamming = 2)
-        .select(col("query_id"), col("id").as("neighbor_id"))
-      val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
-      val recall = hits.toDouble / brute.count()
-      require(recall >= 0.6, f"IVF recall@10 regressed: $recall%.3f < 0.6")
-      brute.orderBy("query_id", "rank")
-    }),
+    // Value-checkable formulation of the approximate ANN scale paths:
+    // each gate emits the EXACT brute ranking (oracle = brute-force SQL)
+    // and asserts the approximate variant's recall@10 against it
+    // IN-QUERY, throwing below the fixture floor. Configs from
+    // graft.tools.IvfSweep, measured at BOTH sf0.01 and sf0.1:
+    //   - ivfTopK bits=4/probeHamming=2 → recall 0.84/0.82, floor 0.6
+    //     (bits=6/probe=1, shipped in r2, measured 0.200/0.240 — do not
+    //     use);
+    //   - ivfCentroidTopK 16 centroids/nprobe=8 → recall 0.78/0.80,
+    //     floor 0.5. The synthetic embeddings have NO cluster
+    //     structure, so this config scans ~half the corpus here — real
+    //     clustered embeddings probe a far smaller fraction at the same
+    //     recall, and sampleCentroids is the k-means swap-in point.
+    "ann_ivf_topk" -> ((s, dir) =>
+      annRecallGate(s, dir, floor = 0.6, label = "sign-LSH IVF") {
+        (emb, queriesDf) =>
+          Similarity.ivfTopK(emb, "vec_id", "embedding",
+            queriesDf, "vec_id", "embedding", k = 10, bits = 4, probeHamming = 2)
+      }),
 
-    "ann_ivf_centroid_topk" -> ((s, dir) => {
-      // TRUE (centroid-based) IVF, same gate pattern as ann_ivf_topk:
-      // exact brute ranking emitted, centroid-IVF recall@10 asserted
-      // in-query. IvfSweep: numCentroids=16/nprobe=8 → recall 0.78
-      // (sf0.01) / 0.80 (sf0.1); floor 0.5 with margin. The synthetic
-      // embeddings have NO cluster structure, so 16/8 scans ~half the
-      // corpus here — on real clustered embeddings the same machinery
-      // probes a far smaller fraction at the same recall (and
-      // sampleCentroids is the swap-in point for trained k-means).
-      val emb = tbl(s, dir, "embeddings")
-      val queriesDf = emb.filter(col("vec_id") < 5)
-      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        queriesDf, "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("rank").cast("long").as("rank"),
-          col("id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
-        .localCheckpoint()
-      val ivf = Similarity.ivfCentroidTopK(emb, "vec_id", "embedding",
-        queriesDf, "vec_id", "embedding", k = 10, numCentroids = 16, nprobe = 8)
-        .select(col("query_id"), col("id").as("neighbor_id"))
-      val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
-      val recall = hits.toDouble / brute.count()
-      require(recall >= 0.5, f"centroid-IVF recall@10 regressed: $recall%.3f < 0.5")
-      brute.orderBy("query_id", "rank")
-    }),
+    "ann_ivf_centroid_topk" -> ((s, dir) =>
+      annRecallGate(s, dir, floor = 0.5, label = "centroid IVF") {
+        (emb, queriesDf) =>
+          Similarity.ivfCentroidTopK(emb, "vec_id", "embedding",
+            queriesDf, "vec_id", "embedding", k = 10, numCentroids = 16, nprobe = 8)
+      }),
 
     "mm_frame_sample" -> ((s, dir) => {
       val withBin = tbl(s, dir, "documents")
@@ -1121,20 +1116,7 @@ object SparkEntry {
     // cosine in DuckDB must be spelled as the explicit double-precision
     // left-to-right fold — verified bit-identical to Spark's aggregate()
     // (list_cosine_similarity computes in float32 and does NOT match)
-    "ann_brute_topk" ->
-      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    list_sum(list_transform(list_zip(c.embedding, q.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
-        |    (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))) *
-        |     sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos_raw
-        |  FROM embeddings c, q WHERE c.vec_id != q.vec_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, cos_raw,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cosine
-        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ann_brute_topk" -> annBruteOracleSql,
 
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1192,35 +1174,9 @@ object SparkEntry {
 
     // the emitted rows are the exact ranking (IVF recall is asserted
     // in-query, see the Spark side) — identical to the brute oracle
-    "ann_ivf_centroid_topk" ->
-      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    list_sum(list_transform(list_zip(c.embedding, q.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
-        |    (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))) *
-        |     sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos_raw
-        |  FROM embeddings c, q WHERE c.vec_id != q.vec_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, cos_raw,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cosine
-        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_centroid_topk" -> annBruteOracleSql,
 
-    "ann_ivf_topk" ->
-      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    list_sum(list_transform(list_zip(c.embedding, q.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
-        |    (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))) *
-        |     sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos_raw
-        |  FROM embeddings c, q WHERE c.vec_id != q.vec_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, cos_raw,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cosine
-        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_topk" -> annBruteOracleSql,
 
     // full recomputation of the leakage-safe assignment: exact-verified
     // pairs (J >= 0.5), min-id component by recursive reachability, then
@@ -1254,6 +1210,27 @@ object SparkEntry {
         |FROM documents doc LEFT JOIN rep ON doc.doc_id = rep.id
         |ORDER BY doc_id""".stripMargin
   )
+
+  /** The exact brute-force cosine top-10 ranking in DuckDB — the shared
+    * oracle for ann_brute_topk AND both approximate-ANN gates (each gate
+    * emits this exact ranking and asserts its variant's recall
+    * in-query). One definition: the cosine spelling (explicit ::DOUBLE
+    * fold, NOT float32 list_cosine_similarity) and the tie-break
+    * (cos DESC, neighbor_id) must never drift between the three. */
+  private val annBruteOracleSql: String =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(c.embedding, q.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos_raw
+        |  FROM embeddings c, q WHERE c.vec_id != q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cosine
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB replica of the portable md5-based 60-bit simhash used by the
     * dedup_simhash gate query: one vote aggregate per bit, generated

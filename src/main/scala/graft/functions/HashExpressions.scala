@@ -353,18 +353,29 @@ case class DotProduct(left: Expression, right: Expression)
   * probing) so selection is insertion into a fixed-size top list. */
 case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], n: Int)
     extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"NearestCentroids needs n >= 1 (got $n)")
+  require(centroids.nonEmpty, "NearestCentroids needs a non-empty centroid set")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def nullable: Boolean = child.nullable
+  // null input OR null array element → null (same propagation as
+  // DotProduct: reading a null slot uninspected would silently assign
+  // the vector to a garbage cell)
+  override def nullable: Boolean = true
 
   private lazy val childFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val childMayHoldNull =
+    child.dataType.asInstanceOf[ArrayType].containsNull
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val dim = v.numElements()
     val m = math.min(n, centroids.length)
-    val bestIdx = new Array[Int](m)
+    // pre-seed with DISTINCT indices: if no dot ever wins (all-NaN
+    // vector — NaN comparisons are false), the result is still n
+    // distinct cells rather than n copies of cell 0 (which would break
+    // the caller's each-pair-at-most-once invariant via explode)
+    val bestIdx = Array.tabulate(m)(identity)
     val bestDot = new Array[Double](m)
     java.util.Arrays.fill(bestDot, Double.NegativeInfinity)
     var c = 0
@@ -374,6 +385,7 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
       var i = 0
       val lim = math.min(dim, cent.length)
       while (i < lim) {
+        if (childMayHoldNull && v.isNullAt(i)) return null
         val xv = if (childFloat) v.getFloat(i).toDouble else v.getDouble(i)
         acc += xv * cent(i)
         i += 1
@@ -387,6 +399,21 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
         bestDot(p) = acc; bestIdx(p) = c
       }
       c += 1
+    }
+    // distinctness fixup: with fewer than m real (non-NaN) dots, shifted
+    // seed slots can duplicate an inserted index — remap duplicates to
+    // the smallest unused indices (m <= centroids.length guarantees
+    // enough exist)
+    val seen = new java.util.HashSet[Integer]()
+    var q = 0
+    var nextFree = 0
+    while (q < m) {
+      if (!seen.add(bestIdx(q))) {
+        while (seen.contains(nextFree)) nextFree += 1
+        bestIdx(q) = nextFree
+        seen.add(nextFree)
+      }
+      q += 1
     }
     new GenericArrayData(bestIdx)
   }

@@ -89,8 +89,12 @@ object Similarity {
     val rows = corpus
       .select(col(vecCol).cast("array<double>").as("v"),
         md5(concat(col(idCol).cast("string"), lit(seed.toString))).as("__r"))
+      // one null vector (or null element) whose md5 sorts into the top
+      // numCentroids would otherwise NPE centroid construction
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
       .orderBy("__r").limit(numCentroids)
       .select("v").collect()
+    require(rows.nonEmpty, "sampleCentroids: corpus has no non-null vectors")
     rows.map { r =>
       val arr = r.getSeq[Double](0).toArray
       val nrm = math.sqrt(arr.map(x => x * x).sum)
@@ -114,6 +118,7 @@ object Similarity {
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
       numCentroids: Int = 64, nprobe: Int = 8, seed: Long = 42L): DataFrame = {
     import graft.functions.HashFunctions.nearestCentroids
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
     val cents = sampleCentroids(corpus, idCol, vecCol, numCentroids, seed)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nv"),

@@ -211,9 +211,14 @@ object AddRowIndex {
       .withColumn(pidCol, spark_partition_id())
       .withColumn(localCol,
         monotonically_increasing_id() - shiftleft(col(pidCol).cast("long"), 33))
-      // lazy: materializes on the first consumer (the broadcast prefix
-      // job) and pins ONE partition space for both passes
-      .localCheckpoint(eager = false)
+      // EAGER on purpose: the first consumer is broadcast(prefixes), and
+      // a lazy checkpoint would materialize the entire upstream inside
+      // the BroadcastExchange job — subject to spark.sql.broadcastTimeout
+      // (300 s default), which an expensive pipeline can exceed. Eager
+      // materialization runs its own job first; the broadcast then only
+      // scans persisted blocks. Also pins ONE partition space for both
+      // passes (AQE could otherwise plan them divergently).
+      .localCheckpoint()
     val prefixes = snap.groupBy(pidCol).agg(count(lit(1)).as(localCol))
       .withColumn(prefixCol,
         coalesce(sum(localCol).over(
