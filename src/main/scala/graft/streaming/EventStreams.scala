@@ -61,6 +61,25 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming CONTENT dedup for a document stream: the dedup key is the
+    * fused 64-bit SimHash of the text (identical content — and identical
+    * token multisets, since simhash is order-free — collapses to one
+    * signature computed map-side), deduped within the watermark horizon.
+    * The streaming-ingest counterpart of [[graft.operators.Dedup]]'s
+    * batch operators: a training-data pipeline drops exact/trivial
+    * near-dup re-crawls at ingest with per-key state bounded by the
+    * watermark, and the full LSH near-dup pass runs in batch behind it.
+    * Signature collisions across genuinely different docs are possible
+    * (64-bit) but need adversarial content; use a keccak/md5 fingerprint
+    * column as the key instead where cryptographic certainty matters. */
+  def dedupedByContent(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "10 minutes", seed: Long = 42L): DataFrame =
+    docs
+      .withColumn("__sig", graft.functions.HashFunctions.simhashFromText(col(textCol), seed))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * totals emitted on every update (the escape hatch for semantics
     * session_window/window can't express).
