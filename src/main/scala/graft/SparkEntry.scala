@@ -426,6 +426,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // incremental ingest: every 5th document plays the "new batch",
+      // the rest the accepted corpus; pairs are batch-vs-corpus (any
+      // direction) plus batch-vs-smaller-batch-id. Value-exact for the
+      // same reason dedup_minhash is: LSH recall ≈ 1 at J >= 0.5 with
+      // r=2/b=64 banding, and the verify step is exact shingle Jaccard.
+      val docs = tbl(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      Dedup.minhashExactPairsAgainst(batch, corpus, "doc_id", "text",
+        Dedup.MinHashConfig(numHashes = 128, bands = 64), exactThreshold = 0.5)
+        .select(col("id_new"), col("id_other"), col("other_in_corpus"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_new", "id_other")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -1151,6 +1167,26 @@ object SparkEntry {
     // exact all-pairs Jaccard at the verify threshold — legal oracle for
     // the LSH-candidates+exact-verify query because precision is 1.0 by
     // construction and the banding config drives recall to ~1 at J>=0.5
+    "dedup_incremental" ->
+      """WITH sets AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS words
+        |        FROM documents) t
+        |  WHERE len(words) >= 3)
+        |SELECT n.doc_id AS id_new, o.doc_id AS id_other,
+        |  (o.doc_id % 5 != 0) AS other_in_corpus,
+        |  round(len(list_intersect(n.sh, o.sh))::DOUBLE /
+        |        (len(n.sh) + len(o.sh) - len(list_intersect(n.sh, o.sh))), 4) AS jaccard
+        |FROM sets n, sets o
+        |WHERE n.doc_id % 5 = 0
+        |  AND (o.doc_id % 5 != 0 OR o.doc_id < n.doc_id)
+        |  AND o.doc_id != n.doc_id
+        |  AND len(list_intersect(n.sh, o.sh))::DOUBLE /
+        |      (len(n.sh) + len(o.sh) - len(list_intersect(n.sh, o.sh))) >= 0.5
+        |ORDER BY id_new, id_other""".stripMargin,
+
     "dedup_minhash" ->
       """WITH sets AS (
         |  SELECT doc_id, list_distinct(

@@ -166,6 +166,90 @@ object Dedup {
       .filter(col("jaccard") >= exactThreshold)
   }
 
+  /** INCREMENTAL near-dup detection: pairs between a NEW batch and an
+    * EXISTING corpus (plus new-vs-new pairs), without re-pairing the
+    * corpus against itself — the production shape for a growing corpus,
+    * where each ingest increment is deduped against everything already
+    * accepted. Candidates come from joining the new batch's LSH band
+    * buckets against the union's buckets, so corpus×corpus bucket
+    * collisions never enter the pair join at all; each candidate is
+    * verified by exact shingle-set Jaccard (precision 1.0, like
+    * [[minhashExactPairs]]). Output: (new_id, other_id, jaccard) where
+    * other_id is a corpus id or a smaller new id.
+    *
+    * Requires globally unique ids across corpus ∪ batch. Note the
+    * greedy admit semantics of [[admitNew]]: within a new-only dup
+    * CHAIN (n1~n2~n3, n1!~n3) every non-minimal member is dropped even
+    * though its dropped partner was itself not admitted — the standard
+    * conservative incremental-ingest choice (batch-global CC dedup is
+    * [[minhashDedup]]).
+    *
+    * At 100 TB: corpus signatures/shingle sets are computed once per
+    * increment here — persist them (or write them as columns at ingest)
+    * and the per-increment cost is one scan of the increment plus a
+    * bucket join against stored corpus signatures. */
+  def minhashExactPairsAgainst(newDf: DataFrame, corpusDf: DataFrame,
+      idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig(numHashes = 128, bands = 64),
+      exactThreshold: Double = 0.5): DataFrame = {
+    val r = cfg.numHashes / cfg.bands
+    def sigs(df: DataFrame) = minhashSignatures(df, idCol, textCol, cfg)
+      .filter(col("sig").getItem(0) =!= Long.MaxValue)
+      .localCheckpoint(eager = false)
+    def banded(s: DataFrame) = s.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(cfg.bands - 1)),
+        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    def sets(df: DataFrame) = df.select(col(idCol).as("id"),
+      HashFunctions.textShingleHashes(col(textCol), cfg.shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(eager = false)
+
+    val newSigs = sigs(newDf)
+    val corpusSigs = sigs(corpusDf)
+    // one side of the bucket join is ONLY the new batch; the other is
+    // corpus ∪ new (so new-vs-new dups are caught too), tagged so a
+    // corpus partner is recognized regardless of how the two id spaces
+    // compare numerically
+    val l = banded(newSigs).select(col("band"), col("band_hash"), col("id").as("id_new"))
+    val rt = banded(corpusSigs).withColumn("other_in_corpus", lit(true))
+      .union(banded(newSigs).withColumn("other_in_corpus", lit(false)))
+      .select(col("band"), col("band_hash"), col("id").as("id_other"), col("other_in_corpus"))
+    val candidates = l.join(rt, Seq("band", "band_hash"))
+      // corpus partner: any id; new partner: only SMALLER new ids, so
+      // each new-vs-new pair is emitted once and never as a self-pair
+      .filter(col("other_in_corpus") || col("id_other") < col("id_new"))
+      .select("id_new", "id_other", "other_in_corpus").distinct()
+
+    val newSets = sets(newDf)
+    val allSets = sets(corpusDf).union(newSets)
+    val joined = candidates
+      .join(newSets.select(col("id").as("id_new"), col("sh").as("sh_a")), Seq("id_new"))
+      .join(allSets.select(col("id").as("id_other"), col("sh").as("sh_b")), Seq("id_other"))
+      .withColumn("inter", HashFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+    joined.select(col("id_new"), col("id_other"), col("other_in_corpus"),
+      (col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= exactThreshold)
+  }
+
+  /** New-batch rows that survive incremental dedup: everything in
+    * `newDf` that near-duplicates NEITHER the corpus NOR a smaller-id
+    * member of its own batch (the min-id representative of each
+    * new-only dup group is admitted). Any pair at all dooms its
+    * id_new — corpus partners always, new partners by construction
+    * only when smaller. */
+  def admitNew(newDf: DataFrame, corpusDf: DataFrame,
+      idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig(numHashes = 128, bands = 64),
+      exactThreshold: Double = 0.5): DataFrame = {
+    val doomed =
+      minhashExactPairsAgainst(newDf, corpusDf, idCol, textCol, cfg, exactThreshold)
+        .select(col("id_new").as(idCol)).distinct()
+    newDf.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** Corpus with the near-duplicate groups of `pairs` collapsed to their
     * min-id representative: exact fixpoint connected components over the
     * pair graph ([[Sampling.connectedComponents]] — a chain a-b, b-c

@@ -87,6 +87,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.contains(3L) && kept.contains(4L) && kept.contains(5L))
   }
 
+  test("incremental dedup: new batch vs corpus + within-batch, corpus partner always dooms") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "an entirely separate corpus document about distributed joins")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"), // dup of corpus 10 (new id SMALLER than corpus id)
+      (2L, "fresh unique content about catalyst optimizer internals"),
+      (3L, "fresh unique content about catalyst optimizer internals"),     // dup of new 2
+      (4L, "another genuinely novel document with no duplicate anywhere")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashExactPairsAgainst(batch, corpus, "doc_id", "text")
+      .select("id_new", "id_other", "other_in_corpus")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(pairs.contains((1L, 10L, true)), s"corpus dup missed: $pairs")
+    assert(pairs.contains((3L, 2L, false)), s"within-batch dup missed: $pairs")
+    assert(pairs.size == 2, s"unexpected pairs: $pairs")
+    val admitted = Dedup.admitNew(batch, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(2L, 4L), s"admitted $admitted")
+  }
+
   test("simhashDedup / ngramJaccardDedup collapse dup groups to the min id") {
     val keptS = Dedup.simhashDedup(docs, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
