@@ -71,6 +71,35 @@ object Dedup {
         col(textCol), cfg.shingleSize, cfg.numHashes, cfg.seed)
         .as("sig"))
 
+  /** Materialized (id, sig) frame: fused signatures with token-free docs
+    * (all-MaxValue signature) excluded. Shared by every LSH path so the
+    * filter can never diverge between batch and incremental dedup. */
+  private def sigFrame(df: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashConfig): DataFrame =
+    minhashSignatures(df, idCol, textCol, cfg)
+      .filter(col("sig").getItem(0) =!= Long.MaxValue)
+      .localCheckpoint(eager = false)
+
+  /** Materialized (id, sh) shingle-set frame (empty sets excluded). */
+  private def setFrame(df: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashConfig): DataFrame =
+    df.select(col(idCol).as("id"),
+      HashFunctions.textShingleHashes(col(textCol), cfg.shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(eager = false)
+
+  /** (band, band_hash, id) LSH bucket rows of a signature frame — THE
+    * banding definition; batch and incremental candidate joins both use
+    * it, so the band hash can never silently drift between them. */
+  private def bandedSigs(sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
+    val r = cfg.numHashes / cfg.bands
+    sigs.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(cfg.bands - 1)),
+        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+  }
+
   /** Candidate near-duplicate pairs via banded LSH, verified by exact
     * signature agreement (estimated Jaccard), filtered at cfg.threshold.
     * Output: (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
@@ -88,9 +117,7 @@ object Dedup {
     // whole tokenize+hash DAG per consumer — materialize once. Signature
     // frames are ~1-2% of corpus bytes, the standard cache-vs-recompute
     // trade for LSH dedup at scale.
-    val sigs = minhashSignatures(df, idCol, textCol, cfg)
-      .filter(col("sig").getItem(0) =!= Long.MaxValue)
-      .localCheckpoint(eager = false)
+    val sigs = sigFrame(df, idCol, textCol, cfg)
     val candidates = lshCandidates(sigs, cfg)
 
     val withSigs = candidates
@@ -114,12 +141,7 @@ object Dedup {
     * pairs would dominate the exchange); callers join whatever they need
     * back by id. */
   private def lshCandidates(sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
-    val r = cfg.numHashes / cfg.bands
-    val banded = sigs.select(
-      col("id"),
-      posexplode(transform(sequence(lit(0), lit(cfg.bands - 1)),
-        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val banded = bandedSigs(sigs, cfg)
     val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val rt = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
     l.join(rt, Seq("band", "band_hash"))
@@ -148,14 +170,9 @@ object Dedup {
     // both per-doc hash frames are self-joined downstream (LSH left+right;
     // sh_a/sh_b verify joins) — materialize each once instead of
     // re-running the fused tokenize+hash expressions per consumer
-    val sigs = minhashSignatures(df, idCol, textCol, cfg)
-      .filter(col("sig").getItem(0) =!= Long.MaxValue)
-      .localCheckpoint(eager = false)
+    val sigs = sigFrame(df, idCol, textCol, cfg)
     val candidates = lshCandidates(sigs, cfg)
-    val sets = df.select(col(idCol).as("id"),
-      HashFunctions.textShingleHashes(col(textCol), cfg.shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .localCheckpoint(eager = false)
+    val sets = setFrame(df, idCol, textCol, cfg)
     val joined = candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -192,29 +209,15 @@ object Dedup {
       idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig(numHashes = 128, bands = 64),
       exactThreshold: Double = 0.5): DataFrame = {
-    val r = cfg.numHashes / cfg.bands
-    def sigs(df: DataFrame) = minhashSignatures(df, idCol, textCol, cfg)
-      .filter(col("sig").getItem(0) =!= Long.MaxValue)
-      .localCheckpoint(eager = false)
-    def banded(s: DataFrame) = s.select(
-      col("id"),
-      posexplode(transform(sequence(lit(0), lit(cfg.bands - 1)),
-        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    def sets(df: DataFrame) = df.select(col(idCol).as("id"),
-      HashFunctions.textShingleHashes(col(textCol), cfg.shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .localCheckpoint(eager = false)
-
-    val newSigs = sigs(newDf)
-    val corpusSigs = sigs(corpusDf)
+    val newSigs = sigFrame(newDf, idCol, textCol, cfg)
+    val corpusSigs = sigFrame(corpusDf, idCol, textCol, cfg)
     // one side of the bucket join is ONLY the new batch; the other is
     // corpus ∪ new (so new-vs-new dups are caught too), tagged so a
     // corpus partner is recognized regardless of how the two id spaces
     // compare numerically
-    val l = banded(newSigs).select(col("band"), col("band_hash"), col("id").as("id_new"))
-    val rt = banded(corpusSigs).withColumn("other_in_corpus", lit(true))
-      .union(banded(newSigs).withColumn("other_in_corpus", lit(false)))
+    val l = bandedSigs(newSigs, cfg).select(col("band"), col("band_hash"), col("id").as("id_new"))
+    val rt = bandedSigs(corpusSigs, cfg).withColumn("other_in_corpus", lit(true))
+      .union(bandedSigs(newSigs, cfg).withColumn("other_in_corpus", lit(false)))
       .select(col("band"), col("band_hash"), col("id").as("id_other"), col("other_in_corpus"))
     val candidates = l.join(rt, Seq("band", "band_hash"))
       // corpus partner: any id; new partner: only SMALLER new ids, so
@@ -222,8 +225,8 @@ object Dedup {
       .filter(col("other_in_corpus") || col("id_other") < col("id_new"))
       .select("id_new", "id_other", "other_in_corpus").distinct()
 
-    val newSets = sets(newDf)
-    val allSets = sets(corpusDf).union(newSets)
+    val newSets = setFrame(newDf, idCol, textCol, cfg)
+    val allSets = setFrame(corpusDf, idCol, textCol, cfg).union(newSets)
     val joined = candidates
       .join(newSets.select(col("id").as("id_new"), col("sh").as("sh_a")), Seq("id_new"))
       .join(allSets.select(col("id").as("id_other"), col("sh").as("sh_b")), Seq("id_other"))

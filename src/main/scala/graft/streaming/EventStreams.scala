@@ -69,16 +69,34 @@ object EventStreams {
     * batch operators: a training-data pipeline drops exact/trivial
     * near-dup re-crawls at ingest with per-key state bounded by the
     * watermark, and the full LSH near-dup pass runs in batch behind it.
+    *
+    * Token-free (empty/whitespace/null) texts all hash to the same
+    * degenerate signature — the batch operators exclude them from
+    * pairing for exactly this reason — so such rows are keyed by their
+    * OWN `idCol` instead and always pass through (dropping a failed
+    * fetch as a "duplicate" of an unrelated failed fetch would silently
+    * lose rows and their metadata).
+    *
     * Signature collisions across genuinely different docs are possible
     * (64-bit) but need adversarial content; use a keccak/md5 fingerprint
     * column as the key instead where cryptographic certainty matters. */
-  def dedupedByContent(docs: DataFrame, textCol: String, tsCol: String,
-      watermark: String = "10 minutes", seed: Long = 42L): DataFrame =
+  def dedupedByContent(docs: DataFrame, idCol: String, textCol: String, tsCol: String,
+      watermark: String = "10 minutes", seed: Long = 42L): DataFrame = {
+    // collision-safe temp name: never clobber a caller column (e.g. a
+    // signature persisted by an upstream ingest stage)
+    val sigCol = graft.operators.AddRowIndex.resolveUniqueName("__sig", docs.columns.toSeq)
     docs
-      .withColumn("__sig", graft.functions.HashFunctions.simhashFromText(col(textCol), seed))
+      .withColumn(sigCol, struct(
+        // (isDegenerate, signature-or-id) — degenerate rows can never
+        // collide with real signatures, and each keys to its own id
+        col(textCol).isNull || !col(textCol).rlike("\\S"),
+        when(col(textCol).isNotNull && col(textCol).rlike("\\S"),
+          graft.functions.HashFunctions.simhashFromText(col(textCol), seed))
+          .otherwise(xxhash64(col(idCol)))))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("__sig")
-      .drop("__sig")
+      .dropDuplicatesWithinWatermark(sigCol)
+      .drop(sigCol)
+  }
 
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * totals emitted on every update (the escape hatch for semantics

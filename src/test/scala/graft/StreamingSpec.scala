@@ -95,18 +95,20 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
     val q = EventStreams.dedupedByContent(
-      input.toDF().toDF("doc_id", "ts", "text"), "text", "ts")
+      input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts")
       .writeStream.outputMode("append").format("memory").queryName("cdedup_out").start()
     input.addData(
       (1L, ts(0), "the quick brown fox"),
       (2L, ts(1), "the quick brown fox"),      // exact re-crawl → dropped
       (3L, ts(2), "fox brown quick the"),      // word permutation → same simhash → dropped
-      (4L, ts(3), "completely different text"))
+      (4L, ts(3), "completely different text"),
+      (6L, ts(3), ""),                          // token-free: passes through...
+      (7L, ts(3), " \t "))                      // ...and does NOT dedup against other empties
     q.processAllAvailable()
     input.addData((5L, ts(4), "the quick brown fox"))  // later-batch dup → state kept
     q.processAllAvailable(); q.stop()
     val ids = spark.table("cdedup_out").select("doc_id").as[Long].collect().toSeq
-    assert(ids.sorted == Seq(1L, 4L), s"kept $ids")
+    assert(ids.sorted == Seq(1L, 4L, 6L, 7L), s"kept $ids")
   }
 
   test("same windowed-aggregation code runs in batch mode (unified semantics)") {
