@@ -208,9 +208,37 @@ object Dedup {
   def minhashExactPairsAgainst(newDf: DataFrame, corpusDf: DataFrame,
       idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig(numHashes = 128, bands = 64),
+      exactThreshold: Double = 0.5): DataFrame =
+    minhashExactPairsAgainstSketches(newDf,
+      dedupSketchColumns(corpusDf, idCol, textCol, cfg), idCol, textCol,
+      cfg, exactThreshold)
+
+  /** The (id, sig, sh) dedup sketch of a corpus — minhash signature +
+    * sorted shingle-hash set per document, both map-side fused
+    * expressions. WRITE THIS AT INGEST (it's ~1-2% of corpus bytes):
+    * [[minhashExactPairsAgainstSketches]] then dedups every future
+    * increment against the stored sketch without touching corpus text. */
+  def dedupSketchColumns(df: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig(numHashes = 128, bands = 64)): DataFrame =
+    df.select(col(idCol).as("id"),
+      HashFunctions.minhashFromText(col(textCol), cfg.shingleSize,
+        cfg.numHashes, cfg.seed).as("sig"),
+      HashFunctions.textShingleHashes(col(textCol), cfg.shingleSize).as("sh"))
+
+  /** [[minhashExactPairsAgainst]] with the corpus side PRECOMPUTED as a
+    * [[dedupSketchColumns]] frame (typically read back from parquet):
+    * the per-increment cost is one scan of the increment plus bucket
+    * joins against the stored sketches — corpus text is never re-read,
+    * re-tokenized, or re-hashed. The sketch must have been produced
+    * with the SAME MinHashConfig (seed/hashes/bands/shingle size). */
+  def minhashExactPairsAgainstSketches(newDf: DataFrame, corpusSketches: DataFrame,
+      idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig(numHashes = 128, bands = 64),
       exactThreshold: Double = 0.5): DataFrame = {
     val newSigs = sigFrame(newDf, idCol, textCol, cfg)
-    val corpusSigs = sigFrame(corpusDf, idCol, textCol, cfg)
+    val corpusSigs = corpusSketches.select(col("id"), col("sig"))
+      .filter(col("sig").getItem(0) =!= Long.MaxValue)
+      .localCheckpoint(eager = false)
     // one side of the bucket join is ONLY the new batch; the other is
     // corpus ∪ new (so new-vs-new dups are caught too), tagged so a
     // corpus partner is recognized regardless of how the two id spaces
@@ -226,7 +254,10 @@ object Dedup {
       .select("id_new", "id_other", "other_in_corpus").distinct()
 
     val newSets = setFrame(newDf, idCol, textCol, cfg)
-    val allSets = setFrame(corpusDf, idCol, textCol, cfg).union(newSets)
+    val corpusSets = corpusSketches.select(col("id"), col("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(eager = false)
+    val allSets = corpusSets.union(newSets)
     val joined = candidates
       .join(newSets.select(col("id").as("id_new"), col("sh").as("sh_a")), Seq("id_new"))
       .join(allSets.select(col("id").as("id_other"), col("sh").as("sh_b")), Seq("id_other"))

@@ -109,6 +109,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(admitted == Set(2L, 4L), s"admitted $admitted")
   }
 
+  test("incremental dedup from PERSISTED sketches equals the direct path") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "an entirely separate corpus document about distributed joins")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "fresh unique content about catalyst optimizer internals")
+    ).toDF("doc_id", "text")
+    // write the corpus sketch to parquet and read it back — the pattern
+    // a 100 TB pipeline uses so increments never re-read corpus text
+    val dir = java.nio.file.Files.createTempDirectory("sketches").toString
+    Dedup.dedupSketchColumns(corpus, "doc_id", "text").write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val viaSketch = Dedup.minhashExactPairsAgainstSketches(batch, stored, "doc_id", "text")
+      .select("id_new", "id_other", "other_in_corpus").as[(Long, Long, Boolean)].collect().toSet
+    val direct = Dedup.minhashExactPairsAgainst(batch, corpus, "doc_id", "text")
+      .select("id_new", "id_other", "other_in_corpus").as[(Long, Long, Boolean)].collect().toSet
+    assert(viaSketch == direct && viaSketch == Set((1L, 10L, true)), s"$viaSketch vs $direct")
+  }
+
   test("simhashDedup / ngramJaccardDedup collapse dup groups to the min id") {
     val keptS = Dedup.simhashDedup(docs, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
