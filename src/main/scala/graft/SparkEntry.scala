@@ -720,6 +720,15 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    "split_stratified" -> ((s, dir) => {
+      // rebalance the training mix: heavily downsample the dominant
+      // language, keep the rest — deterministic md5 bucketing, map-side
+      Sampling.stratifiedSample(
+        tbl(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", Map("en" -> 30, "zh" -> 60), defaultPct = 100)
+        .orderBy("doc_id")
+    }),
+
     "pack_nextfit" -> ((s, dir) => {
       Sampling.nextFitPack(
         tbl(s, dir, "documents").select("doc_id", "lang", "n_chars"),
@@ -1065,6 +1074,14 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'l_discount' AS measure, l_discount AS val FROM lineitem) t
         |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
+    "split_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 10007
+        |     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 131
+        |     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 100 <
+        |  CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 60 ELSE 100 END
+        |ORDER BY doc_id""".stripMargin,
 
     "split_hash" ->
       """SELECT doc_id, lang,

@@ -34,6 +34,21 @@ object Sampling {
     df.withColumn("split",
       when(pctBucket(col(idCol)) < trainPct, "train").otherwise("eval"))
 
+  /** Deterministic STRATIFIED sample: each stratum keeps rows whose
+    * [[pctBucket]] falls under its own percentage — e.g. downsample
+    * over-represented languages/sources to rebalance a training mix.
+    * Strata absent from `pctByStratum` keep `defaultPct`. Fully
+    * map-side (no shuffle, no sampling state), reproducible across
+    * runs/clusters/engines (md5 bucketing), and composable with
+    * [[hashSplit]] since both key on the same id hash. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      pctByStratum: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+      when(col(stratumCol) === k, lit(p)).otherwise(acc)
+    }
+    df.filter(pctBucket(col(idCol)) < pct)
+  }
+
   /** Min-id connected components over an undirected edge set: for every
     * id in `ids`, the minimum id reachable over `pairs` edges. Output:
     * (id, rep). Pointer-jumping min-propagation run TO FIXPOINT — each

@@ -334,6 +334,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1) == 999L, s"planted dup not rank 1: $out")
   }
 
+  test("stratifiedSample is deterministic, per-stratum, and composes with hashSplit") {
+    val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) "en" else "fr")).toDF("id", "lang")
+    val sampled = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 20), defaultPct = 100)
+    val byLang = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("fr") == 500L)                        // default 100% keeps all
+    assert(byLang("en") > 50L && byLang("en") < 150L)   // ~20% of 500
+    // deterministic: same rows on re-evaluation
+    val again = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 20), defaultPct = 100)
+    assert(sampled.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+    // a sampled row keeps the same train/eval assignment as unsampled
+    // (both key on the same md5 bucket)
+    val splits = Sampling.hashSplit(sampled, "id", 80).filter($"split" === "eval").count()
+    assert(splits > 0)
+  }
+
   test("nextFitPackExact never exceeds the budget") {
     val df = Seq((1L, "a", 1500L), (2L, "a", 1500L), (3L, "a", 1000L), (4L, "a", 3000L))
       .toDF("id", "shard", "toks")
