@@ -1077,9 +1077,9 @@ object SparkEntry {
 
     "split_stratified" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 10007
-        |     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 131
-        |     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 100 <
+        |WHERE (ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 1, 1)) * 10007
+        |     + ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 2, 1)) * 131
+        |     + ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 3, 1))) % 100 <
         |  CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 60 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
 

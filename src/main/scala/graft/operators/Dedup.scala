@@ -235,6 +235,17 @@ object Dedup {
       idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig(numHashes = 128, bands = 64),
       exactThreshold: Double = 0.5): DataFrame = {
+    // fail fast on a config/sketch mismatch: a sketch written with a
+    // different numHashes would make bandedSigs slice past the stored
+    // signature, silently killing bands (missed duplicates admitted to
+    // the corpus). One bounded head probe; seed drift is NOT detectable
+    // from the data — persist cfg alongside the sketch.
+    corpusSketches.select(size(col("sig")).as("n")).limit(1).collect()
+      .foreach { r =>
+        require(r.getInt(0) == cfg.numHashes,
+          s"corpus sketch has numHashes=${r.getInt(0)} but cfg.numHashes=${cfg.numHashes} — " +
+            "sketches must be produced with the SAME MinHashConfig")
+      }
     val newSigs = sigFrame(newDf, idCol, textCol, cfg)
     val corpusSigs = corpusSketches.select(col("id"), col("sig"))
       .filter(col("sig").getItem(0) =!= Long.MaxValue)

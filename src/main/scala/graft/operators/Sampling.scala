@@ -35,18 +35,22 @@ object Sampling {
       when(pctBucket(col(idCol)) < trainPct, "train").otherwise("eval"))
 
   /** Deterministic STRATIFIED sample: each stratum keeps rows whose
-    * [[pctBucket]] falls under its own percentage — e.g. downsample
-    * over-represented languages/sources to rebalance a training mix.
-    * Strata absent from `pctByStratum` keep `defaultPct`. Fully
-    * map-side (no shuffle, no sampling state), reproducible across
-    * runs/clusters/engines (md5 bucketing), and composable with
-    * [[hashSplit]] since both key on the same id hash. */
+    * SALTED [[pctBucket]] falls under its own percentage — e.g.
+    * downsample over-represented languages/sources to rebalance a
+    * training mix. Strata absent from `pctByStratum` keep `defaultPct`.
+    * Fully map-side (no shuffle, no sampling state) and reproducible
+    * across runs/clusters/engines (md5 bucketing).
+    *
+    * The bucket is salted with "#sample" so sampling is INDEPENDENT of
+    * [[hashSplit]]'s train/eval bucket — on the raw id bucket, any
+    * stratum sampled at pct ≤ trainPct would contribute ZERO eval rows
+    * (the surviving bucket range would sit entirely inside train). */
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
       pctByStratum: Map[String, Int], defaultPct: Int = 100): DataFrame = {
     val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
       when(col(stratumCol) === k, lit(p)).otherwise(acc)
     }
-    df.filter(pctBucket(col(idCol)) < pct)
+    df.filter(pctBucket(concat(col(idCol).cast("string"), lit("#sample"))) < pct)
   }
 
   /** Min-id connected components over an undirected edge set: for every

@@ -73,9 +73,12 @@ object EventStreams {
     * Token-free (empty/whitespace/null) texts all hash to the same
     * degenerate signature — the batch operators exclude them from
     * pairing for exactly this reason — so such rows are keyed by their
-    * OWN `idCol` instead and always pass through (dropping a failed
+    * OWN `idCol` value instead and pass through (dropping a failed
     * fetch as a "duplicate" of an unrelated failed fetch would silently
-    * lose rows and their metadata).
+    * lose rows and their metadata). `idCol` must be NON-NULL: null-id
+    * degenerate rows would share one key and collapse. A degenerate
+    * re-crawl with the SAME id does dedup — same id means same row
+    * identity.
     *
     * Signature collisions across genuinely different docs are possible
     * (64-bit) but need adversarial content; use a keccak/md5 fingerprint
@@ -87,12 +90,16 @@ object EventStreams {
     val sigCol = graft.operators.AddRowIndex.resolveUniqueName("__sig", docs.columns.toSeq)
     docs
       .withColumn(sigCol, struct(
-        // (isDegenerate, signature-or-id) — degenerate rows can never
-        // collide with real signatures, and each keys to its own id
+        // (isDegenerate, signature, id-for-degenerate) — degenerate rows
+        // can never collide with real signatures (different first
+        // field), and each keys to its own id VALUE (xxhash64(NULL id)
+        // would be the constant seed, collapsing all null-id rows; the
+        // raw value keeps distinct ids distinct for any id type)
         col(textCol).isNull || !col(textCol).rlike("\\S"),
         when(col(textCol).isNotNull && col(textCol).rlike("\\S"),
-          graft.functions.HashFunctions.simhashFromText(col(textCol), seed))
-          .otherwise(xxhash64(col(idCol)))))
+          graft.functions.HashFunctions.simhashFromText(col(textCol), seed)),
+        when(col(textCol).isNull || !col(textCol).rlike("\\S"),
+          col(idCol).cast("string"))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(sigCol)
       .drop(sigCol)

@@ -120,14 +120,27 @@ class OperatorsSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     // write the corpus sketch to parquet and read it back — the pattern
     // a 100 TB pipeline uses so increments never re-read corpus text
-    val dir = java.nio.file.Files.createTempDirectory("sketches").toString
-    Dedup.dedupSketchColumns(corpus, "doc_id", "text").write.mode("overwrite").parquet(dir)
-    val stored = spark.read.parquet(dir)
-    val viaSketch = Dedup.minhashExactPairsAgainstSketches(batch, stored, "doc_id", "text")
-      .select("id_new", "id_other", "other_in_corpus").as[(Long, Long, Boolean)].collect().toSet
-    val direct = Dedup.minhashExactPairsAgainst(batch, corpus, "doc_id", "text")
-      .select("id_new", "id_other", "other_in_corpus").as[(Long, Long, Boolean)].collect().toSet
-    assert(viaSketch == direct && viaSketch == Set((1L, 10L, true)), s"$viaSketch vs $direct")
+    val dirPath = java.nio.file.Files.createTempDirectory("sketches")
+    try {
+      val dir = dirPath.toString
+      Dedup.dedupSketchColumns(corpus, "doc_id", "text").write.mode("overwrite").parquet(dir)
+      val stored = spark.read.parquet(dir)
+      val viaSketch = Dedup.minhashExactPairsAgainstSketches(batch, stored, "doc_id", "text")
+        .select("id_new", "id_other", "other_in_corpus").as[(Long, Long, Boolean)].collect().toSet
+      val direct = Dedup.minhashExactPairsAgainst(batch, corpus, "doc_id", "text")
+        .select("id_new", "id_other", "other_in_corpus").as[(Long, Long, Boolean)].collect().toSet
+      assert(viaSketch == direct && viaSketch == Set((1L, 10L, true)), s"$viaSketch vs $direct")
+      // a sketch written with a different numHashes must be rejected, not
+      // silently lose recall
+      assertThrows[IllegalArgumentException] {
+        Dedup.minhashExactPairsAgainstSketches(batch, stored, "doc_id", "text",
+          Dedup.MinHashConfig(numHashes = 64, bands = 32))
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("simhashDedup / ngramJaccardDedup collapse dup groups to the min id") {
@@ -344,10 +357,15 @@ class OperatorsSpec extends AnyFunSuite {
     val again = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 20), defaultPct = 100)
     assert(sampled.select("id").as[Long].collect().toSet ==
       again.select("id").as[Long].collect().toSet)
-    // a sampled row keeps the same train/eval assignment as unsampled
-    // (both key on the same md5 bucket)
-    val splits = Sampling.hashSplit(sampled, "id", 80).filter($"split" === "eval").count()
-    assert(splits > 0)
+    // INDEPENDENCE from hashSplit (salted sampling bucket): the sampled
+    // 'en' stratum (pct 20 < trainPct 80) must still contribute BOTH
+    // train and eval rows — on an unsalted bucket it would land 100%
+    // in train
+    val enSplits = Sampling.hashSplit(sampled, "id", 80)
+      .filter($"lang" === "en").groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(enSplits.getOrElse("train", 0L) > 0 && enSplits.getOrElse("eval", 0L) > 0,
+      s"sampled en stratum not independent of split: $enSplits")
   }
 
   test("nextFitPackExact never exceeds the budget") {
