@@ -50,14 +50,20 @@ object Bench {
       val good = times.filter(_ >= 0)
       val ok = good.length * 2 > times.length
       val t = if (!ok) -1.0 else good.sorted.apply(good.length / 2)
-      (name, t, ok)
+      (name, t, ok, times.length - good.length)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // A query that failed a MINORITY of its repeats still reports a
+    // median pass above — surface it here so an intermittent in-query
+    // gate failure (e.g. a flaky recall require) is recorded in the
+    // BENCH_r* JSON, not just a stderr line. Format: name → failed runs.
+    val flaky = results.collect { case (k, _, true, nf) if nf > 0 =>
+      "\"" + k + "\":" + nf }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

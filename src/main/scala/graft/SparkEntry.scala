@@ -52,7 +52,7 @@ object SparkEntry {
       queriesDf, "vec_id", "embedding", k = 10)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
-      .localCheckpoint()
+      .transform(Materialize.once(_, eager = true))
     val ivf = ivfFn(emb, queriesDf)
       .select(col("query_id"), col("id").as("neighbor_id"))
     val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()

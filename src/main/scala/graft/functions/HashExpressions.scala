@@ -371,10 +371,11 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
     val v = input.asInstanceOf[ArrayData]
     val dim = v.numElements()
     val m = math.min(n, centroids.length)
-    // pre-seed with DISTINCT indices: if no dot ever wins (all-NaN
-    // vector — NaN comparisons are false), the result is still n
-    // distinct cells rather than n copies of cell 0 (which would break
-    // the caller's each-pair-at-most-once invariant via explode)
+    // pre-seed with DISTINCT indices: if no dot ever wins (e.g. -Inf
+    // products from infinite elements; NaN inputs return null below),
+    // the result is still n distinct cells rather than n copies of
+    // cell 0 (which would break the caller's each-pair-at-most-once
+    // invariant via explode)
     val bestIdx = Array.tabulate(m)(identity)
     val bestDot = new Array[Double](m)
     java.util.Arrays.fill(bestDot, Double.NegativeInfinity)
@@ -390,6 +391,11 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
         acc += xv * cent(i)
         i += 1
       }
+      // NaN elements propagate to null like null elements do: NaN
+      // comparisons are all false, so without this the seed/fixup path
+      // would silently assign the vector to arbitrary cells 0..m-1 —
+      // a garbage corpus cell, or meaningless probe cells for a query
+      if (acc != acc) return null
       // insertion into the descending top-m list
       if (acc > bestDot(m - 1)) {
         var p = m - 1

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize
 import graft.functions.{HashFunctions, VectorFunctions}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -78,7 +79,7 @@ object Dedup {
       cfg: MinHashConfig): DataFrame =
     minhashSignatures(df, idCol, textCol, cfg)
       .filter(col("sig").getItem(0) =!= Long.MaxValue)
-      .localCheckpoint(eager = false)
+      .transform(Materialize.once(_))
 
   /** Materialized (id, sh) shingle-set frame (empty sets excluded). */
   private def setFrame(df: DataFrame, idCol: String, textCol: String,
@@ -86,7 +87,7 @@ object Dedup {
     df.select(col(idCol).as("id"),
       HashFunctions.textShingleHashes(col(textCol), cfg.shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .localCheckpoint(eager = false)
+      .transform(Materialize.once(_))
 
   /** (band, band_hash, id) LSH bucket rows of a signature frame — THE
     * banding definition; batch and incremental candidate joins both use
@@ -217,13 +218,28 @@ object Dedup {
     * sorted shingle-hash set per document, both map-side fused
     * expressions. WRITE THIS AT INGEST (it's ~1-2% of corpus bytes):
     * [[minhashExactPairsAgainstSketches]] then dedups every future
-    * increment against the stored sketch without touching corpus text. */
+    * increment against the stored sketch without touching corpus text.
+    *
+    * The full MinHashConfig rides along as metadata on the `sig` column
+    * (Spark persists column metadata through parquet round-trips), so a
+    * later increment can validate seed/shingleSize too — fields that are
+    * NOT detectable from the data and whose drift silently loses recall. */
   def dedupSketchColumns(df: DataFrame, idCol: String, textCol: String,
-      cfg: MinHashConfig = MinHashConfig(numHashes = 128, bands = 64)): DataFrame =
+      cfg: MinHashConfig = MinHashConfig(numHashes = 128, bands = 64)): DataFrame = {
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(SketchMetaShingleSize, cfg.shingleSize.toLong)
+      .putLong(SketchMetaNumHashes, cfg.numHashes.toLong)
+      .putLong(SketchMetaSeed, cfg.seed)
+      .build()
     df.select(col(idCol).as("id"),
       HashFunctions.minhashFromText(col(textCol), cfg.shingleSize,
-        cfg.numHashes, cfg.seed).as("sig"),
+        cfg.numHashes, cfg.seed).as("sig", md),
       HashFunctions.textShingleHashes(col(textCol), cfg.shingleSize).as("sh"))
+  }
+
+  private[graft] val SketchMetaShingleSize = "graft.minhash.shingleSize"
+  private[graft] val SketchMetaNumHashes = "graft.minhash.numHashes"
+  private[graft] val SketchMetaSeed = "graft.minhash.seed"
 
   /** [[minhashExactPairsAgainst]] with the corpus side PRECOMPUTED as a
     * [[dedupSketchColumns]] frame (typically read back from parquet):
@@ -237,19 +253,36 @@ object Dedup {
       exactThreshold: Double = 0.5): DataFrame = {
     // fail fast on a config/sketch mismatch: a sketch written with a
     // different numHashes would make bandedSigs slice past the stored
-    // signature, silently killing bands (missed duplicates admitted to
-    // the corpus). One bounded head probe; seed drift is NOT detectable
-    // from the data — persist cfg alongside the sketch.
-    corpusSketches.select(size(col("sig")).as("n")).limit(1).collect()
-      .foreach { r =>
-        require(r.getInt(0) == cfg.numHashes,
-          s"corpus sketch has numHashes=${r.getInt(0)} but cfg.numHashes=${cfg.numHashes} — " +
+    // signature, and seed/shingleSize drift silently loses recall
+    // (missed duplicates admitted to the corpus). Sketches written by
+    // dedupSketchColumns carry the FULL config as column metadata
+    // (survives parquet) — validate every field schema-side, zero Spark
+    // jobs. A metadata-less sketch (foreign writer / metadata stripped)
+    // falls back to the one-row signature-length probe, which can only
+    // see numHashes.
+    val sigMeta = corpusSketches.schema.find(_.name == "sig").map(_.metadata)
+    val hasMeta = sigMeta.exists(_.contains(SketchMetaNumHashes))
+    if (hasMeta) {
+      val m = sigMeta.get
+      def check(key: String, expected: Long, label: String): Unit =
+        require(m.getLong(key) == expected,
+          s"corpus sketch was written with $label=${m.getLong(key)} but cfg.$label=$expected — " +
             "sketches must be produced with the SAME MinHashConfig")
-      }
+      check(SketchMetaNumHashes, cfg.numHashes.toLong, "numHashes")
+      check(SketchMetaShingleSize, cfg.shingleSize.toLong, "shingleSize")
+      check(SketchMetaSeed, cfg.seed, "seed")
+    } else {
+      corpusSketches.select(size(col("sig")).as("n")).limit(1).collect()
+        .foreach { r =>
+          require(r.getInt(0) == cfg.numHashes,
+            s"corpus sketch has numHashes=${r.getInt(0)} but cfg.numHashes=${cfg.numHashes} — " +
+              "sketches must be produced with the SAME MinHashConfig")
+        }
+    }
     val newSigs = sigFrame(newDf, idCol, textCol, cfg)
     val corpusSigs = corpusSketches.select(col("id"), col("sig"))
       .filter(col("sig").getItem(0) =!= Long.MaxValue)
-      .localCheckpoint(eager = false)
+      .transform(Materialize.once(_))
     // one side of the bucket join is ONLY the new batch; the other is
     // corpus ∪ new (so new-vs-new dups are caught too), tagged so a
     // corpus partner is recognized regardless of how the two id spaces
@@ -267,7 +300,7 @@ object Dedup {
     val newSets = setFrame(newDf, idCol, textCol, cfg)
     val corpusSets = corpusSketches.select(col("id"), col("sh"))
       .filter(size(col("sh")) > 0)
-      .localCheckpoint(eager = false)
+      .transform(Materialize.once(_))
     val allSets = corpusSets.union(newSets)
     val joined = candidates
       .join(newSets.select(col("id").as("id_new"), col("sh").as("sh_a")), Seq("id_new"))
@@ -307,7 +340,7 @@ object Dedup {
     * (members union + undirected edge union) and Spark shares no common
     * subplans across union branches. */
   def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(eager = false)
+    val p = pairs.select(col("id_a"), col("id_b")).transform(Materialize.once(_))
     val members = p.select(col("id_a").as("id"))
       .union(p.select(col("id_b").as("id"))).distinct()
     val doomed = Sampling.connectedComponents(members, p)
@@ -323,8 +356,9 @@ object Dedup {
 
   /** Corpus with SimHash near-duplicates (Hamming ≤ maxHamming) removed. */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, seed: Long = 42L): DataFrame =
-    dropNearDuplicates(df, idCol, simhashPairs(df, idCol, textCol, maxHamming, seed))
+      maxHamming: Int = 3, seed: Long = 42L, chunks: Int = 4): DataFrame =
+    dropNearDuplicates(df, idCol,
+      simhashPairs(df, idCol, textCol, maxHamming, seed, chunks))
 
   /** Corpus with exact n-gram-Jaccard near-duplicates (J ≥ threshold)
     * removed. */
@@ -343,12 +377,14 @@ object Dedup {
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash near-dup pairs with Hamming distance ≤ maxHamming.
-    * Candidate generation: the 64-bit hash is split into 4 16-bit chunks;
-    * two hashes within Hamming ≤ 3 must agree on ≥1 chunk (pigeonhole),
-    * so bucketing on (chunkIdx, chunkValue) finds all such pairs with a
-    * uniform-key shuffle. */
+    * Candidate generation: the 64-bit hash is split into `chunks` equal
+    * bit ranges; two hashes within Hamming ≤ chunks-1 must agree on ≥1
+    * chunk (pigeonhole), so bucketing on (chunkIdx, chunkValue) finds
+    * all such pairs with a uniform-key shuffle. Billion-doc corpora
+    * should raise `chunks` (e.g. 8 → 8-bit bucket keys) to keep
+    * per-bucket occupancy sub-quadratic; see [[simhashPairsFromSigs]]. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+      maxHamming: Int = 3, seed: Long = 42L, chunks: Int = 4): DataFrame = {
     // exclude token-free documents (mirrors minhashPairs' empty-doc
     // exclusion): every no-word doc simhashes to the degenerate all-zero
     // signature, so empties would pair with each other O(n²) at hamming 0
@@ -357,21 +393,39 @@ object Dedup {
     val hashed = df.filter(col(textCol).rlike("\\S"))
       .select(col(idCol).as("id"),
         HashFunctions.simhashFromText(col(textCol), seed).as("sh"))
-    simhashPairsFromSigs(hashed, maxHamming)
+    simhashPairsFromSigs(hashed, maxHamming, chunks)
   }
 
   /** Pair generation over PRE-COMPUTED 64-bit signatures (id, sh) —
     * the candidate machinery of [[simhashPairs]] with the hash function
     * pluggable (e.g. an engine-portable md5-derived signature whose
-    * values an external oracle can reproduce). */
-  def simhashPairsFromSigs(hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "chunked candidate generation is exact only for maxHamming <= 3")
+    * values an external oracle can reproduce).
+    *
+    * `chunks` splits the 64-bit signature into that many equal bit
+    * ranges for the pigeonhole bucket join — EXACT for
+    * maxHamming ≤ chunks - 1 (at most maxHamming chunks can differ, so
+    * one must match). More chunks → narrower buckets: at 4 chunks each
+    * bucket key has 16 bits (65,536 values per chunk), which at
+    * billions of docs makes per-bucket self-joins quadratic in
+    * occupancy; 8 chunks gives 8-bit keys but the SAME exactness bound
+    * only up to Hamming 7, and for maxHamming 3 simply generates more
+    * (cheaper, smaller) candidate buckets. 64 must divide into `chunks`
+    * even ranges. */
+  def simhashPairsFromSigs(hashed: DataFrame, maxHamming: Int = 3,
+      chunks: Int = 4): DataFrame = {
+    require(chunks >= 2 && 64 % chunks == 0,
+      s"chunks must divide 64 evenly and be >= 2 (got $chunks)")
+    require(maxHamming <= chunks - 1,
+      s"pigeonhole candidate generation is exact only for maxHamming <= chunks - 1 " +
+        s"(got maxHamming=$maxHamming, chunks=$chunks)")
+    val bits = 64 / chunks
+    val mask = if (bits == 64) -1L else (1L << bits) - 1L
     // the signature frame feeds both sides of the chunk-bucket self-join;
     // materialize once so the per-doc hash expression doesn't run twice
-    val sigs = hashed.localCheckpoint(eager = false)
+    val sigs = hashed.transform(Materialize.once(_))
     val chunked = sigs.select(col("id"), col("sh"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      posexplode(array((0 until chunks).map(i =>
+        shiftrightunsigned(col("sh"), i * bits).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
     val l = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("sh").as("sh_b"))
@@ -411,7 +465,7 @@ object Dedup {
     val sets = df.select(col(idCol).as("id"),
       HashFunctions.textShingleHashes(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .localCheckpoint(eager = false)
+      .transform(Materialize.once(_))
 
     val inv = sets.select(col("id"), size(col("sh")).as("nsh"), explode(col("sh")).as("g"))
     // global shingle document-frequency; rare-first ordering
@@ -421,7 +475,7 @@ object Dedup {
         Window.partitionBy("id").orderBy(col("gdf"), col("g"))))
       .filter(col("r") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
       .select("g", "id", "nsh")
-      .localCheckpoint(eager = false)
+      .transform(Materialize.once(_))
 
     val candidates = ranked.select(col("g"), col("id").as("id_a"), col("nsh").as("n_a"))
       .join(ranked.select(col("g"), col("id").as("id_b"), col("nsh").as("n_b")), Seq("g"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -61,8 +62,9 @@ object Sampling {
     * runaway guard, so pathological graphs terminate).
     *
     * Scale shape: the edge set is materialized ONCE before the loop
-    * (`localCheckpoint`; swap for `checkpoint()` on a cluster with a
-    * reliable checkpoint dir). `pairs` usually hangs off an expensive
+    * ([[graft.Materialize.once]]; set `graft.checkpoint.dir` on a
+    * cluster for reliable checkpoints). `pairs` usually hangs off an
+    * expensive
     * candidate-generation DAG (MinHash signatures + LSH bucket join), and
     * a lazy reference inside the loop would re-run that whole DAG every
     * superstep — at 100 TB that is rounds+1 corpus passes instead of one.
@@ -76,7 +78,7 @@ object Sampling {
     val spark = ids.sparkSession
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint(eager = false)
+      .transform(Materialize.once(_))
     var rep = ids.select(col("id")).distinct().withColumn("rep", col("id"))
     var changed = 1L
     var i = 0
@@ -113,8 +115,22 @@ object Sampling {
           Row(r.get(0), r.get(2))
         }
       }(Encoders.row(outSchema))
-        .localCheckpoint() // eager: runs the round's single job
+        // eager ON PURPOSE: the accumulator read below is only valid
+        // because this materialization runs the round's job NOW. A lazy
+        // variant would read acc.value==0 and exit after one round with
+        // silently wrong components.
+        .transform(Materialize.once(_, eager = true))
       changed = acc.value
+      if (changed == 0L) {
+        // Defensive re-check: acc==0 must mean genuine convergence, not
+        // a skipped/lazy materialization (e.g. a future refactor flips
+        // `eager`, or a materialization mode that defers the job). The
+        // explicit recount runs at most once per converged run — and
+        // keeps the loop alive if the accumulator was never populated.
+        changed = next.alias("n")
+          .join(rep.select(col("id"), col("rep").as("prev")), Seq("id"))
+          .where(col("rep") =!= col("prev")).count()
+      }
       rep = next
       i += 1
     }
@@ -138,7 +154,7 @@ object Sampling {
     // union) and twice inside connectedComponents' undirected edge union.
     // Spark does not share common subplans across union branches, so
     // without this the whole candidate DAG executes 4x.
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(eager = false)
+    val p = pairs.select(col("id_a"), col("id_b")).transform(Materialize.once(_))
     val members = p.select(col("id_a").as("id"))
       .union(p.select(col("id_b").as("id"))).distinct()
     val rep = connectedComponents(members, p, rounds)
@@ -173,20 +189,39 @@ object Sampling {
   /** TRUE next-fit packing: a new pack opens exactly when adding the next
     * document would exceed `budget`, so no pack exceeds it (oversized
     * single documents get a pack of their own). Sequential within each
-    * shard via sorted per-group iteration — shards are the parallelism
-    * unit, matching how context-window packing is sharded in practice. */
+    * shard; shards are the parallelism unit, matching how context-window
+    * packing is sharded in practice.
+    *
+    * Spill-safe shape: shuffle by shard, then `sortWithinPartitions`
+    * (Spark's EXTERNAL sort — spills to disk) and ONE streaming iterator
+    * pass that resets its pack counter at shard boundaries. No task ever
+    * materializes a shard in memory, so a skewed giant shard degrades to
+    * disk instead of an executor OOM (the previous flatMapGroups
+    * formulation buffered-and-sorted the whole shard in one task). */
   def nextFitPackExact(df: DataFrame, countCol: String, orderCol: String,
       budget: Long, shardCol: String): DataFrame = {
     import df.sparkSession.implicits._
     val rows = df.select(col(shardCol).cast("string").as("shard"),
       col(orderCol).cast("long").as("ord"), col(countCol).cast("long").as("cnt"))
       .as[(String, Long, Long)]
-    rows.groupByKey(_._1)
-      .flatMapGroups { (shard, it) =>
-        val sorted = it.toSeq.sortBy(_._2)
+    // NB: the Dataset's columns keep their aliased NAMES (shard/ord/cnt)
+    // — a positional col("_1") here can silently resolve to a hidden
+    // upstream attribute of the caller's frame and repartition by the
+    // wrong key entirely
+    rows.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("ord"))
+      .mapPartitions { it =>
+        // rows arrive grouped by shard (hash-partitioned) and ord-sorted
+        // within each shard; a partition may carry MANY shards back to
+        // back, so state resets when the shard key changes
+        var started = false
+        var curShard: String = null
         var pack = 0L
         var used = 0L
-        sorted.iterator.map { case (_, ord, cnt) =>
+        it.map { case (shard, ord, cnt) =>
+          if (!started || !java.util.Objects.equals(shard, curShard)) {
+            started = true; curShard = shard; pack = 0L; used = 0L
+          }
           if (used > 0L && used + cnt > budget) { pack += 1; used = 0L }
           used += cnt
           (shard, ord, cnt, pack)

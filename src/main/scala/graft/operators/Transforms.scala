@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.GraftError
+import graft.{GraftError, Materialize}
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -134,12 +134,29 @@ object ReplaceWithNull {
   * map-side-combinable aggregate pass computes non-null counts for every
   * column at once; zero-row frames lose ALL columns (any() over empty is
   * false, remove.rs:157-180).
+  *
+  * COST NOTE: this operator inspects the data to decide the output
+  * schema, so it runs a driver-side action (`.head()` on the 1-row
+  * counts aggregate) mid-pipeline — and then the returned frame scans
+  * the input AGAIN. An uncached expensive upstream therefore computes
+  * twice. When the upstream is more than a scan, either `.cache()` /
+  * [[graft.Materialize.once]] the input first (the counts pass then
+  * reads the materialized blocks — see TransformsSpec's cached-input
+  * plan test) or precompute the counts and call [[applyWithCounts]].
   */
 case object RemoveNullColumns extends Transform {
   def apply(df: DataFrame): DataFrame = {
     if (df.columns.isEmpty) return df
     val counts: Row =
       df.select(df.columns.map(c => count(col(c)).as(c)).toSeq: _*).head()
+    applyWithCounts(df, counts)
+  }
+
+  /** Variant for callers that already hold the per-column non-null
+    * counts (one `Row` in the column order of `df.columns`) — avoids the
+    * second upstream compute entirely when the counts were folded into
+    * an earlier pass. */
+  def applyWithCounts(df: DataFrame, counts: Row): DataFrame = {
     val keep = df.columns.zipWithIndex.collect {
       case (c, i) if counts.getLong(i) > 0L => c
     }
@@ -218,7 +235,7 @@ object AddRowIndex {
       // materialization runs its own job first; the broadcast then only
       // scans persisted blocks. Also pins ONE partition space for both
       // passes (AQE could otherwise plan them divergently).
-      .localCheckpoint()
+      .transform(Materialize.once(_, eager = true))
     val prefixes = snap.groupBy(pidCol).agg(count(lit(1)).as(localCol))
       .withColumn(prefixCol,
         coalesce(sum(localCol).over(

@@ -78,11 +78,20 @@ object CsvSniffer {
     spark.read.textFile(path).limit(n).collectAsList().asScala.toSeq
   }
 
-  /** First candidate that survives the probe; GraftError if none. */
+  /** First candidate that survives the probe. When NONE does, the LAST
+    * candidate is accepted anyway, mirroring the reference's
+    * is_last_element bypass (data_filter.rs:509: the width check is
+    * skipped for the final delimiter) — a single-column CSV, or a header
+    * containing no candidate at all, degrades to a 1-column read instead
+    * of failing. With a configured delimiter the fallback lands on the
+    * last DEFAULT candidate, as in the reference (the configured char is
+    * prepended, so it is never last unless it IS the last default).
+    * GraftError only on an unreadable/empty file. */
   def detect(spark: SparkSession, path: String, configured: Option[Char] = None,
       hasHeader: Boolean = true): Char = {
     val lines = headLines(spark, path)
-    uniqueCandidates(configured).find(probe(lines, _, hasHeader))
-      .getOrElse(throw GraftError.DelimiterNotDetected(path))
+    if (lines.isEmpty) throw GraftError.DelimiterNotDetected(path)
+    val candidates = uniqueCandidates(configured)
+    candidates.find(probe(lines, _, hasHeader)).getOrElse(candidates.last)
   }
 }

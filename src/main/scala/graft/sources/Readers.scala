@@ -18,7 +18,18 @@ final case class ReadConfig(
     /** Regex (`*` or `^…$`) of columns forced to StringType at read time —
       * protects huge numeric IDs from lossy inference
       * (reference --force-string-cols, args.rs:76-96). */
-    forceStringRegex: Option[String] = None)
+    forceStringRegex: Option[String] = None,
+    /** CSV charset (Spark's `encoding` option), e.g. "ISO-8859-1".
+      *
+      * DOCUMENTED DIVERGENCE from the reference: polars-view reads CSV
+      * with LossyUtf8 (data_filter.rs:578-585) — a malformed byte decodes
+      * to U+FFFD and the rest of the row survives. Spark has no lossy
+      * mode: under the default UTF-8, a row with malformed bytes is
+      * PERMISSIVE-nulled wholesale (or the bytes pass through verbatim on
+      * the non-multiline path — version-dependent), so set this to the
+      * file's real charset (e.g. Latin-1, which decodes every byte
+      * sequence) to recover the reference's never-fail behavior. */
+    encoding: Option[String] = None)
 
 /** S1–S7: format dispatch + readers. All readers return a lazy DataFrame
   * — no collect; the scan parallelizes over file splits as usual.
@@ -62,9 +73,13 @@ object Readers {
         val headN = math.max(CsvSniffer.ProbeRows,
           math.max(cfg.inferSchemaRows, 1) + (if (cfg.header) 1 else 0))
         val head = CsvSniffer.headLines(spark, path, headN)
-        val d = CsvSniffer.uniqueCandidates(cfg.delimiter)
+        if (head.isEmpty) throw GraftError.DelimiterNotDetected(path)
+        val candidates = CsvSniffer.uniqueCandidates(cfg.delimiter)
+        // last-candidate bypass as in CsvSniffer.detect (reference
+        // data_filter.rs:509): an undetectable file degrades to 1 column
+        val d = candidates
           .find(CsvSniffer.probe(head.take(CsvSniffer.ProbeRows), _, cfg.header))
-          .getOrElse(throw GraftError.DelimiterNotDetected(path))
+          .getOrElse(candidates.last)
         val schema = inferCsvSchemaFromSample(spark, head, d.toString, cfg)
         (csvReader(spark, d.toString, cfg).schema(schema).csv(path), Some(d))
       case Format.Json    => (readJson(spark, path, cfg), None)
@@ -72,13 +87,15 @@ object Readers {
       case Format.Parquet => (readParquet(spark, path), None)
     }
 
-  private def csvReader(spark: SparkSession, sep: String, cfg: ReadConfig) =
-    spark.read
+  private def csvReader(spark: SparkSession, sep: String, cfg: ReadConfig) = {
+    val r = spark.read
       .option("sep", sep)
       .option("header", cfg.header)
       .option("mode", "PERMISSIVE")        // ignore_errors → null
       .option("nullValue", "")             // missing_is_null
       .option("enforceSchema", true)
+    cfg.encoding.fold(r)(r.option("encoding", _))
+  }
 
   /** S2: CSV with bounded inference + force-string overrides. */
   def readCsv(spark: SparkSession, path: String, cfg: ReadConfig): DataFrame = {

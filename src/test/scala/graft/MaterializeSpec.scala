@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{AddRowIndex, Dedup, Sampling}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `graft.checkpoint.dir` knob: every materialize-once site must
+  * produce identical results whether it runs on executor-local
+  * checkpoints (default) or reliable checkpoints into a directory
+  * (cluster mode), and the reliable mode must actually write there. */
+class MaterializeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def withCheckpointDir[A](f: java.io.File => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toFile
+    spark.conf.set(Materialize.DirKey, dir.getAbsolutePath)
+    try f(dir)
+    finally {
+      spark.conf.unset(Materialize.DirKey)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("once() writes reliable checkpoint files when the dir conf is set") {
+    withCheckpointDir { dir =>
+      val out = Materialize.once(Seq(1, 2, 3).toDF("x"), eager = true)
+      assert(out.as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+      def count(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(count).sum).getOrElse(0)
+        else 1
+      assert(count(dir) > 0, "reliable mode must persist files under the conf dir")
+    }
+  }
+
+  test("connectedComponents identical in local and reliable modes") {
+    def run(): Map[Long, Long] = {
+      val ids = (1L to 8L).toDF("id")
+      val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+      Sampling.connectedComponents(ids, pairs)
+        .as[(Long, Long)].collect().toMap
+    }
+    val local = run()
+    val reliable = withCheckpointDir(_ => run())
+    assert(local == reliable)
+    assert(local(3L) == 1L && local(6L) == 5L && local(7L) == 7L)
+  }
+
+  test("minhash pairs and row index identical in both modes") {
+    def docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "completely different content with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    def runPairs(): Set[(Long, Long)] =
+      Dedup.minhashPairs(docs, "doc_id", "text")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def runIdx(): Seq[(Long, String)] =
+      AddRowIndex.withRowIndex(docs.orderBy("doc_id").select("text"), "idx", 1L)
+        .select(col("idx"), col("text")).as[(Long, String)].collect().toSeq
+    val (lp, li) = (runPairs(), runIdx())
+    val (rp, ri) = withCheckpointDir(_ => (runPairs(), runIdx()))
+    assert(lp == rp && lp.contains((1L, 2L)))
+    assert(li == ri && li.map(_._1) == Seq(1L, 2L, 3L))
+  }
+}

@@ -136,6 +136,29 @@ class OperatorsSpec extends AnyFunSuite {
         Dedup.minhashExactPairsAgainstSketches(batch, stored, "doc_id", "text",
           Dedup.MinHashConfig(numHashes = 64, bands = 32))
       }
+      // the config rides through parquet as column metadata, so drift in
+      // fields INVISIBLE in the data (seed, shingleSize) is caught too
+      assert(stored.schema("sig").metadata.getLong("graft.minhash.seed") == 42L)
+      assertThrows[IllegalArgumentException] {
+        Dedup.minhashExactPairsAgainstSketches(batch, stored, "doc_id", "text",
+          Dedup.MinHashConfig(numHashes = 128, bands = 64, seed = 43L))
+      }
+      assertThrows[IllegalArgumentException] {
+        Dedup.minhashExactPairsAgainstSketches(batch, stored, "doc_id", "text",
+          Dedup.MinHashConfig(numHashes = 128, bands = 64, shingleSize = 5))
+      }
+      // a metadata-less sketch (foreign writer) still gets the length
+      // probe: wrong numHashes rejected, matching config accepted
+      val stripped = stored.select(col("id"),
+        col("sig").as("sig", org.apache.spark.sql.types.Metadata.empty), col("sh"))
+      assert(!stripped.schema("sig").metadata.contains("graft.minhash.numHashes"))
+      assertThrows[IllegalArgumentException] {
+        Dedup.minhashExactPairsAgainstSketches(batch, stripped, "doc_id", "text",
+          Dedup.MinHashConfig(numHashes = 64, bands = 32))
+      }
+      val viaStripped = Dedup.minhashExactPairsAgainstSketches(batch, stripped, "doc_id", "text")
+        .select("id_new", "id_other").as[(Long, Long)].collect().toSet
+      assert(viaStripped == Set((1L, 10L)))
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
@@ -260,6 +283,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2L).nBytes == 3L && out(2L).height == 21L && out(2L).format == "jpeg")
   }
 
+  test("real PNG and JPEG payloads decode true dimensions via ImageIO") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var x = 0
+      while (x < w) { var y = 0; while (y < h) { img.setRGB(x, y, (x * 31 + y) & 0xffffff); y += 1 }; x += 1 }
+      val bos = new ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val png = encode(13, 7, "png")
+    val jpg = encode(32, 20, "jpg")
+    assert(Multimodal.ImageDecode.sniffFormat(png).contains("png"))
+    assert(Multimodal.ImageDecode.sniffFormat(jpg).contains("jpeg"))
+    val df = Seq((1L, png), (2L, jpg), (3L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = Multimodal.decodeImages(df, "id", "payload").collect().map(r => r.id -> r).toMap
+    assert(out(1L).width == 13L && out(1L).height == 7L && out(1L).format == "png" && out(1L).channels == 3L)
+    assert(out(2L).width == 32L && out(2L).height == 20L && out(2L).format == "jpeg")
+    // unrecognized magic → deterministic stub, unchanged semantics
+    assert(out(3L).nBytes == 12L && out(3L).width == 12L % 640L)
+  }
+
+  test("corrupt image bytes with valid magic fall back to the stub") {
+    val fakePng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 1, 2, 3)
+    val df = Seq((1L, fakePng)).toDF("id", "payload")
+    val out = Multimodal.decodeImages(df, "id", "payload").collect().head
+    assert(out.nBytes == 11L && out.width == 11L % 640L) // stub path
+  }
+
   test("frame sampling yields stride offsets") {
     val df = Seq((1L, "0123456789")).toDF("id", "t")
       .select($"id", $"t".cast("binary").as("payload"))
@@ -378,6 +432,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
   }
 
+  test("nextFitPackExact streams: external sort in-plan, state resets across shards") {
+    // many shards, deliberately more than the parallelism, so partitions
+    // carry several shards back to back — the pack counter must reset at
+    // every shard boundary and order must follow orderCol within a shard
+    val df = (0L until 200L).map(i => (i, s"s${i % 7}", 900L)).toDF("id", "shard", "toks")
+    val out = Sampling.nextFitPackExact(df, "toks", "id", 2048L, "shard")
+    // 900+900 fits (1800), the third opens a new pack: pack = idx/2
+    val got = out.select(col("shard"), col("id"), col("pack_id"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    got.foreach { case (shard, packs) =>
+      packs.zipWithIndex.foreach { case (p, idx) =>
+        assert(p == idx / 2, s"shard $shard idx $idx: pack $p")
+      }
+    }
+    // spill-safety is structural: the sort must be a NON-GLOBAL Sort node
+    // (Spark's external, spilling sort) feeding one streaming map — not a
+    // per-group in-memory buffer
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Sort ["), s"expected an external Sort node:\n$plan")
+    assert(!plan.contains("FlatMapGroups"), "must not buffer whole groups")
+  }
+
   test("leakageSafeSplit closes long chains (pointer jumping)") {
     val df = (1L to 8L).toDF("doc_id")
     val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
@@ -396,6 +473,33 @@ class OperatorsSpec extends AnyFunSuite {
     val out = Sampling.leakageSafeSplit((1L to 20L).toDF("doc_id"), "doc_id", chain, 80)
       .select("split").distinct().count()
     assert(out == 1L)
+  }
+
+  test("simhash chunk counts 4/8/16 find identical <=3-Hamming pairs (pigeonhole)") {
+    // signatures engineered around a base value at known Hamming radii,
+    // with differing bits spread across chunk boundaries (worst case for
+    // the bucketing: a pair survives only via the one untouched chunk)
+    val base = 0x0123456789abcdefL
+    val sigs = Seq(
+      1L -> base,
+      2L -> (base ^ 1L),                          // hamming 1 (chunk 0)
+      3L -> (base ^ (1L << 17) ^ (1L << 33)),     // hamming 2 (chunks 1,2)
+      4L -> (base ^ (1L << 3) ^ (1L << 21) ^ (1L << 57)), // hamming 3 (chunks 0,1,3)
+      5L -> (base ^ (1L << 2) ^ (1L << 19) ^ (1L << 37) ^ (1L << 53)), // hamming 4: excluded
+      6L -> 0x7edcba9876543210L)                  // far away
+      .toDF("id", "sh")
+    def pairs(chunks: Int): Set[(Long, Long, Long)] =
+      Dedup.simhashPairsFromSigs(sigs, maxHamming = 3, chunks = chunks)
+        .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val p4 = pairs(4)
+    assert(p4 == pairs(8) && p4 == pairs(16))
+    assert(p4.contains((1L, 2L, 1L)) && p4.contains((1L, 3L, 2L)) && p4.contains((1L, 4L, 3L)))
+    assert(!p4.exists { case (a, b, _) => Set(a, b).contains(5L) && Set(a, b).contains(1L) })
+    // chunks too few for the radius is a hard error, not silent recall loss
+    assertThrows[IllegalArgumentException](
+      Dedup.simhashPairsFromSigs(sigs, maxHamming = 4, chunks = 4))
+    assertThrows[IllegalArgumentException](
+      Dedup.simhashPairsFromSigs(sigs, maxHamming = 3, chunks = 3))
   }
 
   test("simhashPairs excludes token-free documents (no degenerate all-zero bucket)") {
@@ -454,6 +558,19 @@ class OperatorsSpec extends AnyFunSuite {
     val hof = df.select(aggregate(zip_with($"a", $"b", _ * _), lit(0.0), _ + _))
       .as[Option[Double]].head()
     assert(native.isEmpty && hof.isEmpty)
+  }
+
+  test("nearestCentroids maps NaN-containing vectors to null, not garbage cells") {
+    import graft.functions.HashFunctions.nearestCentroids
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val df = Seq(
+      (1L, Seq(Double.NaN, Double.NaN)),
+      (2L, Seq(0.9, Double.NaN)),
+      (3L, Seq(0.9, 0.1))).toDF("id", "v")
+    val out = df.select($"id", nearestCentroids($"v", cents, 1).as("cells"))
+      .as[(Long, Option[Seq[Int]])].collect().toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty)
+    assert(out(3L).contains(Seq(0)))
   }
 
   test("langId counts overlap words for EVERY language containing them") {

@@ -38,9 +38,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(CsvSniffer.detect(spark, p2) == '\t')
   }
 
-  test("detect fails on undelimited content") {
+  test("undelimited content degrades to the last candidate (1-column read)") {
+    // reference is_last_element bypass (data_filter.rs:509): the final
+    // delimiter skips the width check, so a single-column file reads as
+    // one column instead of failing
     val p = tmpFile("x.csv", "justoneword\nanother\n")
-    assertThrows[GraftError.DelimiterNotDetected](CsvSniffer.detect(spark, p))
+    assert(CsvSniffer.detect(spark, p) == ':')
+    val (df, d) = Readers.readAuto(spark, p)
+    assert(d.contains(':') && df.columns.length == 1)
+    assert(df.count() == 1) // header consumed the first line
+  }
+
+  test("configured delimiter that fails the probe still falls back, never throws") {
+    val p = tmpFile("cfg.csv", "justoneword\nanother\n")
+    assert(CsvSniffer.detect(spark, p, configured = Some('|')) == ':')
   }
 
   // ---- F1: force-string overrides (data_filter.rs:1273-1439) -----------
@@ -97,8 +108,28 @@ class SourcesSpec extends AnyFunSuite {
 
   test("wrong delimiter splitting only the header is still rejected (modal vote)") {
     // ',' splits the header into 2 fields but no data row: modal count 1
+    // → ',' rejected; every candidate fails, so detect lands on the
+    // last-candidate bypass instead of crowning ','
     val p = tmpFile("hdr.csv", "a,b\n1\n2\n3\n4\n")
-    assertThrows[GraftError.DelimiterNotDetected](CsvSniffer.detect(spark, p))
+    assert(!CsvSniffer.probe(Seq("a,b", "1", "2", "3", "4"), ','))
+    assert(CsvSniffer.detect(spark, p) == ':')
+  }
+
+  test("ISO-8859-1 encoding option decodes Latin-1 bytes the UTF-8 path mangles") {
+    // 0xE9 = 'é' in Latin-1; as a lone byte it is malformed UTF-8
+    val dir = Files.createTempDirectory("graft_enc").toFile
+    val f = new java.io.File(dir, "latin1.csv")
+    val bytes = "name;qty\ncafé;3\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    Files.write(f.toPath, bytes)
+    val cfg = ReadConfig(delimiter = Some(';'), encoding = Some("ISO-8859-1"))
+    val out = Readers.readCsv(spark, f.getAbsolutePath, cfg)
+      .select("name").as[String].collect().toSeq
+    assert(out == Seq("café"))
+    // the default UTF-8 path must NOT produce the correct é — documents
+    // the divergence from the reference's LossyUtf8 (data_filter.rs:578)
+    val utf8 = Readers.readCsv(spark, f.getAbsolutePath, ReadConfig(delimiter = Some(';')))
+      .select("name").as[String].collect().toSeq
+    assert(utf8 != Seq("café"))
   }
 
   // ---- JSON/NDJSON inference parity (data_filter.rs:312,340) -----------

@@ -137,6 +137,24 @@ class TransformsSpec extends AnyFunSuite {
     assert(out.columns.isEmpty)
   }
 
+  test("remove null cols reads the cache, not the source, when input is cached") {
+    val df = Seq((Some(1), Option.empty[Int]), (Some(2), Option.empty[Int]))
+      .toDF("keep", "drop").cache()
+    try {
+      val out = RemoveNullColumns(df)
+      assert(out.columns.toSeq == Seq("keep"))
+      // both the counts pass and the returned frame hit the cached blocks
+      assert(out.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    } finally df.unpersist()
+  }
+
+  test("applyWithCounts skips the counts action entirely") {
+    val df = Seq((Some(1), Option.empty[Int], Some("x"))).toDF("a", "b", "c")
+    val counts = Row(5L, 0L, 3L)
+    val out = RemoveNullColumns.applyWithCounts(df, counts)
+    assert(out.columns.toSeq == Seq("a", "c"))
+  }
+
   // ---- T6 row index (fixture F6, add.rs:50-293) ------------------------
 
   test("row index: default name, offset, first position, long dtype") {
