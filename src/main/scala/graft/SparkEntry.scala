@@ -643,6 +643,20 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q36_session_window" -> ((s, dir) => {
+      // the streaming sessionizer run in batch mode (same code path the
+      // MemoryStream tests drive): gap-based session_window, 5-min gap.
+      // Timestamps emitted as epoch MICROS so the oracle compares in
+      // integer space (events.parquet is TIMESTAMP(NANOS); both engines
+      // floor-truncate ns → µs).
+      graft.streaming.EventStreams.sessionized(tbl(s, dir, "events"), "5 minutes")
+        .select(unix_micros(col("session_start")).as("session_start"),
+          unix_micros(col("session_end")).as("session_end"),
+          col("user_id"), col("n_events"),
+          round(col("session_value"), 2).as("session_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
     "q31_subqueries" -> ((s, dir) => {
       tbl(s, dir, "orders"); tbl(s, dir, "customer")
       // correlated EXISTS + scalar subquery (max-based threshold keeps the
@@ -1039,6 +1053,30 @@ object SparkEntry {
         |SELECT iv.o_orderkey, count(*) AS n_events
         |FROM p JOIN iv ON p.d BETWEEN iv.st AND iv.st + 6
         |GROUP BY iv.o_orderkey ORDER BY iv.o_orderkey""".stripMargin,
+
+    "q36_session_window" ->
+      // gaps-and-islands in integer-µs space: a session breaks when the
+      // gap to the previous event is >= 5 min (Spark's session windows
+      // are [start, last+gap) — an event exactly at the boundary opens a
+      // NEW session); session_end = last event + gap
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, value FROM events
+        |), marked AS (
+        |  SELECT user_id, tus, value,
+        |    CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+        |         OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) >= 300000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |), sess AS (
+        |  SELECT user_id, tus, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked
+        |)
+        |SELECT min(tus) AS session_start, max(tus) + 300000000 AS session_end,
+        |       user_id, count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q32_asof_join" ->
       """WITH r AS (
