@@ -19,6 +19,16 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * executor loss — the cluster-grade mode. The sandbox and unit tests
   * run the default local mode; `MaterializeSpec` runs the gate
   * operators both ways.
+  *
+  * RETENTION in reliable mode: Spark never deletes non-streaming
+  * reliable checkpoints at job end (and
+  * `spark.cleaner.referenceTracking.cleanCheckpoints` defaults to
+  * false, covering only GC'd RDDs while the app runs). An iterative
+  * operator like connectedComponents writes one rep-frame checkpoint
+  * per round. Point `graft.checkpoint.dir` at a per-run path (or an
+  * object-store prefix with a TTL/lifecycle rule) and purge it after
+  * the pipeline completes, or enable cleanCheckpoints for best-effort
+  * in-run cleanup.
   */
 object Materialize {
   /** Runtime conf key: when set (non-empty), materialize via reliable
@@ -39,8 +49,26 @@ object Materialize {
     spark.conf.getOption(DirKey).map(_.trim).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        ds.checkpoint(eager = eager)
+        // follow the conf on every call — a once-only set would silently
+        // keep writing "durable" checkpoints to a stale (possibly
+        // decommissioned) path after the conf changes. setCheckpointDir
+        // nests a per-session UUID subdir under `dir` (and may qualify
+        // the scheme), hence the substring test.
+        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+        // persist-before-checkpoint: reliable checkpoint materializes the
+        // RDD in a SEPARATE job that re-runs the lineage — without the
+        // persist every site would compute its expensive upstream twice
+        // (and side-effect jobs, e.g. accumulator-folded convergence
+        // counts, would double-fire)
+        ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cp = ds.checkpoint(eager = eager)
+        // eager: checkpoint files exist, the hot cache is no longer
+        // needed (blocking=false, so no extra job). Lazy: the persist
+        // must survive until first materialization — it is released when
+        // the session ends; callers on the lazy path trade that small
+        // cache residue for the single-compute guarantee.
+        if (eager) { ds.unpersist(blocking = false); () }
+        cp
       case None =>
         ds.localCheckpoint(eager = eager)
     }

@@ -261,7 +261,11 @@ object Dedup {
     // falls back to the one-row signature-length probe, which can only
     // see numHashes.
     val sigMeta = corpusSketches.schema.find(_.name == "sig").map(_.metadata)
-    val hasMeta = sigMeta.exists(_.contains(SketchMetaNumHashes))
+    // the metadata branch needs ALL config keys — a partially-stripped /
+    // foreign sketch carrying only one key must fall back to the probe,
+    // not crash on the missing getLong
+    val hasMeta = sigMeta.exists(m => m.contains(SketchMetaNumHashes) &&
+      m.contains(SketchMetaShingleSize) && m.contains(SketchMetaSeed))
     if (hasMeta) {
       val m = sigMeta.get
       def check(key: String, expected: Long, label: String): Unit =

@@ -63,7 +63,35 @@ object Multimodal {
     * is unknown or the bytes are a corrupt/truncated image.
     */
   object ImageDecode {
-    /** Container format sniffed from magic bytes, or None. */
+    // the payloads are already byte arrays — without this, ImageIO wraps
+    // every stream in a FileCacheImageInputStream that spills each image
+    // to a java.io.tmpdir temp file (per-row disk write+delete in the
+    // CPU-heavy decode hot path, and tmpdir churn across executors)
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Max pixels accepted from a self-declared GIF/BMP header (guards
+      * against decode bombs: a garbage header declaring a huge canvas
+      * would make ImageIO allocate the pixel buffer BEFORE any decode
+      * error surfaces — and OutOfMemoryError is not a catchable decode
+      * failure). PNG/JPEG magics contain bytes that cannot occur in
+      * UTF-8 text, so they only ever fire on genuine binary payloads. */
+    val MaxHeaderPixels: Long = 64L * 1024 * 1024
+
+    private def u16le(c: Array[Byte], i: Int): Int =
+      (c(i) & 0xff) | ((c(i + 1) & 0xff) << 8)
+    private def u32le(c: Array[Byte], i: Int): Long =
+      (u16le(c, i).toLong) | (u16le(c, i + 2).toLong << 16)
+
+    /** Container format sniffed from magic bytes, or None.
+      *
+      * "BM" and "GIF8" are printable ASCII, so ordinary TEXT cast to
+      * binary (the oracle-gate path) can start with them ("BMW…", a doc
+      * about "GIF89a…"). Those two formats therefore validate their
+      * fixed-layout headers beyond the magic — declared file size must
+      * equal the payload size for BMP; GIF needs the full 87a/89a
+      * signature AND plausible logical-screen dimensions — so text
+      * essentially never reaches ImageIO and headers that do parse
+      * cannot declare unbounded canvases. */
     def sniffFormat(content: Array[Byte]): Option[String] = {
       def b(i: Int): Int = content(i) & 0xff
       if (content.length >= 8 && b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
@@ -71,9 +99,15 @@ object Multimodal {
         Some("png")
       else if (content.length >= 3 && b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff)
         Some("jpeg")
-      else if (content.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+      else if (content.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a' && {
+            val w = u16le(content, 6); val h = u16le(content, 8)
+            w > 0 && h > 0 && w.toLong * h <= MaxHeaderPixels
+          })
         Some("gif")
-      else if (content.length >= 2 && b(0) == 'B' && b(1) == 'M')
+      else if (content.length >= 26 && b(0) == 'B' && b(1) == 'M' &&
+          u32le(content, 2) == content.length.toLong &&
+          u32le(content, 10) < content.length.toLong)
         Some("bmp")
       else None
     }

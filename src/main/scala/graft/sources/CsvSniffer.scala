@@ -73,9 +73,34 @@ object CsvSniffer {
     modal > 1
   }
 
-  def headLines(spark: SparkSession, path: String, n: Int = ProbeRows): Seq[String] = {
+  /** Head lines for the probe / bounded inference. With an `encoding`,
+    * the bytes are decoded with that charset (malformed → U+FFFD) via a
+    * bounded driver-side Hadoop-FS read — `spark.read.textFile` is
+    * UTF-8-only, and probing a Latin-1/UTF-16 file through it would
+    * mangle the very header the schema names come from. */
+  def headLines(spark: SparkSession, path: String, n: Int = ProbeRows,
+      encoding: Option[String] = None): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    spark.read.textFile(path).limit(n).collectAsList().asScala.toSeq
+    encoding match {
+      case None =>
+        spark.read.textFile(path).limit(n).collectAsList().asScala.toSeq
+      case Some(cs) =>
+        val p0 = new org.apache.hadoop.fs.Path(path)
+        val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // a dataset path may be a directory of part files — head any one
+        val p =
+          if (fs.getFileStatus(p0).isDirectory)
+            fs.listStatus(p0).iterator.map(_.getPath)
+              .find(q => !q.getName.startsWith("_") && !q.getName.startsWith("."))
+              .getOrElse(p0)
+          else p0
+        val in = fs.open(p)
+        try {
+          val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+            in, java.nio.charset.Charset.forName(cs)))
+          Iterator.continually(reader.readLine()).takeWhile(_ != null).take(n).toSeq
+        } finally in.close()
+    }
   }
 
   /** First candidate that survives the probe. When NONE does, the LAST
@@ -83,15 +108,16 @@ object CsvSniffer {
     * is_last_element bypass (data_filter.rs:509: the width check is
     * skipped for the final delimiter) — a single-column CSV, or a header
     * containing no candidate at all, degrades to a 1-column read instead
-    * of failing. With a configured delimiter the fallback lands on the
-    * last DEFAULT candidate, as in the reference (the configured char is
-    * prepended, so it is never last unless it IS the last default).
-    * GraftError only on an unreadable/empty file. */
+    * of failing. An explicitly configured delimiter wins the fallback
+    * outright — the user's explicit setting must never be vetoed in
+    * favor of a default candidate. GraftError only on an unreadable/
+    * empty file. */
   def detect(spark: SparkSession, path: String, configured: Option[Char] = None,
-      hasHeader: Boolean = true): Char = {
-    val lines = headLines(spark, path)
+      hasHeader: Boolean = true, encoding: Option[String] = None): Char = {
+    val lines = headLines(spark, path, ProbeRows, encoding)
     if (lines.isEmpty) throw GraftError.DelimiterNotDetected(path)
     val candidates = uniqueCandidates(configured)
-    candidates.find(probe(lines, _, hasHeader)).getOrElse(candidates.last)
+    candidates.find(probe(lines, _, hasHeader))
+      .getOrElse(configured.getOrElse(candidates.last))
   }
 }

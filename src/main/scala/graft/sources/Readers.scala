@@ -72,14 +72,15 @@ object Readers {
       case Format.Csv =>
         val headN = math.max(CsvSniffer.ProbeRows,
           math.max(cfg.inferSchemaRows, 1) + (if (cfg.header) 1 else 0))
-        val head = CsvSniffer.headLines(spark, path, headN)
+        val head = CsvSniffer.headLines(spark, path, headN, cfg.encoding)
         if (head.isEmpty) throw GraftError.DelimiterNotDetected(path)
         val candidates = CsvSniffer.uniqueCandidates(cfg.delimiter)
         // last-candidate bypass as in CsvSniffer.detect (reference
-        // data_filter.rs:509): an undetectable file degrades to 1 column
+        // data_filter.rs:509): an undetectable file degrades to 1 column;
+        // an explicitly configured delimiter wins the fallback
         val d = candidates
           .find(CsvSniffer.probe(head.take(CsvSniffer.ProbeRows), _, cfg.header))
-          .getOrElse(candidates.last)
+          .getOrElse(cfg.delimiter.getOrElse(candidates.last))
         val schema = inferCsvSchemaFromSample(spark, head, d.toString, cfg)
         (csvReader(spark, d.toString, cfg).schema(schema).csv(path), Some(d))
       case Format.Json    => (readJson(spark, path, cfg), None)
@@ -100,18 +101,18 @@ object Readers {
   /** S2: CSV with bounded inference + force-string overrides. */
   def readCsv(spark: SparkSession, path: String, cfg: ReadConfig): DataFrame = {
     val sep = cfg.delimiter
-      .getOrElse(CsvSniffer.detect(spark, path, None, cfg.header)).toString
+      .getOrElse(CsvSniffer.detect(spark, path, None, cfg.header, cfg.encoding)).toString
     val schema = inferCsvSchema(spark, path, sep, cfg)
     csvReader(spark, sep, cfg).schema(schema).csv(path)
   }
 
-  /** Bounded-window CSV schema inference on a head sample, then
-    * force-string overrides applied. */
+  /** Bounded-window CSV schema inference on a head sample (fetched with
+    * cfg.encoding, so inferred column NAMES aren't mangled for
+    * non-UTF-8 files), then force-string overrides applied. */
   def inferCsvSchema(spark: SparkSession, path: String, sep: String,
       cfg: ReadConfig): StructType = {
     val n = math.max(cfg.inferSchemaRows, 1) + (if (cfg.header) 1 else 0)
-    import scala.jdk.CollectionConverters._
-    val sample = spark.read.textFile(path).limit(n).collectAsList().asScala.toSeq
+    val sample = CsvSniffer.headLines(spark, path, n, cfg.encoding)
     inferCsvSchemaFromSample(spark, sample, sep, cfg)
   }
 

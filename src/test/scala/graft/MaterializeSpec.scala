@@ -36,6 +36,30 @@ class MaterializeSpec extends AnyFunSuite {
     }
   }
 
+  test("a changed checkpoint dir is honored — no writes to the stale path") {
+    def count(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(count).sum).getOrElse(0)
+      else 1
+    withCheckpointDir { dirA =>
+      Materialize.once(Seq(1).toDF("x"), eager = true).collect()
+      val before = count(dirA)
+      assert(before > 0)
+      // re-point the conf mid-session: new writes must land under B
+      val dirB = java.nio.file.Files.createTempDirectory("graft_ckpt_b_").toFile
+      spark.conf.set(Materialize.DirKey, dirB.getAbsolutePath)
+      try {
+        Materialize.once(Seq(2).toDF("x"), eager = true).collect()
+        assert(count(dirB) > 0, "second materialization must write under the NEW dir")
+        assert(count(dirA) == before, "stale dir must receive nothing new")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(dirB)
+      }
+    }
+  }
+
   test("connectedComponents identical in local and reliable modes") {
     def run(): Map[Long, Long] = {
       val ids = (1L to 8L).toDF("id")

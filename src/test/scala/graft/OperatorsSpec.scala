@@ -159,6 +159,14 @@ class OperatorsSpec extends AnyFunSuite {
       val viaStripped = Dedup.minhashExactPairsAgainstSketches(batch, stripped, "doc_id", "text")
         .select("id_new", "id_other").as[(Long, Long)].collect().toSet
       assert(viaStripped == Set((1L, 10L)))
+      // PARTIAL metadata (one key survives, others stripped) must fall
+      // back to the probe too — not crash on the missing keys
+      val partialMd = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("graft.minhash.numHashes", 128L).build()
+      val partial = stored.select(col("id"), col("sig").as("sig", partialMd), col("sh"))
+      val viaPartial = Dedup.minhashExactPairsAgainstSketches(batch, partial, "doc_id", "text")
+        .select("id_new", "id_other").as[(Long, Long)].collect().toSet
+      assert(viaPartial == Set((1L, 10L)))
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
@@ -312,6 +320,29 @@ class OperatorsSpec extends AnyFunSuite {
     val df = Seq((1L, fakePng)).toDF("id", "payload")
     val out = Multimodal.decodeImages(df, "id", "payload").collect().head
     assert(out.nBytes == 11L && out.width == 11L % 640L) // stub path
+  }
+
+  test("text starting with BM / GIF8 never routes to ImageIO (header validation)") {
+    // the oracle gate casts document TEXT to binary — ASCII-representable
+    // magics must require a full valid header, or a doc like "BMW..." /
+    // "GIF89a is a format..." would decode garbage (or OOM on a bogus
+    // canvas declaration) instead of taking the stub path
+    val texts = Seq("BMW is a car maker rather than a bitmap image header",
+      "GIF89a is the 1989 revision of the format specification")
+    texts.foreach { t =>
+      assert(Multimodal.ImageDecode.sniffFormat(t.getBytes("UTF-8")).isEmpty, t)
+    }
+    // a REAL BMP still passes: declared size matches, and decodes true dims
+    val img = new java.awt.image.BufferedImage(5, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bos))
+    val bmp = bos.toByteArray
+    assert(Multimodal.ImageDecode.sniffFormat(bmp).contains("bmp"))
+    val m = Multimodal.ImageDecode.decode(bmp).get
+    assert(m.width == 5L && m.height == 4L)
+    // a GIF header declaring an absurd canvas is rejected before ImageIO
+    val bomb = "GIF89a".getBytes("ASCII") ++ Array[Byte](-1, -1, -1, -1, 0, 0, 0)
+    assert(Multimodal.ImageDecode.sniffFormat(bomb).isEmpty)
   }
 
   test("frame sampling yields stride offsets") {

@@ -49,9 +49,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.count() == 1) // header consumed the first line
   }
 
-  test("configured delimiter that fails the probe still falls back, never throws") {
+  test("configured delimiter that fails the probe wins the fallback, never throws") {
     val p = tmpFile("cfg.csv", "justoneword\nanother\n")
-    assert(CsvSniffer.detect(spark, p, configured = Some('|')) == ':')
+    // the user's explicit choice is honored even when the probe rejects
+    // every candidate — including when it collides with the LAST default
+    // (dedup hoists it to the front; the fallback must not then hand the
+    // file to a different delimiter)
+    assert(CsvSniffer.detect(spark, p, configured = Some('|')) == '|')
+    assert(CsvSniffer.detect(spark, p, configured = Some(':')) == ':')
+    assert(CsvSniffer.detect(spark, p) == ':') // unconfigured: last candidate
   }
 
   // ---- F1: force-string overrides (data_filter.rs:1273-1439) -----------
@@ -125,6 +131,14 @@ class SourcesSpec extends AnyFunSuite {
     val out = Readers.readCsv(spark, f.getAbsolutePath, cfg)
       .select("name").as[String].collect().toSeq
     assert(out == Seq("café"))
+    // header names come from the SAME charset-decoded head sample — an
+    // accented header must not end up with U+FFFD in the schema
+    val f2 = new java.io.File(dir, "latin1hdr.csv")
+    Files.write(f2.toPath,
+      "Alíquota;qty\n1.5;3\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val hdr = Readers.readCsv(spark, f2.getAbsolutePath, cfg)
+    assert(hdr.columns.toSeq == Seq("Alíquota", "qty"))
+    assert(hdr.select("Alíquota").as[Double].collect().toSeq == Seq(1.5))
     // the default UTF-8 path must NOT produce the correct é — documents
     // the divergence from the reference's LossyUtf8 (data_filter.rs:578)
     val utf8 = Readers.readCsv(spark, f.getAbsolutePath, ReadConfig(delimiter = Some(';')))
