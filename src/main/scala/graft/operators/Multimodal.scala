@@ -125,6 +125,30 @@ object Multimodal {
             format = fmt))
         } catch { case scala.util.control.NonFatal(_) => None }
       }
+
+    /** Real resize: decode, scale with bilinear interpolation, re-encode
+      * as PNG (lossless + deterministic — JPEG re-encoding bytes vary by
+      * encoder build). None when the payload isn't a decodable image. */
+    def resize(content: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      sniffFormat(content).flatMap { _ =>
+        try {
+          val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+          if (src == null) None
+          else {
+            val dst = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(src, 0, 0, w, h, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            if (javax.imageio.ImageIO.write(dst, "png", bos)) Some(bos.toByteArray)
+            else None
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
   }
 
   /** Decode a (id, content: binary) frame into typed metadata, batch-wise
@@ -140,6 +164,30 @@ object Multimodal {
         DecodedRow(r.id, m.width, m.height, m.channels, m.nBytes, m.format)
       }
     }(Encoders.product[DecodedRow])
+  }
+
+  final case class ResizedRow(id: Long, content: Array[Byte], width: Long,
+      height: Long, format: String)
+
+  /** Resize an image binary column to w×h, batch-wise per partition —
+    * the canonical decode→transform→re-encode narrow stage. Real images
+    * are bilinear-scaled and re-encoded as PNG; payloads that aren't
+    * decodable images pass through UNCHANGED with stub-resized metadata
+    * (same fallback contract as [[decodeImages]]). */
+  def resizeImages(df: DataFrame, idCol: String, binCol: String,
+      w: Int, h: Int): Dataset[ResizedRow] = {
+    val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
+      .as(Encoders.product[MediaRow])
+    ds.mapPartitions { it =>
+      it.map { r =>
+        ImageDecode.resize(r.content, w, h) match {
+          case Some(bytes) => ResizedRow(r.id, bytes, w.toLong, h.toLong, "png")
+          case None =>
+            val m = DecodeStub.resize(DecodeStub.decode(r.content), w.toLong, h.toLong)
+            ResizedRow(r.id, r.content, m.width, m.height, m.format)
+        }
+      }
+    }(Encoders.product[ResizedRow])
   }
 
   /** Frame-sample a video-ish binary column: one output row per sampled

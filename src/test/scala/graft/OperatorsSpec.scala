@@ -345,6 +345,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.ImageDecode.sniffFormat(bomb).isEmpty)
   }
 
+  test("resizeImages really rescales image payloads; text passes through") {
+    val img = new java.awt.image.BufferedImage(40, 30, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 40).foreach(x => (0 until 30).foreach(y => img.setRGB(x, y, (x * 7 + y) & 0xffffff)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, bos.toByteArray), (2L, "plain text payload".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = Multimodal.resizeImages(df, "id", "payload", 10, 8)
+      .collect().map(r => r.id -> r).toMap
+    // the real path re-encodes: decoding the OUTPUT bytes gives 10x8
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).content))
+    assert(back.getWidth == 10 && back.getHeight == 8)
+    assert(out(1L).width == 10L && out(1L).format == "png")
+    // non-image payload: bytes untouched, stub-resized metadata
+    assert(out(2L).content.toSeq == "plain text payload".getBytes("UTF-8").toSeq)
+    assert(out(2L).width == 10L && out(2L).height == 8L)
+  }
+
   test("frame sampling yields stride offsets") {
     val df = Seq((1L, "0123456789")).toDF("id", "t")
       .select($"id", $"t".cast("binary").as("payload"))
