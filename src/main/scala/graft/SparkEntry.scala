@@ -494,6 +494,17 @@ object SparkEntry {
             queriesDf, "vec_id", "embedding", k = 10, numCentroids = 16, nprobe = 8)
       }),
 
+    "ann_ivf_kmeans_topk" -> ((s, dir) =>
+      // same gate shape with Lloyd-refined (3 iters) centroids — the
+      // trained-IVF path; floor matches the sampled-centroid gate (the
+      // refinement must never make recall WORSE than its own floor)
+      annRecallGate(s, dir, floor = 0.5, label = "k-means IVF") {
+        (emb, queriesDf) =>
+          Similarity.ivfCentroidTopK(emb, "vec_id", "embedding",
+            queriesDf, "vec_id", "embedding", k = 10, numCentroids = 16, nprobe = 8,
+            kmeansIters = 3)
+      }),
+
     "mm_frame_sample" -> ((s, dir) => {
       val withBin = tbl(s, dir, "documents")
         .filter(col("doc_id") < 50)
@@ -758,6 +769,18 @@ object SparkEntry {
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       Multimodal.decodeImages(withBin, "doc_id", "payload")
         .toDF().withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "mm_resize" -> ((s, dir) => {
+      // text payloads have no image magic → the deterministic stub-meta
+      // passthrough, which a SQL oracle can replicate exactly (the
+      // payload bytes are asserted untouched by OperatorsSpec instead)
+      val withBin = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.resizeImages(withBin, "doc_id", "payload", 64, 48)
+        .toDF().select(col("id").as("doc_id"), col("width"), col("height"),
+          col("format"))
         .orderBy("doc_id")
     })
   )
@@ -1167,6 +1190,17 @@ object SparkEntry {
         |  octet_length(CAST(text AS BLOB)) AS nBytes,
         |  CASE WHEN octet_length(CAST(text AS BLOB)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_resize" ->
+      // stub-resize passthrough: fixed target dims, format from the
+      // stub's length-parity rule (payload bytes not emitted)
+      """SELECT doc_id,
+        |  CAST(64 AS BIGINT) AS width,
+        |  CAST(48 AS BIGINT) AS height,
+        |  CASE WHEN octet_length(CAST(text AS BLOB)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ann_ivf_kmeans_topk" -> annBruteOracleSql,
 
     "io_csv_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice

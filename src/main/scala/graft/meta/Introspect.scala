@@ -177,6 +177,9 @@ object Introspect {
   def alignmentFor(dt: DataType): Align = dt match {
     case _: NumericType => Right
     case BooleanType | DateType | TimestampType => Center
+    // the reference centers Duration columns (data_format.rs:39-40);
+    // Spark's counterparts are the interval types
+    case _: DayTimeIntervalType | _: YearMonthIntervalType => Center
     case _ => Left
   }
 
@@ -211,13 +214,43 @@ object Introspect {
     case other => (None, alignmentFor(other))
   }
 
-  /** Null → "", floats with fixed decimals (default 2), others toString
-    * (reference data_container.rs:508-543, decimal_and_layout_v2.rs). */
+  /** Compact duration rendering in the reference's Duration-column style
+    * (data_format.rs:39-40 centers Durations; polars prints e.g.
+    * "1d 2h 3m 4s"): largest-to-smallest nonzero units, sub-second as
+    * millis/micros, negative carried as a leading sign. */
+  def formatDuration(d: java.time.Duration): String = {
+    if (d.isZero) return "0s"
+    val sign = if (d.isNegative) "-" else ""
+    val abs = d.abs()
+    val days = abs.toDays
+    val h = abs.toHoursPart
+    val m = abs.toMinutesPart
+    val s = abs.toSecondsPart
+    val micros = abs.toNanosPart / 1000
+    val parts = Seq(
+      days -> "d", h.toLong -> "h", m.toLong -> "m", s.toLong -> "s",
+      (micros / 1000).toLong -> "ms", (micros % 1000).toLong -> "µs")
+      .collect { case (v, u) if v > 0 => s"$v$u" }
+    sign + parts.mkString(" ")
+  }
+
+  /** Null → "", floats with fixed decimals (default 2), durations/
+    * periods humanized, others toString (reference
+    * data_container.rs:508-543, decimal_and_layout_v2.rs,
+    * data_format.rs:39-40). Spark surfaces DayTimeIntervalType cells as
+    * java.time.Duration and YearMonthIntervalType as java.time.Period. */
   def formatCell(value: Any, dt: DataType, floatDecimals: Int = 2): String =
     value match {
       case null => ""
       case d: Double => s"%.${floatDecimals}f".format(d)
       case f: Float  => s"%.${floatDecimals}f".format(f.toDouble)
+      case d: java.time.Duration => formatDuration(d)
+      case p: java.time.Period =>
+        val sign = if (p.isNegative) "-" else ""
+        val n = if (p.isNegative) p.negated() else p
+        val parts = Seq(n.getYears.toLong -> "y", n.getMonths.toLong -> "mo")
+          .collect { case (v, u) if v > 0 => s"$v$u" }
+        if (parts.isEmpty) "0mo" else sign + parts.mkString(" ")
       case other     => other.toString
     }
 

@@ -82,8 +82,8 @@ object Similarity {
     * `numCentroids` corpus vectors with the smallest md5(id ++ seed),
     * unit-normalized. A driver-side model parameter (numCentroids × dim
     * doubles — a few KB), exactly like the trained centroids a production
-    * IVF ships to every executor; at 100 TB swap the sampler for a real
-    * k-means fit over a corpus sample without touching the query path. */
+    * IVF ships to every executor; [[kmeansCentroids]] is the trained
+    * alternative (pass `kmeansIters > 0` to [[ivfCentroidTopK]]). */
   def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int, seed: Long): Array[Array[Double]] = {
     val rows = corpus
@@ -102,6 +102,57 @@ object Similarity {
     }
   }
 
+  /** Lloyd-refined k-means centroids: [[sampleCentroids]] seeds, then
+    * `iters` distributed assign/average rounds. Each round is ONE
+    * map-side pass (native [[graft.functions.HashFunctions.nearestCentroids]]
+    * against broadcast centroids — no shuffle besides the k-group
+    * average) over an optional corpus `sampleFraction` (deterministic
+    * hash sample; a production fit never needs the full corpus). The
+    * k×dim result collected per round is the model parameter, same as
+    * the seed path. Empty cells keep their previous centroid. Output is
+    * unit-normalized — spherical k-means, matching the argmax-dot ==
+    * argmax-cosine contract of [[ivfCentroidTopK]]. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, seed: Long, iters: Int = 5,
+      sampleFraction: Double = 1.0): Array[Array[Double]] = {
+    import graft.functions.HashFunctions.nearestCentroids
+    require(iters >= 0, s"iters must be >= 0 (got $iters)")
+    val base = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
+    val sampled =
+      if (sampleFraction >= 1.0) base
+      else base.filter(
+        pmod(xxhash64(col("id"), lit(seed)), lit(1000000L)) <
+          lit((sampleFraction * 1000000L).toLong))
+    var cents = sampleCentroids(corpus, idCol, vecCol, numCentroids, seed)
+    val dim = cents.head.length
+    var it = 0
+    while (it < iters) {
+      val sums = sampled
+        .select(element_at(nearestCentroids(col("v"), cents, 1), 1).as("cell"),
+          col("v"))
+        // NaN vectors assign to null cell — dropped, like the seed filter
+        .filter(col("cell").isNotNull)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(i =>
+            sum(element_at(col("v"), i + 1)).as(s"s$i")): _*)
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        val cell = r.getInt(0)
+        val n = r.getLong(1).toDouble
+        val mean = Array.tabulate(dim)(i => r.getDouble(2 + i) / n)
+        val nrm = math.sqrt(mean.map(x => x * x).sum)
+        next(cell) = if (nrm == 0.0) cents(cell) else mean.map(_ / nrm)
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
   /** TRUE (centroid-based) IVF ANN: corpus vectors are assigned to their
     * nearest coarse centroid (one cell per vector); a query scans only
     * the `nprobe` cells whose centroids are closest to it — the scanned
@@ -116,10 +167,14 @@ object Similarity {
     * corpus vector lives in exactly one cell — so no dedup pass. */
   def ivfCentroidTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
-      numCentroids: Int = 64, nprobe: Int = 8, seed: Long = 42L): DataFrame = {
+      numCentroids: Int = 64, nprobe: Int = 8, seed: Long = 42L,
+      kmeansIters: Int = 0): DataFrame = {
     import graft.functions.HashFunctions.nearestCentroids
     require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
-    val cents = sampleCentroids(corpus, idCol, vecCol, numCentroids, seed)
+    val cents =
+      if (kmeansIters > 0)
+        kmeansCentroids(corpus, idCol, vecCol, numCentroids, seed, kmeansIters)
+      else sampleCentroids(corpus, idCol, vecCol, numCentroids, seed)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nv"),
       element_at(nearestCentroids(col(vecCol), cents, 1), 1).as("cell"))

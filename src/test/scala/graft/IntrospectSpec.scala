@@ -64,6 +64,29 @@ class IntrospectSpec extends AnyFunSuite {
     assert(Introspect.alignmentFor(BooleanType) == Introspect.Center)
   }
 
+  test("duration/interval cells format humanized and center (data_format.rs:39)") {
+    import java.time.Duration
+    val dt = DayTimeIntervalType()
+    assert(Introspect.alignmentFor(dt) == Introspect.Center)
+    assert(Introspect.alignmentFor(YearMonthIntervalType()) == Introspect.Center)
+    assert(Introspect.formatCell(Duration.ofDays(1).plusHours(2).plusMinutes(3)
+      .plusSeconds(4), dt) == "1d 2h 3m 4s")
+    assert(Introspect.formatCell(Duration.ofMillis(1500), dt) == "1s 500ms")
+    assert(Introspect.formatCell(Duration.ofNanos(2500), dt) == "2µs")
+    assert(Introspect.formatCell(Duration.ZERO, dt) == "0s")
+    assert(Introspect.formatCell(Duration.ofSeconds(-90), dt) == "-1m 30s")
+    assert(Introspect.formatCell(java.time.Period.of(1, 2, 0),
+      YearMonthIntervalType()) == "1y 2mo")
+    assert(Introspect.formatCell(java.time.Period.ZERO,
+      YearMonthIntervalType()) == "0mo")
+    // interval columns flow through a real frame: datediff-style interval
+    val df = spark.sql(
+      "SELECT INTERVAL '1 02:03:04' DAY TO SECOND AS d, INTERVAL '1-2' YEAR TO MONTH AS ym")
+    val row = df.collect().head
+    assert(Introspect.formatCell(row.get(0), df.schema("d").dataType) == "1d 2h 3m 4s")
+    assert(Introspect.formatCell(row.get(1), df.schema("ym").dataType) == "1y 2mo")
+  }
+
   test("per-column decimal overrides match decimal_and_layout_v2 semantics") {
     val cfg = Introspect.FormatConfig()
     // special float column ("Alíq"/"Aliq" substring): 4 decimals, centered

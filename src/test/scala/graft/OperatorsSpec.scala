@@ -449,6 +449,33 @@ class OperatorsSpec extends AnyFunSuite {
     // the duplicate has the identical vector, hence the identical nearest
     // centroid — it is found regardless of global recall
     assert(out(1) == 999L, s"planted dup not rank 1: $out")
+    // the Lloyd-refined path preserves the invariant (identical vectors
+    // share a cell whatever the centroids converge to)
+    val refined = Similarity.ivfCentroidTopK(c2, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 3, numCentroids = 16, nprobe = 2,
+      kmeansIters = 3)
+      .select("rank", "id").as[(Int, Long)].collect().toMap
+    assert(refined(1) == 999L, s"planted dup not rank 1 after k-means: $refined")
+  }
+
+  test("kmeansCentroids: unit-norm, deterministic, and tightens clusters") {
+    // two well-separated blobs in 4-d; refined centroids should move to
+    // the blob means (sampled seeds are arbitrary corpus vectors)
+    val blobA = (1L to 50L).map(i => (i, Array(1.0f + (i % 5) * 0.01f, 0.02f * (i % 3), 0f, 0f)))
+    val blobB = (51L to 100L).map(i => (i, Array(0f, 0.02f * (i % 3), 1.0f + (i % 5) * 0.01f, 0f)))
+    val df = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(df, "vec_id", "embedding",
+      numCentroids = 2, seed = 42L, iters = 5)
+    val again = Similarity.kmeansCentroids(df, "vec_id", "embedding",
+      numCentroids = 2, seed = 42L, iters = 5)
+    assert(cents.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "must be deterministic")
+    cents.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"centroid not unit: $n")
+    }
+    // one centroid per blob: dominant axis 0 for one, axis 2 for the other
+    val domAxes = cents.map(c => c.indexOf(c.map(math.abs).max)).toSet
+    assert(domAxes == Set(0, 2), s"centroids did not split the blobs: $domAxes")
   }
 
   test("stratifiedSample is deterministic, per-stratum, and composes with hashSplit") {
