@@ -360,9 +360,10 @@ object Dedup {
 
   /** Corpus with SimHash near-duplicates (Hamming ≤ maxHamming) removed. */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, seed: Long = 42L, chunks: Int = 4): DataFrame =
+      maxHamming: Int = 3, seed: Long = 42L, chunks: Int = 4,
+      agreeChunks: Int = 1): DataFrame =
     dropNearDuplicates(df, idCol,
-      simhashPairs(df, idCol, textCol, maxHamming, seed, chunks))
+      simhashPairs(df, idCol, textCol, maxHamming, seed, chunks, agreeChunks))
 
   /** Corpus with exact n-gram-Jaccard near-duplicates (J ≥ threshold)
     * removed. */
@@ -382,13 +383,14 @@ object Dedup {
 
   /** 64-bit SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     * Candidate generation: the 64-bit hash is split into `chunks` equal
-    * bit ranges; two hashes within Hamming ≤ chunks-1 must agree on ≥1
-    * chunk (pigeonhole), so bucketing on (chunkIdx, chunkValue) finds
-    * all such pairs with a uniform-key shuffle. Billion-doc corpora
-    * should raise `chunks` (e.g. 8 → 8-bit bucket keys) to keep
-    * per-bucket occupancy sub-quadratic; see [[simhashPairsFromSigs]]. */
+    * bit ranges and bucketed on every `agreeChunks`-combination of them
+    * (pigeonhole-exact for maxHamming ≤ chunks - agreeChunks). Billion-
+    * doc corpora use (chunks=8, agreeChunks=4): 32-bit bucket keys →
+    * ~3,700× fewer expected candidates at radius ≤ 4; see
+    * [[simhashPairsFromSigs]] for the trade table. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, seed: Long = 42L, chunks: Int = 4): DataFrame = {
+      maxHamming: Int = 3, seed: Long = 42L, chunks: Int = 4,
+      agreeChunks: Int = 1): DataFrame = {
     // exclude token-free documents (mirrors minhashPairs' empty-doc
     // exclusion): every no-word doc simhashes to the degenerate all-zero
     // signature, so empties would pair with each other O(n²) at hamming 0
@@ -397,7 +399,7 @@ object Dedup {
     val hashed = df.filter(col(textCol).rlike("\\S"))
       .select(col(idCol).as("id"),
         HashFunctions.simhashFromText(col(textCol), seed).as("sh"))
-    simhashPairsFromSigs(hashed, maxHamming, chunks)
+    simhashPairsFromSigs(hashed, maxHamming, chunks, agreeChunks)
   }
 
   /** Pair generation over PRE-COMPUTED 64-bit signatures (id, sh) —
@@ -406,30 +408,52 @@ object Dedup {
     * values an external oracle can reproduce).
     *
     * `chunks` splits the 64-bit signature into that many equal bit
-    * ranges for the pigeonhole bucket join — EXACT for
-    * maxHamming ≤ chunks - 1 (at most maxHamming chunks can differ, so
-    * one must match). More chunks → narrower buckets: at 4 chunks each
-    * bucket key has 16 bits (65,536 values per chunk), which at
-    * billions of docs makes per-bucket self-joins quadratic in
-    * occupancy; 8 chunks gives 8-bit keys but the SAME exactness bound
-    * only up to Hamming 7, and for maxHamming 3 simply generates more
-    * (cheaper, smaller) candidate buckets. 64 must divide into `chunks`
-    * even ranges. */
+    * ranges, and the bucket key is every COMBINATION of `agreeChunks`
+    * of them — pigeonhole-EXACT for maxHamming ≤ chunks - agreeChunks
+    * (≤ maxHamming chunks can differ, so some agreeChunks-subset of
+    * the rest is untouched and its concatenated value matches).
+    *
+    * The two knobs trade radius against candidate volume, which is
+    * combos × n² / 2^(agreeChunks·64/chunks):
+    *   - (4, 1) — default: radius ≤ 3, 16-bit keys, 4 entries/doc.
+    *   - (8, 1): radius ≤ 7 — wider radius, but 8-bit keys → 256
+    *     bucket values → occupancy n/256: MORE candidates, never use
+    *     for scale, only for radius.
+    *   - (8, 4): radius ≤ 4, 32-bit keys, C(8,4)=70 entries/doc →
+    *     ~70/4 × 2⁻¹⁶ ≈ 3,700× fewer expected candidates than the
+    *     default — the billion-doc configuration (the "second-level
+    *     band" fix for bucket occupancy).
+    * 64 must divide evenly into `chunks` ranges. */
   def simhashPairsFromSigs(hashed: DataFrame, maxHamming: Int = 3,
-      chunks: Int = 4): DataFrame = {
+      chunks: Int = 4, agreeChunks: Int = 1): DataFrame = {
     require(chunks >= 2 && 64 % chunks == 0,
       s"chunks must divide 64 evenly and be >= 2 (got $chunks)")
-    require(maxHamming <= chunks - 1,
-      s"pigeonhole candidate generation is exact only for maxHamming <= chunks - 1 " +
-        s"(got maxHamming=$maxHamming, chunks=$chunks)")
+    require(agreeChunks >= 1 && agreeChunks <= chunks,
+      s"agreeChunks must be in [1, chunks] (got $agreeChunks)")
+    require(maxHamming <= chunks - agreeChunks,
+      s"pigeonhole candidate generation is exact only for maxHamming <= chunks - agreeChunks " +
+        s"(got maxHamming=$maxHamming, chunks=$chunks, agreeChunks=$agreeChunks)")
     val bits = 64 / chunks
+    require(agreeChunks * bits <= 60,
+      s"combined bucket key needs ${agreeChunks * bits} bits (> 60): lower agreeChunks")
     val mask = if (bits == 64) -1L else (1L << bits) - 1L
+    val combos = (0 until chunks).combinations(agreeChunks).toSeq
+    require(combos.length <= 512,
+      s"C($chunks, $agreeChunks) = ${combos.length} bucket entries per doc is impractical")
     // the signature frame feeds both sides of the chunk-bucket self-join;
     // materialize once so the per-doc hash expression doesn't run twice
     val sigs = hashed.transform(Materialize.once(_))
+    // one bucket entry per combo: key = the combo's chunk values packed
+    // into one long (combo identity rides in the posexplode position)
+    val comboVals = combos.map { combo =>
+      combo.zipWithIndex.map { case (chunkIdx, slot) =>
+        shiftleft(
+          shiftrightunsigned(col("sh"), chunkIdx * bits).bitwiseAND(lit(mask)),
+          slot * bits)
+      }.reduce[Column](_ + _)
+    }
     val chunked = sigs.select(col("id"), col("sh"),
-      posexplode(array((0 until chunks).map(i =>
-        shiftrightunsigned(col("sh"), i * bits).bitwiseAND(lit(mask))): _*)))
+      posexplode(array(comboVals: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
     val l = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("sh").as("sh_b"))

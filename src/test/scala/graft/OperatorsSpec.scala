@@ -565,11 +565,15 @@ class OperatorsSpec extends AnyFunSuite {
       5L -> (base ^ (1L << 2) ^ (1L << 19) ^ (1L << 37) ^ (1L << 53)), // hamming 4: excluded
       6L -> 0x7edcba9876543210L)                  // far away
       .toDF("id", "sh")
-    def pairs(chunks: Int): Set[(Long, Long, Long)] =
-      Dedup.simhashPairsFromSigs(sigs, maxHamming = 3, chunks = chunks)
+    def pairs(chunks: Int, agree: Int = 1): Set[(Long, Long, Long)] =
+      Dedup.simhashPairsFromSigs(sigs, maxHamming = 3, chunks = chunks,
+        agreeChunks = agree)
         .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
     val p4 = pairs(4)
     assert(p4 == pairs(8) && p4 == pairs(16))
+    // multi-chunk banding (the billion-doc occupancy configs) stays exact:
+    // radius bound chunks - agreeChunks >= 3 for (8,2), (8,4), (8,5)
+    assert(p4 == pairs(8, 2) && p4 == pairs(8, 4) && p4 == pairs(8, 5))
     assert(p4.contains((1L, 2L, 1L)) && p4.contains((1L, 3L, 2L)) && p4.contains((1L, 4L, 3L)))
     assert(!p4.exists { case (a, b, _) => Set(a, b).contains(5L) && Set(a, b).contains(1L) })
     // chunks too few for the radius is a hard error, not silent recall loss
@@ -577,6 +581,9 @@ class OperatorsSpec extends AnyFunSuite {
       Dedup.simhashPairsFromSigs(sigs, maxHamming = 4, chunks = 4))
     assertThrows[IllegalArgumentException](
       Dedup.simhashPairsFromSigs(sigs, maxHamming = 3, chunks = 3))
+    // banding shrinks the radius bound: 3 > 4 - 2
+    assertThrows[IllegalArgumentException](
+      Dedup.simhashPairsFromSigs(sigs, maxHamming = 3, chunks = 4, agreeChunks = 2))
   }
 
   test("simhashPairs excludes token-free documents (no degenerate all-zero bucket)") {

@@ -69,4 +69,31 @@ class PlanSpec extends AnyFunSuite {
       s"non-checkpoint RDD scan in row-index plan:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"prefix offsets not broadcast:\n$p")
   }
+
+  test("mm_resize: narrow plan — no shuffle anywhere in the decode stage") {
+    val p = planOf("mm_resize")
+    // decode/re-encode is the canonical narrow transform; an Exchange
+    // before the mapPartitions means someone added a shuffle to the
+    // per-row hot path (the final orderBy's Exchange is expected)
+    val beforeSort = p.substring(0, math.max(0, p.indexOf("Sort ")))
+    assert(!beforeSort.contains("Exchange hashpartitioning"),
+      s"unexpected hash shuffle before the decode stage:\n$p")
+  }
+
+  test("nextFitPackExact: exactly one shuffle (by shard), non-global sort") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"s${i % 4}", 100L)).toDF("id", "shard", "toks")
+    val out = graft.operators.Sampling.nextFitPackExact(df, "toks", "id", 1000L, "shard")
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // FormattedMode: tree lists "Exchange (n)", partitioning is in the
+    // details ("Arguments: hashpartitioning(...)")
+    assert("\\+- Exchange ".r.findAllIn(p).length == 1,
+      s"expected exactly one shard shuffle:\n$p")
+    assert(p.contains("hashpartitioning(shard"), s"shuffle not keyed by shard:\n$p")
+    // the Sort node must be partition-local (external, spilling) — a
+    // global sort would add a range-partitioning exchange
+    assert(!p.contains("rangepartitioning"), s"global sort crept in:\n$p")
+  }
 }
