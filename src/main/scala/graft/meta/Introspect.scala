@@ -231,7 +231,10 @@ object Introspect {
       days -> "d", h.toLong -> "h", m.toLong -> "m", s.toLong -> "s",
       (micros / 1000).toLong -> "ms", (micros % 1000).toLong -> "µs")
       .collect { case (v, u) if v > 0 => s"$v$u" }
-    sign + parts.mkString(" ")
+    // nonzero but sub-microsecond (unreachable from Spark's µs-precision
+    // intervals, but this is public API): never return "" — that is the
+    // null rendering
+    if (parts.isEmpty) "0s" else sign + parts.mkString(" ")
   }
 
   /** Null → "", floats with fixed decimals (default 2), durations/
@@ -246,10 +249,13 @@ object Introspect {
       case f: Float  => s"%.${floatDecimals}f".format(f.toDouble)
       case d: java.time.Duration => formatDuration(d)
       case p: java.time.Period =>
-        val sign = if (p.isNegative) "-" else ""
-        val n = if (p.isNegative) p.negated() else p
-        val parts = Seq(n.getYears.toLong -> "y", n.getMonths.toLong -> "mo")
-          .collect { case (v, u) if v > 0 => s"$v$u" }
+        // normalize via total months: Period.isNegative is true when ANY
+        // unit is negative, so Period.of(1, -2, 0) is really +10 months,
+        // not "-1y 2mo"
+        val tm = p.toTotalMonths
+        val sign = if (tm < 0) "-" else ""
+        val (y, mo) = (math.abs(tm) / 12, math.abs(tm) % 12)
+        val parts = Seq(y -> "y", mo -> "mo").collect { case (v, u) if v > 0 => s"$v$u" }
         if (parts.isEmpty) "0mo" else sign + parts.mkString(" ")
       case other     => other.toString
     }

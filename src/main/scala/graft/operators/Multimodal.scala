@@ -160,7 +160,10 @@ object Multimodal {
       .as(Encoders.product[MediaRow])
     ds.mapPartitions { it =>
       it.map { r =>
-        val m = ImageDecode.decode(r.content).getOrElse(DecodeStub.decode(r.content))
+        // NULL payload → empty payload: the stub path, not an NPE that
+        // aborts the task (the contract is "undecodable passes through")
+        val bytes = if (r.content == null) Array.emptyByteArray else r.content
+        val m = ImageDecode.decode(bytes).getOrElse(DecodeStub.decode(bytes))
         DecodedRow(r.id, m.width, m.height, m.channels, m.nBytes, m.format)
       }
     }(Encoders.product[DecodedRow])
@@ -180,11 +183,12 @@ object Multimodal {
       .as(Encoders.product[MediaRow])
     ds.mapPartitions { it =>
       it.map { r =>
-        ImageDecode.resize(r.content, w, h) match {
+        val payload = if (r.content == null) Array.emptyByteArray else r.content
+        ImageDecode.resize(payload, w, h) match {
           case Some(bytes) => ResizedRow(r.id, bytes, w.toLong, h.toLong, "png")
           case None =>
-            val m = DecodeStub.resize(DecodeStub.decode(r.content), w.toLong, h.toLong)
-            ResizedRow(r.id, r.content, m.width, m.height, m.format)
+            val m = DecodeStub.resize(DecodeStub.decode(payload), w.toLong, h.toLong)
+            ResizedRow(r.id, payload, m.width, m.height, m.format)
         }
       }
     }(Encoders.product[ResizedRow])

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -119,12 +120,21 @@ object Similarity {
     require(iters >= 0, s"iters must be >= 0 (got $iters)")
     val base = corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
-    val sampled =
+      // null AND non-finite elements are excluded from the fit: one Inf
+      // element would make its cell's mean Inf, whose normalization is
+      // NaN — a poisoned centroid that NearestCentroids then null-maps
+      // every row away from, collapsing the next iteration to nothing
+      .filter(col("v").isNotNull &&
+        !exists(col("v"), x => x.isNull || x.isNaN || x === Double.PositiveInfinity ||
+          x === Double.NegativeInfinity))
+    val sampled0 =
       if (sampleFraction >= 1.0) base
       else base.filter(
         pmod(xxhash64(col("id"), lit(seed)), lit(1000000L)) <
           lit((sampleFraction * 1000000L).toLong))
+    // the fit set is consumed once per Lloyd iteration — materialize it
+    // once instead of re-running the scan+filter+sample DAG iters times
+    val sampled = if (iters > 0) Materialize.once(sampled0) else sampled0
     var cents = sampleCentroids(corpus, idCol, vecCol, numCentroids, seed)
     val dim = cents.head.length
     var it = 0
@@ -145,7 +155,12 @@ object Similarity {
         val n = r.getLong(1).toDouble
         val mean = Array.tabulate(dim)(i => r.getDouble(2 + i) / n)
         val nrm = math.sqrt(mean.map(x => x * x).sum)
-        next(cell) = if (nrm == 0.0) cents(cell) else mean.map(_ / nrm)
+        // belt-and-braces with the element filter above: a zero or
+        // non-finite mean keeps the previous centroid rather than
+        // writing a degenerate one
+        next(cell) =
+          if (nrm == 0.0 || !java.lang.Double.isFinite(nrm)) cents(cell)
+          else mean.map(_ / nrm)
       }
       cents = next
       it += 1

@@ -79,6 +79,13 @@ class IntrospectSpec extends AnyFunSuite {
       YearMonthIntervalType()) == "1y 2mo")
     assert(Introspect.formatCell(java.time.Period.ZERO,
       YearMonthIntervalType()) == "0mo")
+    // mixed-sign periods normalize via total months (+10, not "-1y 2mo")
+    assert(Introspect.formatCell(java.time.Period.of(1, -2, 0),
+      YearMonthIntervalType()) == "10mo")
+    assert(Introspect.formatCell(java.time.Period.of(-1, -2, 0),
+      YearMonthIntervalType()) == "-1y 2mo")
+    // sub-microsecond nonzero durations never render as "" (null's form)
+    assert(Introspect.formatCell(Duration.ofNanos(500), dt) == "0s")
     // interval columns flow through a real frame: datediff-style interval
     val df = spark.sql(
       "SELECT INTERVAL '1 02:03:04' DAY TO SECOND AS d, INTERVAL '1-2' YEAR TO MONTH AS ym")

@@ -364,6 +364,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2L).width == 10L && out(2L).height == 8L)
   }
 
+  test("null binary payloads take the stub path in decode and resize (no task NPE)") {
+    val df = Seq((1L, Option.empty[Array[Byte]]), (2L, Option("ab".getBytes("UTF-8"))))
+      .toDF("id", "payload")
+    val dec = Multimodal.decodeImages(df, "id", "payload").collect().map(r => r.id -> r).toMap
+    assert(dec(1L).nBytes == 0L && dec(1L).width == 0L) // empty-payload stub
+    assert(dec(2L).nBytes == 2L)
+    val res = Multimodal.resizeImages(df, "id", "payload", 4, 4).collect()
+      .map(r => r.id -> r).toMap
+    assert(res(1L).width == 4L && res(1L).content.length == 0)
+  }
+
   test("frame sampling yields stride offsets") {
     val df = Seq((1L, "0123456789")).toDF("id", "t")
       .select($"id", $"t".cast("binary").as("payload"))

@@ -72,12 +72,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("mm_resize: narrow plan — no shuffle anywhere in the decode stage") {
     val p = planOf("mm_resize")
-    // decode/re-encode is the canonical narrow transform; an Exchange
-    // before the mapPartitions means someone added a shuffle to the
-    // per-row hot path (the final orderBy's Exchange is expected)
-    val beforeSort = p.substring(0, math.max(0, p.indexOf("Sort ")))
-    assert(!beforeSort.contains("Exchange hashpartitioning"),
-      s"unexpected hash shuffle before the decode stage:\n$p")
+    // decode/re-encode is the canonical narrow transform. FormattedMode
+    // renders partitioning only in the details ("Arguments:
+    // hashpartitioning(...)"), so grep that — the ONLY Exchange allowed
+    // is the final orderBy's range partitioning
+    assert(!p.contains("hashpartitioning"),
+      s"unexpected hash shuffle in the decode stage:\n$p")
+    assert("\\+- Exchange ".r.findAllIn(p).length == 1,
+      s"expected only the orderBy exchange:\n$p")
   }
 
   test("nextFitPackExact: exactly one shuffle (by shard), non-global sort") {
