@@ -524,12 +524,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ---- corpus-size-driven LSH parameter heuristics -----------------------
+
+  /** Sign-LSH width for [[embeddingNearDupPairs]] sized to the corpus:
+    * enough bits that EXPECTED bucket occupancy ≈ `targetPerBucket`
+    * (each bit halves it), clamped to [4, 24]. Per-bucket verify work is
+    * then ~targetPerBucket²/2 cosines regardless of corpus size — the
+    * knob a 100 TB pipeline should derive, not hard-code. Recall per
+    * bucket width is a separate trade (more bits split true near-dup
+    * pairs more often); production pipelines typically run several
+    * independent hyperplane seeds and union candidates when signBits is
+    * pushed high. */
+  def recommendedSignBits(corpusCount: Long, targetPerBucket: Long = 1024L): Int = {
+    require(corpusCount >= 0 && targetPerBucket >= 1)
+    val ratio = math.max(1.0, corpusCount.toDouble / targetPerBucket)
+    math.min(24, math.max(4, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
+  }
+
+  /** (chunks, agreeChunks) for [[simhashPairs]] sized to the corpus at
+    * the default radius 3: the 16-bit single-chunk buckets are right
+    * until expected occupancy corpusCount/2^16 makes the per-bucket
+    * self-join dominate; past `bandingThreshold` (default ~64M docs →
+    * occupancy ≈ 1k) switch to (8, 4) banding — 32-bit keys, exact for
+    * radius ≤ 4, ~3,700× fewer expected candidates. */
+  def recommendedSimhashBanding(corpusCount: Long,
+      bandingThreshold: Long = 64L << 20): (Int, Int) =
+    if (corpusCount <= bandingThreshold) (4, 1) else (8, 4)
+
   // ---- embedding cosine near-dup ----------------------------------------
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold. Candidates via
     * random-hyperplane LSH (signBits-bit signature buckets), then exact
     * cosine verification inside buckets. Deterministic hyperplanes from
-    * `seed`. At small scale set signBits=0 to brute-force all pairs. */
+    * `seed`. At small scale set signBits=0 to brute-force all pairs;
+    * at large scale derive signBits from [[recommendedSignBits]]. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, signBits: Int = 8, seed: Long = 42L,
       dim: Int = 64): DataFrame = {

@@ -597,6 +597,22 @@ class OperatorsSpec extends AnyFunSuite {
       Dedup.simhashPairsFromSigs(sigs, maxHamming = 3, chunks = 4, agreeChunks = 2))
   }
 
+  test("LSH parameter heuristics scale with corpus size and stay in bounds") {
+    import Dedup.{recommendedSignBits, recommendedSimhashBanding}
+    assert(recommendedSignBits(0L) == 4)                   // floor
+    assert(recommendedSignBits(1000L) == 4)                // tiny corpus → floor
+    assert(recommendedSignBits(1L << 20) == 10)            // 1M/1024 = 2^10
+    assert(recommendedSignBits(1L << 30) == 20)            // 1B/1024 = 2^20
+    assert(recommendedSignBits(Long.MaxValue / 2) == 24)   // ceiling
+    // +1 bit per corpus doubling (occupancy invariant)
+    assert(recommendedSignBits(2L << 20) == recommendedSignBits(1L << 20) + 1)
+    assert(recommendedSimhashBanding(1000000L) == ((4, 1)))
+    assert(recommendedSimhashBanding(1L << 31) == ((8, 4)))
+    // the banded recommendation is actually legal for the default radius
+    val (c, a) = recommendedSimhashBanding(1L << 31)
+    assert(3 <= c - a)
+  }
+
   test("simhashPairs excludes token-free documents (no degenerate all-zero bucket)") {
     val short = Seq((1L, "hello world again"), (2L, "hello world again"),
       (3L, ""), (4L, " \t\n"), (5L, "  ")).toDF("doc_id", "text")
