@@ -103,6 +103,80 @@ object Similarity {
     }
   }
 
+  /** k-means++ seeding over a bounded, deterministic corpus sample: the
+    * first center is the hash-minimal sample vector; each next center is
+    * drawn with probability ∝ squared chordal distance to its nearest
+    * chosen center (for unit vectors, ‖x−c‖² = 2−2·cos — the standard
+    * D² weighting, which spreads seeds across clusters instead of
+    * landing several in one dense blob the way uniform sampling does).
+    *
+    * Driver-side ON PURPOSE: k-means++ is inherently sequential (each
+    * draw depends on all previous centers), so production systems run it
+    * on a sample that fits one machine — `sampleSize` unit vectors
+    * (default 10k × dim doubles ≈ a few MB), fetched with the same
+    * hash-ordered determinism as [[sampleCentroids]]. Randomness comes
+    * from a splitmix64 stream seeded by `seed` — reproducible across
+    * runs and clusters. */
+  def kmeansPlusPlusSeeds(corpus: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, seed: Long, sampleSize: Int = 10000): Array[Array[Double]] = {
+    require(numCentroids >= 1 && sampleSize >= numCentroids,
+      s"need sampleSize >= numCentroids >= 1 (got $sampleSize, $numCentroids)")
+    val sample = corpus
+      .select(col(vecCol).cast("array<double>").as("v"),
+        md5(concat(col(idCol).cast("string"), lit(seed.toString))).as("__r"))
+      .filter(col("v").isNotNull && !exists(col("v"), x =>
+        x.isNull || x.isNaN || x === Double.PositiveInfinity ||
+          x === Double.NegativeInfinity))
+      .orderBy("__r").limit(sampleSize)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
+      .map { arr =>
+        val nrm = math.sqrt(arr.map(x => x * x).sum)
+        if (nrm == 0.0) arr else arr.map(_ / nrm)
+      }
+    require(sample.nonEmpty, "kmeansPlusPlusSeeds: corpus has no usable vectors")
+    val k = math.min(numCentroids, sample.length)
+    def splitmix(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def unitReal(x: Long): Double = (x >>> 11).toDouble / (1L << 53).toDouble
+    val centers = scala.collection.mutable.ArrayBuffer(sample(0))
+    // minD2(i) = squared chordal distance from sample(i) to nearest center
+    val minD2 = sample.map { v =>
+      val d = v.zip(centers(0)).map { case (a, b) => a * b }.sum
+      math.max(0.0, 2.0 - 2.0 * d)
+    }
+    var draw = 0
+    while (centers.length < k) {
+      val total = minD2.sum
+      if (total <= 0.0) {
+        // all remaining points coincide with a center: fall back to the
+        // next unused sample vector so we still return k distinct seeds
+        centers += sample(centers.length)
+      } else {
+        var target = unitReal(splitmix(seed + 0x5eedL + draw)) * total
+        var idx = 0
+        while (idx < sample.length - 1 && target > minD2(idx)) {
+          target -= minD2(idx); idx += 1
+        }
+        centers += sample(idx)
+      }
+      val c = centers.last
+      var i = 0
+      while (i < sample.length) {
+        val d = sample(i).zip(c).map { case (a, b) => a * b }.sum
+        val d2 = math.max(0.0, 2.0 - 2.0 * d)
+        if (d2 < minD2(i)) minD2(i) = d2
+        i += 1
+      }
+      draw += 1
+    }
+    centers.toArray
+  }
+
   /** Lloyd-refined k-means centroids: [[sampleCentroids]] seeds, then
     * `iters` distributed assign/average rounds. Each round is ONE
     * map-side pass (native [[graft.functions.HashFunctions.nearestCentroids]]
@@ -115,7 +189,7 @@ object Similarity {
     * argmax-cosine contract of [[ivfCentroidTopK]]. */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int, seed: Long, iters: Int = 5,
-      sampleFraction: Double = 1.0): Array[Array[Double]] = {
+      sampleFraction: Double = 1.0, plusPlusSample: Int = 0): Array[Array[Double]] = {
     import graft.functions.HashFunctions.nearestCentroids
     require(iters >= 0, s"iters must be >= 0 (got $iters)")
     val base = corpus
@@ -135,7 +209,13 @@ object Similarity {
     // the fit set is consumed once per Lloyd iteration — materialize it
     // once instead of re-running the scan+filter+sample DAG iters times
     val sampled = if (iters > 0) Materialize.once(sampled0) else sampled0
-    var cents = sampleCentroids(corpus, idCol, vecCol, numCentroids, seed)
+    // plusPlusSample > 0 → D²-weighted k-means++ seeds over that many
+    // sampled vectors (better-spread starting centers); 0 → the plain
+    // hash-minimal sample
+    var cents =
+      if (plusPlusSample > 0)
+        kmeansPlusPlusSeeds(corpus, idCol, vecCol, numCentroids, seed, plusPlusSample)
+      else sampleCentroids(corpus, idCol, vecCol, numCentroids, seed)
     val dim = cents.head.length
     var it = 0
     while (it < iters) {

@@ -489,6 +489,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(domAxes == Set(0, 2), s"centroids did not split the blobs: $domAxes")
   }
 
+  test("kmeans++ seeds are deterministic, distinct, and spread across blobs") {
+    val blobA = (1L to 50L).map(i => (i, Array(1.0f + (i % 5) * 0.01f, 0.02f * (i % 3), 0f, 0f)))
+    val blobB = (51L to 100L).map(i => (i, Array(0f, 0.02f * (i % 3), 1.0f + (i % 5) * 0.01f, 0f)))
+    val df = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val seeds = Similarity.kmeansPlusPlusSeeds(df, "vec_id", "embedding",
+      numCentroids = 2, seed = 42L, sampleSize = 100)
+    val again = Similarity.kmeansPlusPlusSeeds(df, "vec_id", "embedding",
+      numCentroids = 2, seed = 42L, sampleSize = 100)
+    assert(seeds.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // D^2 weighting: with two far-apart blobs the second seed lands in
+    // the other blob (a uniform draw would miss ~half the time)
+    val domAxes = seeds.map(c => c.map(math.abs).zipWithIndex.maxBy(_._1)._2).toSet
+    assert(domAxes == Set(0, 2), s"seeds not spread across blobs: $domAxes")
+    // identical-point degenerate corpus still yields the requested count
+    val dup = (1L to 10L).map(i => (i, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val ds = Similarity.kmeansPlusPlusSeeds(dup, "vec_id", "embedding",
+      numCentroids = 3, seed = 42L, sampleSize = 10)
+    assert(ds.length == 3)
+    // end-to-end through the fit
+    val cents = Similarity.kmeansCentroids(df, "vec_id", "embedding",
+      numCentroids = 2, seed = 42L, iters = 3, plusPlusSample = 100)
+    val fitAxes = cents.map(c => c.map(math.abs).zipWithIndex.maxBy(_._1)._2).toSet
+    assert(fitAxes == Set(0, 2))
+  }
+
   test("stratifiedSample is deterministic, per-stratum, and composes with hashSplit") {
     val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) "en" else "fr")).toDF("id", "lang")
     val sampled = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 20), defaultPct = 100)
