@@ -35,6 +35,17 @@ object Materialize {
     * checkpoints into this directory instead of `localCheckpoint`. */
   val DirKey = "graft.checkpoint.dir"
 
+  /** The exact `DirKey` value most recently applied per SparkContext.
+    * `sc.getCheckpointDir` cannot be compared against the conf value
+    * directly — setCheckpointDir nests a per-session UUID subdir and may
+    * qualify the scheme — and a substring test is wrong the other way:
+    * changing the conf from `/ckpt/run-2` to `/ckpt` would match the
+    * stale path and silently keep checkpointing into run-2. Weak keys so
+    * a stopped context doesn't pin the entry. */
+  private val appliedDir =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, String]())
+
   /** Materialize `ds` once and truncate lineage.
     *
     * @param eager materialize immediately (runs a job now) vs on first
@@ -43,6 +54,8 @@ object Materialize {
     *              an accumulator-folded convergence count) or when the
     *              first consumer would otherwise run the upstream inside
     *              a BroadcastExchange (subject to broadcastTimeout).
+    *              Reliable mode ignores `eager=false` and always
+    *              materializes now — see the in-method rationale.
     */
   def once[T](ds: Dataset[T], eager: Boolean = false): Dataset[T] = {
     val spark = ds.sparkSession
@@ -51,23 +64,29 @@ object Materialize {
         val sc = spark.sparkContext
         // follow the conf on every call — a once-only set would silently
         // keep writing "durable" checkpoints to a stale (possibly
-        // decommissioned) path after the conf changes. setCheckpointDir
-        // nests a per-session UUID subdir under `dir` (and may qualify
-        // the scheme), hence the substring test.
-        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+        // decommissioned) path after the conf changes. Compare against
+        // the exact value last APPLIED (not sc.getCheckpointDir, which
+        // is dir + a session UUID subdir).
+        if (!Option(appliedDir.get(sc)).contains(dir)) {
+          sc.setCheckpointDir(dir); appliedDir.put(sc, dir); ()
+        }
         // persist-before-checkpoint: reliable checkpoint materializes the
         // RDD in a SEPARATE job that re-runs the lineage — without the
         // persist every site would compute its expensive upstream twice
         // (and side-effect jobs, e.g. accumulator-folded convergence
         // counts, would double-fire)
         ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cp = ds.checkpoint(eager = eager)
-        // eager: checkpoint files exist, the hot cache is no longer
-        // needed (blocking=false, so no extra job). Lazy: the persist
-        // must survive until first materialization — it is released when
-        // the session ends; callers on the lazy path trade that small
-        // cache residue for the single-compute guarantee.
-        if (eager) { ds.unpersist(blocking = false); () }
+        // Reliable mode is always EAGER, even when the caller asked for
+        // lazy: the persist can only be released once the checkpoint has
+        // materialized, and a lazy reliable checkpoint would pin a
+        // corpus-scale MEMORY_AND_DISK frame per call site for the whole
+        // session (evicting useful blocks on a long-running cluster).
+        // Every engine site consumes its frame immediately, so eager
+        // merely moves the same job a moment earlier.
+        val cp = ds.checkpoint(eager = true)
+        // checkpoint files exist; the hot cache is no longer needed
+        // (blocking=false, so no extra job)
+        ds.unpersist(blocking = false)
         cp
       case None =>
         ds.localCheckpoint(eager = eager)

@@ -25,10 +25,14 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects natively:
     // read the raw int64 nanos and downcast to a µs TimestampType column.
+    // FLOOR division, not DIV (truncate-toward-zero): the q36 oracle uses
+    // DuckDB's `epoch_ns(ts) // 1000` which floors, so a pre-1970 ns
+    // timestamp would differ by 1µs between engines under DIV.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/$name.parquet")
     val df =
-      if (name == "events") raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      if (name == "events") raw.withColumn("ts", expr(
+        "timestamp_micros(CASE WHEN ts % 1000 < 0 THEN ts DIV 1000 - 1 ELSE ts DIV 1000 END)"))
       else raw
     df.createOrReplaceTempView(name)
     df

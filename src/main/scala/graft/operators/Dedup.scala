@@ -360,8 +360,8 @@ object Dedup {
 
   /** Corpus with SimHash near-duplicates (Hamming ≤ maxHamming) removed. */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, seed: Long = 42L, chunks: Int = 4,
-      agreeChunks: Int = 1): DataFrame =
+      maxHamming: Int = 3, seed: Long = 42L, chunks: Int = Auto,
+      agreeChunks: Int = Auto): DataFrame =
     dropNearDuplicates(df, idCol,
       simhashPairs(df, idCol, textCol, maxHamming, seed, chunks, agreeChunks))
 
@@ -374,7 +374,7 @@ object Dedup {
   /** Corpus with embedding-cosine near-duplicates (cos ≥ threshold)
     * removed. */
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, signBits: Int = 8, seed: Long = 42L,
+      threshold: Double = 0.95, signBits: Int = Auto, seed: Long = 42L,
       dim: Int = 64): DataFrame =
     dropNearDuplicates(df, idCol,
       embeddingNearDupPairs(df, idCol, vecCol, threshold, signBits, seed, dim))
@@ -389,8 +389,8 @@ object Dedup {
     * ~3,700× fewer expected candidates at radius ≤ 4; see
     * [[simhashPairsFromSigs]] for the trade table. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, seed: Long = 42L, chunks: Int = 4,
-      agreeChunks: Int = 1): DataFrame = {
+      maxHamming: Int = 3, seed: Long = 42L, chunks: Int = Auto,
+      agreeChunks: Int = Auto): DataFrame = {
     // exclude token-free documents (mirrors minhashPairs' empty-doc
     // exclusion): every no-word doc simhashes to the degenerate all-zero
     // signature, so empties would pair with each other O(n²) at hamming 0
@@ -425,24 +425,33 @@ object Dedup {
     *     band" fix for bucket occupancy).
     * 64 must divide evenly into `chunks` ranges. */
   def simhashPairsFromSigs(hashed: DataFrame, maxHamming: Int = 3,
-      chunks: Int = 4, agreeChunks: Int = 1): DataFrame = {
-    require(chunks >= 2 && 64 % chunks == 0,
-      s"chunks must divide 64 evenly and be >= 2 (got $chunks)")
-    require(agreeChunks >= 1 && agreeChunks <= chunks,
-      s"agreeChunks must be in [1, chunks] (got $agreeChunks)")
-    require(maxHamming <= chunks - agreeChunks,
-      s"pigeonhole candidate generation is exact only for maxHamming <= chunks - agreeChunks " +
-        s"(got maxHamming=$maxHamming, chunks=$chunks, agreeChunks=$agreeChunks)")
-    val bits = 64 / chunks
-    require(agreeChunks * bits <= 60,
-      s"combined bucket key needs ${agreeChunks * bits} bits (> 60): lower agreeChunks")
-    val mask = if (bits == 64) -1L else (1L << bits) - 1L
-    val combos = (0 until chunks).combinations(agreeChunks).toSeq
-    require(combos.length <= 512,
-      s"C($chunks, $agreeChunks) = ${combos.length} bucket entries per doc is impractical")
+      chunks: Int = Auto, agreeChunks: Int = Auto): DataFrame = {
+    require(chunks != Auto || agreeChunks == Auto,
+      "agreeChunks without chunks is ambiguous: pass chunks too (or leave both Auto)")
     // the signature frame feeds both sides of the chunk-bucket self-join;
     // materialize once so the per-doc hash expression doesn't run twice
     val sigs = hashed.transform(Materialize.once(_))
+    // Auto: one count over the materialized signatures (a pass the join
+    // pays anyway) sizes the banding to the corpus — both configurations
+    // are exact at the requested radius, so this never changes results.
+    // Explicit chunks with Auto agreeChunks keeps the single-chunk bands.
+    val (ch, ag) =
+      if (chunks == Auto) resolveSimhashBanding(sigs.count(), maxHamming)
+      else (chunks, if (agreeChunks == Auto) 1 else agreeChunks)
+    require(ch >= 2 && 64 % ch == 0,
+      s"chunks must divide 64 evenly and be >= 2 (got $ch)")
+    require(ag >= 1 && ag <= ch,
+      s"agreeChunks must be in [1, chunks] (got $ag)")
+    require(maxHamming <= ch - ag,
+      s"pigeonhole candidate generation is exact only for maxHamming <= chunks - agreeChunks " +
+        s"(got maxHamming=$maxHamming, chunks=$ch, agreeChunks=$ag)")
+    val bits = 64 / ch
+    require(ag * bits <= 60,
+      s"combined bucket key needs ${ag * bits} bits (> 60): lower agreeChunks")
+    val mask = if (bits == 64) -1L else (1L << bits) - 1L
+    val combos = (0 until ch).combinations(ag).toSeq
+    require(combos.length <= 512,
+      s"C($ch, $ag) = ${combos.length} bucket entries per doc is impractical")
     // one bucket entry per combo: key = the combo's chunk values packed
     // into one long (combo identity rides in the posexplode position)
     val comboVals = combos.map { combo =>
@@ -551,28 +560,71 @@ object Dedup {
       bandingThreshold: Long = 64L << 20): (Int, Int) =
     if (corpusCount <= bandingThreshold) (4, 1) else (8, 4)
 
+  /** Sentinel default for LSH parameters: derive from the corpus count
+    * at run time (one count over an already-materialized frame) instead
+    * of a hard-coded value. A user processing 1B docs with defaults then
+    * gets parameters that survive that scale, not the toy-corpus ones. */
+  val Auto: Int = Int.MinValue
+
+  /** [[Auto]] resolution for [[embeddingNearDupPairs]]'s `signBits`:
+    * corpora at or under `bruteFloor` run the EXACT all-pairs path
+    * (signBits=0 — a few thousand vectors verify faster than LSH
+    * bucketing recalls, and exactness is free); larger corpora get
+    * occupancy-targeted [[recommendedSignBits]]. 2^31 docs → 21 bits. */
+  def resolveSignBits(corpusCount: Long, bruteFloor: Long = 2048L): Int =
+    if (corpusCount <= bruteFloor) 0 else recommendedSignBits(corpusCount)
+
+  /** [[Auto]] resolution for [[simhashPairsFromSigs]]' banding. Both
+    * candidate configurations are pigeonhole-EXACT at their admitted
+    * radius, so auto-banding never changes RESULTS — only candidate
+    * volume: ≤ 64M docs → (4, 1) (radius ≤ 3); larger → (8, 4) (radius
+    * ≤ 4, the billion-doc banding). maxHamming == 4 forces (8, 4) at
+    * any size ((4, 1) cannot express radius 4); beyond 4 there is no
+    * scale-safe exact banding of a 64-bit signature — callers must pick
+    * their own recall/volume trade explicitly. */
+  def resolveSimhashBanding(corpusCount: Long, maxHamming: Int): (Int, Int) = {
+    require(maxHamming <= 4,
+      s"auto-banding supports maxHamming <= 4 (got $maxHamming): every exact banding at " +
+        "radius >= 5 has catastrophic bucket occupancy — pass chunks/agreeChunks explicitly")
+    if (maxHamming == 4) (8, 4) else recommendedSimhashBanding(corpusCount)
+  }
+
   // ---- embedding cosine near-dup ----------------------------------------
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold. Candidates via
     * random-hyperplane LSH (signBits-bit signature buckets), then exact
     * cosine verification inside buckets. Deterministic hyperplanes from
-    * `seed`. At small scale set signBits=0 to brute-force all pairs;
-    * at large scale derive signBits from [[recommendedSignBits]]. */
+    * `seed`.
+    *
+    * The default `signBits = Auto` sizes the signature to the corpus via
+    * [[resolveSignBits]]: tiny corpora (≤ 2048 vectors) run the exact
+    * all-pairs path, larger ones get occupancy-targeted LSH — defaults
+    * that survive a 1B-vector corpus instead of 2^8 buckets. Pass
+    * signBits=0 explicitly to force exact all-pairs at any size (the
+    * oracle-parity opt-in), or a positive width to pin the recall/volume
+    * trade. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, signBits: Int = 8, seed: Long = 42L,
+      threshold: Double = 0.95, signBits: Int = Auto, seed: Long = 42L,
       dim: Int = 64): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val base0 = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.norm(col(vecCol)).as("nrm"))
+    // Auto: materialize the projected frame once (both join sides read it
+    // anyway) and size the signature from its count
+    val (base, bits) =
+      if (signBits == Auto) {
+        val m = base0.transform(Materialize.once(_))
+        (m, resolveSignBits(m.count()))
+      } else (base0, signBits)
     val l = base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
     val r = base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
     val paired =
-      if (signBits <= 0)
+      if (bits <= 0)
         // exact all-pairs: a broadcast nested-loop cross join parallelizes
         // over the left side's partitions (a constant-key equi-join would
         // funnel EVERY pair through one task)
         l.crossJoin(broadcast(r))
       else {
-        val planes = Similarity.hyperplanes(signBits, dim, seed)
+        val planes = Similarity.hyperplanes(bits, dim, seed)
         val lb = l.withColumn("bucket", Similarity.signBucket(col("v_a"), planes))
         val rb = r.withColumn("bucket", Similarity.signBucket(col("v_b"), planes))
         lb.join(rb, Seq("bucket"))

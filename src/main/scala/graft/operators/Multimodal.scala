@@ -69,12 +69,14 @@ object Multimodal {
     // CPU-heavy decode hot path, and tmpdir churn across executors)
     javax.imageio.ImageIO.setUseCache(false)
 
-    /** Max pixels accepted from a self-declared GIF/BMP header (guards
-      * against decode bombs: a garbage header declaring a huge canvas
-      * would make ImageIO allocate the pixel buffer BEFORE any decode
-      * error surfaces — and OutOfMemoryError is not a catchable decode
-      * failure). PNG/JPEG magics contain bytes that cannot occur in
-      * UTF-8 text, so they only ever fire on genuine binary payloads. */
+    /** Max pixels accepted from a self-declared image header (guards
+      * against decode bombs: a header declaring a huge canvas makes
+      * ImageIO allocate the full pixel raster BEFORE any decode error
+      * surfaces — and OutOfMemoryError is not a catchable decode
+      * failure). Enforced for every container format: GIF/BMP during
+      * sniff, PNG (IHDR) and JPEG (SOF) via [[declaredDims]] before
+      * ImageIO is ever called — a genuine malicious PNG/JPEG payload
+      * must not reach the allocator either. */
     val MaxHeaderPixels: Long = 64L * 1024 * 1024
 
     private def u16le(c: Array[Byte], i: Int): Int =
@@ -112,8 +114,79 @@ object Multimodal {
       else None
     }
 
+    private def u16be(c: Array[Byte], i: Int): Int =
+      ((c(i) & 0xff) << 8) | (c(i + 1) & 0xff)
+    private def u32be(c: Array[Byte], i: Int): Long =
+      (u16be(c, i).toLong << 16) | u16be(c, i + 2).toLong
+
+    /** Width×height the container header DECLARES, parsed without any
+      * decoding library — what ImageIO would allocate a raster for.
+      * None = the header does not parse far enough to know; treat as
+      * unsafe (fall through to the stub) rather than hand unparseable
+      * bytes to an allocator we cannot bound. */
+    private[operators] def declaredDims(content: Array[Byte], fmt: String): Option[(Long, Long)] =
+      fmt match {
+        case "png" =>
+          // magic(8) ++ IHDR chunk: len(4)=13, "IHDR"(4), width u32be @16,
+          // height u32be @20 (PNG spec §11.2.2 — IHDR MUST be first)
+          if (content.length >= 24 && content(12) == 'I' && content(13) == 'H' &&
+              content(14) == 'D' && content(15) == 'R')
+            Some((u32be(content, 16), u32be(content, 20)))
+          else None
+        case "jpeg" => jpegSofDims(content)
+        case "gif" => // sniff already validated bounds; re-derive for uniformity
+          Some((u16le(content, 6).toLong, u16le(content, 8).toLong))
+        case "bmp" =>
+          // BITMAPINFOHEADER: biWidth i32le @18, biHeight i32le @22 (height
+          // may be negative = top-down). The sniff's size==payload check
+          // bounds the FILE, not the raster: an RLE-compressed BMP can be
+          // tiny on disk yet declare a huge canvas.
+          if (content.length >= 26) {
+            val w = (u32le(content, 18) << 32) >> 32 // sign-extend i32
+            val h = (u32le(content, 22) << 32) >> 32
+            Some((w, math.abs(h)))
+          } else None
+        case _ => None
+      }
+
+    /** Walk JPEG segments to the first SOFn (C0–CF minus C4/C8/CC) and
+      * read its declared height/width (big-endian, after the 1-byte
+      * precision field). Stops at SOS — scan data follows, a SOF can no
+      * longer appear before the decoder would need one. */
+    private def jpegSofDims(c: Array[Byte]): Option[(Long, Long)] = {
+      var i = 2 // past FFD8
+      while (i + 4 <= c.length) {
+        if ((c(i) & 0xff) != 0xff) return None // desynced: not a marker
+        var j = i
+        while (j + 1 < c.length && (c(j + 1) & 0xff) == 0xff) j += 1 // fill bytes
+        val marker = if (j + 1 < c.length) c(j + 1) & 0xff else return None
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) { i = j + 2 }
+        else {
+          if (j + 4 > c.length) return None
+          val len = u16be(c, j + 2)
+          if (len < 2) return None
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) {
+            if (j + 9 > c.length) return None
+            return Some((u16be(c, j + 7).toLong, u16be(c, j + 5).toLong)) // (w, h)
+          }
+          if (marker == 0xda) return None // SOS before any SOF
+          i = j + 2 + len
+        }
+      }
+      None
+    }
+
+    /** True iff the header-declared raster is positive and within
+      * [[MaxHeaderPixels]] — the precondition for calling ImageIO. */
+    private def rasterBounded(content: Array[Byte], fmt: String): Boolean =
+      declaredDims(content, fmt).exists { case (w, h) =>
+        w > 0 && h > 0 && w * h <= MaxHeaderPixels
+      }
+
     def decode(content: Array[Byte]): Option[MediaMeta] =
-      sniffFormat(content).flatMap { fmt =>
+      sniffFormat(content).filter(rasterBounded(content, _)).flatMap { fmt =>
         try {
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
           if (img == null) None
@@ -130,7 +203,7 @@ object Multimodal {
       * as PNG (lossless + deterministic — JPEG re-encoding bytes vary by
       * encoder build). None when the payload isn't a decodable image. */
     def resize(content: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
-      sniffFormat(content).flatMap { _ =>
+      sniffFormat(content).filter(rasterBounded(content, _)).flatMap { _ =>
         try {
           val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
           if (src == null) None

@@ -90,9 +90,14 @@ object Similarity {
     val rows = corpus
       .select(col(vecCol).cast("array<double>").as("v"),
         md5(concat(col(idCol).cast("string"), lit(seed.toString))).as("__r"))
-      // one null vector (or null element) whose md5 sorts into the top
-      // numCentroids would otherwise NPE centroid construction
-      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
+      // one null vector (or null/NaN/Inf element) whose md5 sorts into the
+      // top numCentroids would otherwise poison a centroid: NPE for nulls,
+      // and a NaN/Inf element norm-normalizes to NaN, which makes
+      // NearestCentroids return null for EVERY row (IVF collapses to
+      // empty). Same predicate as kmeansPlusPlusSeeds/kmeansCentroids.
+      .filter(col("v").isNotNull && !exists(col("v"), x =>
+        x.isNull || x.isNaN || x === Double.PositiveInfinity ||
+          x === Double.NegativeInfinity))
       .orderBy("__r").limit(numCentroids)
       .select("v").collect()
     require(rows.nonEmpty, "sampleCentroids: corpus has no non-null vectors")

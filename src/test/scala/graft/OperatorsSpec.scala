@@ -638,6 +638,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(3 <= c - a)
   }
 
+  test("Auto LSH defaults: 2^31-row corpus auto-selects (8,4) banding and >= 21 sign bits") {
+    import Dedup.{resolveSignBits, resolveSimhashBanding}
+    // the billion-doc scenario the defaults must survive: a user calling
+    // simhashPairs / embeddingNearDupPairs with NO explicit parameters
+    assert(resolveSimhashBanding(1L << 31, maxHamming = 3) == ((8, 4)))
+    assert(resolveSignBits(1L << 31) >= 21)
+    // small corpora resolve to today's parameters / the documented floor
+    assert(resolveSimhashBanding(500L, maxHamming = 3) == ((4, 1)))
+    assert(resolveSignBits(500L) == 0)        // <= bruteFloor → exact all-pairs
+    assert(resolveSignBits(2049L) == 4)       // just past the floor → LSH minimum
+    // radius 4 needs the banded config at any size ((4,1) can't express it)
+    assert(resolveSimhashBanding(500L, maxHamming = 4) == ((8, 4)))
+    // radius 5+ has no scale-safe exact banding: explicit params required
+    assertThrows[IllegalArgumentException](resolveSimhashBanding(500L, maxHamming = 5))
+  }
+
+  test("Auto LSH defaults resolve at the frame level and match explicit parameters") {
+    // simhash: Auto banding on a tiny corpus == explicit (4,1); both exact
+    val sigs = Seq(
+      (1L, 0x0123456789abcdefL), (2L, 0x0123456789abcdefL ^ (1L << 7)),
+      (3L, 0x7edcba9876543210L)).toDF("id", "sh")
+    val auto = Dedup.simhashPairsFromSigs(sigs, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val explicit4 = Dedup.simhashPairsFromSigs(sigs, maxHamming = 3, chunks = 4, agreeChunks = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(auto == explicit4 && auto.contains((1L, 2L, 1L)))
+    // agreeChunks without chunks is rejected, chunks alone keeps 1 band
+    assertThrows[IllegalArgumentException](
+      Dedup.simhashPairsFromSigs(sigs, maxHamming = 3, agreeChunks = 2))
+    // embedding: Auto on a tiny corpus == the exact all-pairs path
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val autoPairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brutePairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.9, signBits = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(autoPairs == brutePairs && autoPairs == Set((1L, 2L)))
+  }
+
   test("simhashPairs excludes token-free documents (no degenerate all-zero bucket)") {
     val short = Seq((1L, "hello world again"), (2L, "hello world again"),
       (3L, ""), (4L, " \t\n"), (5L, "  ")).toDF("doc_id", "text")
