@@ -35,7 +35,13 @@ object Bench {
       .map(s => s.trim.toIntOption.getOrElse(
         sys.error(s"SPARK_GRAFT_REPEAT must be an integer, got '$s'")))
       .getOrElse(1).max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1_agg,t6_row_index — run a subset while
+    // iterating locally; the driver never sets it (full run)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -453,7 +453,16 @@ object SparkEntry {
     }),
 
     "dedup_embedding" -> ((s, dir) => {
-      Dedup.embeddingNearDupPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      // The gate runs the EXACT all-pairs opt-in (signBits = 0) for oracle
+      // parity — quadratic BY DESIGN, so its input must stay bounded or a
+      // scale-up bench measures the gate's O(n²), not the engine (whose
+      // default is LSH-bucketed): cap the corpus to the 2000 md5-smallest
+      // vec_ids, deterministic and engine-portable. sf0.01's 500 vectors
+      // are all kept (cap does not bind → result unchanged); at sf0.1+ the
+      // gate cost is ~constant.
+      val emb = tbl(s, dir, "embeddings")
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(2000)
+      Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
         threshold = 0.35, signBits = 0)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
         .orderBy("id_a", "id_b")
@@ -1228,12 +1237,15 @@ object SparkEntry {
     "ann_brute_topk" -> annBruteOracleSql,
 
     "dedup_embedding" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      """WITH capped AS (
+        |  SELECT * FROM embeddings
+        |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT 2000)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(
         |    list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
         |    (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
         |     sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cosine
-        |FROM embeddings a, embeddings b
+        |FROM capped a, capped b
         |WHERE a.vec_id < b.vec_id
         |  AND list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
         |      (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *

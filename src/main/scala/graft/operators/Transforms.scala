@@ -204,45 +204,73 @@ object AddRowIndex {
     * then a narrow pass — expressed in DataFrame land:
     * `monotonically_increasing_id` is documented as
     * (partitionId << 33) + recordNumber, so the in-partition record
-    * number is `mid - (pid << 33)`, and the global index adds a
-    * broadcast prefix-sum of partition sizes (numPartitions rows — the
-    * tiny single-partition window over them is fine at any scale).
+    * number is `mid - (pid << 33)`, and the global index adds the
+    * prefix-sum of partition sizes. The sizes are COLLECTED to the
+    * driver (numPartitions longs — the exact bounded driver-side
+    * model-parameter shape zipWithIndex uses) and re-enter the plan as
+    * one array literal read by `element_at(prefix, pid+1)`: a narrow
+    * projection, no join, no BroadcastExchange, no broadcast-timeout
+    * exposure. At 100 TB / ~1M partitions the literal is a few MB inside
+    * the once-per-stage task binary — same payload zipWithIndex ships.
     * Index assignment follows partition order, as before.
     *
-    * The (pid, local)-stamped frame is checkpointed ONCE and both the
-    * counts pass and the output read it: two independently-planned
-    * branches over a live plan could otherwise end up with DIFFERENT
-    * partition spaces (AQE coalesces the column-pruned counts branch
-    * differently from the full-width output branch after a shuffle),
-    * silently corrupting or dropping indexes. zipWithIndex was immune
-    * only because both its passes ran on the same RDD object — and it
-    * recomputed the upstream twice; the checkpoint computes it once.
-    * Temp column names are collision-proofed against user columns. */
+    * Partition-space pinning: the counts pass and the output pass MUST
+    * see the same partition space, but two independently-planned
+    * executions of a live plan can diverge (AQE coalesces the
+    * column-pruned counts pass differently from the full-width output
+    * pass after a shuffle; an optimizer rule can drop a Sort under the
+    * counts aggregate), silently corrupting indexes. So wide upstreams
+    * are materialized ONCE ([[graft.Materialize.once]], lazily — the
+    * counts job performs the materialization, the output job reads
+    * blocks). Upstreams that re-execute identically ([[rescanSafe]]:
+    * deterministic narrow ops over a file scan / cache / checkpoint)
+    * skip the materialization entirely — the counts pass column-prunes
+    * the re-scan to nearly nothing, and the pin was measured at 2.5× the
+    * query cost on the sf0.1 gate. Temp column names are
+    * collision-proofed against user columns. */
+  /** True when `plan` re-executes IDENTICALLY on every run — same
+    * partition space, same per-partition row order: deterministic narrow
+    * ops (project/filter) over an already-materialized leaf (file scan,
+    * cached frame, checkpoint snapshot, local rows). AQE's partition
+    * coalescing only re-plans shuffle stages, and a leaf's partitioning
+    * is a pure function of its files/blocks — so the two row-index
+    * passes can safely re-scan instead of checkpointing. Anything
+    * containing an exchange (joins, aggregates, repartition) or a
+    * nondeterministic projection keeps the checkpoint. */
+  private[graft] def rescanSafe(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project}
+    plan match {
+      case p: Project  => p.projectList.forall(_.deterministic) && rescanSafe(p.child)
+      case f: Filter   => f.condition.deterministic && rescanSafe(f.child)
+      case _: LeafNode => true
+      case _           => false
+    }
+  }
+
   def withRowIndex(df: DataFrame, name: String, offset: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val unique = resolveUniqueName(name, df.columns.toSeq)
     val pidCol = resolveUniqueName("__pid", df.columns.toSeq :+ unique)
     val localCol = resolveUniqueName("__local", df.columns.toSeq :+ unique :+ pidCol)
-    val prefixCol = resolveUniqueName("__prefix", df.columns.toSeq :+ unique :+ pidCol :+ localCol)
-    val snap = df
+    val stamped = df
       .withColumn(pidCol, spark_partition_id())
       .withColumn(localCol,
         monotonically_increasing_id() - shiftleft(col(pidCol).cast("long"), 33))
-      // EAGER on purpose: the first consumer is broadcast(prefixes), and
-      // a lazy checkpoint would materialize the entire upstream inside
-      // the BroadcastExchange job — subject to spark.sql.broadcastTimeout
-      // (300 s default), which an expensive pipeline can exceed. Eager
-      // materialization runs its own job first; the broadcast then only
-      // scans persisted blocks. Also pins ONE partition space for both
-      // passes (AQE could otherwise plan them divergently).
-      .transform(Materialize.once(_, eager = true))
-    val prefixes = snap.groupBy(pidCol).agg(count(lit(1)).as(localCol))
-      .withColumn(prefixCol,
-        coalesce(sum(localCol).over(
-          Window.orderBy(pidCol).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(pidCol), col(prefixCol))
-    snap.join(broadcast(prefixes), Seq(pidCol))
-      .withColumn(unique, col(localCol) + col(prefixCol) + lit(offset))
+    val snap =
+      if (rescanSafe(df.queryExecution.optimizedPlan)) stamped
+      else stamped.transform(Materialize.once(_))
+    // driver-side prefix sums over the per-partition counts; empty
+    // partitions never appear in the counts (no rows to group) but still
+    // occupy a pid slot, so gaps contribute 0
+    val counts = snap.groupBy(pidCol).agg(count(lit(1)).as(localCol))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (counts.isEmpty) -1 else counts.keys.max
+    val prefix = new Array[Long](maxPid + 1)
+    var acc = 0L
+    for (p <- 0 to maxPid) { prefix(p) = acc; acc += counts.getOrElse(p, 0L) }
+    snap
+      .withColumn(unique,
+        col(localCol) + element_at(typedlit(prefix.toSeq), col(pidCol) + 1) + lit(offset))
       .select((col(unique) +: df.columns.map(col).toSeq): _*)
   }
 }

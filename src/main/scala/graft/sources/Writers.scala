@@ -8,11 +8,39 @@ import org.apache.spark.sql.functions._
   * NDJSON / Parquet writers.
   *
   * `singleFile = true` reproduces the reference's one-file-per-save
-  * viewer semantics via coalesce(1) — correct for viewer parity, wrong
+  * viewer semantics: the dataset is coalesced to one partition, written
+  * through Spark's normal commit protocol, and the committed part file
+  * is then MOVED to the literal target path — `saveAs("out.csv",
+  * singleFile = true)` yields the regular file `out.csv`, exactly what
+  * the reference's Save dialog produces (file_dialog.rs:59-148), not a
+  * directory `out.csv/part-0000….csv`. Correct for viewer parity, wrong
   * for 100 TB output (leave false: one file per partition, written in
   * parallel; commit protocol handles atomicity).
   */
 object Writers {
+
+  /** Run `write` against a temp directory next to `path`, then move its
+    * single committed part file to the literal `path`. The heavy write
+    * goes through the normal job-commit protocol (task retry safe); the
+    * final step is one filesystem rename — atomic on HDFS, a metadata
+    * copy on object stores. Any pre-existing file/directory at `path` is
+    * replaced (Overwrite parity with the directory writers). */
+  private def commitAsSingleFile(df: DataFrame, path: String)(write: String => Unit): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__graft-single-tmp__")
+    try {
+      write(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(throw new java.io.IOException(
+          s"single-file commit: no part file under $tmp"))
+      if (fs.exists(target) && !fs.delete(target, true))
+        throw new java.io.IOException(s"single-file commit: cannot replace $target")
+      if (!fs.rename(part, target))
+        throw new java.io.IOException(s"single-file commit: rename $part -> $target failed")
+    } finally { fs.delete(tmp, true); () }
+  }
 
   /** K1: refuse saving to a different format than the original
     * (file_dialog.rs:59-148). */
@@ -30,35 +58,42 @@ object Writers {
       singleFile: Boolean = false): Unit =
     Readers.Format.fromPath(path) match {
       case Readers.Format.Csv     => writeCsv(df, path, delimiter, singleFile = singleFile)
-      case Readers.Format.Json    => writeJsonArray(df, path)
+      case Readers.Format.Json    => writeJsonArray(df, path, singleFile)
       case Readers.Format.NdJson  => writeNdJson(df, path, singleFile)
-      case Readers.Format.Parquet => writeParquet(df, path)
+      case Readers.Format.Parquet => writeParquet(df, path, singleFile)
     }
 
   def writeCsv(df: DataFrame, path: String, delimiter: Char = ',',
       header: Boolean = true, singleFile: Boolean = false): Unit = {
-    val out = if (singleFile) df.coalesce(1) else df
-    out.write.mode(SaveMode.Overwrite)
-      .option("sep", delimiter.toString).option("header", header)
-      .csv(path)
+    def write(out: DataFrame, p: String): Unit =
+      out.write.mode(SaveMode.Overwrite)
+        .option("sep", delimiter.toString).option("header", header)
+        .csv(p)
+    if (singleFile) commitAsSingleFile(df, path)(write(df.coalesce(1), _))
+    else write(df, path)
   }
 
-  def writeParquet(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(path)
+  def writeParquet(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    if (singleFile)
+      commitAsSingleFile(df, path)(p =>
+        df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(p))
+    else df.write.mode(SaveMode.Overwrite).parquet(path)
 
-  def writeNdJson(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
-    val out = if (singleFile) df.coalesce(1) else df
-    out.write.mode(SaveMode.Overwrite).json(path)
-  }
+  def writeNdJson(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    if (singleFile)
+      commitAsSingleFile(df, path)(p =>
+        df.coalesce(1).write.mode(SaveMode.Overwrite).json(p))
+    else df.write.mode(SaveMode.Overwrite).json(path)
 
   /** JSON as a single array document (reference JsonFormat::Json,
     * file_dialog.rs:221-235). Spark natively writes JSON-lines; the array
     * form is assembled from the serialized rows inside one task — no
-    * driver collect. Inherently single-file (array documents don't
-    * shard). */
-  def writeJsonArray(df: DataFrame, path: String): Unit = {
+    * driver collect. Inherently one part (array documents don't shard);
+    * `singleFile = true` additionally commits it as the literal file at
+    * `path` rather than a one-part directory. */
+  def writeJsonArray(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
     import df.sparkSession.implicits._
-    df.toJSON.coalesce(1)
+    def write(p: String): Unit = df.toJSON.coalesce(1)
       .mapPartitions { it =>
         val sb = new StringBuilder("[")
         var first = true
@@ -69,6 +104,7 @@ object Writers {
         sb.append("\n]")
         Iterator(sb.toString)
       }
-      .write.mode(SaveMode.Overwrite).text(path)
+      .write.mode(SaveMode.Overwrite).text(p)
+    if (singleFile) commitAsSingleFile(df, path)(write) else write(path)
   }
 }

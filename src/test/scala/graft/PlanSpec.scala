@@ -57,7 +57,7 @@ class PlanSpec extends AnyFunSuite {
       s"queries not broadcast:\n$p")
   }
 
-  test("t6_row_index: no Row-conversion RDD round-trip; prefix offsets broadcast") {
+  test("t6_row_index: no Row round-trip, no prefix join — literal lookup over the pinned sort") {
     val p = planOf("t6_row_index")
     // The zipWithIndex formulation round-tripped through df.rdd (Row
     // serialization, its ExistingRDD scan showed no provenance). The
@@ -67,7 +67,37 @@ class PlanSpec extends AnyFunSuite {
     val rddScans = p.linesIterator.filter(_.contains("ExistingRDD,")).toSeq
     assert(rddScans.forall(_.contains("localCheckpoint")),
       s"non-checkpoint RDD scan in row-index plan:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"prefix offsets not broadcast:\n$p")
+    // prefix offsets are a driver-collected array literal, not a join:
+    // the output pass must be join-free and exchange-free (the sort's
+    // exchange happened before the pin)
+    assert(!p.contains("Join"), s"prefix offsets should not join:\n$p")
+    assert(!p.contains("+- Exchange"), s"output pass should be narrow:\n$p")
+    // the gate upstream ends in orderBy (a Sort) — NOT rescan-safe, so
+    // the partition-space pin must be present
+    assert(p.contains("localCheckpoint"), s"sorted upstream must stay pinned:\n$p")
+  }
+
+  test("row index: wide upstream keeps the pin, bare/cached scans skip it") {
+    import org.apache.spark.sql.functions._
+    val scan = spark.read.parquet(s"$dir/orders.parquet")
+    assert(graft.operators.AddRowIndex.rescanSafe(
+      scan.select(col("o_orderkey")).filter(col("o_orderkey") > 10).queryExecution.optimizedPlan))
+    // a shuffle (aggregate) means AQE can re-coalesce: NOT rescan-safe
+    val wide = scan.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(!graft.operators.AddRowIndex.rescanSafe(wide.queryExecution.optimizedPlan))
+    val p = graft.operators.AddRowIndex.withRowIndex(wide, "Row Number", 1L)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("localCheckpoint"), s"wide upstream must pin:\n$p")
+    // nondeterministic projection is pinned too
+    assert(!graft.operators.AddRowIndex.rescanSafe(
+      scan.select(rand().as("r")).queryExecution.optimizedPlan))
+    // the pin-skipping path: no checkpoint in the plan, still contiguous
+    val idx = graft.operators.AddRowIndex.withRowIndex(scan.select("o_orderkey"), "rn", 1L)
+    val pIdx = idx.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!pIdx.contains("localCheckpoint"), s"bare scan should not pin:\n$pIdx")
+    import spark.implicits._
+    val rns = idx.select("rn").as[Long].collect().sorted
+    assert(rns.toSeq == (1L to rns.length).toSeq, "non-contiguous row index")
   }
 
   test("mm_resize: narrow plan — no shuffle anywhere in the decode stage") {

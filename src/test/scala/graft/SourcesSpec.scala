@@ -228,4 +228,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == 2)
     assert(back.columns.sorted.toSeq == Seq("i", "s"))
   }
+
+  test("singleFile save yields a literal regular FILE at the target path (K2 parity)") {
+    // reference Save As writes ONE file at the user-chosen path
+    // (file_dialog.rs:59-148) — not a directory containing a part file
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("i", "s").repartition(3)
+    val base = Files.createTempDirectory("graft_single").toFile.getAbsolutePath
+    for (name <- Seq("out.csv", "out.ndjson", "out.json", "out.parquet")) {
+      val path = s"$base/$name"
+      Writers.saveAs(df, path, delimiter = ';', singleFile = true)
+      val f = new java.io.File(path)
+      assert(f.isFile, s"$path should be a regular file, got dir=${f.isDirectory}")
+      assert(!new java.io.File(path + ".__graft-single-tmp__").exists(), "tmp dir leaked")
+      val (back, _) = Readers.readAuto(spark, path,
+        ReadConfig(delimiter = Some(';')))
+      assert(back.count() == 3, s"$name roundtrip rows")
+      assert(back.columns.sorted.toSeq == Seq("i", "s"), s"$name roundtrip cols")
+    }
+    // overwrite parity: a second singleFile save replaces the file
+    Writers.saveAs(df.limit(1), s"$base/out.csv", delimiter = ';', singleFile = true)
+    val (again, _) = Readers.readAuto(spark, s"$base/out.csv", ReadConfig(delimiter = Some(';')))
+    assert(again.count() == 1)
+  }
 }
