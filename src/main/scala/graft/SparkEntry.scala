@@ -795,6 +795,37 @@ object SparkEntry {
         .toDF().select(col("id").as("doc_id"), col("width"), col("height"),
           col("format"))
         .orderBy("doc_id")
+    }),
+
+    // ---- multimodal: REAL ImageIO path, value-gated ---------------------
+    // The mm_decode/mm_resize gates above exercise the stub path (driver
+    // testdata text-casts payloads — no image magic). These two close the
+    // evidence gap: genuine PNG binaries are synthesized DISTRIBUTED with
+    // dimensions that are a pure function of doc_id, so DuckDB predicts
+    // the decoded metadata without any image library. Decode must run the
+    // real ImageIO path (PNG magic + bounded IHDR) to produce these rows.
+
+    "mm_decode_real" -> ((s, dir) => {
+      val ids = tbl(s, dir, "documents").select(col("doc_id"))
+        .orderBy("doc_id").limit(500)
+      Multimodal.decodeImages(Multimodal.synthesizePngs(ids, "doc_id"), "id", "content")
+        .toDF().select(col("id").as("doc_id"), col("width"), col("height"),
+          col("channels"), col("format"))
+        .orderBy("doc_id")
+    }),
+
+    "mm_resize_real" -> ((s, dir) => {
+      // resize the synthesized PNGs, then DECODE THE RESIZED BYTES — the
+      // emitted dims come from the re-decoded raster, proving the resize
+      // produced a real 8×6 PNG (not just trusted metadata)
+      val ids = tbl(s, dir, "documents").select(col("doc_id"))
+        .orderBy("doc_id").limit(500)
+      val resized = Multimodal.resizeImages(
+        Multimodal.synthesizePngs(ids, "doc_id"), "id", "content", 8, 6)
+      Multimodal.decodeImages(resized.toDF(), "id", "content")
+        .toDF().select(col("id").as("doc_id"), col("width"), col("height"),
+          col("channels"), col("format"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1212,6 +1243,24 @@ object SparkEntry {
         |  CAST(48 AS BIGINT) AS height,
         |  CASE WHEN octet_length(CAST(text AS BLOB)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_real" ->
+      """SELECT doc_id,
+        |  1 + doc_id % 16 AS width,
+        |  1 + doc_id % 12 AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  'png' AS format
+        |FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 500)
+        |ORDER BY doc_id""".stripMargin,
+
+    "mm_resize_real" ->
+      """SELECT doc_id,
+        |  CAST(8 AS BIGINT) AS width,
+        |  CAST(6 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  'png' AS format
+        |FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 500)
+        |ORDER BY doc_id""".stripMargin,
 
     "ann_ivf_kmeans_topk" -> annBruteOracleSql,
 

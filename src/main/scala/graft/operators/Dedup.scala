@@ -390,7 +390,7 @@ object Dedup {
     * [[simhashPairsFromSigs]] for the trade table. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, seed: Long = 42L, chunks: Int = Auto,
-      agreeChunks: Int = Auto): DataFrame = {
+      agreeChunks: Int = Auto, saltBuckets: Int = 1): DataFrame = {
     // exclude token-free documents (mirrors minhashPairs' empty-doc
     // exclusion): every no-word doc simhashes to the degenerate all-zero
     // signature, so empties would pair with each other O(n²) at hamming 0
@@ -399,7 +399,7 @@ object Dedup {
     val hashed = df.filter(col(textCol).rlike("\\S"))
       .select(col(idCol).as("id"),
         HashFunctions.simhashFromText(col(textCol), seed).as("sh"))
-    simhashPairsFromSigs(hashed, maxHamming, chunks, agreeChunks)
+    simhashPairsFromSigs(hashed, maxHamming, chunks, agreeChunks, saltBuckets)
   }
 
   /** Pair generation over PRE-COMPUTED 64-bit signatures (id, sh) —
@@ -425,7 +425,8 @@ object Dedup {
     *     band" fix for bucket occupancy).
     * 64 must divide evenly into `chunks` ranges. */
   def simhashPairsFromSigs(hashed: DataFrame, maxHamming: Int = 3,
-      chunks: Int = Auto, agreeChunks: Int = Auto): DataFrame = {
+      chunks: Int = Auto, agreeChunks: Int = Auto,
+      saltBuckets: Int = 1): DataFrame = {
     require(chunks != Auto || agreeChunks == Auto,
       "agreeChunks without chunks is ambiguous: pass chunks too (or leave both Auto)")
     // the signature frame feeds both sides of the chunk-bucket self-join;
@@ -464,15 +465,66 @@ object Dedup {
     val chunked = sigs.select(col("id"), col("sh"),
       posexplode(array(comboVals: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
-    val l = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("chunk", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    bucketSelfJoinPairs(chunked, Seq("chunk", "chunk_val"), "id", Seq("sh"), saltBuckets)
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Every unordered intra-bucket pair, generated exactly once.
+    *
+    * `salt = 1` is the plain bucket self-join: correct, but a HOT bucket
+    * (adversarial corpus: millions of identical documents → one
+    * signature) funnels all of its B²/2 pairs through the single task
+    * that owns that join key. `salt = g > 1` triangle-splits each
+    * bucket: rows are hashed into g groups and every group-pair (i ≤ j)
+    * becomes its own join key — the left side replicates a row into
+    * cells (s, s..g-1), the right side into cells (0..s, s) — so the hot
+    * bucket becomes g(g+1)/2 independent cells of ≈ (B/g)² pairs each,
+    * at the cost of replicating each bucket entry ~g times. Choose g ≈
+    * B_hot / √(target pairs per task). Every pair still appears exactly
+    * once: off-diagonal cells pair distinct salt groups (orientation
+    * then normalized to id_a < id_b, payloads following their ids);
+    * diagonal cells filter id_a < id_b directly.
+    *
+    * `payload` columns are emitted twice as `<c>_a` / `<c>_b`. */
+  private def bucketSelfJoinPairs(entries: DataFrame, bucketCols: Seq[String],
+      idCol: String, payload: Seq[String], salt: Int): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1 (got $salt)")
+    val keys = bucketCols.map(col)
+    if (salt == 1) {
+      val l = entries.select((keys :+ col(idCol).as("id_a")) ++
+        payload.map(c => col(c).as(s"${c}_a")): _*)
+      val r = entries.select((keys :+ col(idCol).as("id_b")) ++
+        payload.map(c => col(c).as(s"${c}_b")): _*)
+      l.join(r, bucketCols)
+        .filter(col("id_a") < col("id_b"))
+        .select((Seq(col("id_a"), col("id_b")) ++
+          payload.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b")))): _*)
+    } else {
+      val salted = entries.withColumn("__salt",
+        pmod(xxhash64(col(idCol)), lit(salt.toLong)).cast("int"))
+      val l = salted.select((keys :+ col("__salt").as("__ci") :+
+        explode(sequence(col("__salt"), lit(salt - 1))).as("__cj") :+
+        col(idCol).as("id_a")) ++ payload.map(c => col(c).as(s"${c}_a")): _*)
+      val r = salted.select((keys :+
+        explode(sequence(lit(0), col("__salt"))).as("__ci") :+
+        col("__salt").as("__cj") :+
+        col(idCol).as("id_b")) ++ payload.map(c => col(c).as(s"${c}_b")): _*)
+      val ordered = col("id_a") < col("id_b")
+      l.join(r, bucketCols ++ Seq("__ci", "__cj"))
+        .filter(col("id_a") =!= col("id_b"))
+        // off-diagonal cells hold each pair once (salts differ); diagonal
+        // cells hold both orientations — keep the ordered one
+        .filter(col("__ci") < col("__cj") || ordered)
+        .select((Seq(
+          least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b")) ++
+          payload.flatMap(c => Seq(
+            when(ordered, col(s"${c}_a")).otherwise(col(s"${c}_b")).as(s"${c}_a"),
+            when(ordered, col(s"${c}_b")).otherwise(col(s"${c}_a")).as(s"${c}_b")))): _*)
+    }
   }
 
   // ---- exact n-gram Jaccard ---------------------------------------------
@@ -488,10 +540,25 @@ object Dedup {
     * of magnitude on natural-language corpora. Candidate pairs travel as
     * bare (id_a, id_b); exact intersection is computed once per candidate
     * from the two full arrays (array_intersect), not by re-aggregating
-    * the inverted index. */
+    * the inverted index.
+    *
+    * `shingleKeepFraction < 1` is the EXPLICIT approximate opt-in for
+    * corpora where even prefix-filtered exact joins explode (huge docs ×
+    * huge corpus): every document keeps the same hash-selected fraction
+    * of the shingle universe (consistent sampling — a shingle is kept in
+    * either every document or none), so the Jaccard of the sampled sets
+    * is a consistent estimator of the true Jaccard, shrinking shingle
+    * volume (index size, candidate verify cost) by ~1/fraction. Identical
+    * documents still score exactly 1.0 (identical sets sample
+    * identically); near-dup scores carry sampling noise, so borderline
+    * pairs can cross the threshold in either direction. Never the
+    * default. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5,
+      shingleKeepFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(shingleKeepFraction > 0.0 && shingleKeepFraction <= 1.0,
+      s"shingleKeepFraction must be in (0, 1] (got $shingleKeepFraction)")
     // 64-bit shingle hashes stand in for shingle strings: distinct/
     // intersect/frequency semantics are preserved (collisions negligible),
     // and the fused native expression computes each document's set in one
@@ -499,8 +566,18 @@ object Dedup {
     // the shingle-set frame is consumed three times (inverted index +
     // sh_a/sh_b verify joins) and the prefix index twice (candidate
     // self-join) — materialize each once
-    val sets = df.select(col(idCol).as("id"),
+    val keepDen = 1L << 20
+    val keepNum = math.max(1L, math.round(shingleKeepFraction * keepDen))
+    val rawSets = df.select(col(idCol).as("id"),
       HashFunctions.textShingleHashes(col(textCol), n).as("sh"))
+    val sampled =
+      if (keepNum >= keepDen) rawSets
+      // consistent sample on the shingle HASH value: membership is a pure
+      // function of the shingle, identical across documents (pmod handles
+      // the sign of the 64-bit hash)
+      else rawSets.withColumn("sh",
+        filter(col("sh"), g => pmod(g, lit(keepDen)) < lit(keepNum)))
+    val sets = sampled
       .filter(size(col("sh")) > 0)
       .transform(Materialize.once(_))
 
@@ -605,7 +682,7 @@ object Dedup {
     * trade. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, signBits: Int = Auto, seed: Long = 42L,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, saltBuckets: Int = 1): DataFrame = {
     val base0 = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.norm(col(vecCol)).as("nrm"))
     // Auto: materialize the projected frame once (both join sides read it
@@ -615,22 +692,20 @@ object Dedup {
         val m = base0.transform(Materialize.once(_))
         (m, resolveSignBits(m.count()))
       } else (base0, signBits)
-    val l = base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
-    val r = base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
     val paired =
-      if (bits <= 0)
+      if (bits <= 0) {
         // exact all-pairs: a broadcast nested-loop cross join parallelizes
         // over the left side's partitions (a constant-key equi-join would
         // funnel EVERY pair through one task)
-        l.crossJoin(broadcast(r))
-      else {
+        val l = base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
+        val r = base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
+        l.crossJoin(broadcast(r)).filter(col("id_a") < col("id_b"))
+      } else {
         val planes = Similarity.hyperplanes(bits, dim, seed)
-        val lb = l.withColumn("bucket", Similarity.signBucket(col("v_a"), planes))
-        val rb = r.withColumn("bucket", Similarity.signBucket(col("v_b"), planes))
-        lb.join(rb, Seq("bucket"))
+        val bucketed = base.withColumn("bucket", Similarity.signBucket(col("v"), planes))
+        bucketSelfJoinPairs(bucketed, Seq("bucket"), "id", Seq("v", "nrm"), saltBuckets)
       }
     paired
-      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (VectorFunctions.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)

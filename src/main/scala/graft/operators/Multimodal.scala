@@ -224,6 +224,38 @@ object Multimodal {
       }
   }
 
+  /** Deterministic REAL PNG payloads synthesized per row, distributed
+    * (one encode per row inside mapPartitions — the same narrow shape as
+    * decode). Dimensions are a pure function of the id (width =
+    * 1 + id % 16, height = 1 + id % 12) and pixels a pure function of
+    * (id, x, y), so an external oracle can predict the decoded metadata
+    * without decoding anything — the basis of the mm_decode_real /
+    * mm_resize_real gates, which exercise the real ImageIO path on
+    * corpora whose test data carries no binary column. */
+  def synthesizePngs(df: DataFrame, idCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("id")).as(Encoders.scalaLong)
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 1 + (id % 16).toInt
+        val h = 1 + (id % 12).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((id * 2654435761L + x * 31L + y * 7L) & 0xffffffL).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("id", "content")
+  }
+
   /** Decode a (id, content: binary) frame into typed metadata, batch-wise
     * per partition. Input columns: `idCol` (long), `binCol` (binary).
     * Real ImageIO decode when the payload is a recognizable image;

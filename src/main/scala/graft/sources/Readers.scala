@@ -28,7 +28,11 @@ final case class ReadConfig(
       * PERMISSIVE-nulled wholesale (or the bytes pass through verbatim on
       * the non-multiline path — version-dependent), so set this to the
       * file's real charset (e.g. Latin-1, which decodes every byte
-      * sequence) to recover the reference's never-fail behavior. */
+      * sequence) to recover the reference's never-fail behavior.
+      * Proof fixture: SourcesSpec "malformed UTF-8 mid-file" — a bad
+      * byte mid-corpus keeps all 50 rows and every clean column intact
+      * under the Latin-1 fallback; only the damaged cell's substitution
+      * differs from the reference's U+FFFD. */
     encoding: Option[String] = None)
 
 /** S1–S7: format dispatch + readers. All readers return a lazy DataFrame

@@ -680,6 +680,79 @@ class OperatorsSpec extends AnyFunSuite {
     assert(autoPairs == brutePairs && autoPairs == Set((1L, 2L)))
   }
 
+  test("adversarial LSH-bucket skew: half-identical corpus, salted pairs bounded and exact") {
+    // one simhash bucket holds 50% of the corpus (400 byte-identical
+    // docs): the plain self-join funnels all C(400,2)=79,800 pairs
+    // through the single task owning that join key; saltBuckets=8 must
+    // produce the IDENTICAL pair set spread over 36 triangle cells
+    val n = 800
+    val docs = (0 until n).map { i =>
+      if (i < n / 2) (i.toLong, "the same exact adversarial document content repeated")
+      else (i.toLong, (0 until 30).map(j => s"u${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val plain = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    val salted = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, saltBuckets = 8)
+    val expected = (n / 2).toLong * (n / 2 - 1) / 2
+    assert(plain.count() == expected, "plain path must emit every identical pair")
+    assert(salted.count() == expected, "salting must not lose or duplicate pairs")
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0,
+      "salted and plain pair sets must be identical")
+    // bounded per-cell volume: reconstruct each pair's triangle cell with
+    // the same salt function and check no cell carries more than ~2x the
+    // ideal (B/g)^2 — i.e. the hot bucket really was split across tasks
+    val g = 8
+    val perCell = salted
+      .withColumn("ca", least(pmod(xxhash64(col("id_a")), lit(g.toLong)),
+        pmod(xxhash64(col("id_b")), lit(g.toLong))))
+      .withColumn("cb", greatest(pmod(xxhash64(col("id_a")), lit(g.toLong)),
+        pmod(xxhash64(col("id_b")), lit(g.toLong))))
+      .groupBy("ca", "cb").count().select("count").as[Long].collect()
+    val ideal = (n / 2.0 / g) * (n / 2.0 / g)
+    assert(perCell.length > 20, s"expected ~36 occupied cells, got ${perCell.length}")
+    assert(perCell.max <= 2 * ideal,
+      s"hot cell ${perCell.max} pairs > 2x ideal $ideal — salting failed to spread")
+    // embedding path: same guarantee through the shared salted generator
+    val vecs = (0 until 400).map { i =>
+      if (i < 200) (i.toLong, Array(1.0f, 0.0f, 0.0f, 0.0f))
+      else (i.toLong, Array.tabulate(4)(d => math.sin(i * 4 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val ep = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.99, signBits = 4, dim = 4).select("id_a", "id_b")
+    val es = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.99, signBits = 4, dim = 4, saltBuckets = 8).select("id_a", "id_b")
+    assert(ep.exceptAll(es).count() == 0 && es.exceptAll(ep).count() == 0,
+      "embedding salted/plain pair sets must match")
+    assert(es.count() >= 200L * 199 / 2, "identical vectors must all pair")
+  }
+
+  test("ngramJaccard sampled-shingle opt-in: identical pairs stay exact, high recall vs exact") {
+    // 25 base texts of 60 words; each base gets an identical twin and a
+    // ~0.73-Jaccard variant (3 words swapped) — plus the twin pair at 1.0
+    val rows = (0 until 25).flatMap { b =>
+      val base = (0 until 60).map(j => s"w${b * 100 + j}")
+      val variant = base.zipWithIndex.map { case (w, j) =>
+        if (j == 5 || j == 25 || j == 45) s"x${b * 100 + j}" else w }
+      Seq((b * 10L, base.mkString(" ")), (b * 10L + 1, base.mkString(" ")),
+        (b * 10L + 2, variant.mkString(" ")))
+    }
+    val corpus = rows.toDF("doc_id", "text")
+    def pairsOf(frac: Double): Map[(Long, Long), Double] =
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5,
+        shingleKeepFraction = frac)
+        .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    val exact = pairsOf(1.0)
+    val approx = pairsOf(0.5)
+    // identical docs sample to identical sets: exactly 1.0 under sampling
+    (0 until 25).foreach { b =>
+      assert(approx((b * 10L, b * 10L + 1)) == 1.0, s"twin pair of base $b") }
+    // recall of the exact pair set at half the shingle volume
+    val recall = exact.keySet.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.85, f"sampled-shingle recall $recall%.2f < 0.85 " +
+      s"(exact=${exact.size}, approx=${approx.size})")
+    // sanity: exact finds every planted pair (twin + variant per base)
+    assert(exact.size >= 50, s"exact found only ${exact.size}")
+  }
+
   test("simhashPairs excludes token-free documents (no degenerate all-zero bucket)") {
     val short = Seq((1L, "hello world again"), (2L, "hello world again"),
       (3L, ""), (4L, " \t\n"), (5L, "  ")).toDF("doc_id", "text")

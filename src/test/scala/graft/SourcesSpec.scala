@@ -146,6 +146,44 @@ class SourcesSpec extends AnyFunSuite {
     assert(utf8 != Seq("café"))
   }
 
+  test("malformed UTF-8 mid-file: Latin-1 fallback keeps every row and every clean column") {
+    // The reference reads CSV with LossyUtf8 (data_filter.rs:578-585):
+    // malformed bytes become U+FFFD, the rest of the row SURVIVES. Spark
+    // has no lossy decoder, so the documented fallback is reading with a
+    // charset that decodes every byte sequence (Latin-1). This fixture
+    // proves the fallback's guarantees on a file that is valid UTF-8
+    // EXCEPT for one cell in the middle: same row count, every other
+    // column byte-identical — the divergence is confined to the damaged
+    // cell (reference: café → caf�..., Latin-1: a different but
+    // non-destructive substitution for the same bytes).
+    val dir = Files.createTempDirectory("graft_lossy").toFile
+    val f = new java.io.File(dir, "lossy.csv")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("id;name;qty\n".getBytes("UTF-8"))
+    for (i <- 1 to 50) {
+      if (i == 25) {
+        bos.write(s"$i;caf".getBytes("UTF-8"))
+        // 0xE9 0x20 — a lone continuation-less lead byte: malformed UTF-8
+        bos.write(Array[Byte](0xE9.toByte))
+        bos.write(s"x;$i\n".getBytes("UTF-8"))
+      } else bos.write(s"$i;name_$i;$i\n".getBytes("UTF-8"))
+    }
+    Files.write(f.toPath, bos.toByteArray)
+    val out = Readers.readCsv(spark, f.getAbsolutePath,
+      ReadConfig(delimiter = Some(';'), encoding = Some("ISO-8859-1")))
+    val rows = out.select("id", "name", "qty").as[(Int, String, Int)]
+      .collect().sortBy(_._1)
+    assert(rows.length == 50, "row count must survive the malformed byte")
+    // every clean row is fully intact
+    rows.filter(_._1 != 25).foreach { case (i, nm, q) =>
+      assert(nm == s"name_$i" && q == i, s"clean row $i damaged: ($nm, $q)") }
+    // the damaged row: other columns intact, cell readable (0xE9 → 'é'
+    // under Latin-1 where the reference would emit U+FFFD)
+    val (_, badName, badQty) = rows.find(_._1 == 25).get
+    assert(badQty == 25, "sibling column of the damaged cell must survive")
+    assert(badName == "caféx", s"expected Latin-1 substitution, got '$badName'")
+  }
+
   // ---- JSON/NDJSON inference parity (data_filter.rs:312,340) -----------
 
   val bigIdNdjson =
