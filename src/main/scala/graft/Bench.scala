@@ -36,9 +36,15 @@ object Bench {
         sys.error(s"SPARK_GRAFT_REPEAT must be an integer, got '$s'")))
       .getOrElse(1).max(1)
     // SPARK_GRAFT_ONLY=q1_agg,t6_row_index — run a subset while
-    // iterating locally; the driver never sets it (full run)
+    // iterating locally; the driver never sets it (full run). Unknown
+    // names are a hard error — a typo must not silently bench nothing.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -64,10 +64,17 @@ object Materialize {
         val sc = spark.sparkContext
         // follow the conf on every call — a once-only set would silently
         // keep writing "durable" checkpoints to a stale (possibly
-        // decommissioned) path after the conf changes. Compare against
-        // the exact value last APPLIED (not sc.getCheckpointDir, which
-        // is dir + a session UUID subdir).
-        if (!Option(appliedDir.get(sc)).contains(dir)) {
+        // decommissioned) path after the conf changes. Two checks, both
+        // needed: the exact value last APPLIED BY US (sc.getCheckpointDir
+        // is dir + a session UUID subdir, so it never equals dir — and a
+        // bare substring test would let /ckpt/run-2 → /ckpt pass as
+        // "already applied"), plus a containment probe of the LIVE
+        // sc.getCheckpointDir to catch external sc.setCheckpointDir
+        // calls made after ours, which would otherwise silently divert
+        // "durable" checkpoints outside the configured directory.
+        val applied = Option(appliedDir.get(sc)).contains(dir)
+        val live = sc.getCheckpointDir.exists(_.contains(dir))
+        if (!applied || !live) {
           sc.setCheckpointDir(dir); appliedDir.put(sc, dir); ()
         }
         // persist-before-checkpoint: reliable checkpoint materializes the

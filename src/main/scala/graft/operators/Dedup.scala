@@ -429,6 +429,28 @@ object Dedup {
       saltBuckets: Int = 1): DataFrame = {
     require(chunks != Auto || agreeChunks == Auto,
       "agreeChunks without chunks is ambiguous: pass chunks too (or leave both Auto)")
+    // validate BEFORE any job runs: in reliable-checkpoint mode the
+    // materialization below eagerly computes and checkpoints the whole
+    // signature frame — bad parameters must fail in microseconds, not
+    // after a corpus-scale job (and its orphaned checkpoint files)
+    def validate(c: Int, a: Int): Unit = {
+      require(c >= 2 && 64 % c == 0,
+        s"chunks must divide 64 evenly and be >= 2 (got $c)")
+      require(a >= 1 && a <= c,
+        s"agreeChunks must be in [1, chunks] (got $a)")
+      require(maxHamming <= c - a,
+        s"pigeonhole candidate generation is exact only for maxHamming <= chunks - agreeChunks " +
+          s"(got maxHamming=$maxHamming, chunks=$c, agreeChunks=$a)")
+      require(a * (64 / c) <= 60,
+        s"combined bucket key needs ${a * (64 / c)} bits (> 60): lower agreeChunks")
+    }
+    if (chunks == Auto)
+      // both Auto outcomes are valid by construction; only the radius
+      // bound can fail, and it fails the same way for either outcome
+      require(maxHamming <= 4,
+        s"auto-banding supports maxHamming <= 4 (got $maxHamming): every exact banding at " +
+          "radius >= 5 has catastrophic bucket occupancy — pass chunks/agreeChunks explicitly")
+    else validate(chunks, if (agreeChunks == Auto) 1 else agreeChunks)
     // the signature frame feeds both sides of the chunk-bucket self-join;
     // materialize once so the per-doc hash expression doesn't run twice
     val sigs = hashed.transform(Materialize.once(_))
@@ -439,16 +461,8 @@ object Dedup {
     val (ch, ag) =
       if (chunks == Auto) resolveSimhashBanding(sigs.count(), maxHamming)
       else (chunks, if (agreeChunks == Auto) 1 else agreeChunks)
-    require(ch >= 2 && 64 % ch == 0,
-      s"chunks must divide 64 evenly and be >= 2 (got $ch)")
-    require(ag >= 1 && ag <= ch,
-      s"agreeChunks must be in [1, chunks] (got $ag)")
-    require(maxHamming <= ch - ag,
-      s"pigeonhole candidate generation is exact only for maxHamming <= chunks - agreeChunks " +
-        s"(got maxHamming=$maxHamming, chunks=$ch, agreeChunks=$ag)")
+    validate(ch, ag)
     val bits = 64 / ch
-    require(ag * bits <= 60,
-      s"combined bucket key needs ${ag * bits} bits (> 60): lower agreeChunks")
     val mask = if (bits == 64) -1L else (1L << bits) - 1L
     val combos = (0 until ch).combinations(ag).toSeq
     require(combos.length <= 512,

@@ -137,15 +137,24 @@ object Multimodal {
         case "gif" => // sniff already validated bounds; re-derive for uniformity
           Some((u16le(content, 6).toLong, u16le(content, 8).toLong))
         case "bmp" =>
-          // BITMAPINFOHEADER: biWidth i32le @18, biHeight i32le @22 (height
-          // may be negative = top-down). The sniff's size==payload check
-          // bounds the FILE, not the raster: an RLE-compressed BMP can be
-          // tiny on disk yet declare a huge canvas.
-          if (content.length >= 26) {
-            val w = (u32le(content, 18) << 32) >> 32 // sign-extend i32
-            val h = (u32le(content, 22) << 32) >> 32
-            Some((w, math.abs(h)))
-          } else None
+          // The DIB header SIZE field @14 selects the layout: 12 = OS/2
+          // BITMAPCOREHEADER (u16 width @18, u16 height @20, which Java's
+          // BMP reader supports — reading i32 there would misparse valid
+          // images into garbage dims); >= 40 = BITMAPINFOHEADER family
+          // (i32 width @18, i32 height @22; height < 0 = top-down). The
+          // sniff's size==payload check bounds the FILE, not the raster:
+          // an RLE-compressed BMP can be tiny on disk yet declare a huge
+          // canvas.
+          if (content.length < 26) None
+          else u32le(content, 14) match {
+            case 12L =>
+              Some((u16le(content, 18).toLong, u16le(content, 20).toLong))
+            case sz if sz >= 40L =>
+              val w = (u32le(content, 18) << 32) >> 32 // sign-extend i32
+              val h = (u32le(content, 22) << 32) >> 32
+              Some((w, math.abs(h)))
+            case _ => None
+          }
         case _ => None
       }
 

@@ -230,21 +230,32 @@ object AddRowIndex {
     * collision-proofed against user columns. */
   /** True when `plan` re-executes IDENTICALLY on every run — same
     * partition space, same per-partition row order: deterministic narrow
-    * ops (project/filter) over an already-materialized leaf (file scan,
-    * cached frame, checkpoint snapshot, local rows). AQE's partition
-    * coalescing only re-plans shuffle stages, and a leaf's partitioning
-    * is a pure function of its files/blocks — so the two row-index
-    * passes can safely re-scan instead of checkpointing. Anything
-    * containing an exchange (joins, aggregates, repartition) or a
-    * nondeterministic projection keeps the checkpoint. */
+    * ops (project/filter) over a leaf whose partitioning is PINNED for
+    * the session. Two leaf classes qualify unconditionally: an existing
+    * RDD (checkpoint snapshot) and a cached frame — their partition
+    * lists live in a concrete RDD object. A file scan's split planning,
+    * by contrast, folds in `defaultParallelism` (bytesPerCore), which
+    * MOVES on a real cluster under dynamic allocation or executor loss —
+    * two plannings of the same files may split differently, silently
+    * corrupting indexes — so file scans (and parallelized local rows)
+    * count as pinned only on a `local[...]` master, where parallelism is
+    * a constant of the JVM. Anything with an exchange (joins,
+    * aggregates, repartition — AQE re-coalesces those per planning) or a
+    * nondeterministic projection is never rescan-safe. */
   private[graft] def rescanSafe(
-      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      localMaster: Boolean): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project}
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
     plan match {
-      case p: Project  => p.projectList.forall(_.deterministic) && rescanSafe(p.child)
-      case f: Filter   => f.condition.deterministic && rescanSafe(f.child)
-      case _: LeafNode => true
-      case _           => false
+      case p: Project => p.projectList.forall(_.deterministic) &&
+        rescanSafe(p.child, localMaster)
+      case f: Filter => f.condition.deterministic && rescanSafe(f.child, localMaster)
+      case _: LogicalRDD       => true
+      case _: InMemoryRelation => true
+      case _: LeafNode         => localMaster
+      case _                   => false
     }
   }
 
@@ -257,7 +268,8 @@ object AddRowIndex {
       .withColumn(localCol,
         monotonically_increasing_id() - shiftleft(col(pidCol).cast("long"), 33))
     val snap =
-      if (rescanSafe(df.queryExecution.optimizedPlan)) stamped
+      if (rescanSafe(df.queryExecution.optimizedPlan,
+          df.sparkSession.sparkContext.isLocal)) stamped
       else stamped.transform(Materialize.once(_))
     // driver-side prefix sums over the per-partition counts; empty
     // partitions never appear in the counts (no rows to group) but still

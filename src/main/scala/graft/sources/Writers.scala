@@ -22,24 +22,42 @@ object Writers {
   /** Run `write` against a temp directory next to `path`, then move its
     * single committed part file to the literal `path`. The heavy write
     * goes through the normal job-commit protocol (task retry safe); the
-    * final step is one filesystem rename — atomic on HDFS, a metadata
-    * copy on object stores. Any pre-existing file/directory at `path` is
-    * replaced (Overwrite parity with the directory writers). */
+    * final step is delete-existing + rename — the rename itself is
+    * atomic on HDFS, a metadata copy on object stores. Any pre-existing
+    * file/directory at `path` is replaced (Overwrite parity with the
+    * directory writers).
+    *
+    * Failure discipline: the tmp directory is cleaned up ONLY while the
+    * new output is not yet the sole surviving copy. Once the old target
+    * has been deleted, a failed rename must NOT delete tmp — that would
+    * destroy both the user's original file and the freshly written data
+    * in one "Save"; instead the error names the preserved part file. */
   private def commitAsSingleFile(df: DataFrame, path: String)(write: String => Unit): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
     val tmp = new org.apache.hadoop.fs.Path(path + ".__graft-single-tmp__")
-    try {
-      write(tmp.toString)
-      val part = fs.listStatus(tmp).map(_.getPath)
-        .find(_.getName.startsWith("part-"))
-        .getOrElse(throw new java.io.IOException(
-          s"single-file commit: no part file under $tmp"))
-      if (fs.exists(target) && !fs.delete(target, true))
-        throw new java.io.IOException(s"single-file commit: cannot replace $target")
-      if (!fs.rename(part, target))
-        throw new java.io.IOException(s"single-file commit: rename $part -> $target failed")
-    } finally { fs.delete(tmp, true); () }
+    val part =
+      try {
+        write(tmp.toString)
+        fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(throw new java.io.IOException(
+            s"single-file commit: no part file under $tmp"))
+      } catch { case e: Throwable =>
+        // the write never completed — tmp holds nothing worth keeping
+        try fs.delete(tmp, true) catch { case _: java.io.IOException => () }
+        throw e
+      }
+    if (fs.exists(target) && !fs.delete(target, true)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"single-file commit: cannot replace $target")
+    }
+    // point of no return: the old target is gone, tmp is the only copy
+    if (!fs.rename(part, target))
+      throw new java.io.IOException(
+        s"single-file commit: rename failed — output preserved at $part")
+    fs.delete(tmp, true)
+    ()
   }
 
   /** K1: refuse saving to a different format than the original

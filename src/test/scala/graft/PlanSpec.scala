@@ -81,16 +81,17 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val scan = spark.read.parquet(s"$dir/orders.parquet")
     assert(graft.operators.AddRowIndex.rescanSafe(
-      scan.select(col("o_orderkey")).filter(col("o_orderkey") > 10).queryExecution.optimizedPlan))
+      scan.select(col("o_orderkey")).filter(col("o_orderkey") > 10).queryExecution.optimizedPlan,
+      localMaster = true))
     // a shuffle (aggregate) means AQE can re-coalesce: NOT rescan-safe
     val wide = scan.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
-    assert(!graft.operators.AddRowIndex.rescanSafe(wide.queryExecution.optimizedPlan))
+    assert(!graft.operators.AddRowIndex.rescanSafe(wide.queryExecution.optimizedPlan, localMaster = true))
     val p = graft.operators.AddRowIndex.withRowIndex(wide, "Row Number", 1L)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("localCheckpoint"), s"wide upstream must pin:\n$p")
     // nondeterministic projection is pinned too
     assert(!graft.operators.AddRowIndex.rescanSafe(
-      scan.select(rand().as("r")).queryExecution.optimizedPlan))
+      scan.select(rand().as("r")).queryExecution.optimizedPlan, localMaster = true))
     // the pin-skipping path: no checkpoint in the plan, still contiguous
     val idx = graft.operators.AddRowIndex.withRowIndex(scan.select("o_orderkey"), "rn", 1L)
     val pIdx = idx.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
