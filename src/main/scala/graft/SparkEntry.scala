@@ -576,6 +576,61 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- corpus curation (PII / repetition / decontamination / URLs) ----
+
+    "text_pii" -> ((s, dir) => {
+      // The synthetic corpus carries no PII, so the gate synthesizes it
+      // deterministically from doc_id (identically in the oracle): two of
+      // every three docs get an email+IPv4+phone suffix; the rest prove
+      // the zero-hit path. Detection counts AND the redacted text are
+      // both value-gated.
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, col("text")).otherwise(concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com at 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string"),
+          lit(" tel +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).as("text"))
+      Curation.withPii(d, "text")
+        .select("doc_id", "n_emails", "n_ipv4", "n_phones", "text_redacted")
+        .orderBy("doc_id")
+    }),
+
+    "text_repetition" -> ((s, dir) => {
+      Curation.withRepetition(
+        tbl(s, dir, "documents").select("doc_id", "text"), "text")
+        .drop("text").orderBy("doc_id")
+    }),
+
+    "text_decontaminate" -> ((s, dir) => {
+      // pseudo-benchmark = every 97th doc; flag any training doc sharing
+      // a 5-gram with it (GPT-3/PaLM decontamination at n=5 — the tiny
+      // synthetic vocabulary makes 5-gram collisions realistically
+      // frequent). Benchmark gram set broadcasts; corpus never shuffles
+      // rows.
+      val docs = tbl(s, dir, "documents")
+      Curation.contaminationReport(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text", n = 5)
+        .withColumn("contaminated", col("contaminated").cast("int"))
+        .orderBy("doc_id")
+    }),
+
+    "url_normalize" -> ((s, dir) => {
+      // URLs synthesized from (source, doc_id) with every normalization
+      // hazard present: uppercase scheme+host, www. prefix, a utm_ run
+      // around a kept param, and a fragment.
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(lit("HTTPS://WWW."), upper(col("source")),
+          lit(".Example.COM/p/"), col("doc_id").cast("string"),
+          lit("?utm_source=feed&id="), (col("doc_id") % 7).cast("string"),
+          lit("&utm_campaign=x#frag")).as("url"))
+      d.select(col("doc_id"),
+        Curation.normalizeUrl(col("url")).as("url_norm"),
+        Curation.urlHost(col("url")).as("host"))
+        .orderBy("doc_id")
+    }),
+
     // ---- sources & sinks (SURVEY §2.1-2.2) -----------------------------
     // Roundtrips: write real table data through a graft sink, read it
     // back through the sniffing/inference reader, prove value fidelity
@@ -1109,6 +1164,96 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all default; replacement backrefs are \1 (RE2) vs $1 (Java)
+    "text_pii" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text ELSE
+        |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+        |      '@example.com at 10.', CAST(doc_id % 256 AS VARCHAR),
+        |      '.0.', CAST(doc_id % 100 AS VARCHAR),
+        |      ' tel +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}', '<PHONE>', 'g') AS text_redacted
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')) END AS g2,
+        |    CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END AS g3
+        |  FROM w)
+        |SELECT doc_id,
+        |  CASE WHEN len(w) = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(1 AS DOUBLE) - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END AS dup_word_frac,
+        |  CASE WHEN len(g2) = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(1 AS DOUBLE) - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END AS dup_2gram_frac,
+        |  CASE WHEN len(g3) = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(1 AS DOUBLE) - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END AS dup_3gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "text_decontaminate" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 5 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' ')) END) AS g
+        |  FROM words),
+        |bench AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 97 = 0),
+        |train AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 97 <> 0),
+        |hits AS (
+        |  SELECT t.doc_id, count(*) AS n_overlap
+        |  FROM train t JOIN bench b ON t.gram = b.gram GROUP BY t.doc_id)
+        |SELECT g.doc_id,
+        |  coalesce(h.n_overlap, 0) AS n_overlap,
+        |  CAST(coalesce(h.n_overlap, 0) > 0 AS INT) AS contaminated
+        |FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
+        |WHERE g.doc_id % 97 <> 0 ORDER BY g.doc_id""".stripMargin,
+
+    "url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    concat('HTTPS://WWW.', upper(source), '.Example.COM/p/',
+        |      CAST(doc_id AS VARCHAR), '?utm_source=feed&id=',
+        |      CAST(doc_id % 7 AS VARCHAR), '&utm_campaign=x#frag') AS url
+        |  FROM documents),
+        |s AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '', 'g') AS nofrag FROM u),
+        |p AS (
+        |  SELECT doc_id, nofrag,
+        |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host0,
+        |    regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+', '', 'g') AS rest
+        |  FROM s),
+        |q AS (
+        |  SELECT doc_id, nofrag, scheme, host0,
+        |    regexp_replace(host0, '^www\.', '', 'g') AS host,
+        |    regexp_replace(regexp_replace(regexp_replace(rest,
+        |      '([?&])(utm_[A-Za-z0-9_]*=[^&#]*&)+', '\1', 'g'),
+        |      '[?&]utm_[A-Za-z0-9_]*=[^&#]*(&utm_[A-Za-z0-9_]*=[^&#]*)*$', '', 'g'),
+        |      '\?$', '', 'g') AS restclean
+        |  FROM p)
+        |SELECT doc_id,
+        |  CASE WHEN host0 = '' THEN lower(nofrag)
+        |    ELSE concat(scheme, '://', host, restclean) END AS url_norm,
+        |  host
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     "q35_range_join" ->
       """WITH p AS (SELECT event_id % 2400 AS d FROM events),

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingest and dedup: PII detection/redaction, repetition ("Gopher
+  * rule") quality metrics, benchmark decontamination, and URL
+  * canonicalization.
+  *
+  * Scale shapes (the design constraint for every member):
+  *   - PII / repetition / URL ops are pure column expressions — a
+  *     100 TB pass is one map stage, codegen'd, no shuffle, pushdown
+  *     transparent.
+  *   - Decontamination joins the corpus against a benchmark n-gram set.
+  *     Benchmarks are tiny relative to a corpus (MBs vs TBs), so the
+  *     gram set is broadcast and the corpus side never shuffles rows —
+  *     only the per-doc overlap counts (≤ one long per doc) move.
+  *
+  * Engine-parity note (the oracle gates hash-compare against DuckDB):
+  * every regex here sticks to the Java-regex ∩ RE2 common subset —
+  * character classes, bounded/greedy quantifiers, `\b` — and avoids
+  * alternation between same-prefix branches, where Java's
+  * leftmost-first and RE2's automaton could disagree.
+  */
+object Curation {
+
+  // ---- PII ------------------------------------------------------------
+
+  /** Detection patterns. Deliberately simple, anchored on unambiguous
+    * structure; precision-tuned variants slot in per-deployment. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}"
+
+  /** Per-document PII hit counts (all long, exact). */
+  def piiColumns(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(EmailRe)).cast("long"),
+    "n_ipv4" -> regexp_count(text, lit(Ipv4Re)).cast("long"),
+    "n_phones" -> regexp_count(text, lit(PhoneRe)).cast("long"))
+
+  /** Replace every PII span with a typed placeholder token. Order is
+    * fixed (email, then IP, then phone) so a span matching two patterns
+    * redacts deterministically as the most specific one; an IP-hosted
+    * address (`joe@10.0.0.1`) is not an email under [[EmailRe]] (numeric
+    * TLD) and gets its host IP-redacted instead. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  def withPii(df: DataFrame, textCol: String): DataFrame = {
+    val withCounts = piiColumns(col(textCol)).foldLeft(df) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+    withCounts.withColumn("text_redacted", redactPii(col(textCol)))
+  }
+
+  // ---- repetition (Gopher-style quality rules) ------------------------
+
+  /** Lower-cased whitespace words — the shared tokenization of every
+    * operator in this file (and of [[TextAnalysis]] / [[Dedup]]). */
+  private def words(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
+
+  /** Word k-grams as strings, built by zipping `w` with its own
+    * k−1 shifted copies.
+    *
+    * The obvious formulation — `transform(sequence(1, n−k+1),
+    * i => concat_ws(" ", slice(w, i, k)))` — is a performance trap:
+    * `w` appears INSIDE the lambda, and Spark's higher-order-function
+    * evaluation re-computes every non-bound subtree per ELEMENT, so the
+    * split+filter words-tree runs O(words²) times per row (measured 40×
+    * slower at sf0.1). `zip_with` evaluates both array arguments once
+    * per row and its lambda touches only the bound variables.
+    *
+    * The raw zip has length `size(w)` (zip_with null-pads the shorter
+    * side, and `concat` null-propagates), so the final slice keeps the
+    * `size(w)−k+1` valid grams. Short docs short-circuit to an empty
+    * array — `slice` rejects negative lengths. */
+  private def kgrams(w: Column, k: Int): Column = {
+    val raw = (2 to k).foldLeft(w) { (acc, j) =>
+      zip_with(acc, slice(w, lit(j), size(w)), (a, b) => concat(a, lit(" "), b))
+    }
+    if (k == 1) w
+    else
+      when(size(w) < k, array().cast("array<string>"))
+        .otherwise(slice(raw, lit(1), size(w) - (k - 1)))
+  }
+
+  /** Duplicate-k-gram fraction: 1 − distinct/total, 0 for docs shorter
+    * than k words. The Gopher repetition signals (Rae et al. 2021,
+    * §A1.1) at word granularity — the synthetic corpus has no newlines,
+    * and at 100 TB the line-level variants are the same expression over
+    * a `split(text, '\n')` array. */
+  def dupKgramFrac(text: Column, k: Int): Column = {
+    val w = words(text)
+    // denominator by arithmetic, not size(g): the gram array is the
+    // expensive subtree and must be evaluated once per row, not twice
+    val total = size(w) - (k - 1)
+    when(total <= 0, lit(0.0d))
+      .otherwise(lit(1.0d) -
+        size(array_distinct(kgrams(w, k))).cast("double") / total.cast("double"))
+  }
+
+  def repetitionColumns(text: Column): Seq[(String, Column)] = Seq(
+    "dup_word_frac" -> dupKgramFrac(text, 1),
+    "dup_2gram_frac" -> dupKgramFrac(text, 2),
+    "dup_3gram_frac" -> dupKgramFrac(text, 3))
+
+  def withRepetition(df: DataFrame, textCol: String): DataFrame =
+    repetitionColumns(col(textCol)).foldLeft(df) { case (d, (name, c)) =>
+      d.withColumn(name, c)
+    }
+
+  // ---- benchmark decontamination --------------------------------------
+
+  /** Flag training documents sharing any word `n`-gram with a benchmark
+    * corpus (the GPT-3/PaLM decontamination scheme, at a configurable
+    * `n`).
+    *
+    * Returns one row per `docs` row: (idCol, n_overlap, contaminated)
+    * where n_overlap counts the doc's DISTINCT n-grams that appear
+    * anywhere in the benchmark.
+    *
+    * 100 TB shape: `benchmark` is the tiny side (evaluation sets are
+    * MBs) — its distinct gram set is broadcast, so the corpus scan
+    * stays shuffle-free up to the per-doc count aggregation, which
+    * carries one (id, long) pair per doc with map-side combine. The
+    * corpus-side gram explode is bounded per task, never collected.
+    */
+  def contaminationReport(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      n: Int = 5): DataFrame = {
+    val id = col(idCol)
+    val docGrams = docs.select(
+      id, array_distinct(kgrams(words(col(textCol)), n)).as("grams"))
+    val benchGrams = benchmark
+      .select(explode(kgrams(words(col(benchTextCol)), n)).as("gram"))
+      .distinct()
+    val overlaps = docGrams
+      .select(id, explode(col("grams")).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(id).agg(count(lit(1)).as("n_overlap"))
+    docs.select(id)
+      .join(overlaps, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  // ---- URL canonicalization -------------------------------------------
+
+  /** Canonicalize a URL for URL-level dedup (the RefinedWeb/CCNet
+    * pre-dedup step): drop the fragment, lowercase scheme and host,
+    * strip a leading `www.`, and remove `utm_*` tracking parameters
+    * (renormalizing the `?`/`&` separators so parameter removal never
+    * leaves a dangling delimiter). Pure expression — no UDF, no parse
+    * tree; malformed URLs degrade to lowercased trimmed strings. */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host0 = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = regexp_replace(host0, "^www\\.", "")
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+", "")
+    // Tracking-param removal in three deterministic steps (each pattern
+    // matches a RUN of consecutive utm params, so a single left-to-right
+    // non-overlapping pass — identical scan semantics in Java regex and
+    // RE2 — removes them all):
+    //  1. drop "utm_*=v&[utm_*=v&…]" runs followed by a kept param,
+    //     preserving that param's leading separator;
+    //  2. drop a trailing "?utm_*=v[&utm_*=v…]" / "&utm_*=v[…]" run;
+    //  3. a query string reduced to nothing leaves no dangling "?".
+    val rest1 = regexp_replace(rest, "([?&])(utm_[A-Za-z0-9_]*=[^&#]*&)+", "$1")
+    val rest2 = regexp_replace(rest1,
+      "[?&]utm_[A-Za-z0-9_]*=[^&#]*(&utm_[A-Za-z0-9_]*=[^&#]*)*$", "")
+    val restClean = regexp_replace(rest2, "\\?$", "")
+    when(host0 === "", lower(noFrag))
+      .otherwise(concat(scheme, lit("://"), host, restClean))
+  }
+
+  /** Registrable host of a URL (post-normalization key for per-domain
+    * stats and robots/blocklist joins). */
+  def urlHost(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+      "^www\\.", "")
+}

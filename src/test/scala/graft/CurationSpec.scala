@@ -1,0 +1,129 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- PII -------------------------------------------------------------
+
+  test("PII counts and redaction: email, IPv4, phone, zero-hit") {
+    val df = Seq(
+      (1L, "write to alice.smith+tag@sub.example.co.uk or bob@x.io today"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255, call +1-555-0199"),
+      (3L, "no pii here at all"),
+      (4L, "v1.2.3.4 is a version but 1.2.3.4 alone is an ip")).toDF("id", "text")
+    val out = Curation.withPii(df, "text")
+      .select("id", "n_emails", "n_ipv4", "n_phones", "text_redacted")
+      .orderBy("id").as[(Long, Long, Long, Long, String)].collect()
+
+    assert(out(0) == ((1L, 2L, 0L, 0L, "write to <EMAIL> or <EMAIL> today")))
+    assert(out(1) == ((2L, 0L, 2L, 1L, "server at <IP> and <IP>, call <PHONE>")))
+    assert(out(2) == ((3L, 0L, 0L, 0L, "no pii here at all")))
+    // "v1.2.3.4": \b between "v1" digits? 'v' is a word char so the
+    // boundary before '1' fails — but the match can START at "2.3.4."…
+    // there are only 3 octets from there, so no match; the bare ip hits.
+    assert(out(3)._3 == 1L)
+    assert(out(3)._5.contains("<IP> alone"))
+  }
+
+  test("redaction order: email pass runs before IP/phone passes") {
+    // an IP-hosted address has no alphabetic TLD → NOT an email by the
+    // pattern; the IP pass then redacts just the host part
+    val df = Seq(
+      (1L, "mail me at joe@10.0.0.1 ok"),
+      (2L, "digits in host: a@mail2.example.com stays an email")).toDF("id", "text")
+    val red = Curation.withPii(df, "text")
+      .orderBy("id").select("text_redacted").as[String].collect()
+    assert(red(0) == "mail me at joe@<IP> ok")
+    assert(red(1) == "digits in host: <EMAIL> stays an email")
+  }
+
+  // ---- repetition ------------------------------------------------------
+
+  test("dup-kgram fractions: exact values, short-doc and empty guards") {
+    val df = Seq(
+      (1L, "a a a a"),            // 4 words 1 distinct; 3 2-grams 1 distinct
+      (2L, "a b c d"),            // all distinct
+      (3L, "ab"),                 // shorter than 2 → 2/3-gram frac 0
+      (4L, ""),                   // empty → all 0 (div-by-zero guard)
+      (5L, "x y x y x y")).toDF("id", "text")
+    val out = Curation.withRepetition(df, "text")
+      .select("id", "dup_word_frac", "dup_2gram_frac", "dup_3gram_frac")
+      .orderBy("id").as[(Long, Double, Double, Double)].collect()
+
+    assert(out(0) == ((1L, 0.75, 1.0 - 1.0 / 3.0, 0.5)))
+    assert(out(1) == ((2L, 0.0, 0.0, 0.0)))
+    assert(out(2) == ((3L, 0.0, 0.0, 0.0)))
+    assert(out(3) == ((4L, 0.0, 0.0, 0.0)))
+    // 6 words 2 distinct; 5 2-grams 2 distinct; 4 3-grams 2 distinct
+    assert(out(4) == ((5L, 1.0 - 2.0 / 6.0, 0.6, 0.5)))
+  }
+
+  // ---- decontamination -------------------------------------------------
+
+  test("contaminationReport: overlap counts, zero rows kept, bench excluded") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // shares 5-grams
+      (2L, "an entirely unrelated document about spark plans"),
+      (3L, "quick brown fox jumps over me")).toDF("doc_id", "text") // 4-word overlap only
+    val bench = Seq(
+      "the quick brown fox jumps over a fence").toDF("text")
+    val out = Curation.contaminationReport(train, "doc_id", "text", bench, "text", n = 5)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect()
+    // bench 5-grams: "the quick brown fox jumps", "quick brown fox jumps over",
+    // "brown fox jumps over a", "fox jumps over a fence"
+    assert(out(0) == ((1L, 2L, true)))
+    assert(out(1) == ((2L, 0L, false)))
+    assert(out(2) == ((3L, 1L, true))) // only "quick brown fox jumps over"
+  }
+
+  test("contamination plan: benchmark gram set broadcasts") {
+    val train = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val bench = Seq("a b c d e").toDF("text")
+    val plan = Curation.contaminationReport(train, "doc_id", "text", bench, "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side must broadcast:\n$plan")
+  }
+
+  // ---- URL normalization -----------------------------------------------
+
+  private def norm(u: String): String = {
+    val df = Seq(u).toDF("url")
+    df.select(Curation.normalizeUrl(col("url")).as("n")).as[String].head()
+  }
+
+  test("normalizeUrl: case, www, utm runs, fragments") {
+    assert(norm("HTTPS://WWW.Example.COM/Path/X?id=3#frag") ==
+      "https://example.com/Path/X?id=3")
+    // path/query case is PRESERVED (paths are case-sensitive)
+    assert(norm("http://example.com/CaseSensitive") ==
+      "http://example.com/CaseSensitive")
+    // leading utm run before a kept param
+    assert(norm("http://a.com/p?utm_source=x&utm_medium=y&id=5") ==
+      "http://a.com/p?id=5")
+    // kept param first, trailing utm run
+    assert(norm("http://a.com/p?id=5&utm_source=x&utm_campaign=z") ==
+      "http://a.com/p?id=5")
+    // utm params surrounding a kept param
+    assert(norm("http://a.com/p?utm_a=1&id=5&utm_b=2") == "http://a.com/p?id=5")
+    // only utm params → no dangling '?'
+    assert(norm("http://a.com/p?utm_source=x") == "http://a.com/p")
+    assert(norm("http://a.com/p?utm_a=1&utm_b=2") == "http://a.com/p")
+  }
+
+  test("normalizeUrl: schemeless input degrades to lowercased trim") {
+    assert(norm("  Example.COM/Path  ") == "example.com/path")
+  }
+
+  test("urlHost strips www and lowercases, empty on schemeless") {
+    val df = Seq("HTTP://WWW.Sub.Example.COM/x", "nota url").toDF("url")
+    val hosts = df.select(Curation.urlHost(col("url")).as("h"))
+      .as[String].collect().toSeq
+    assert(hosts == Seq("sub.example.com", ""))
+  }
+}
