@@ -109,9 +109,101 @@ case class StopwordLangId(child: Expression, langs: Seq[(String, Seq[String])])
     copy(child = newChild)
 }
 
+/** `text_stats(text)` → struct of the six exact counters every quality
+  * / token query derives from:
+  * (n_chars, n_alpha, n_punct, n_ws, n_ws_tokens, n_bpe_tokens).
+  *
+  * Fuses what the column-function formulation spells as FIVE regex
+  * passes plus a split/filter pipeline ([[graft.operators.TextAnalysis
+  * .qualityColumns]]) into ONE byte pass over the UTF8String — the
+  * text-quality scan is a pure map stage, so at corpus scale this is
+  * the whole cost of the operator.
+  *
+  * Semantics are bit-identical to the regex formulation (the DuckDB
+  * oracle gates prove it):
+  *   - counts are per CODE POINT: a continuation byte (10xxxxxx)
+  *     advances no counter, so `n_chars` = `length()`;
+  *   - alpha = ASCII `[A-Za-z]`, ws = Java `\s` (ASCII incl. 0x0B —
+  *     [[Tokenize.isWs]]), punct = any other code point INCLUDING
+  *     non-ASCII (exactly `[^A-Za-z0-9\s]`, which is what the regex
+  *     counts: 'é' is "punct" there too);
+  *   - ws tokens = maximal non-ws runs (split + non-empty filter);
+  *   - bpe tokens = `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` matches: letter
+  *     runs and digit runs count once, every other non-ws code point
+  *     counts alone.
+  */
+case class TextStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def dataType: DataType = TextStats.schema
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    var chars = 0L; var alpha = 0L; var punct = 0L; var ws = 0L
+    var wsToks = 0L; var bpeToks = 0L
+    // prev byte class for run detection: 0=ws/start, 1=alpha, 2=digit, 3=other
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if ((b & 0xc0) == 0x80) {
+        // continuation byte of a code point already classified at its
+        // lead byte: no counter moves, run state unchanged
+      } else {
+        chars += 1
+        if (b >= 0) { // ASCII
+          if (Tokenize.isWs(b)) {
+            ws += 1; prev = 0
+          } else if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) {
+            alpha += 1
+            if (prev == 0) wsToks += 1
+            if (prev != 1) bpeToks += 1
+            prev = 1
+          } else if (b >= '0' && b <= '9') {
+            if (prev == 0) wsToks += 1
+            if (prev != 2) bpeToks += 1
+            prev = 2
+          } else {
+            punct += 1
+            if (prev == 0) wsToks += 1
+            bpeToks += 1 // every other char is its own BPE-ish token
+            prev = 3
+          }
+        } else { // lead byte of a multi-byte code point → "other" class
+          punct += 1
+          if (prev == 0) wsToks += 1
+          bpeToks += 1
+          prev = 3
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(chars, alpha, punct, ws, wsToks, bpeToks)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
+object TextStats {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_alpha", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_ws", LongType, nullable = false),
+    StructField("n_ws_tokens", LongType, nullable = false),
+    StructField("n_bpe_tokens", LongType, nullable = false)))
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
 
   def stopwordLangId(text: Column, langs: Seq[(String, Seq[String])]): Column =
     toCol(StopwordLangId(toExpr(text), langs))
+
+  def textStats(text: Column): Column = toCol(TextStats(toExpr(text)))
 }

@@ -14,22 +14,28 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** The fused single-pass counter struct behind every function below —
+    * one byte scan replaces five regex passes and a split/filter
+    * pipeline (see [[graft.functions.TextStats]] for the exact
+    * semantics equivalence). */
+  private def stats(text: Column): Column =
+    graft.functions.TextFunctions.textStats(text)
+
   /** Whitespace token count (long). */
-  def wsTokenCount(text: Column): Column =
-    size(filter(split(trim(text), "\\s+"), w => length(w) > 0)).cast("long")
+  def wsTokenCount(text: Column): Column = stats(text).getField("n_ws_tokens")
 
   /** BPE-ish token count: letter runs, digit runs, single punctuation
     * (ASCII classes to stay engine-portable). */
-  def bpeTokenCount(text: Column): Column =
-    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+  def bpeTokenCount(text: Column): Column = stats(text).getField("n_bpe_tokens")
 
   /** Quality features: exact counts + IEEE-division ratios. */
   def qualityColumns(text: Column): Seq[(String, Column)] = {
-    val n = length(text).cast("long")
-    val alpha = (n - length(regexp_replace(text, "[A-Za-z]", ""))).cast("long")
-    val punct = (n - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("long")
-    val ws = (n - length(regexp_replace(text, "\\s", ""))).cast("long")
-    val toks = wsTokenCount(text)
+    val st = stats(text)
+    val n = st.getField("n_chars")
+    val alpha = st.getField("n_alpha")
+    val punct = st.getField("n_punct")
+    val ws = st.getField("n_ws")
+    val toks = st.getField("n_ws_tokens")
     Seq(
       "n_chars" -> n,
       "n_tokens" -> toks,

@@ -262,6 +262,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(at("mean_token_len") == 5.0 / 2.0)
   }
 
+  test("TextStats single-pass counters match the regex formulation exactly") {
+    // the five-regex-pass spec the fused expression replaced — kept here
+    // as the executable reference semantics
+    def regexQuality(text: org.apache.spark.sql.Column) = {
+      val n = length(text).cast("long")
+      Seq(
+        n,
+        size(filter(split(trim(text), "\\s+"), w => length(w) > 0)).cast("long"),
+        (n - length(regexp_replace(text, "[A-Za-z]", ""))).cast("long"),
+        (n - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("long"),
+        (n - length(regexp_replace(text, "\\s", ""))).cast("long"),
+        regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long"))
+    }
+    val tricky = Seq(
+      "", " ", "   \t\n\f\r ", "a", "A1!", "abc123xyz",
+      "Hello, wörld! Ünïcödé text — em-dash",   // non-ASCII letters count as "punct" per the regex class
+      "ééé",                      // ééé: 3 code points, 6 utf-8 bytes
+      "tab\tsep  double  space\nnewline",
+      "1a2b3c", "a1 2b c3!d",
+      "😀 emoji 👍 pair",    // supplementary code points (4-byte utf-8)
+      "  leading and trailing  ",
+      "digits 0123456789 and CAPS MiXeD")
+    val df = tricky.toDF("text")
+    val st = graft.functions.TextFunctions.textStats($"text")
+    val got = df.select(
+      st.getField("n_chars"), st.getField("n_ws_tokens"), st.getField("n_alpha"),
+      st.getField("n_punct"), st.getField("n_ws"), st.getField("n_bpe_tokens"))
+      .collect().map(_.toSeq)
+    val exp = df.select(regexQuality($"text"): _*).collect().map(_.toSeq)
+    tricky.indices.foreach { i =>
+      assert(got(i) == exp(i), s"mismatch for '${tricky(i)}': got ${got(i)} exp ${exp(i)}")
+    }
+  }
+
   test("langid picks the language with most stopword hits; und when none") {
     val df = Seq(
       "the cat is on the mat and it is happy",
