@@ -616,6 +616,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_chunk" -> ((s, dir) => {
+      // 30-token windows, stride 20 (10-token overlap) — docs average
+      // ~50 words, so most produce 2-3 chunks incl. a short tail
+      Curation.chunkDocuments(tbl(s, dir, "documents"), "doc_id", "text",
+        chunkLen = 30, stride = 20)
+        .withColumn("chunk_id", col("chunk_id").cast("long")) // BIGINT parity
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     "url_normalize" -> ((s, dir) => {
       // URLs synthesized from (source, doc_id) with every normalization
       // hazard present: uppercase scheme+host, www. prefix, a utm_ run
@@ -679,6 +688,19 @@ object SparkEntry {
       back.select(col("o_orderkey").cast("long"), col("o_orderstatus"),
         col("o_totalprice").cast("double"))
         .orderBy("o_orderkey")
+    }),
+
+    "io_orc_roundtrip" -> ((s, dir) => {
+      // ORC sink → extension-dispatched read-back; value fidelity proven
+      // against the oracle on the ORIGINAL parquet (as every io_* gate)
+      val path = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/customer.orc"
+      val src = tbl(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      graft.sources.Writers.saveAs(src, path)
+      val (back, _) = graft.sources.Readers.readAuto(s, path)
+      back.select(col("c_custkey").cast("long"), col("c_name"),
+        col("c_acctbal").cast("double"), col("c_nationkey").cast("int"))
+        .orderBy("c_custkey")
     }),
 
     "io_json_array_roundtrip" -> ((s, dir) => {
@@ -1227,6 +1249,19 @@ object SparkEntry {
         |FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
         |WHERE g.doc_id % 97 <> 0 ORDER BY g.doc_id""".stripMargin,
 
+    "text_chunk" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |off AS (
+        |  SELECT doc_id, w, unnest(range(0, ((len(w) - 1) // 20) + 1)) AS i
+        |  FROM w WHERE len(w) > 0)
+        |SELECT doc_id, i AS chunk_id,
+        |  array_to_string(w[i * 20 + 1 : i * 20 + 30], ' ') AS chunk_text,
+        |  least(CAST(30 AS BIGINT), len(w) - i * 20) AS n_tokens
+        |FROM off ORDER BY doc_id, chunk_id""".stripMargin,
+
     "url_normalize" ->
       """WITH u AS (
         |  SELECT doc_id,
@@ -1420,6 +1455,10 @@ object SparkEntry {
     "io_ndjson_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "io_orc_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_nationkey
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "io_json_array_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey

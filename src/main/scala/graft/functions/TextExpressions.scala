@@ -199,6 +199,78 @@ object TextStats {
     StructField("n_bpe_tokens", LongType, nullable = false)))
 }
 
+/** `word_chunks(text, chunkLen, stride)` → array of chunk strings:
+  * lowercased whitespace tokens joined by single spaces, in windows of
+  * `chunkLen` tokens whose starts are `stride` apart; the last window
+  * may be short; no tokens → empty array.
+  *
+  * Native rather than composed because the composition is an optimizer
+  * hazard: `transform(sequence(…), i => slice(words, …))` re-evaluates
+  * the words tree per chunk even when the words array is staged in its
+  * own projection — CollapseProject inlines it back into the lambda, and
+  * an n-word doc costs O(n²/stride). Here: one `toLowerCase` (the exact
+  * `lower()` semantics), one span scan, and per-chunk byte concatenation
+  * — O(n · chunkLen/stride) bytes, no re-tokenization.
+  */
+case class WordChunks(child: Expression, chunkLen: Int, stride: Int)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.ArrayType
+
+  require(chunkLen > 0 && stride > 0 && stride <= chunkLen,
+    s"need 0 < stride <= chunkLen, got chunkLen=$chunkLen stride=$stride")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val lowered = input.asInstanceOf[UTF8String].toLowerCase
+    val bytes = lowered.getBytes
+    val n = bytes.length
+    // token spans [start, end) over the lowered bytes
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](32)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](32)
+    var i = 0
+    while (i < n) {
+      while (i < n && Tokenize.isWs(bytes(i))) i += 1
+      if (i < n) {
+        starts += i
+        while (i < n && !Tokenize.isWs(bytes(i))) i += 1
+        ends += i
+      }
+    }
+    val nWords = starts.length
+    if (nWords == 0) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    else {
+      val nChunks = (nWords - 1) / stride + 1
+      val out = new Array[Any](nChunks)
+      var c = 0
+      while (c < nChunks) {
+        val from = c * stride
+        val until = math.min(from + chunkLen, nWords)
+        var len = 0
+        var w = from
+        while (w < until) { len += ends(w) - starts(w) + 1; w += 1 }
+        val buf = new Array[Byte](len - 1) // single-space joins, no trailing
+        var pos = 0
+        w = from
+        while (w < until) {
+          if (w > from) { buf(pos) = ' '; pos += 1 }
+          val l = ends(w) - starts(w)
+          System.arraycopy(bytes, starts(w), buf, pos, l)
+          pos += l
+          w += 1
+        }
+        out(c) = UTF8String.fromBytes(buf)
+        c += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordChunks =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
 
@@ -206,4 +278,7 @@ object TextFunctions {
     toCol(StopwordLangId(toExpr(text), langs))
 
   def textStats(text: Column): Column = toCol(TextStats(toExpr(text)))
+
+  def wordChunks(text: Column, chunkLen: Int, stride: Int): Column =
+    toCol(WordChunks(toExpr(text), chunkLen, stride))
 }

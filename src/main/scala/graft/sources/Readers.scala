@@ -51,8 +51,11 @@ object Readers {
     case object Json extends Format
     case object NdJson extends Format
     case object Parquet extends Format
+    case object Orc extends Format
 
-    /** Extension → format (reference file_extension.rs:6-36, lowercased). */
+    /** Extension → format (reference file_extension.rs:6-36, lowercased;
+      * ORC is an extension beyond the reference — a columnar format
+      * Spark supports natively, so a Spark-first engine exposes it). */
     def fromPath(path: String): Format = {
       val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
       ext match {
@@ -60,6 +63,7 @@ object Readers {
         case "json"            => Json
         case "ndjson" | "jsonl" => NdJson
         case "parquet" | "pq"  => Parquet
+        case "orc"             => Orc
         case other             => throw GraftError.UnsupportedFileExtension(other)
       }
     }
@@ -90,6 +94,7 @@ object Readers {
       case Format.Json    => (readJson(spark, path, cfg), None)
       case Format.NdJson  => (readNdJson(spark, path, cfg), None)
       case Format.Parquet => (readParquet(spark, path), None)
+      case Format.Orc     => (readOrc(spark, path), None)
     }
 
   private def csvReader(spark: SparkSession, sep: String, cfg: ReadConfig) = {
@@ -236,4 +241,9 @@ object Readers {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path)
   }
+
+  /** ORC (native Spark datasource — vectorized scan, predicate pushdown
+    * and column pruning like parquet). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -79,6 +79,7 @@ object Writers {
       case Readers.Format.Json    => writeJsonArray(df, path, singleFile)
       case Readers.Format.NdJson  => writeNdJson(df, path, singleFile)
       case Readers.Format.Parquet => writeParquet(df, path, singleFile)
+      case Readers.Format.Orc     => writeOrc(df, path, singleFile)
     }
 
   def writeCsv(df: DataFrame, path: String, delimiter: Char = ',',
@@ -96,6 +97,12 @@ object Writers {
       commitAsSingleFile(df, path)(p =>
         df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(p))
     else df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def writeOrc(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    if (singleFile)
+      commitAsSingleFile(df, path)(p =>
+        df.coalesce(1).write.mode(SaveMode.Overwrite).orc(p))
+    else df.write.mode(SaveMode.Overwrite).orc(path)
 
   def writeNdJson(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
     if (singleFile)

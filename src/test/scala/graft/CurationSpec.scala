@@ -90,6 +90,40 @@ class CurationSpec extends AnyFunSuite {
       s"benchmark side must broadcast:\n$plan")
   }
 
+  // ---- chunking --------------------------------------------------------
+
+  test("chunkDocuments: windows, overlap, short tail, empty-doc drop") {
+    val df = Seq(
+      (1L, "a b c d e f g"),  // 7 words, len 3 stride 2 → starts 0,2,4,6
+      (2L, "x y"),            // single short chunk
+      (3L, ""),               // no rows
+      (4L, "  ")).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(df, "doc_id", "text", chunkLen = 3, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, "a b c", 3L), (1L, 1, "c d e", 3L),
+      (1L, 2, "e f g", 3L), (1L, 3, "g", 1L),
+      (2L, 0, "x y", 2L)))
+  }
+
+  test("chunkDocuments: stride == chunkLen is non-overlapping cover") {
+    val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(df, "doc_id", "text", chunkLen = 4, stride = 4)
+      .orderBy("chunk_id").as[(Long, Int, String, Long)].collect().toSeq
+    assert(out.map(_._3) == Seq("w1 w2 w3 w4", "w5 w6 w7 w8", "w9 w10"))
+    assert(out.map(_._4) == Seq(4L, 4L, 2L))
+    // every word appears exactly once across chunks
+    assert(out.flatMap(_._3.split(" ")).toSeq == (1 to 10).map(i => s"w$i"))
+  }
+
+  test("chunkDocuments rejects stride > chunkLen (would drop words)") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assertThrows[IllegalArgumentException] {
+      Curation.chunkDocuments(df, "doc_id", "text", chunkLen = 2, stride = 3)
+    }
+  }
+
   // ---- URL normalization -----------------------------------------------
 
   private def norm(u: String): String = {

@@ -113,6 +113,19 @@ class PlanSpec extends AnyFunSuite {
       s"expected only the orderBy exchange:\n$p")
   }
 
+  test("text_chunk: words tree evaluated once, no shuffle before the sort") {
+    val p = planOf("text_chunk")
+    // chunking must ride the native one-pass expression — a composed
+    // transform/slice formulation re-runs the split+filter words tree
+    // per chunk once CollapseProject inlines it into the lambda (the
+    // O(n²/stride) trap chunkDocuments documents)
+    assert(p.toLowerCase.contains("wordchunks"), s"native WordChunks missing:\n$p")
+    assert(!p.contains("split("), s"composed words tree crept back in:\n$p")
+    // narrow until the final presentation sort: generate, no exchange
+    assert(p.contains("Generate"), "chunk explode missing")
+    assert("Exchange".r.findAllIn(p).length <= 2, "unexpected extra shuffle")
+  }
+
   test("nextFitPackExact: exactly one shuffle (by shard), non-global sort") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

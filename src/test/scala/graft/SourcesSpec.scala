@@ -249,6 +249,21 @@ class SourcesSpec extends AnyFunSuite {
     }
     assert(Readers.Format.fromPath("a.JSONL") == Readers.Format.NdJson)
     assert(Readers.Format.fromPath("a.Parquet") == Readers.Format.Parquet)
+    assert(Readers.Format.fromPath("a.ORC") == Readers.Format.Orc)
+  }
+
+  test("orc roundtrip preserves types and values; K1 refusal covers orc") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("k", "s", "v")
+    val dir = Files.createTempDirectory("graft_orc").toFile.getAbsolutePath + "/out.orc"
+    Writers.saveAs(df, dir)
+    val (back, _) = Readers.readAuto(spark, dir)
+    assert(back.schema("k").dataType.typeName == "long")
+    assert(back.schema("v").dataType.typeName == "double")
+    assert(back.orderBy("k").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b", -2.25)))
+    assertThrows[GraftError.UnsupportedFileExtension] {
+      Writers.save(df, "/tmp/graft_bad.orc", Readers.Format.Parquet)
+    }
   }
 
   test("save refuses cross-format overwrite (K1)") {
@@ -272,7 +287,7 @@ class SourcesSpec extends AnyFunSuite {
     // (file_dialog.rs:59-148) — not a directory containing a part file
     val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("i", "s").repartition(3)
     val base = Files.createTempDirectory("graft_single").toFile.getAbsolutePath
-    for (name <- Seq("out.csv", "out.ndjson", "out.json", "out.parquet")) {
+    for (name <- Seq("out.csv", "out.ndjson", "out.json", "out.parquet", "out.orc")) {
       val path = s"$base/$name"
       Writers.saveAs(df, path, delimiter = ';', singleFile = true)
       val f = new java.io.File(path)
