@@ -40,6 +40,16 @@ def main(outdir, sfdir):
         for c in got.columns:
             gv, ev = got[c].tolist(), exp[c].tolist()
             for i, (g, e) in enumerate(zip(gv, ev)):
+                # list/array cells (if a gate ever emits them): compare as
+                # plain lists — pd.isna is ambiguous on arrays
+                if hasattr(g, "tolist"):
+                    g = g.tolist()
+                if hasattr(e, "tolist"):
+                    e = e.tolist()
+                if isinstance(g, list) or isinstance(e, list):
+                    if g != e:
+                        bad = (c, i, g, e); break
+                    continue
                 gn = g != g if isinstance(g, float) else g is None
                 en = e != e if isinstance(e, float) else e is None
                 try:

@@ -616,6 +616,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_vocab" -> ((s, dir) => {
+      TextAnalysis.topKWords(tbl(s, dir, "documents"), "text", k = 50)
+        .orderBy(col("cnt").desc, col("word"))
+    }),
+
+    "emb_quantize" -> ((s, dir) => {
+      // scale and q are pure IEEE double ops over exactly-widened floats
+      // — bit-identical cross-engine, no rounding needed (header policy).
+      // q is emitted comma-joined: the driver compare handles scalar
+      // columns only.
+      Embeddings.quantizeInt8(tbl(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("q"), _.cast("string")), ",").as("q_str"))
+        .orderBy("vec_id")
+    }),
+
     "text_chunk" -> ((s, dir) => {
       // 30-token windows, stride 20 (10-token overlap) — docs average
       // ~50 words, so most produce 2-3 chunks incl. a short tail
@@ -1248,6 +1264,26 @@ object SparkEntry {
         |  CAST(coalesce(h.n_overlap, 0) > 0 AS INT) AS contaminated
         |FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
         |WHERE g.doc_id % 97 <> 0 ORDER BY g.doc_id""".stripMargin,
+
+    "text_vocab" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0)) AS word
+        |  FROM documents) t
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
+
+    "emb_quantize" ->
+      """SELECT vec_id,
+        |  CASE WHEN m > 0 THEN m / 127.0 ELSE CAST(0 AS DOUBLE) END AS scale,
+        |  array_to_string(CASE WHEN m > 0
+        |    THEN list_transform(v, x -> CAST(floor(x / (m / 127.0) + 0.5) AS INT))
+        |    ELSE list_transform(v, x -> 0) END, ',') AS q_str
+        |FROM (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m
+        |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |        FROM embeddings) a) b
+        |ORDER BY vec_id""".stripMargin,
 
     "text_chunk" ->
       """WITH w AS (

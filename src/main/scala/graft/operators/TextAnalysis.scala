@@ -83,6 +83,21 @@ object TextAnalysis {
     stopwordHits(text, all).cast("double") / wsTokenCount(text).cast("double")
   }
 
+  /** Corpus vocabulary: the `k` most frequent lowercased whitespace
+    * tokens with counts, ties broken by token text for determinism.
+    *
+    * Shuffle shape at 100 TB: explode feeds a two-phase count (map-side
+    * partial HashAggregate combines within each scan task, so the
+    * exchange carries one row per distinct token per partition — vocab
+    * cardinality, not corpus cardinality) and the top-k is
+    * TakeOrderedAndProject (per-partition heaps, never a global sort). */
+  def topKWords(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(
+        filter(split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(k)
+
   /** Canonical-form md5 document fingerprint. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))

@@ -124,6 +124,43 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  // ---- embeddings ------------------------------------------------------
+
+  test("quantizeInt8: range, zero-vector guard, dequantization error bound") {
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f)),             // zero vector → scale 0, q zeros
+      (3L, Seq(-2.0f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Embeddings.quantizeInt8(df, "vec_id", "embedding")
+      .orderBy("vec_id").as[(Long, Double, Seq[Int])].collect()
+    assert(out(0)._2 == 1.0 / 127.0)
+    assert(out(0)._3 == Seq(127, -63, 32, 0)) // floor(-63.5+0.5) = -63
+    assert(out(1) == ((2L, 0.0, Seq(0, 0))))
+    assert(out(2)._3 == Seq(-127))
+    // dequantization error ≤ scale/2 for every element
+    out.filter(_._2 > 0).foreach { case (id, scale, q) =>
+      val orig = Map(1L -> Seq(1.0, -0.5, 0.25, 0.0), 3L -> Seq(-2.0))(id)
+      q.zip(orig).foreach { case (qi, x) =>
+        assert(math.abs(qi * scale - x) <= scale / 2 + 1e-12, s"vec $id elem $x")
+      }
+    }
+  }
+
+  test("l2Normalize: unit norm, zero vector passthrough") {
+    val df = Seq(Seq(3.0f, 4.0f), Seq(0.0f, 0.0f)).toDF("v")
+    val out = df.select(graft.operators.Embeddings.l2Normalize(col("v")).as("n"))
+      .as[Seq[Double]].collect()
+    assert(out(0) == Seq(0.6, 0.8))
+    assert(out(1) == Seq(0.0, 0.0))
+  }
+
+  test("topKWords: count ordering with deterministic ties") {
+    val df = Seq("b a a", "c b A", "").toDF("text")
+    val out = graft.operators.TextAnalysis.topKWords(df, "text", 2)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a", 3L), ("b", 2L))) // "A" lowercases into a
+  }
+
   // ---- URL normalization -----------------------------------------------
 
   private def norm(u: String): String = {

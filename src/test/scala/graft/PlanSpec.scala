@@ -113,6 +113,14 @@ class PlanSpec extends AnyFunSuite {
       s"expected only the orderBy exchange:\n$p")
   }
 
+  test("text_vocab: two-phase count, top-k never globally sorts") {
+    val p = planOf("text_vocab")
+    // map-side combine: the exchange carries vocab cardinality, not
+    // corpus token cardinality
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "no partial aggregation")
+    assert(p.contains("TakeOrderedAndProject"), "top-k fell back to a global sort")
+  }
+
   test("text_chunk: words tree evaluated once, no shuffle before the sort") {
     val p = planOf("text_chunk")
     // chunking must ride the native one-pass expression — a composed
