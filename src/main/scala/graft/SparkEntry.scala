@@ -621,6 +621,15 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("word"))
     }),
 
+    "text_tfidf" -> ((s, dir) => {
+      // tfidf emitted at 6dp: tf/df/N are exact ints, but ln() is
+      // transcendental — engines may differ in the last ulp, and the
+      // true values sit ~1e15 away from any 1e-6 rounding boundary
+      TextAnalysis.tfidfTopTerms(tbl(s, dir, "documents"), "doc_id", "text", k = 3)
+        .withColumn("tfidf", round(col("tfidf"), 6))
+        .orderBy("doc_id", "rank")
+    }),
+
     "emb_quantize" -> ((s, dir) => {
       // scale and q are pure IEEE double ops over exactly-widened floats
       // — bit-identical cross-engine, no rounding needed (header policy).
@@ -1272,6 +1281,23 @@ object SparkEntry {
         |    x -> len(x) > 0)) AS word
         |  FROM documents) t
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    tf.tf * ln((SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) FROM documents) / dfreq.df) AS tfidf
+        |  FROM tf JOIN dfreq USING (term)),
+        |ranked AS (
+        |  SELECT scored.*, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, round(tfidf, 6) AS tfidf
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "emb_quantize" ->
       """SELECT vec_id,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -97,6 +98,40 @@ object TextAnalysis {
         .as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word")).limit(k)
+
+  /** Per-document TF-IDF top terms: for each doc, the `k` highest
+    * tf·idf tokens (keyword extraction / quality-signal step).
+    *
+    * tf = term count in doc; idf = ln(N / df) with df = number of docs
+    * containing the term. Ties break on token text; ln is IEEE double
+    * (`ln` in DuckDB) so scores are engine-reproducible given exact
+    * integer tf/df/N.
+    *
+    * Shuffle shape at 100 TB: (doc, term, tf) comes from one explode +
+    * two-phase count keyed by (doc, term) — combiner-reduced, uniform
+    * keys. df is vocab-cardinality (second two-phase count over the
+    * distinct (doc, term) pairs already in hand) and joins back
+    * BROADCAST (a vocabulary is millions of rows — KBs/MBs — vs
+    * billions of docs). The per-doc top-k is a window rank over
+    * (doc, score) — partitioned by doc, never a global sort. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col(idCol)
+    val toks = df.select(id, explode(
+      filter(split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0)).as("term"))
+    val tf = toks.groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
+      .transform(Materialize.once(_)) // consumed twice: df source + score join
+    val nDocs = df.select(id).distinct().count()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .withColumn("tfidf",
+        col("tf").cast("double") * log(lit(nDocs).cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy(id).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(id, col("rank").cast("long").as("rank"), col("term"),
+        col("tf"), col("df"), col("tfidf"))
+  }
 
   /** Canonical-form md5 document fingerprint. */
   def fingerprint(text: Column): Column =

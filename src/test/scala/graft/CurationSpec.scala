@@ -154,6 +154,40 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1) == Seq(0.0, 0.0))
   }
 
+  test("tfidfTopTerms: exact tf/df, score ordering, deterministic ties") {
+    val df = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry durian")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.tfidfTopTerms(df, "doc_id", "text", 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, Long, String, Long, Long, Double)].collect().toSeq
+    val n = 3.0
+    // doc 1: apple tf=2 df=1 → 2·ln(3); banana tf=1 df=2 → ln(1.5)
+    assert(out(0) == ((1L, 1L, "apple", 2L, 1L, 2.0 * StrictMath.log(n / 1))))
+    assert(out(1) == ((1L, 2L, "banana", 1L, 2L, StrictMath.log(n / 2))))
+    // doc 2: banana and cherry both tf=1 df=2 — equal scores, term tiebreak
+    assert(out(2)._3 == "banana" && out(3)._3 == "cherry")
+    // doc 3: cherry tf=3 beats durian (df=1, tf=1)
+    assert(out(4) == ((3L, 1L, "cherry", 3L, 2L, 3.0 * StrictMath.log(n / 2))))
+    assert(out(5) == ((3L, 2L, "durian", 1L, 1L, StrictMath.log(n / 1))))
+  }
+
+  test("curation ops propagate null text as null, never throw") {
+    val df = Seq((1L, null: String), (2L, "ok text")).toDF("doc_id", "text")
+    val pii = Curation.withPii(df, "text").orderBy("doc_id").collect()
+    assert(pii(0).isNullAt(pii(0).fieldIndex("n_emails")))
+    assert(pii(0).isNullAt(pii(0).fieldIndex("text_redacted")))
+    val rep = Curation.withRepetition(df, "text").orderBy("doc_id").collect()
+    assert(rep(0).isNullAt(rep(0).fieldIndex("dup_2gram_frac")))
+    // chunking: null text yields no chunk rows (like empty text)
+    val ch = Curation.chunkDocuments(df, "doc_id", "text", 3, 2)
+    assert(ch.select("doc_id").as[Long].collect().toSet == Set(2L))
+    // stats-backed quality: null in → null counters
+    val q = graft.operators.TextAnalysis.withQuality(df, "text").orderBy("doc_id").collect()
+    assert(q(0).isNullAt(q(0).fieldIndex("n_chars")))
+  }
+
   test("topKWords: count ordering with deterministic ties") {
     val df = Seq("b a a", "c b A", "").toDF("text")
     val out = graft.operators.TextAnalysis.topKWords(df, "text", 2)
