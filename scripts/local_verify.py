@@ -47,7 +47,15 @@ def main(outdir, sfdir):
                 if hasattr(e, "tolist"):
                     e = e.tolist()
                 if isinstance(g, list) or isinstance(e, list):
-                    if g != e:
+                    def _eq(a, b):
+                        if isinstance(a, float) and isinstance(b, float) \
+                                and a != a and b != b:
+                            return True  # NaN == NaN, like the scalar path
+                        return a == b
+                    ok = (isinstance(g, list) and isinstance(e, list)
+                          and len(g) == len(e)
+                          and all(_eq(a, b) for a, b in zip(g, e)))
+                    if not ok:
                         bad = (c, i, g, e); break
                     continue
                 gn = g != g if isinstance(g, float) else g is None

@@ -1335,20 +1335,23 @@ object SparkEntry {
         |p AS (
         |  SELECT doc_id, nofrag,
         |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |    lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host0,
+        |    lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS auth,
         |    regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+', '', 'g') AS rest
         |  FROM s),
+        |hp AS (
+        |  SELECT p.*, regexp_replace(auth, '^.*@', '', 'g') AS hostport FROM p),
         |q AS (
-        |  SELECT doc_id, nofrag, scheme, host0,
-        |    regexp_replace(host0, '^www\.', '', 'g') AS host,
+        |  SELECT doc_id, nofrag, scheme, auth,
+        |    regexp_extract(hostport, '(:[0-9]+)$', 1) AS port,
+        |    regexp_replace(regexp_replace(hostport, ':[0-9]*$', '', 'g'), '^www\.', '', 'g') AS host,
         |    regexp_replace(regexp_replace(regexp_replace(rest,
         |      '([?&])(utm_[A-Za-z0-9_]*=[^&#]*&)+', '\1', 'g'),
         |      '[?&]utm_[A-Za-z0-9_]*=[^&#]*(&utm_[A-Za-z0-9_]*=[^&#]*)*$', '', 'g'),
         |      '\?$', '', 'g') AS restclean
-        |  FROM p)
+        |  FROM hp)
         |SELECT doc_id,
-        |  CASE WHEN host0 = '' THEN lower(nofrag)
-        |    ELSE concat(scheme, '://', host, restclean) END AS url_norm,
+        |  CASE WHEN auth = '' THEN lower(nofrag)
+        |    ELSE concat(scheme, '://', host, port, restclean) END AS url_norm,
         |  host
         |FROM q ORDER BY doc_id""".stripMargin,
 

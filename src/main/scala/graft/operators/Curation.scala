@@ -197,8 +197,13 @@ object Curation {
   def normalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(trim(url), "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val host0 = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
-    val host = regexp_replace(host0, "^www\\.", "")
+    val auth = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    // authority → host: drop userinfo (".*@" is greedy → up to the LAST
+    // @, so "good.com@evil.com" keys as evil.com — the spoof-resistant
+    // reading), split off the port, strip a leading www.
+    val hostPort = regexp_replace(auth, "^.*@", "")
+    val port = regexp_extract(hostPort, "(:[0-9]+)$", 1)
+    val host = regexp_replace(regexp_replace(hostPort, ":[0-9]*$", ""), "^www\\.", "")
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+", "")
     // Tracking-param removal in three deterministic steps (each pattern
     // matches a RUN of consecutive utm params, so a single left-to-right
@@ -212,14 +217,19 @@ object Curation {
     val rest2 = regexp_replace(rest1,
       "[?&]utm_[A-Za-z0-9_]*=[^&#]*(&utm_[A-Za-z0-9_]*=[^&#]*)*$", "")
     val restClean = regexp_replace(rest2, "\\?$", "")
-    when(host0 === "", lower(noFrag))
-      .otherwise(concat(scheme, lit("://"), host, restClean))
+    // canonical form drops userinfo (never a dedup signal) but KEEPS an
+    // explicit port — a non-default port addresses a different resource
+    when(auth === "", lower(noFrag))
+      .otherwise(concat(scheme, lit("://"), host, port, restClean))
   }
 
-  /** Registrable host of a URL (post-normalization key for per-domain
-    * stats and robots/blocklist joins). */
-  def urlHost(url: Column): Column =
+  /** Hostname of a URL (post-normalization key for per-domain stats and
+    * robots/blocklist joins): lowercased, userinfo and port stripped,
+    * leading `www.` removed. Empty string when there is no authority. */
+  def urlHost(url: Column): Column = {
+    val auth = lower(regexp_extract(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
     regexp_replace(
-      lower(regexp_extract(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+      regexp_replace(regexp_replace(auth, "^.*@", ""), ":[0-9]*$", ""),
       "^www\\.", "")
+  }
 }

@@ -45,10 +45,14 @@ object Embeddings {
   }
 
   /** L2-normalized copy of the vector (zero vectors pass through as
-    * zeros rather than NaN). */
+    * zeros rather than NaN). Same zip_with/array_repeat shape as
+    * [[quantizeInt8Columns]]: the norm inside a `transform` lambda
+    * would re-run the whole sum-of-squares per ELEMENT (O(d²)/row). */
   def l2Normalize(vec: Column): Column = {
     val v = asDouble(vec)
     val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
-    when(n > 0.0, transform(v, _ / n)).otherwise(v)
+    when(n > 0.0,
+      zip_with(v, array_repeat(n, size(v)), (x, nn) => x / nn))
+      .otherwise(v)
   }
 }

@@ -121,11 +121,15 @@ object TextAnalysis {
       filter(split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0)).as("term"))
     val tf = toks.groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
       .transform(Materialize.once(_)) // consumed twice: df source + score join
-    val nDocs = df.select(id).distinct().count()
+    // N rides the plan as a broadcast 1-row frame — a driver-side
+    // count() here would eagerly scan the corpus at COMPOSITION time
+    // (every other operator stays lazy until the caller executes)
+    val nDocs = df.select(countDistinct(id).cast("double").as("n_docs"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        col("tf").cast("double") * log(lit(nDocs).cast("double") / col("df").cast("double")))
+        col("tf").cast("double") * log(col("n_docs") / col("df").cast("double")))
     val w = Window.partitionBy(id).orderBy(col("tfidf").desc, col("term"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -163,14 +163,20 @@ class CurationSpec extends AnyFunSuite {
       .orderBy("doc_id", "rank")
       .as[(Long, Long, String, Long, Long, Double)].collect().toSeq
     val n = 3.0
-    // doc 1: apple tf=2 df=1 → 2·ln(3); banana tf=1 df=2 → ln(1.5)
-    assert(out(0) == ((1L, 1L, "apple", 2L, 1L, 2.0 * StrictMath.log(n / 1))))
-    assert(out(1) == ((1L, 2L, "banana", 1L, 2L, StrictMath.log(n / 2))))
+    // tfidf asserted within 1 ulp-scale tolerance: Spark's log() may be
+    // Math.log or StrictMath.log depending on JVM intrinsics, and the
+    // two are allowed to differ in the last ulp (the gate itself rounds
+    // to 6dp for exactly this reason)
+    def close(a: Double, b: Double) = math.abs(a - b) <= math.ulp(b) * 2
+    assert(out(0)._1 == 1L && out(0)._2 == 1L && out(0)._3 == "apple" &&
+      out(0)._4 == 2L && out(0)._5 == 1L && close(out(0)._6, 2.0 * StrictMath.log(n / 1)))
+    assert(out(1)._3 == "banana" && close(out(1)._6, StrictMath.log(n / 2)))
     // doc 2: banana and cherry both tf=1 df=2 — equal scores, term tiebreak
     assert(out(2)._3 == "banana" && out(3)._3 == "cherry")
     // doc 3: cherry tf=3 beats durian (df=1, tf=1)
-    assert(out(4) == ((3L, 1L, "cherry", 3L, 2L, 3.0 * StrictMath.log(n / 2))))
-    assert(out(5) == ((3L, 2L, "durian", 1L, 1L, StrictMath.log(n / 1))))
+    assert(out(4)._3 == "cherry" && out(4)._4 == 3L && out(4)._5 == 2L &&
+      close(out(4)._6, 3.0 * StrictMath.log(n / 2)))
+    assert(out(5)._3 == "durian" && close(out(5)._6, StrictMath.log(n / 1)))
   }
 
   test("curation ops propagate null text as null, never throw") {
@@ -225,10 +231,19 @@ class CurationSpec extends AnyFunSuite {
     assert(norm("  Example.COM/Path  ") == "example.com/path")
   }
 
-  test("urlHost strips www and lowercases, empty on schemeless") {
-    val df = Seq("HTTP://WWW.Sub.Example.COM/x", "nota url").toDF("url")
+  test("normalizeUrl: userinfo dropped, explicit port kept") {
+    assert(norm("http://user:pw@Example.com/x") == "http://example.com/x")
+    assert(norm("http://Example.com:8080/x?utm_a=1") == "http://example.com:8080/x")
+    // spoofed userinfo cannot masquerade as the host
+    assert(norm("http://good.com@evil.com/x") == "http://evil.com/x")
+  }
+
+  test("urlHost strips www/userinfo/port and lowercases; empty on schemeless") {
+    val df = Seq("HTTP://WWW.Sub.Example.COM/x", "nota url",
+      "http://good.com@evil.com/x", "https://a.com:8443/p",
+      "http://u@www.B.com:80/").toDF("url")
     val hosts = df.select(Curation.urlHost(col("url")).as("h"))
       .as[String].collect().toSeq
-    assert(hosts == Seq("sub.example.com", ""))
+    assert(hosts == Seq("sub.example.com", "", "evil.com", "a.com", "b.com"))
   }
 }
