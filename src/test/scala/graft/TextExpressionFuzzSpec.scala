@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property fuzz: the fused native text expressions must agree with the
+  * composed column-function formulations they replaced, over random
+  * strings drawn from an adversarial alphabet (ASCII letters/digits/
+  * punct, every Java `\s` whitespace char, Latin-1 and BMP non-ASCII,
+  * supplementary/emoji code points). One Spark job per batch of cases,
+  * not per case — Spark evaluates both formulations column-wise over a
+  * generated corpus and the spec diffs the collected rows.
+  */
+class TextExpressionFuzzSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val alphabet: Gen[String] = Gen.oneOf(
+    Gen.alphaChar.map(_.toString), Gen.numChar.map(_.toString),
+    Gen.oneOf(" ", "\t", "\n", "", "\f", "\r", "  ", " \t "),
+    Gen.oneOf(".", ",", "!", "-", "@", "#", "?", "/", "'", "\""),
+    Gen.oneOf("é", "ü", "ß", "—", "…", "¡", "Ω", "λ"),
+    Gen.oneOf("😀", "👍", "🚀", "𝕊"))
+
+  private val doc: Gen[String] =
+    Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, alphabet).map(_.mkString))
+
+  private def sample(n: Int): Seq[String] = {
+    // deterministic scalacheck sampling: fixed seed parameters
+    val seed = org.scalacheck.rng.Seed(42L)
+    Iterator.iterate((doc.pureApply(Gen.Parameters.default, seed), seed.next)) {
+      case (_, s) => (doc.pureApply(Gen.Parameters.default, s), s.next)
+    }.map(_._1).take(n).toSeq
+  }
+
+  test("TextStats matches the five-regex formulation on 300 random docs") {
+    val docs = sample(300)
+    val df = docs.toDF("text")
+    val st = graft.functions.TextFunctions.textStats($"text")
+    val got = df.select(
+      st.getField("n_chars"), st.getField("n_ws_tokens"), st.getField("n_alpha"),
+      st.getField("n_punct"), st.getField("n_ws"), st.getField("n_bpe_tokens"))
+      .collect().map(_.toSeq)
+    val n = length($"text").cast("long")
+    val exp = df.select(
+      n,
+      size(filter(split(trim($"text"), "\\s+"), w => length(w) > 0)).cast("long"),
+      (n - length(regexp_replace($"text", "[A-Za-z]", ""))).cast("long"),
+      (n - length(regexp_replace($"text", "[^A-Za-z0-9\\s]", ""))).cast("long"),
+      (n - length(regexp_replace($"text", "\\s", ""))).cast("long"),
+      regexp_count($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long"))
+      .collect().map(_.toSeq)
+    docs.indices.foreach { i =>
+      assert(got(i) == exp(i),
+        s"TextStats mismatch on ${docs(i).map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
+  test("WordChunks matches split+grouped join on 300 random docs") {
+    val docs = sample(300)
+    val df = docs.toDF("text")
+    val (chunkLen, stride) = (4, 3)
+    val got = df.select(
+      graft.functions.TextFunctions.wordChunks($"text", chunkLen, stride).as("c"))
+      .as[Seq[String]].collect().toSeq
+    // reference semantics in plain Scala; lowering goes through
+    // UTF8String (the same call `lower()` makes) so the property
+    // isolates the tokenize/chunk logic, not JVM-locale lowercase
+    // differences. The ws class includes a raw 0x0B (Java \s parity).
+    val exp = docs.map { t =>
+      val lowered =
+        org.apache.spark.unsafe.types.UTF8String.fromString(t).toLowerCase.toString
+      val w = lowered.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
+      if (w.isEmpty) Seq.empty[String]
+      else (0 to (w.length - 1) / stride).map(i =>
+        w.slice(i * stride, math.min(i * stride + chunkLen, w.length)).mkString(" "))
+    }
+    docs.indices.foreach { i =>
+      assert(got(i) == exp(i),
+        s"WordChunks mismatch on ${docs(i).map(c => f"\\u${c.toInt}%04x").mkString}: got ${got(i)} exp ${exp(i)}")
+    }
+  }
+}
