@@ -650,6 +650,18 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    "text_boilerplate" -> ((s, dir) => {
+      // synthesize 3-line docs: real text + a footer shared by ALL docs
+      // + a unique tail line; minDocFreq=10 must strip exactly the
+      // footer (and any original text shared by >= 10 docs — the oracle
+      // computes the same rule, so repeats in the corpus are fine)
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit("\nstandard footer - all rights reserved\ndoc "),
+          col("doc_id").cast("string")).as("text"))
+      Curation.removeBoilerplateLines(d, "doc_id", "text", minDocFreq = 10L)
+        .orderBy("doc_id")
+    }),
+
     "url_normalize" -> ((s, dir) => {
       // URLs synthesized from (source, doc_id) with every normalization
       // hazard present: uppercase scheme+host, www. prefix, a utm_ run
@@ -1323,6 +1335,30 @@ object SparkEntry {
         |  array_to_string(w[i * 20 + 1 : i * 20 + 30], ' ') AS chunk_text,
         |  least(CAST(30 AS BIGINT), len(w) - i * 20) AS n_tokens
         |FROM off ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "text_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    concat(text, chr(10), 'standard footer - all rights reserved',
+        |      chr(10), 'doc ', CAST(doc_id AS VARCHAR)) AS text
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+        |  FROM d),
+        |common AS (
+        |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM ln) t
+        |  GROUP BY line HAVING count(*) >= 10),
+        |kept AS (
+        |  SELECT ln.doc_id, ln.pos, ln.line
+        |  FROM ln LEFT JOIN common c ON ln.line = c.line
+        |  WHERE c.line IS NULL),
+        |agg AS (
+        |  SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS text_clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean
+        |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "url_normalize" ->
       """WITH u AS (

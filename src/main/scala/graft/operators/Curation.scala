@@ -186,6 +186,45 @@ object Curation {
           .as("n_tokens"))
   }
 
+  // ---- boilerplate line removal ---------------------------------------
+
+  /** Strip lines that appear in at least `minDocFreq` DISTINCT documents
+    * (site chrome, footers, cookie banners — the CCNet/FineWeb
+    * boilerplate-removal step). Returns (idCol, text_clean) with the
+    * surviving lines rejoined in original order; a document whose every
+    * line is boilerplate comes back as the empty string.
+    *
+    * Scale shape: line doc-frequency is a two-phase count over the
+    * exploded distinct (doc, line) pairs; the boilerplate set — heavy
+    * hitters by construction, so tiny — broadcasts into an anti-join
+    * against the exploded lines, and documents are rebuilt by a
+    * doc-keyed aggregation whose order is restored via `array_sort`
+    * over (pos, line) structs (collect_list order is not deterministic
+    * under retries; the sort makes the rebuild retry-stable). The
+    * rebuild shuffle carries surviving lines once — unavoidable for
+    * reconstruction; the broadcast keeps the corpus from shuffling for
+    * the membership test itself. */
+  def removeBoilerplateLines(
+      docs: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Long): DataFrame = {
+    val id = col(idCol)
+    val lines = docs.select(id,
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val common = lines.select(id, col("line")).distinct()
+      .groupBy("line").agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") >= minDocFreq)
+      .select(col("line"), lit(1).as("is_common"))
+    val kept = lines.join(broadcast(common), Seq("line"), "left")
+      .filter(col("is_common").isNull)
+    val rebuilt = kept.groupBy(id).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")),
+        "\n").as("text_clean"))
+    docs.select(id).join(rebuilt, Seq(idCol), "left")
+      .select(id, coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   // ---- URL canonicalization -------------------------------------------
 
   /** Canonicalize a URL for URL-level dedup (the RefinedWeb/CCNet

@@ -124,6 +124,32 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  // ---- boilerplate removal ---------------------------------------------
+
+  test("removeBoilerplateLines: strips common lines, keeps order, empty-doc case") {
+    val docs = Seq(
+      (1L, "unique alpha\nFOOTER\nunique beta"),
+      (2L, "FOOTER\nmiddle line\nFOOTER"),     // dup common line in one doc
+      (3L, "FOOTER"),                          // all-boilerplate → empty
+      (4L, "only original content")).toDF("doc_id", "text")
+    val out = Curation.removeBoilerplateLines(docs, "doc_id", "text", minDocFreq = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "unique alpha\nunique beta"),
+      (2L, "middle line"),
+      (3L, ""),
+      (4L, "only original content")))
+  }
+
+  test("removeBoilerplateLines: doc-frequency counts distinct docs, not occurrences") {
+    // "x" appears 3 TIMES but in only 2 docs — below minDocFreq=3, kept
+    val docs = Seq(
+      (1L, "x\nx\na"), (2L, "x\nb"), (3L, "c")).toDF("doc_id", "text")
+    val out = Curation.removeBoilerplateLines(docs, "doc_id", "text", minDocFreq = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "x\nx\na"), (2L, "x\nb"), (3L, "c")))
+  }
+
   // ---- embeddings ------------------------------------------------------
 
   test("quantizeInt8: range, zero-vector guard, dequantization error bound") {
