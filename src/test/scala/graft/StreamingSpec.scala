@@ -111,6 +111,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.sorted == Seq(1L, 4L, 6L, 7L), s"kept $ids")
   }
 
+  test("curation expressions run unchanged under Structured Streaming") {
+    // the curation tier is stateless column expressions (incl. the
+    // native TextStats/WordChunks), so the SAME operators apply to a
+    // readStream frame — this pins that no operator silently grew a
+    // batch-only dependency (count(), window without watermark, ...)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val curated = graft.operators.Curation.withPii(
+      graft.operators.TextAnalysis.withQuality(df, "text"), "text")
+      .withColumn("chunks",
+        graft.functions.TextFunctions.wordChunks($"text", 4, 3))
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("cur_out").start()
+    input.addData((1L, "mail bob@x.io about the 10.0.0.1 box"), (2L, "plain text"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("cur_out")
+      .select("doc_id", "n_emails", "n_ipv4", "n_chars", "text_redacted", "chunks")
+      .collect().sortBy(_.getLong(0))
+    assert(rows(0).getLong(1) == 1L && rows(0).getLong(2) == 1L)
+    assert(rows(0).getString(4) == "mail <EMAIL> about the <IP> box")
+    assert(rows(0).getSeq[String](5).head == "mail bob@x.io about the")
+    assert(rows(1).getLong(1) == 0L)
+  }
+
   test("same windowed-aggregation code runs in batch mode (unified semantics)") {
     import spark.implicits._
     val batch = events.toDF()
