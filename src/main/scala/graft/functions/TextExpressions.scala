@@ -132,12 +132,64 @@ case class StopwordLangId(child: Expression, langs: Seq[(String, Seq[String])])
   *     runs and digit runs count once, every other non-ws code point
   *     counts alone.
   */
-case class TextStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+case class TextStats(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 
   override def dataType: DataType = TextStats.schema
   override def nullable: Boolean = child.nullable
+
+  /** Real `doGenCode` (not CodegenFallback): the byte loop is emitted as
+    * a generated-class method, so a projection over TextStats stays one
+    * WholeStageCodegen span with no interpreted-eval call per row. The
+    * other native expressions keep CodegenFallback because their inner
+    * loops dominate; here short strings are common enough (titles,
+    * labels) that the per-row fallback overhead is measurable. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val rowCls = classOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow].getName
+      val fn = ctx.freshName("textStats")
+      val method = ctx.addNewFunction(fn,
+        s"""
+           |private InternalRow $fn(UTF8String s) {
+           |  byte[] bytes = s.getBytes();
+           |  int n = bytes.length;
+           |  long chars = 0L, alpha = 0L, punct = 0L, ws = 0L, wsToks = 0L, bpeToks = 0L;
+           |  int prev = 0; // 0=ws/start, 1=alpha, 2=digit, 3=other
+           |  for (int i = 0; i < n; i++) {
+           |    byte b = bytes[i];
+           |    if ((b & 0xc0) == 0x80) continue; // continuation byte
+           |    chars++;
+           |    if (b >= 0) {
+           |      if (b == 32 || b == 9 || b == 10 || b == 11 || b == 12 || b == 13) {
+           |        ws++; prev = 0;
+           |      } else if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) {
+           |        alpha++;
+           |        if (prev == 0) wsToks++;
+           |        if (prev != 1) bpeToks++;
+           |        prev = 1;
+           |      } else if (b >= '0' && b <= '9') {
+           |        if (prev == 0) wsToks++;
+           |        if (prev != 2) bpeToks++;
+           |        prev = 2;
+           |      } else {
+           |        punct++;
+           |        if (prev == 0) wsToks++;
+           |        bpeToks++;
+           |        prev = 3;
+           |      }
+           |    } else { // lead byte of a multi-byte code point
+           |      punct++;
+           |      if (prev == 0) wsToks++;
+           |      bpeToks++;
+           |      prev = 3;
+           |    }
+           |  }
+           |  Object[] vals = new Object[]{chars, alpha, punct, ws, wsToks, bpeToks};
+           |  return new $rowCls(vals);
+           |}
+         """.stripMargin)
+      s"${ev.value} = $method($c);"
+    })
 
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes

@@ -34,6 +34,25 @@ class TextExpressionFuzzSpec extends AnyFunSuite {
     }.map(_._1).take(n).toSeq
   }
 
+  test("TextStats doGenCode compiles and evaluates under CODEGEN_ONLY") {
+    // CODEGEN_ONLY turns the silent interpreted fallback into a hard
+    // error, so a broken generated method fails HERE, not as a warning
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val st = graft.functions.TextFunctions.textStats($"text")
+      val row = Seq("Hello, wörld 42!").toDF("text")
+        .select(st.getField("n_chars"), st.getField("n_alpha"),
+          st.getField("n_punct"), st.getField("n_ws"),
+          st.getField("n_ws_tokens"), st.getField("n_bpe_tokens"))
+        .head()
+      assert(row.toSeq == Seq(16L, 9L, 3L, 2L, 3L, 7L))
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("TextStats matches the five-regex formulation on 300 random docs") {
     val docs = sample(300)
     val df = docs.toDF("text")
