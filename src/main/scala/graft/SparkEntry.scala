@@ -650,6 +650,22 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    "text_blocklist" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(col("doc_id"),
+        Curation.blocklistHits(col("text"), Seq("spark", "vector", "hash"))
+          .as("n_blocked"))
+        .orderBy("doc_id")
+    }),
+
+    "text_quality_policy" -> ((s, dir) => {
+      // thresholds chosen to actually split the corpus (docs run ~20-80
+      // tokens): minTokens=50 drops the short tail
+      Curation.withQualityPolicy(
+        tbl(s, dir, "documents").select("doc_id", "text"), "text")
+        .select("doc_id", "keep", "violations")
+        .orderBy("doc_id")
+    }),
+
     "text_boilerplate" -> ((s, dir) => {
       // synthesize 3-line docs: real text + a footer shared by ALL docs
       // + a unique tail line; minDocFreq=10 must strip exactly the
@@ -1335,6 +1351,38 @@ object SparkEntry {
         |  array_to_string(w[i * 20 + 1 : i * 20 + 30], ' ') AS chunk_text,
         |  least(CAST(30 AS BIGINT), len(w) - i * 20) AS n_tokens
         |FROM off ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "text_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x IN ('spark', 'vector', 'hash'))) AS BIGINT) AS n_blocked
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // concat_ws skips NULL args (and yields '' when all are NULL) —
+    // same semantics as Spark's array_join(array_compact(...))
+    "text_quality_policy" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS toks,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS nonws,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    concat_ws(',',
+        |      CASE WHEN toks < 50 THEN 'too_few_tokens' END,
+        |      CASE WHEN toks > 100000 THEN 'too_many_tokens' END,
+        |      CASE WHEN CAST(nonws AS DOUBLE) / toks < 2.0
+        |             OR CAST(nonws AS DOUBLE) / toks > 12.0 THEN 'mean_token_len' END,
+        |      CASE WHEN (CASE WHEN len(w) = 0 THEN CAST(0 AS DOUBLE)
+        |                   ELSE CAST(1 AS DOUBLE) - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END) > 0.9
+        |        THEN 'dup_word_frac' END,
+        |      CASE WHEN CAST(alpha AS DOUBLE) / n_chars < 0.6 THEN 'alpha_ratio' END) AS violations
+        |  FROM sig)
+        |SELECT doc_id, CAST(violations = '' AS INT) AS keep, violations
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_boilerplate" ->
       """WITH d AS (

@@ -186,6 +186,58 @@ object Curation {
           .as("n_tokens"))
   }
 
+  // ---- blocklist filtering --------------------------------------------
+
+  /** Count of tokens present in `blocklist` (banned-term filtering —
+    * matched ASCII-case-insensitively on whole whitespace tokens, the
+    * same tokenization as everything else here). Pure expression; the
+    * list rides the plan as a literal array (wordlists are hundreds of
+    * entries, not corpus-sized). */
+  def blocklistHits(text: Column, blocklist: Seq[String]): Column = {
+    val lowered = blocklist.map(_.toLowerCase).distinct
+    size(filter(words(text), w => w.isin(lowered.map(lit): _*))).cast("long")
+  }
+
+  // ---- quality policy (Gopher-style keep/drop) ------------------------
+
+  /** Filtering thresholds in the spirit of Gopher rule 1 (Rae et al.
+    * 2021 §A1.1): token-count window, mean token length window, max
+    * duplicate-word fraction, min alpha ratio. */
+  final case class QualityPolicy(
+      minTokens: Long = 50,
+      maxTokens: Long = 100000,
+      minMeanTokenLen: Double = 2.0,
+      maxMeanTokenLen: Double = 12.0,
+      maxDupWordFrac: Double = 0.9,
+      minAlphaRatio: Double = 0.6)
+
+  /** Apply `policy` → (…, keep, violations) where `violations` is the
+    * ordered comma-joined list of failed rule names (empty when kept).
+    * One map pass: every signal derives from the fused TextStats struct
+    * plus one dup-word array pass — the whole policy is a single
+    * projection, no shuffle. */
+  def withQualityPolicy(df: DataFrame, textCol: String,
+      policy: QualityPolicy = QualityPolicy()): DataFrame = {
+    val st = graft.functions.TextFunctions.textStats(col(textCol))
+    val toks = st.getField("n_ws_tokens")
+    val chars = st.getField("n_chars")
+    val meanLen = (chars - st.getField("n_ws")).cast("double") / toks.cast("double")
+    val alphaRatio = st.getField("n_alpha").cast("double") / chars.cast("double")
+    val dupFrac = dupKgramFrac(col(textCol), 1)
+    val checks: Seq[(String, Column)] = Seq(
+      "too_few_tokens" -> (toks < policy.minTokens),
+      "too_many_tokens" -> (toks > policy.maxTokens),
+      "mean_token_len" ->
+        (meanLen < policy.minMeanTokenLen || meanLen > policy.maxMeanTokenLen),
+      "dup_word_frac" -> (dupFrac > policy.maxDupWordFrac),
+      "alpha_ratio" -> (alphaRatio < policy.minAlphaRatio))
+    val violations = array_compact(array(checks.map { case (name, failed) =>
+      when(failed, lit(name)).otherwise(lit(null).cast("string"))
+    }: _*))
+    df.withColumn("violations", array_join(violations, ","))
+      .withColumn("keep", (col("violations") === "").cast("int"))
+  }
+
   // ---- boilerplate line removal ---------------------------------------
 
   /** Strip lines that appear in at least `minDocFreq` DISTINCT documents

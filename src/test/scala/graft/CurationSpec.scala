@@ -124,6 +124,39 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  // ---- blocklist + quality policy --------------------------------------
+
+  test("blocklistHits: whole-token case-insensitive matches only") {
+    val df = Seq(
+      (1L, "Spark and sparkle and SPARK"),  // sparkle must NOT match
+      (2L, "nothing banned here")).toDF("id", "text")
+    val out = df.select(col("id"),
+      Curation.blocklistHits(col("text"), Seq("spark", "Vector")).as("n"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (2L, 0L)))
+  }
+
+  test("withQualityPolicy: violations accumulate in rule order, keep flag") {
+    // all-alphabetic tokens: digits would sink alpha_ratio below 0.6
+    val longOk = (1 to 60).map(i => "word" + ('a' + i % 26).toChar).mkString(" ")
+    val df = Seq(
+      (1L, longOk),                               // clean → keep
+      (2L, "short doc"),                          // too few tokens
+      (3L, (1 to 60).map(_ => "a").mkString(" ")), // dup words + short mean len... tokens ok
+      (4L, (1 to 60).map(_ => "!!##$$").mkString(" "))) // alpha ratio fail
+      .toDF("doc_id", "text")
+    val out = Curation.withQualityPolicy(df, "text")
+      .select("doc_id", "keep", "violations")
+      .orderBy("doc_id").as[(Long, Int, String)].collect().toSeq
+    assert(out(0) == ((1L, 1, "")))
+    assert(out(1)._2 == 0 && out(1)._3.contains("too_few_tokens"))
+    // doc 3: 60 copies of "a" → mean len 1 < 2, dup frac 59/60 > 0.9,
+    // and alpha ratio 60/119 < 0.6 (spaces count toward chars)
+    assert(out(2)._2 == 0)
+    assert(out(2)._3 == "mean_token_len,dup_word_frac,alpha_ratio")
+    assert(out(3)._2 == 0 && out(3)._3.contains("alpha_ratio"))
+  }
+
   // ---- boilerplate removal ---------------------------------------------
 
   test("removeBoilerplateLines: strips common lines, keeps order, empty-doc case") {
