@@ -25,6 +25,9 @@ object GraftSession {
     .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
+    // bucketed tables (Writers.writeBucketed) need a writable warehouse;
+    // keep it out of the working tree. Real deployments override this.
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests / CLI use. */

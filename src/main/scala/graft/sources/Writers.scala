@@ -98,6 +98,40 @@ object Writers {
         df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(p))
     else df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Bucketed parquet table: rows are hash-distributed into `numBuckets`
+    * files per partition BY KEY at write time, and the catalog records
+    * the distribution — equi-joins and aggregations on the bucket keys
+    * then plan WITHOUT a shuffle exchange (proven in BucketingSpec).
+    *
+    * This is the 100 TB answer to a repeatedly-joined fact table: pay
+    * the distribution once at ingest instead of one shuffle per query.
+    * Both join sides must be bucketed the same way (same keys, same
+    * `numBuckets`). `sortCols` additionally sorts within each bucket
+    * file, letting the sort-merge join skip its per-task sort. */
+  def writeBucketed(df: DataFrame, tableName: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    // True overwrite even across sessions: with the default in-memory
+    // catalog, a table written by a PREVIOUS session has a live warehouse
+    // directory but no catalog entry, and saveAsTable fails with
+    // LOCATION_ALREADY_EXISTS. Drop the catalog entry if present, then
+    // clear a stale orphaned location.
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new org.apache.hadoop.fs.Path(loc)))
+      fs.delete(new org.apache.hadoop.fs.Path(loc), true)
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(tableName)
+  }
+
   def writeOrc(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
     if (singleFile)
       commitAsSingleFile(df, path)(p =>
