@@ -26,8 +26,11 @@ object GraftSession {
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
     // bucketed tables (Writers.writeBucketed) need a writable warehouse;
-    // keep it out of the working tree. Real deployments override this.
-    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+    // keep it out of the working tree and per-user (a fixed shared /tmp
+    // path would let concurrent users overwrite — and pre-own — each
+    // other's table data). Real deployments override this.
+    .config("spark.sql.warehouse.dir",
+      s"/tmp/graft_warehouse_${sys.props.getOrElse("user.name", "anon")}")
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests / CLI use. */

@@ -671,8 +671,12 @@ object SparkEntry {
       // + a unique tail line; minDocFreq=10 must strip exactly the
       // footer (and any original text shared by >= 10 docs — the oracle
       // computes the same rule, so repeats in the corpus are fine)
+      // coalesce keeps engines aligned on NULL text: Spark concat
+      // null-propagates (whole doc would vanish) while DuckDB concat
+      // SKIPS null args (footer lines would survive)
       val d = tbl(s, dir, "documents").select(col("doc_id"),
-        concat(col("text"), lit("\nstandard footer - all rights reserved\ndoc "),
+        concat(coalesce(col("text"), lit("")),
+          lit("\nstandard footer - all rights reserved\ndoc "),
           col("doc_id").cast("string")).as("text"))
       Curation.removeBoilerplateLines(d, "doc_id", "text", minDocFreq = 10L)
         .orderBy("doc_id")
@@ -1206,15 +1210,21 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // zero-denominator guards mirror qualityColumns: ratios are NULL for
+    // empty / whitespace-only docs (Spark ANSI would otherwise throw)
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
-        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
-        |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
-        |  CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text) AS ws_ratio,
-        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
-        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS mean_token_len
+        |  CASE WHEN length(text) > 0 THEN
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio,
+        |  CASE WHEN length(text) > 0 THEN
+        |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+        |  CASE WHEN length(text) > 0 THEN
+        |    CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / length(text) END AS ws_ratio,
+        |  CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) > 0 THEN
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
+        |      len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) END AS mean_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
@@ -1364,7 +1374,7 @@ object SparkEntry {
       """WITH sig AS (
         |  SELECT doc_id,
         |    CAST(length(text) AS BIGINT) AS n_chars,
-        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS toks,
+        |    coalesce(CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS BIGINT), 0) AS toks,
         |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
         |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS nonws,
         |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS w
@@ -1374,12 +1384,12 @@ object SparkEntry {
         |    concat_ws(',',
         |      CASE WHEN toks < 50 THEN 'too_few_tokens' END,
         |      CASE WHEN toks > 100000 THEN 'too_many_tokens' END,
-        |      CASE WHEN CAST(nonws AS DOUBLE) / toks < 2.0
-        |             OR CAST(nonws AS DOUBLE) / toks > 12.0 THEN 'mean_token_len' END,
+        |      CASE WHEN toks > 0 AND (CAST(nonws AS DOUBLE) / toks < 2.0
+        |             OR CAST(nonws AS DOUBLE) / toks > 12.0) THEN 'mean_token_len' END,
         |      CASE WHEN (CASE WHEN len(w) = 0 THEN CAST(0 AS DOUBLE)
         |                   ELSE CAST(1 AS DOUBLE) - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END) > 0.9
         |        THEN 'dup_word_frac' END,
-        |      CASE WHEN CAST(alpha AS DOUBLE) / n_chars < 0.6 THEN 'alpha_ratio' END) AS violations
+        |      CASE WHEN n_chars > 0 AND CAST(alpha AS DOUBLE) / n_chars < 0.6 THEN 'alpha_ratio' END) AS violations
         |  FROM sig)
         |SELECT doc_id, CAST(violations = '' AS INT) AS keep, violations
         |FROM c ORDER BY doc_id""".stripMargin,
@@ -1387,7 +1397,7 @@ object SparkEntry {
     "text_boilerplate" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    concat(text, chr(10), 'standard footer - all rights reserved',
+        |    concat(coalesce(text, ''), chr(10), 'standard footer - all rights reserved',
         |      chr(10), 'doc ', CAST(doc_id AS VARCHAR)) AS text
         |  FROM documents),
         |ln AS (

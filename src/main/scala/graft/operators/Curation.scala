@@ -194,7 +194,10 @@ object Curation {
     * list rides the plan as a literal array (wordlists are hundreds of
     * entries, not corpus-sized). */
   def blocklistHits(text: Column, blocklist: Seq[String]): Column = {
-    val lowered = blocklist.map(_.toLowerCase).distinct
+    // Locale.ROOT: a Turkish-locale JVM lowers "INDEX" to dotless
+    // "ındex", which would never match the locale-independent lower()
+    // applied to the tokens
+    val lowered = blocklist.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     size(filter(words(text), w => w.isin(lowered.map(lit): _*))).cast("long")
   }
 
@@ -213,16 +216,21 @@ object Curation {
 
   /** Apply `policy` → (…, keep, violations) where `violations` is the
     * ordered comma-joined list of failed rule names (empty when kept).
-    * One map pass: every signal derives from the fused TextStats struct
-    * plus one dup-word array pass — the whole policy is a single
-    * projection, no shuffle. */
+    * One map pass: every signal comes from [[TextAnalysis
+    * .qualityColumns]] (the SINGLE definition of the quality math and
+    * its zero-denominator guards) plus one dup-word array pass — the
+    * whole policy is a single projection, no shuffle.
+    *
+    * Degenerate docs drop, never crash or slip through: NULL text and
+    * empty/whitespace-only text both resolve to 0 tokens (the
+    * `coalesce`) and fail `too_few_tokens`; their undefined ratios are
+    * NULL, whose comparisons are NULL → no spurious extra flags. */
   def withQualityPolicy(df: DataFrame, textCol: String,
       policy: QualityPolicy = QualityPolicy()): DataFrame = {
-    val st = graft.functions.TextFunctions.textStats(col(textCol))
-    val toks = st.getField("n_ws_tokens")
-    val chars = st.getField("n_chars")
-    val meanLen = (chars - st.getField("n_ws")).cast("double") / toks.cast("double")
-    val alphaRatio = st.getField("n_alpha").cast("double") / chars.cast("double")
+    val sig = TextAnalysis.qualityColumns(col(textCol)).toMap
+    val toks = coalesce(sig("n_tokens"), lit(0L))
+    val meanLen = sig("mean_token_len")
+    val alphaRatio = sig("alpha_ratio")
     val dupFrac = dupKgramFrac(col(textCol), 1)
     val checks: Seq[(String, Column)] = Seq(
       "too_few_tokens" -> (toks < policy.minTokens),
@@ -265,9 +273,8 @@ object Curation {
     val common = lines.select(id, col("line")).distinct()
       .groupBy("line").agg(count(lit(1)).as("line_df"))
       .filter(col("line_df") >= minDocFreq)
-      .select(col("line"), lit(1).as("is_common"))
-    val kept = lines.join(broadcast(common), Seq("line"), "left")
-      .filter(col("is_common").isNull)
+      .select("line")
+    val kept = lines.join(broadcast(common), Seq("line"), "left_anti")
     val rebuilt = kept.groupBy(id).agg(
       array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),

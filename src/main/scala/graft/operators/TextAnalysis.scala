@@ -29,7 +29,11 @@ object TextAnalysis {
     * (ASCII classes to stay engine-portable). */
   def bpeTokenCount(text: Column): Column = stats(text).getField("n_bpe_tokens")
 
-  /** Quality features: exact counts + IEEE-division ratios. */
+  /** Quality features: exact counts + IEEE-division ratios. Every ratio
+    * is NULL when its denominator is zero (empty / whitespace-only
+    * text): Spark 4 runs ANSI by default, where an unguarded divide by
+    * zero THROWS — one empty doc must not kill a corpus-wide job. The
+    * guards are mirrored in the DuckDB oracle. */
   def qualityColumns(text: Column): Seq[(String, Column)] = {
     val st = stats(text)
     val n = st.getField("n_chars")
@@ -37,13 +41,15 @@ object TextAnalysis {
     val punct = st.getField("n_punct")
     val ws = st.getField("n_ws")
     val toks = st.getField("n_ws_tokens")
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double"))
     Seq(
       "n_chars" -> n,
       "n_tokens" -> toks,
-      "alpha_ratio" -> alpha.cast("double") / n.cast("double"),
-      "punct_ratio" -> punct.cast("double") / n.cast("double"),
-      "ws_ratio" -> ws.cast("double") / n.cast("double"),
-      "mean_token_len" -> (n - ws).cast("double") / toks.cast("double"))
+      "alpha_ratio" -> ratio(alpha, n),
+      "punct_ratio" -> ratio(punct, n),
+      "ws_ratio" -> ratio(ws, n),
+      "mean_token_len" -> ratio(n - ws, toks))
   }
 
   def withQuality(df: DataFrame, textCol: String): DataFrame =

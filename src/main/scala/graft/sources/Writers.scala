@@ -117,11 +117,17 @@ object Writers {
     // catalog, a table written by a PREVIOUS session has a live warehouse
     // directory but no catalog entry, and saveAsTable fails with
     // LOCATION_ALREADY_EXISTS. Drop the catalog entry if present, then
-    // clear a stale orphaned location.
+    // clear a stale orphaned location. The name is parsed (not wrapped
+    // in backticks wholesale) so qualified "db.tbl" drops/locates
+    // db.tbl rather than a literal `db.tbl` in the current database.
+    // CONCURRENCY: the location delete means two writers of the SAME
+    // table name race destructively — writers of one table must be
+    // serialized (normal for an ingest job); readers of OTHER tables
+    // are unaffected.
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
-    val loc = spark.sessionState.catalog.defaultTablePath(
-      org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+    spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
+    val loc = spark.sessionState.catalog.defaultTablePath(ident)
     val fs = new org.apache.hadoop.fs.Path(loc)
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(new org.apache.hadoop.fs.Path(loc)))

@@ -20,11 +20,18 @@ class BucketingSpec extends AnyFunSuite {
     try body finally spark.conf.set(key, prev)
   }
 
-  test("bucketed-bucketed equi-join plans without a shuffle exchange") {
-    val left = (1 to 1000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "lv")
-    val right = (1 to 500).map(i => (i.toLong % 100, s"r$i")).toDF("k", "rv")
+  private def left = (1 to 1000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "lv")
+  private def right = (1 to 500).map(i => (i.toLong % 100, s"r$i")).toDF("k", "rv")
+
+  /** Written once per suite run, referenced by every test — keeps each
+    * test runnable in isolation (`testOnly ... -- -z`). */
+  private lazy val tablesReady: Unit = {
     Writers.writeBucketed(left, "bspec_left", Seq("k"), numBuckets = 8, sortCols = Seq("k"))
     Writers.writeBucketed(right, "bspec_right", Seq("k"), numBuckets = 8, sortCols = Seq("k"))
+  }
+
+  test("bucketed-bucketed equi-join plans without a shuffle exchange") {
+    tablesReady
     withNoBroadcast {
       val joined = spark.table("bspec_left").join(spark.table("bspec_right"), "k")
       val plan = joined.queryExecution.executedPlan.toString
@@ -36,6 +43,7 @@ class BucketingSpec extends AnyFunSuite {
   }
 
   test("aggregation on the bucket key skips the exchange") {
+    tablesReady
     withNoBroadcast {
       val agg = spark.table("bspec_left").groupBy("k").agg(sum("lv").as("s"))
       val plan = agg.queryExecution.executedPlan.toString
@@ -49,6 +57,7 @@ class BucketingSpec extends AnyFunSuite {
   }
 
   test("mismatched bucket counts fall back to a correct (shuffled) join") {
+    tablesReady
     val other = (1 to 300).map(i => (i.toLong % 100, i)).toDF("k", "ov")
     Writers.writeBucketed(other, "bspec_other", Seq("k"), numBuckets = 4)
     withNoBroadcast {

@@ -157,6 +157,23 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3)._2 == 0 && out(3)._3.contains("alpha_ratio"))
   }
 
+  test("withQualityPolicy: degenerate docs drop, never crash (ANSI div-by-zero)") {
+    // Spark 4 runs ANSI by default — unguarded 0/0 would THROW here
+    val df = Seq(
+      (1L, ""),                       // empty
+      (2L, "   \t  "),                // whitespace-only
+      (3L, null: String)).toDF("doc_id", "text")
+    val out = Curation.withQualityPolicy(df, "text")
+      .select("doc_id", "keep", "violations")
+      .orderBy("doc_id").as[(Long, Int, String)].collect().toSeq
+    // empty/null: every ratio is undefined (NULL) → only the token rule
+    assert(out(0) == ((1L, 0, "too_few_tokens")))
+    assert(out(2) == ((3L, 0, "too_few_tokens")))
+    // whitespace-only: n_chars > 0, so alpha_ratio is DEFINED (0.0) and
+    // legitimately fails alongside the token rule
+    assert(out(1) == ((2L, 0, "too_few_tokens,alpha_ratio")))
+  }
+
   // ---- boilerplate removal ---------------------------------------------
 
   test("removeBoilerplateLines: strips common lines, keeps order, empty-doc case") {
