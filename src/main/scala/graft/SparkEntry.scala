@@ -650,6 +650,15 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    "text_lm_score" -> ((s, dir) => {
+      // avg_logp emitted at 6dp: ln() is transcendental (last-ulp
+      // engine differences) and double avg is summation-order-dependent
+      // at the 1e-15 level — the 1e-6 grid absorbs both
+      TextAnalysis.bigramLmScore(tbl(s, dir, "documents"), "doc_id", "text")
+        .withColumn("avg_logp", round(col("avg_logp"), 6))
+        .orderBy("doc_id")
+    }),
+
     "text_blocklist" -> ((s, dir) => {
       tbl(s, dir, "documents").select(col("doc_id"),
         Curation.blocklistHits(col("text"), Seq("spark", "vector", "hash"))
@@ -1361,6 +1370,36 @@ object SparkEntry {
         |  array_to_string(w[i * 20 + 1 : i * 20 + 30], ' ') AS chunk_text,
         |  least(CAST(30 AS BIGINT), len(w) - i * 20) AS n_tokens
         |FROM off ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')) END) AS bigram
+        |  FROM words),
+        |bic AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_bi FROM bi GROUP BY bigram),
+        |uni AS (
+        |  SELECT unnest(w) AS w1 FROM words),
+        |unic AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_uni FROM uni GROUP BY w1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v_size FROM unic),
+        |scored AS (
+        |  SELECT bi.doc_id,
+        |    ln((CAST(c_bi AS DOUBLE) + 0.5) / (CAST(c_uni AS DOUBLE) + 0.5 * (SELECT v_size FROM v))) AS logp
+        |  FROM bi
+        |  JOIN bic USING (bigram)
+        |  JOIN unic ON string_split(bi.bigram, ' ')[1] = unic.w1),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, avg(logp) AS avg_logp
+        |  FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(p.n_bigrams, 0) AS n_bigrams,
+        |  round(p.avg_logp, 6) AS avg_logp
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "text_blocklist" ->
       """SELECT doc_id,

@@ -143,6 +143,59 @@ object TextAnalysis {
         col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Corpus-trained bigram LM score per document (the CCNet/KenLM-style
+    * quality signal, at bigram order): score = mean over a doc's
+    * bigrams of ln P(b|a), with add-k smoothing
+    * P(b|a) = (C(a,b) + k) / (C(a) + k·V).
+    *
+    * Output: (idCol, n_bigrams, avg_logp) — avg_logp is NULL for docs
+    * with fewer than two tokens. Near-zero scores = predictable text;
+    * large negative = rare transitions (gibberish, wrong language).
+    *
+    * Scale shape: the "training pass" is two two-phase counts (bigrams,
+    * unigrams) over one explode of the corpus; V rides as a broadcast
+    * 1-row frame, unigram counts broadcast (vocab-sized), and the
+    * bigram-count join keys on the bigram string — corpus-sized but
+    * combiner-reduced on both sides, AQE handles skew. No driver
+    * collect anywhere; the model IS a DataFrame. */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+      k: Double = 0.5): DataFrame = {
+    require(k > 0, s"smoothing k must be positive, got $k")
+    val id = col(idCol)
+    val w = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    // bigrams via the zip_with shape (arguments bind once per row —
+    // never put the words tree inside a transform lambda)
+    val bigrams2 = when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(slice(
+        zip_with(w, slice(w, lit(2), size(w)), (a, b) => concat(a, lit(" "), b)),
+        lit(1), size(w) - 1))
+    val docBi = df.select(id, explode(bigrams2).as("bigram"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .transform(Materialize.once(_)) // feeds training counts AND scoring
+    val biCounts = docBi.groupBy("bigram").agg(count(lit(1)).as("c_bi"))
+    val uniCounts = df
+      .select(explode(w).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c_uni"))
+    val vocab = uniCounts.select(count(lit(1)).cast("double").as("v_size"))
+    // no broadcast hint on the count frames: vocab-sized is usually
+    // broadcastable but can reach hundreds of millions of rows at
+    // 100 TB — let Catalyst stats + AQE decide (a hint would force a
+    // driver OOM at that size); the 1-row V frame is always safe
+    val scored = docBi
+      .join(biCounts, "bigram")
+      .join(uniCounts, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp", log(
+        (col("c_bi").cast("double") + lit(k)) /
+          (col("c_uni").cast("double") + lit(k) * col("v_size"))))
+    val perDoc = scored.groupBy(id).agg(
+      count(lit(1)).as("n_bigrams"), avg(col("logp")).as("avg_logp"))
+    df.select(id).join(perDoc, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logp"))
+  }
+
   /** Canonical-form md5 document fingerprint. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))

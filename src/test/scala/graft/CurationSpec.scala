@@ -270,6 +270,23 @@ class CurationSpec extends AnyFunSuite {
     assert(q(0).isNullAt(q(0).fieldIndex("n_chars")))
   }
 
+  test("bigramLmScore: exact smoothed probabilities on a tiny corpus") {
+    val df = Seq(
+      (1L, "a b a b"),   // bigrams: "a b","b a","a b"
+      (2L, "a b"),       // bigram: "a b"
+      (3L, "c")).toDF("doc_id", "text") // no bigrams
+    val out = graft.operators.TextAnalysis.bigramLmScore(df, "doc_id", "text", k = 0.5)
+      .orderBy("doc_id").as[(Long, Long, Option[Double])].collect().toSeq
+    // corpus: C(a b)=3, C(b a)=1; C(a)=3, C(b)=3, C(c)=1; V=3
+    val pAB = (3 + 0.5) / (3 + 0.5 * 3) // P(b|a)
+    val pBA = (1 + 0.5) / (3 + 0.5 * 3) // P(a|b)
+    def close(x: Double, y: Double) = math.abs(x - y) < 1e-12
+    assert(out(0)._2 == 3L &&
+      close(out(0)._3.get, (2 * math.log(pAB) + math.log(pBA)) / 3))
+    assert(out(1)._2 == 1L && close(out(1)._3.get, math.log(pAB)))
+    assert(out(2) == ((3L, 0L, None)))
+  }
+
   test("topKWords: count ordering with deterministic ties") {
     val df = Seq("b a a", "c b A", "").toDF("text")
     val out = graft.operators.TextAnalysis.topKWords(df, "text", 2)
