@@ -518,6 +518,19 @@ object SparkEntry {
             kmeansIters = 3)
       }),
 
+    "ann_ivf_index_topk" -> ((s, dir) =>
+      // persisted-index path: build the cell-partitioned index on disk,
+      // then probe it — the scan is partition-pruned to the probed
+      // cells (IvfIndexSpec asserts the plan); same recall gate shape
+      annRecallGate(s, dir, floor = 0.5, label = "persisted IVF index") {
+        (emb, queriesDf) =>
+          val path = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+          Similarity.buildIvfIndex(emb, "vec_id", "embedding", path,
+            numCentroids = 16, seed = 42L, kmeansIters = 2)
+          Similarity.queryIvfIndex(s, path, queriesDf,
+            "vec_id", "embedding", k = 10, nprobe = 8)
+      }),
+
     "mm_frame_sample" -> ((s, dir) => {
       val withBin = tbl(s, dir, "documents")
         .filter(col("doc_id") < 50)
@@ -1641,6 +1654,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "ann_ivf_kmeans_topk" -> annBruteOracleSql,
+    "ann_ivf_index_topk" -> annBruteOracleSql,
 
     "io_csv_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice

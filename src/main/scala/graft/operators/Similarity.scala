@@ -288,6 +288,66 @@ object Similarity {
     topKPerKey(scored, Seq("query_id"), col("cosine").desc, k)
   }
 
+  /** Build a PERSISTED IVF index at `path`: corpus vectors are assigned
+    * to their nearest coarse centroid and written `partitionBy("cell")`,
+    * so a later probe reads ONLY the probed cells' files — the ANN scan
+    * becomes a statically partition-pruned parquet read, and the index
+    * outlives the session (contrast [[ivfCentroidTopK]], which
+    * re-assigns per query batch).
+    *
+    * Layout: `path/vectors/cell=N/…` plus `path/_centroids` (cell →
+    * centroid array). At 100 TB the vectors write is one shuffle-free
+    * map pass (assignment is a map-side native expression against
+    * broadcast centroids); the centroid table is model-params-sized.
+    */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, numCentroids: Int = 64, seed: Long = 42L,
+      kmeansIters: Int = 0): Unit = {
+    import graft.functions.HashFunctions.nearestCentroids
+    val spark = corpus.sparkSession
+    val cents =
+      if (kmeansIters > 0)
+        kmeansCentroids(corpus, idCol, vecCol, numCentroids, seed, kmeansIters)
+      else sampleCentroids(corpus, idCol, vecCol, numCentroids, seed)
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nv"),
+        element_at(nearestCentroids(col(vecCol), cents, 1), 1).as("cell"))
+      .filter(col("cell").isNotNull) // non-finite vectors are unindexable
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /** Query a [[buildIvfIndex]] index: per query, probe the `nprobe`
+    * nearest cells. The probed cell set is collected to the driver
+    * (≤ queries×nprobe ints — the same model-params budget as the
+    * centroids themselves) and re-enters the plan as an `isin` literal
+    * so the parquet scan prunes at PARTITION level: unprobed cells are
+    * never read from storage (plan-asserted in IvfIndexSpec). */
+  def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      nprobe: Int = 8): DataFrame = {
+    import graft.functions.HashFunctions.nearestCentroids
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/_centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("qv"),
+      norm(col(qvecCol)).as("nq"))
+      .withColumn("cell", explode(nearestCentroids(col("qv"), cents, nprobe)))
+    val probeCells: Array[Int] =
+      q.select("cell").distinct().collect().map(_.getInt(0))
+    val idx = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+    val scored = idx.join(broadcast(q), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        (dot(col("v"), col("qv")) / (col("nv") * col("nq"))).as("cosine"))
+    topKPerKey(scored, Seq("query_id"), col("cosine").desc, k)
+  }
+
   /** IVF-style ANN: cell = hyperplane sign bucket; query probes cells
     * whose bucket differs in ≤ `probeBits` bits (Hamming ball). */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,

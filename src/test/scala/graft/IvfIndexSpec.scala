@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Similarity
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted IVF index: layout, partition pruning, recall, determinism. */
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def synthCorpus(n: Int, dim: Int) =
+    (0 until n).map { i =>
+      // two well-separated blobs + a planted near-duplicate of vec 1
+      val base = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, (0 until dim).map(d =>
+        (base + 0.01 * ((i * 31 + d * 7) % 13)).toFloat))
+    }.toDF("vec_id", "embedding")
+
+  private lazy val indexPath = {
+    val p = Files.createTempDirectory("graft_ivf_idx").toFile.getAbsolutePath
+    Similarity.buildIvfIndex(synthCorpus(500, 8), "vec_id", "embedding",
+      p, numCentroids = 8, seed = 7L, kmeansIters = 2)
+    p
+  }
+
+  test("index layout: cell-partitioned vectors plus a centroid table") {
+    val dirs = new java.io.File(s"$indexPath/vectors").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("cell=")), dirs.toString)
+    val cents = spark.read.parquet(s"$indexPath/_centroids")
+    assert(cents.count() == 8)
+  }
+
+  test("probe scan prunes at partition level (unprobed cells never read)") {
+    val queries = synthCorpus(500, 8).filter($"vec_id" < 2)
+    val out = Similarity.queryIvfIndex(spark, indexPath, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected partition-pruned scan:\n$plan")
+    // with nprobe=2 per query and 2 queries, at most 4 of 8 cells scanned
+    val scanned = "cell=(\\d+)".r.findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(scanned.isEmpty || scanned.size <= 4, s"scanned cells: $scanned")
+    assert(out.count() > 0)
+  }
+
+  test("recall vs brute force on the blob corpus; deterministic results") {
+    val corpus = synthCorpus(500, 8)
+    val queries = corpus.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+      .select($"query_id", $"id".as("neighbor_id"))
+    val ivf = Similarity.queryIvfIndex(spark, indexPath, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4)
+      .select($"query_id", $"id".as("neighbor_id"))
+    val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hits.toDouble / brute.count()
+    assert(recall >= 0.8, f"recall $recall%.2f below 0.8")
+    // determinism: a second query run returns the identical rows
+    val again = Similarity.queryIvfIndex(spark, indexPath, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4)
+      .select($"query_id", $"id".as("neighbor_id"))
+    assert(ivf.exceptAll(again).count() == 0 && again.exceptAll(ivf).count() == 0)
+  }
+}
