@@ -663,6 +663,11 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    "text_corpus_report" -> ((s, dir) => {
+      TextAnalysis.corpusReport(tbl(s, dir, "documents"), "source", "text")
+        .orderBy("source")
+    }),
+
     "text_lm_score" -> ((s, dir) => {
       // avg_logp emitted at 6dp: ln() is transcendental (last-ulp
       // engine differences) and double avg is summation-order-dependent
@@ -1383,6 +1388,35 @@ object SparkEntry {
         |  array_to_string(w[i * 20 + 1 : i * 20 + 30], ' ') AS chunk_text,
         |  least(CAST(30 AS BIGINT), len(w) - i * 20) AS n_tokens
         |FROM off ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // mean_chars = IEEE division of the exact BIGINT sum by the exact
+    // count — bit-reproducible (header policy)
+    "text_corpus_report" ->
+      """WITH lang AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS toks,
+        |    CAST(length(text) AS BIGINT) AS chars,
+        |    CASE
+        |      WHEN en >= de AND en >= fr AND en >= es AND en >= pt AND en > 0 THEN 'en'
+        |      WHEN de >= fr AND de >= es AND de >= pt AND de > 0 THEN 'de'
+        |      WHEN fr >= es AND fr >= pt AND fr > 0 THEN 'fr'
+        |      WHEN es >= pt AND es > 0 THEN 'es'
+        |      WHEN pt > 0 THEN 'pt'
+        |      ELSE 'und' END AS lang
+        |  FROM (
+        |    SELECT doc_id, source, text,
+        |      len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('the','a','and','of','to','in','is','that'))) AS en,
+        |      len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
+        |      len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('le','la','les','et','est','un','une','dans'))) AS fr,
+        |      len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('el','los','las','es','un','una','que','en'))) AS es,
+        |      len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('o','os','as','um','uma','que','em','para'))) AS pt
+        |    FROM documents) t)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  CAST(sum(chars) AS DOUBLE) / count(*) AS mean_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM lang GROUP BY source ORDER BY source""".stripMargin,
 
     "text_lm_score" ->
       """WITH words AS (

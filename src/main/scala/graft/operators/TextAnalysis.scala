@@ -196,6 +196,25 @@ object TextAnalysis {
         col("avg_logp"))
   }
 
+  /** Per-source corpus report (the "datasheet" summary of a curation
+    * run): doc count, token total, mean doc length, distinct predicted
+    * languages. One two-phase aggregation over a single map pass —
+    * group count is source-cardinality (tiny), so the report is free at
+    * any corpus size. */
+  def corpusReport(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val st = stats(col(textCol))
+    df.select(col(sourceCol).as("source"),
+        st.getField("n_ws_tokens").as("toks"),
+        st.getField("n_chars").as("chars"),
+        langId(col(textCol)).as("lang"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        (sum(col("chars")).cast("double") / count(lit(1))).as("mean_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
   /** Canonical-form md5 document fingerprint. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
