@@ -1257,6 +1257,7 @@ object SparkEntry {
     "text_langid" ->
       """SELECT doc_id,
         |  CASE
+        |    WHEN en IS NULL THEN NULL
         |    WHEN en >= de AND en >= fr AND en >= es AND en >= pt AND en > 0 THEN 'en'
         |    WHEN de >= fr AND de >= es AND de >= pt AND de > 0 THEN 'de'
         |    WHEN fr >= es AND fr >= pt AND fr > 0 THEN 'fr'
@@ -1265,11 +1266,11 @@ object SparkEntry {
         |    ELSE 'und' END AS lang_pred
         |FROM (
         |  SELECT doc_id,
-        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('the','a','and','of','to','in','is','that'))) AS en,
-        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
-        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('le','la','les','et','est','un','une','dans'))) AS fr,
-        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('el','los','las','es','un','una','que','en'))) AS es,
-        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('o','os','as','um','uma','que','em','para'))) AS pt
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('the','a','and','of','to','in','is','that'))) AS en,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('le','la','les','et','est','un','une','dans'))) AS fr,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('el','los','las','es','un','una','que','en'))) AS es,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('o','os','as','um','uma','que','em','para'))) AS pt
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
 
@@ -1397,6 +1398,7 @@ object SparkEntry {
         |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS toks,
         |    CAST(length(text) AS BIGINT) AS chars,
         |    CASE
+        |      WHEN en IS NULL THEN NULL
         |      WHEN en >= de AND en >= fr AND en >= es AND en >= pt AND en > 0 THEN 'en'
         |      WHEN de >= fr AND de >= es AND de >= pt AND de > 0 THEN 'de'
         |      WHEN fr >= es AND fr >= pt AND fr > 0 THEN 'fr'
@@ -1405,11 +1407,11 @@ object SparkEntry {
         |      ELSE 'und' END AS lang
         |  FROM (
         |    SELECT doc_id, source, text,
-        |      len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('the','a','and','of','to','in','is','that'))) AS en,
-        |      len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
-        |      len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('le','la','les','et','est','un','une','dans'))) AS fr,
-        |      len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('el','los','las','es','un','una','que','en'))) AS es,
-        |      len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('o','os','as','um','uma','que','em','para'))) AS pt
+        |      len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('the','a','and','of','to','in','is','that'))) AS en,
+        |      len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
+        |      len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('le','la','les','et','est','un','une','dans'))) AS fr,
+        |      len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('el','los','las','es','un','una','que','en'))) AS es,
+        |      len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('o','os','as','um','uma','que','em','para'))) AS pt
         |    FROM documents) t)
         |SELECT source,
         |  CAST(count(*) AS BIGINT) AS n_docs,

@@ -265,27 +265,44 @@ object Similarity {
     * (cell) equi-join with the broadcast query probes and the partial
     * top-k. Each (query, corpus) pair can appear at most once — a
     * corpus vector lives in exactly one cell — so no dedup pass. */
+  /** Centroid fit shared by [[ivfCentroidTopK]] and [[buildIvfIndex]]:
+    * Lloyd-refined when `kmeansIters > 0`, plain deterministic sample
+    * otherwise. */
+  private def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, seed: Long, kmeansIters: Int): Array[Array[Double]] =
+    if (kmeansIters > 0)
+      kmeansCentroids(corpus, idCol, vecCol, numCentroids, seed, kmeansIters)
+    else sampleCentroids(corpus, idCol, vecCol, numCentroids, seed)
+
+  /** Shared probe tail of every cell-based ANN path: equi-join the cell
+    * frames (query side broadcast), drop self-pairs, cosine via
+    * prenormed dot, partial-then-final top-k. `dedupPairs` is needed
+    * only when one query can reach the same corpus row through several
+    * probed cells (the Hamming-ball path). */
+  private def cellCosineTopK(c: DataFrame, q: DataFrame, k: Int,
+      dedupPairs: Boolean): DataFrame = {
+    val scored0 = c.join(broadcast(q), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        (dot(col("v"), col("qv")) / (col("nv") * col("nq"))).as("cosine"))
+    val scored = if (dedupPairs) scored0.dropDuplicates("query_id", "id") else scored0
+    topKPerKey(scored, Seq("query_id"), col("cosine").desc, k)
+  }
+
   def ivfCentroidTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
       numCentroids: Int = 64, nprobe: Int = 8, seed: Long = 42L,
       kmeansIters: Int = 0): DataFrame = {
     import graft.functions.HashFunctions.nearestCentroids
     require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
-    val cents =
-      if (kmeansIters > 0)
-        kmeansCentroids(corpus, idCol, vecCol, numCentroids, seed, kmeansIters)
-      else sampleCentroids(corpus, idCol, vecCol, numCentroids, seed)
+    val cents = fitCentroids(corpus, idCol, vecCol, numCentroids, seed, kmeansIters)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nv"),
       element_at(nearestCentroids(col(vecCol), cents, 1), 1).as("cell"))
     val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("qv"),
       norm(col(qvecCol)).as("nq"))
       .withColumn("cell", explode(nearestCentroids(col("qv"), cents, nprobe)))
-    val scored = c.join(broadcast(q), Seq("cell"))
-      .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id"),
-        (dot(col("v"), col("qv")) / (col("nv") * col("nq"))).as("cosine"))
-    topKPerKey(scored, Seq("query_id"), col("cosine").desc, k)
+    cellCosineTopK(c, q, k, dedupPairs = false)
   }
 
   /** Build a PERSISTED IVF index at `path`: corpus vectors are assigned
@@ -305,10 +322,7 @@ object Similarity {
       kmeansIters: Int = 0): Unit = {
     import graft.functions.HashFunctions.nearestCentroids
     val spark = corpus.sparkSession
-    val cents =
-      if (kmeansIters > 0)
-        kmeansCentroids(corpus, idCol, vecCol, numCentroids, seed, kmeansIters)
-      else sampleCentroids(corpus, idCol, vecCol, numCentroids, seed)
+    val cents = fitCentroids(corpus, idCol, vecCol, numCentroids, seed, kmeansIters)
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -341,11 +355,7 @@ object Similarity {
       q.select("cell").distinct().collect().map(_.getInt(0))
     val idx = spark.read.parquet(s"$path/vectors")
       .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
-    val scored = idx.join(broadcast(q), Seq("cell"))
-      .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id"),
-        (dot(col("v"), col("qv")) / (col("nv") * col("nq"))).as("cosine"))
-    topKPerKey(scored, Seq("query_id"), col("cosine").desc, k)
+    cellCosineTopK(idx, q, k, dedupPairs = false)
   }
 
   /** IVF-style ANN: cell = hyperplane sign bucket; query probes cells
@@ -373,11 +383,8 @@ object Similarity {
       norm(col(qvecCol)).as("nq"), signBucket(col(qvecCol), planes).as("qcell"))
       .withColumn("cell", explode(transform(lit(probeOffsets.toArray),
         m => col("qcell").bitwiseXOR(m))))
-    val scored = c.join(broadcast(q), Seq("cell"))
-      .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id"),
-        (dot(col("v"), col("qv")) / (col("nv") * col("nq"))).as("cosine"))
-      .dropDuplicates("query_id", "id")
-    topKPerKey(scored, Seq("query_id"), col("cosine").desc, k)
+    // dedupPairs: a query reaches the same corpus row once per probed
+    // cell in the Hamming ball
+    cellCosineTopK(c, q, k, dedupPairs = true)
   }
 }

@@ -154,10 +154,11 @@ object TextAnalysis {
     *
     * Scale shape: the "training pass" is two two-phase counts (bigrams,
     * unigrams) over one explode of the corpus; V rides as a broadcast
-    * 1-row frame, unigram counts broadcast (vocab-sized), and the
-    * bigram-count join keys on the bigram string — corpus-sized but
-    * combiner-reduced on both sides, AQE handles skew. No driver
-    * collect anywhere; the model IS a DataFrame. */
+    * 1-row frame. The unigram/bigram count joins carry NO broadcast
+    * hint — Catalyst stats + AQE pick broadcast when the vocab fits and
+    * shuffle when it doesn't (a forced hint would OOM the driver on a
+    * 100 TB vocabulary). No driver collect anywhere; the model IS a
+    * DataFrame. */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
       k: Double = 0.5): DataFrame = {
     require(k > 0, s"smoothing k must be positive, got $k")
@@ -176,6 +177,7 @@ object TextAnalysis {
     val uniCounts = df
       .select(explode(w).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c_uni"))
+      .transform(Materialize.once(_)) // consumed twice: V and the scoring join
     val vocab = uniCounts.select(count(lit(1)).cast("double").as("v_size"))
     // no broadcast hint on the count frames: vocab-sized is usually
     // broadcastable but can reach hundreds of millions of rows at
