@@ -531,6 +531,24 @@ object SparkEntry {
             "vec_id", "embedding", k = 10, nprobe = 8)
       }),
 
+    "mm_audio_meta" -> ((s, dir) => {
+      // synthesizeWavs builds REAL RIFF/PCM bytes from doc_id with
+      // arithmetic-derivable parameters, so the oracle can check the
+      // full WAV write→parse roundtrip value-exactly without binaries
+      val wavs = Multimodal.synthesizeWavs(
+        tbl(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
+      Multimodal.audioMeta(wavs, "id", "content").toDF()
+        .orderBy("id")
+    }),
+
+    "mm_audio_chunk" -> ((s, dir) => {
+      val wavs = Multimodal.synthesizeWavs(
+        tbl(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
+      Multimodal.chunkAudioWindows(wavs, "id", "content",
+        windowMs = 150L, strideMs = 100L)
+        .orderBy("id", "chunk_id")
+    }),
+
     "mm_frame_sample" -> ((s, dir) => {
       val withBin = tbl(s, dir, "documents")
         .filter(col("doc_id") < 50)
@@ -707,6 +725,22 @@ object SparkEntry {
           col("doc_id").cast("string")).as("text"))
       Curation.removeBoilerplateLines(d, "doc_id", "text", minDocFreq = 10L)
         .orderBy("doc_id")
+    }),
+
+    "dedup_url" -> ((s, dir) => {
+      // URL-level dedup (the RefinedWeb pre-dedup step) as composition:
+      // canonicalize, then exact-group on the canonical form. Synthetic
+      // URLs collide on doc_id % 50 across sources via casing/www/utm
+      // variants, so normalization genuinely merges spellings.
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
+          lit("corpus.example.com/p/"), (col("doc_id") % 50).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("?utm_source=x")).otherwise(lit(""))).as("url"))
+      d.select(col("doc_id"), Curation.normalizeUrl(col("url")).as("url_norm"))
+        .groupBy("url_norm")
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_dups"))
+        .orderBy("url_norm")
     }),
 
     "url_normalize" -> ((s, dir) => {
@@ -1392,6 +1426,31 @@ object SparkEntry {
 
     // mean_chars = IEEE division of the exact BIGINT sum by the exact
     // count — bit-reproducible (header policy)
+    // synthesizeWavs parameters: 8-bit mono at 8000 Hz with
+    // (doc_id % 5 + 1) * 800 samples — every output column is id
+    // arithmetic, so parse correctness is what the hash check proves
+    "mm_audio_meta" ->
+      """SELECT doc_id AS id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(8 AS BIGINT) AS bits_per_sample,
+        |  CAST((doc_id % 5 + 1) * 800 AS BIGINT) AS n_samples,
+        |  CAST((doc_id % 5 + 1) * 100 AS BIGINT) AS duration_ms,
+        |  'wav' AS format
+        |FROM documents WHERE doc_id < 200 ORDER BY id""".stripMargin,
+
+    "mm_audio_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, (doc_id % 5 + 1) * 100 AS dur
+        |  FROM documents WHERE doc_id < 200),
+        |c AS (
+        |  SELECT id, dur, unnest(range(0, CAST((dur - 1) // 100 + 1 AS BIGINT))) AS chunk_id
+        |  FROM d)
+        |SELECT id, CAST(chunk_id AS INT) AS chunk_id,
+        |  CAST(chunk_id * 100 AS BIGINT) AS start_ms,
+        |  CAST(least(chunk_id * 100 + 150, dur) AS BIGINT) AS end_ms
+        |FROM c ORDER BY id, chunk_id""".stripMargin,
+
     "text_corpus_report" ->
       """WITH lang AS (
         |  SELECT doc_id, source,
@@ -1505,6 +1564,16 @@ object SparkEntry {
         |  FROM kept GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean
         |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // all synthesized variants normalize to https://corpus.example.com/p/N,
+    // so the oracle needs no regex at all — normalization correctness is
+    // exactly what the group counts prove
+    "dedup_url" ->
+      """SELECT concat('https://corpus.example.com/p/', CAST(doc_id % 50 AS VARCHAR)) AS url_norm,
+        |  min(doc_id) AS canonical_id,
+        |  CAST(count(*) AS BIGINT) AS n_dups
+        |FROM documents
+        |GROUP BY url_norm ORDER BY url_norm""".stripMargin,
 
     "url_normalize" ->
       """WITH u AS (

@@ -319,4 +319,132 @@ object Multimodal {
     }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
       .toDF("id", "frame_offset")
   }
+
+  // ---- audio (RIFF/WAVE — real header parse, JVM-only) -----------------
+
+  /** Parsed PCM WAV parameters: (sampleRate, channels, bitsPerSample,
+    * dataBytes). */
+  object WavDecode {
+    private def u16le(c: Array[Byte], i: Int): Int =
+      (c(i) & 0xff) | ((c(i + 1) & 0xff) << 8)
+    private def u32le(c: Array[Byte], i: Int): Long =
+      u16le(c, i).toLong | (u16le(c, i + 2).toLong << 16)
+    private def tag(c: Array[Byte], i: Int): String =
+      new String(c, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Walk RIFF chunks for `fmt ` (PCM layout) + `data`. None unless
+      * the container is well-formed AND parameters are sane — text or
+      * junk bytes must fall through to the stub path, and a hostile
+      * header cannot declare absurd rates/widths (nothing here
+      * allocates, but derived durations feed downstream windowing). */
+    def parse(c: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+      if (c == null || c.length < 44) return None
+      if (tag(c, 0) != "RIFF" || tag(c, 8) != "WAVE") return None
+      var i = 12
+      var fmt: Option[(Long, Long, Long)] = None
+      var dataLen: Option[Long] = None
+      while (i + 8 <= c.length && (fmt.isEmpty || dataLen.isEmpty)) {
+        val id = tag(c, i)
+        val size = u32le(c, i + 4)
+        if (id == "fmt " && size >= 16 && i + 8 + 16 <= c.length) {
+          val audioFormat = u16le(c, i + 8)
+          val channels = u16le(c, i + 10).toLong
+          val rate = u32le(c, i + 12)
+          val bits = u16le(c, i + 22).toLong
+          val sane = audioFormat == 1 && channels >= 1 && channels <= 64 &&
+            rate >= 1000 && rate <= 1000000 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)
+          if (!sane) return None
+          fmt = Some((rate, channels, bits))
+        } else if (id == "data") {
+          // declared size may exceed the actual payload on a truncated
+          // file — clamp to what is really present
+          dataLen = Some(math.min(size, (c.length - i - 8).toLong))
+        }
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are even-padded
+        if (size <= 0) return None             // malformed: no progress
+      }
+      for ((rate, ch, bits) <- fmt; d <- dataLen)
+        yield (rate, ch, bits, d)
+    }
+  }
+
+  final case class AudioMetaRow(id: Long, sample_rate: Long, channels: Long,
+      bits_per_sample: Long, n_samples: Long, duration_ms: Long, format: String)
+
+  /** Typed audio metadata from a binary column: REAL RIFF/WAVE parse
+    * (pure JVM byte walking, no external codec) when the payload is a
+    * well-formed PCM WAV; the deterministic stub otherwise — same
+    * fallback contract as [[decodeImages]]. Narrow map stage. */
+  def audioMeta(df: DataFrame, idCol: String, binCol: String): Dataset[AudioMetaRow] = {
+    val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
+      .as(Encoders.product[MediaRow])
+    ds.map { r =>
+      WavDecode.parse(r.content) match {
+        case Some((rate, ch, bits, dataLen)) =>
+          val frame = ch * bits / 8
+          val n = if (frame > 0) dataLen / frame else 0L
+          AudioMetaRow(r.id, rate, ch, bits, n,
+            if (rate > 0) n * 1000L / rate else 0L, "wav")
+        case None =>
+          val m = DecodeStub.decode(
+            if (r.content == null) Array.emptyByteArray else r.content)
+          AudioMetaRow(r.id, 0L, 0L, 0L, m.nBytes, 0L, m.format)
+      }
+    }(Encoders.product[AudioMetaRow])
+  }
+
+  /** Time-window chunking over an audio binary column (the audio analog
+    * of document chunking): one row per `windowMs` window with `strideMs`
+    * hop, covering the parsed duration; the final window may be short.
+    * Non-WAV payloads produce no rows. */
+  def chunkAudioWindows(df: DataFrame, idCol: String, binCol: String,
+      windowMs: Long, strideMs: Long): DataFrame = {
+    require(windowMs > 0 && strideMs > 0 && strideMs <= windowMs,
+      s"need 0 < strideMs <= windowMs, got windowMs=$windowMs strideMs=$strideMs")
+    val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
+      .as(Encoders.product[MediaRow])
+    ds.flatMap { r =>
+      WavDecode.parse(r.content).toSeq.flatMap { case (rate, ch, bits, dataLen) =>
+        val frame = ch * bits / 8
+        val n = if (frame > 0) dataLen / frame else 0L
+        val durMs = if (rate > 0) n * 1000L / rate else 0L
+        if (durMs == 0) Seq.empty
+        else {
+          val nChunks = ((durMs - 1) / strideMs + 1).toInt
+          (0 until nChunks).map { ci =>
+            val start = ci * strideMs
+            (r.id, ci, start, math.min(start + windowMs, durMs))
+          }
+        }
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
+        Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("id", "chunk_id", "start_ms", "end_ms")
+  }
+
+  /** Deterministic tiny PCM WAVs from an id column (test/gate input —
+    * the audio analog of [[synthesizePngs]]): 8-bit mono, sample rate
+    * 8000, (id % 5 + 1) × 100 ms of a simple id-seeded waveform. */
+  def synthesizeWavs(df: DataFrame, idCol: String): DataFrame = {
+    val ds = df.select(col(idCol).cast("long").as("id")).as(Encoders.scalaLong)
+    ds.map { id =>
+      val rate = 8000
+      val nSamples = ((id % 5) + 1).toInt * 800 // 100ms steps at 8kHz
+      val data = Array.tabulate(nSamples)(i => ((id * 31 + i * 7) % 256 - 128).toByte)
+      val bos = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def le32(v: Int): Array[Byte] =
+        Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      bos.write("RIFF".getBytes); bos.write(le32(36 + nSamples))
+      bos.write("WAVE".getBytes)
+      bos.write("fmt ".getBytes); bos.write(le32(16))
+      bos.write(le16(1)); bos.write(le16(1))          // PCM, mono
+      bos.write(le32(rate)); bos.write(le32(rate))    // byte rate = rate (8-bit mono)
+      bos.write(le16(1)); bos.write(le16(8))          // block align, bits
+      bos.write("data".getBytes); bos.write(le32(nSamples))
+      bos.write(data)
+      (id, bos.toByteArray)
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("id", "content")
+  }
 }

@@ -294,6 +294,57 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Seq(("a", 3L), ("b", 2L))) // "A" lowercases into a
   }
 
+  // ---- audio (RIFF/WAVE) -----------------------------------------------
+
+  test("audioMeta: real WAV parse, stub fallback for junk and truncation") {
+    import graft.operators.Multimodal
+    val wavs = Multimodal.synthesizeWavs(Seq(1L, 2L, 7L).toDF("id"), "id")
+    val metas = Multimodal.audioMeta(wavs, "id", "content").collect()
+      .map(m => m.id -> m).toMap
+    // id=1 → 2*800 samples = 200ms; id=7 → 3*800 = 300ms
+    assert(metas(1L).n_samples == 1600L && metas(1L).duration_ms == 200L)
+    assert(metas(7L).n_samples == 2400L && metas(7L).duration_ms == 300L)
+    assert(metas.values.forall(m =>
+      m.format == "wav" && m.sample_rate == 8000L && m.channels == 1L &&
+        m.bits_per_sample == 8L))
+    // junk text and a truncated header fall through to the stub
+    val junk = Seq(
+      (10L, "RIFFnot really a wav at all".getBytes),
+      (11L, "plain text".getBytes),
+      (12L, Array[Byte](82, 73, 70, 70))).toDF("id", "content")
+    val stubbed = Multimodal.audioMeta(junk, "id", "content").collect()
+    assert(stubbed.forall(_.format != "wav"))
+  }
+
+  test("audioMeta rejects insane declared parameters (hostile headers)") {
+    import graft.operators.Multimodal
+    // well-formed container declaring a 0-channel PCM stream
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    bos.write("RIFF".getBytes); bos.write(le32(100)); bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); bos.write(le32(16))
+    bos.write(le16(1)); bos.write(le16(0)) // channels = 0
+    bos.write(le32(8000)); bos.write(le32(8000)); bos.write(le16(1)); bos.write(le16(8))
+    bos.write("data".getBytes); bos.write(le32(8)); bos.write(new Array[Byte](8))
+    val df = Seq((1L, bos.toByteArray)).toDF("id", "content")
+    val m = Multimodal.audioMeta(df, "id", "content").head()
+    assert(m.format != "wav", "0-channel header must not parse as wav")
+  }
+
+  test("chunkAudioWindows: exact windows, short tail, non-wav drops") {
+    import graft.operators.Multimodal
+    val wavs = Multimodal.synthesizeWavs(Seq(4L).toDF("id"), "id") // 5*100 = 500ms
+    val out = Multimodal.chunkAudioWindows(wavs, "id", "content", 150L, 100L)
+      .orderBy("chunk_id").as[(Long, Int, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (4L, 0, 0L, 150L), (4L, 1, 100L, 250L), (4L, 2, 200L, 350L),
+      (4L, 3, 300L, 450L), (4L, 4, 400L, 500L)))
+    val junk = Seq((9L, "not audio".getBytes)).toDF("id", "content")
+    assert(Multimodal.chunkAudioWindows(junk, "id", "content", 150L, 100L).count() == 0)
+  }
+
   // ---- URL normalization -----------------------------------------------
 
   private def norm(u: String): String = {
