@@ -1424,8 +1424,6 @@ object SparkEntry {
         |  least(CAST(30 AS BIGINT), len(w) - i * 20) AS n_tokens
         |FROM off ORDER BY doc_id, chunk_id""".stripMargin,
 
-    // mean_chars = IEEE division of the exact BIGINT sum by the exact
-    // count — bit-reproducible (header policy)
     // synthesizeWavs parameters: 8-bit mono at 8000 Hz with
     // (doc_id % 5 + 1) * 800 samples — every output column is id
     // arithmetic, so parse correctness is what the hash check proves
@@ -1451,6 +1449,8 @@ object SparkEntry {
         |  CAST(least(chunk_id * 100 + 150, dur) AS BIGINT) AS end_ms
         |FROM c ORDER BY id, chunk_id""".stripMargin,
 
+    // mean_chars = IEEE division of the exact BIGINT sum by the exact
+    // count — bit-reproducible (header policy)
     "text_corpus_report" ->
       """WITH lang AS (
         |  SELECT doc_id, source,

@@ -340,17 +340,27 @@ object Multimodal {
     def parse(c: Array[Byte]): Option[(Long, Long, Long, Long)] = {
       if (c == null || c.length < 44) return None
       if (tag(c, 0) != "RIFF" || tag(c, 8) != "WAVE") return None
-      var i = 12
+      // LONG cursor + unsigned-Long sizes end-to-end: a hostile size
+      // near 2^32 must neither spin the loop (Int truncation making the
+      // advance zero/negative) nor index out of bounds (Int overflow of
+      // the cursor). With Long arithmetic an oversized advance simply
+      // fails the loop bound and parsing returns what was found — the
+      // stub-fallback contract for hostile headers. A legitimately
+      // TRUNCATED file (declared data > payload) still parses: the data
+      // length clamps to the bytes actually present.
+      var i = 12L
       var fmt: Option[(Long, Long, Long)] = None
       var dataLen: Option[Long] = None
       while (i + 8 <= c.length && (fmt.isEmpty || dataLen.isEmpty)) {
-        val id = tag(c, i)
-        val size = u32le(c, i + 4)
+        val at = i.toInt // safe: i + 8 <= length <= Int.MaxValue here
+        val id = tag(c, at)
+        val size = u32le(c, at + 4) // unsigned 32-bit
+        if (size <= 0) return None // malformed: no progress possible
         if (id == "fmt " && size >= 16 && i + 8 + 16 <= c.length) {
-          val audioFormat = u16le(c, i + 8)
-          val channels = u16le(c, i + 10).toLong
-          val rate = u32le(c, i + 12)
-          val bits = u16le(c, i + 22).toLong
+          val audioFormat = u16le(c, at + 8)
+          val channels = u16le(c, at + 10).toLong
+          val rate = u32le(c, at + 12)
+          val bits = u16le(c, at + 22).toLong
           val sane = audioFormat == 1 && channels >= 1 && channels <= 64 &&
             rate >= 1000 && rate <= 1000000 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)
           if (!sane) return None
@@ -358,10 +368,9 @@ object Multimodal {
         } else if (id == "data") {
           // declared size may exceed the actual payload on a truncated
           // file — clamp to what is really present
-          dataLen = Some(math.min(size, (c.length - i - 8).toLong))
+          dataLen = Some(math.min(size, c.length - i - 8))
         }
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are even-padded
-        if (size <= 0) return None             // malformed: no progress
+        i += 8L + size + (size & 1L) // chunks are even-padded
       }
       for ((rate, ch, bits) <- fmt; d <- dataLen)
         yield (rate, ch, bits, d)
@@ -404,14 +413,17 @@ object Multimodal {
     val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
       .as(Encoders.product[MediaRow])
     ds.flatMap { r =>
-      WavDecode.parse(r.content).toSeq.flatMap { case (rate, ch, bits, dataLen) =>
+      WavDecode.parse(r.content).iterator.flatMap { case (rate, ch, bits, dataLen) =>
         val frame = ch * bits / 8
         val n = if (frame > 0) dataLen / frame else 0L
         val durMs = if (rate > 0) n * 1000L / rate else 0L
-        if (durMs == 0) Seq.empty
+        if (durMs == 0) Iterator.empty
         else {
+          // iterator, not a materialized Seq: a multi-GB low-rate WAV
+          // yields tens of millions of windows — they must stream into
+          // Spark's consumer, not sit in one giant in-memory collection
           val nChunks = ((durMs - 1) / strideMs + 1).toInt
-          (0 until nChunks).map { ci =>
+          (0 until nChunks).iterator.map { ci =>
             val start = ci * strideMs
             (r.id, ci, start, math.min(start + windowMs, durMs))
           }
@@ -422,29 +434,37 @@ object Multimodal {
       .toDF("id", "chunk_id", "start_ms", "end_ms")
   }
 
+  /** RIFF/PCM WAV assembly — the ONE place that knows the byte layout
+    * (used by [[synthesizeWavs]] and, with deliberately insane
+    * parameters, by the hostile-header tests). */
+  private[graft] def wavBytes(channels: Int, rate: Int, bits: Int,
+      data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val blockAlign = channels * bits / 8
+    bos.write("RIFF".getBytes); bos.write(le32(36 + data.length))
+    bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); bos.write(le32(16))
+    bos.write(le16(1)); bos.write(le16(channels))
+    bos.write(le32(rate)); bos.write(le32(rate * math.max(blockAlign, 1)))
+    bos.write(le16(blockAlign)); bos.write(le16(bits))
+    bos.write("data".getBytes); bos.write(le32(data.length))
+    bos.write(data)
+    bos.toByteArray
+  }
+
   /** Deterministic tiny PCM WAVs from an id column (test/gate input —
     * the audio analog of [[synthesizePngs]]): 8-bit mono, sample rate
     * 8000, (id % 5 + 1) × 100 ms of a simple id-seeded waveform. */
   def synthesizeWavs(df: DataFrame, idCol: String): DataFrame = {
     val ds = df.select(col(idCol).cast("long").as("id")).as(Encoders.scalaLong)
     ds.map { id =>
-      val rate = 8000
       val nSamples = ((id % 5) + 1).toInt * 800 // 100ms steps at 8kHz
       val data = Array.tabulate(nSamples)(i => ((id * 31 + i * 7) % 256 - 128).toByte)
-      val bos = new java.io.ByteArrayOutputStream()
-      def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-      def le32(v: Int): Array[Byte] =
-        Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-      bos.write("RIFF".getBytes); bos.write(le32(36 + nSamples))
-      bos.write("WAVE".getBytes)
-      bos.write("fmt ".getBytes); bos.write(le32(16))
-      bos.write(le16(1)); bos.write(le16(1))          // PCM, mono
-      bos.write(le32(rate)); bos.write(le32(rate))    // byte rate = rate (8-bit mono)
-      bos.write(le16(1)); bos.write(le16(8))          // block align, bits
-      bos.write("data".getBytes); bos.write(le32(nSamples))
-      bos.write(data)
-      (id, bos.toByteArray)
+      (id, wavBytes(channels = 1, rate = 8000, bits = 8, data))
     }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("id", "content")
   }
 }

@@ -318,19 +318,27 @@ class CurationSpec extends AnyFunSuite {
 
   test("audioMeta rejects insane declared parameters (hostile headers)") {
     import graft.operators.Multimodal
-    // well-formed container declaring a 0-channel PCM stream
-    val bos = new java.io.ByteArrayOutputStream()
-    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    bos.write("RIFF".getBytes); bos.write(le32(100)); bos.write("WAVE".getBytes)
-    bos.write("fmt ".getBytes); bos.write(le32(16))
-    bos.write(le16(1)); bos.write(le16(0)) // channels = 0
-    bos.write(le32(8000)); bos.write(le32(8000)); bos.write(le16(1)); bos.write(le16(8))
-    bos.write("data".getBytes); bos.write(le32(8)); bos.write(new Array[Byte](8))
-    val df = Seq((1L, bos.toByteArray)).toDF("id", "content")
-    val m = Multimodal.audioMeta(df, "id", "content").head()
-    assert(m.format != "wav", "0-channel header must not parse as wav")
+    // well-formed containers with insane fmt parameters — built by the
+    // SAME wavBytes layout the synthesizer uses, so the test cannot
+    // drift from the real byte format
+    val zeroChannels = Multimodal.wavBytes(channels = 0, rate = 8000, bits = 8,
+      new Array[Byte](8))
+    val absurdRate = Multimodal.wavBytes(channels = 1, rate = 2000000, bits = 8,
+      new Array[Byte](8))
+    // hostile chunk: rename the data chunk to "junk" AND declare size
+    // 0xFFFFFFF8 (≈2^32) — an Int-truncating parser would spin forever
+    // (advance 8 + (-8)) or index negative; the Long-cursor walk must
+    // skip past the end and fall back to the stub (no data chunk found).
+    // (An over-declared size on the DATA chunk itself is legitimate
+    // truncation and clamps — covered by the roundtrip test.)
+    val huge = Multimodal.wavBytes(1, 8000, 8, new Array[Byte](8))
+    "junk".getBytes.zipWithIndex.foreach { case (b, k) => huge(36 + k) = b }
+    for (k <- 0 until 4) huge(40 + k) = (if (k < 1) 0xf8 else 0xff).toByte
+    val df = Seq((1L, zeroChannels), (2L, absurdRate), (3L, huge))
+      .toDF("id", "content")
+    val out = Multimodal.audioMeta(df, "id", "content").collect()
+    assert(out.forall(_.format != "wav"),
+      s"hostile headers must not parse as wav: ${out.mkString(", ")}")
   }
 
   test("chunkAudioWindows: exact windows, short tail, non-wav drops") {
