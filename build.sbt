@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output passes straight through to this process's
+// stdout/stderr: sbt's default LoggedOutput prefixes every forked line
+// with "[info] "/"[error] ", which corrupts the one-line JSON contract
+// of graft.Bench (the harness parses the last chunk of raw stdout).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -64,18 +64,71 @@ object Bench {
       val t = if (!ok) -1.0 else good.sorted.apply(good.length / 2)
       (name, t, ok, times.length - good.length)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val (full, out) = render(results, sfDir)
+    System.err.println(full)
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_full_latest.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // best-effort; stdout line is canonical
+    println(out)
+    spark.stop()
+  }
+
+  /** Render (full, stdout) JSON lines from per-query results
+    * `(name, medianSec, ok, failedRuns)`.
+    *
+    * The harness that records the bench keeps only the last ~2000
+    * characters of stdout (observed: BENCH_r04/r05 both carried a
+    * 2000-char tail whose head cut into the middle of the JSON line →
+    * `parsed:null`). The canonical stdout line must therefore fit well
+    * under that cap, leaving room for the ~80-char sbt "[success] ..."
+    * trailer that follows it. When the full per-query map is too long,
+    * the stdout line sheds the FASTEST queries first (they are
+    * noise-dominated at sf0.1 anyway) and records
+    * `queries_omitted`/`omitted_sec` so the total stays reconstructible;
+    * the complete map always goes to stderr and bench_full_latest.json. */
+  private[graft] def render(results: Seq[(String, Double, Boolean, Int)],
+      sfDir: String, budget: Int = 1750): (String, String) = {
     val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // A query that failed a MINORITY of its repeats still reports a
-    // median pass above — surface it here so an intermittent in-query
-    // gate failure (e.g. a flaky recall require) is recorded in the
-    // BENCH_r* JSON, not just a stderr line. Format: name → failed runs.
+    // median pass — surface it here so an intermittent in-query gate
+    // failure (e.g. a flaky recall require) is recorded in the BENCH_r*
+    // JSON, not just a stderr line. Format: name → failed runs.
     val flaky = results.collect { case (k, _, true, nf) if nf > 0 =>
       "\"" + k + "\":" + nf }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, true, _) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}""")
-    spark.stop()
+
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def line(entries: Seq[(String, Double)], extra: String): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky$extra,"sf":"$sfDir"}"""
+    }
+
+    val all = results.map { case (k, v, _, _) => (k, v) }
+    val full = line(all, "")
+    val out =
+      if (full.length <= budget) full
+      else {
+        val byTime = all.sortBy { case (_, v) => -v }
+        // linear prefix scan is fine at n≈90
+        var keep = byTime
+        var dropped = 0
+        var droppedSec = 0.0
+        while (keep.nonEmpty && {
+          val extra = s""","queries_omitted":$dropped,"omitted_sec":${fmt(droppedSec)}"""
+          line(keep.sortBy(_._1), extra).length > budget
+        }) {
+          val (_, v) = keep.last
+          if (v > 0) droppedSec += v
+          dropped += 1
+          keep = keep.init
+        }
+        val extra = s""","queries_omitted":$dropped,"omitted_sec":${fmt(droppedSec)}"""
+        line(keep.sortBy(_._1), extra)
+      }
+    (full, out)
   }
 }

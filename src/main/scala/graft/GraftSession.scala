@@ -16,6 +16,17 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  // bucketed tables (Writers.writeBucketed) need a writable warehouse;
+  // keep it out of the working tree. createTempDirectory gives an
+  // UNPREDICTABLE 0700 path — a fixed /tmp name (even per-user) could be
+  // pre-created/symlinked by another local user before first use
+  // (squatting). One dir per JVM (lazy val): the same process's sessions
+  // share a catalog, so they must share the warehouse; separate
+  // processes get separate dirs, which is the isolation we want. Real
+  // deployments override this with a durable cluster path.
+  private lazy val defaultWarehouse: String =
+    java.nio.file.Files.createTempDirectory("graft_warehouse_").toString
+
   /** Apply graft's standard configuration to a builder. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
@@ -25,12 +36,7 @@ object GraftSession {
     .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
-    // bucketed tables (Writers.writeBucketed) need a writable warehouse;
-    // keep it out of the working tree and per-user (a fixed shared /tmp
-    // path would let concurrent users overwrite — and pre-own — each
-    // other's table data). Real deployments override this.
-    .config("spark.sql.warehouse.dir",
-      s"/tmp/graft_warehouse_${sys.props.getOrElse("user.name", "anon")}")
+    .config("spark.sql.warehouse.dir", defaultWarehouse)
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests / CLI use. */

@@ -355,7 +355,10 @@ object Multimodal {
         val at = i.toInt // safe: i + 8 <= length <= Int.MaxValue here
         val id = tag(c, at)
         val size = u32le(c, at + 4) // unsigned 32-bit
-        if (size <= 0) return None // malformed: no progress possible
+        // size == 0 is LEGAL (empty LIST/data chunks occur in real
+        // files); the cursor still advances 8 header bytes, so progress
+        // is guaranteed without a special case. u32le is unsigned — a
+        // negative size cannot occur.
         if (id == "fmt " && size >= 16 && i + 8 + 16 <= c.length) {
           val audioFormat = u16le(c, at + 8)
           val channels = u16le(c, at + 10).toLong
@@ -421,11 +424,18 @@ object Multimodal {
         else {
           // iterator, not a materialized Seq: a multi-GB low-rate WAV
           // yields tens of millions of windows — they must stream into
-          // Spark's consumer, not sit in one giant in-memory collection
-          val nChunks = ((durMs - 1) / strideMs + 1).toInt
-          (0 until nChunks).iterator.map { ci =>
+          // Spark's consumer, not sit in one giant in-memory collection.
+          // nChunks stays Long: at the extreme corner (~2 GiB 8-bit
+          // 1 kHz payload, strideMs=1) durMs approaches Int.MaxValue and
+          // an Int count could overflow negative, silently yielding ZERO
+          // windows. chunk_id itself is Int in the output schema, so a
+          // count past Int.MaxValue fails loudly instead of wrapping.
+          val nChunks: Long = (durMs - 1) / strideMs + 1
+          require(nChunks <= Int.MaxValue,
+            s"audio id=${r.id}: $nChunks windows exceed chunk_id's Int range — use a larger strideMs")
+          (0L until nChunks).iterator.map { ci =>
             val start = ci * strideMs
-            (r.id, ci, start, math.min(start + windowMs, durMs))
+            (r.id, ci.toInt, start, math.min(start + windowMs, durMs))
           }
         }
       }

@@ -348,9 +348,15 @@ object Similarity {
     val cents: Array[Array[Double]] = spark.read.parquet(s"$path/_centroids")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
-    val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("qv"),
-      norm(col(qvecCol)).as("nq"))
-      .withColumn("cell", explode(nearestCentroids(col("qv"), cents, nprobe)))
+    // materialize the expanded query frame ONCE before the driver-side
+    // cell collect: without it the plan runs twice (once for the collect,
+    // once inside the join), and a non-deterministic query source could
+    // even probe cells inconsistent with the cells it later joins on
+    val q = graft.Materialize.once(
+      queries.select(col(qidCol).as("query_id"), col(qvecCol).as("qv"),
+        norm(col(qvecCol)).as("nq"))
+        .withColumn("cell", explode(nearestCentroids(col("qv"), cents, nprobe))),
+      eager = true)
     val probeCells: Array[Int] =
       q.select("cell").distinct().collect().map(_.getInt(0))
     val idx = spark.read.parquet(s"$path/vectors")

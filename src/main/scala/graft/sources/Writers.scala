@@ -113,29 +113,52 @@ object Writers {
       sortCols: Seq[String] = Nil): Unit = {
     require(bucketCols.nonEmpty, "need at least one bucket column")
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
-    // True overwrite even across sessions: with the default in-memory
-    // catalog, a table written by a PREVIOUS session has a live warehouse
-    // directory but no catalog entry, and saveAsTable fails with
-    // LOCATION_ALREADY_EXISTS. Drop the catalog entry if present, then
-    // clear a stale orphaned location. The name is parsed (not wrapped
-    // in backticks wholesale) so qualified "db.tbl" drops/locates
-    // db.tbl rather than a literal `db.tbl` in the current database.
-    // CONCURRENCY: the location delete means two writers of the SAME
-    // table name race destructively — writers of one table must be
-    // serialized (normal for an ingest job); readers of OTHER tables
-    // are unaffected.
+    // STAGE-AND-SWAP overwrite: the full bucketed output is written under
+    // a random staging table name first, and the live table is replaced
+    // only after that write has fully committed. A failed write can never
+    // destroy the existing table (the old delete-then-write left nothing
+    // behind on failure), and a reader racing the writer sees either the
+    // old data or the new — never a half-deleted directory. The swap
+    // itself (drop old + rename staging) is still not atomic across both
+    // steps; two concurrent WRITERS of the same name must be serialized,
+    // which is normal for an ingest job.
+    // The name is parsed (not wrapped in backticks wholesale) so
+    // qualified "db.tbl" resolves db.tbl rather than a literal `db.tbl`.
     val spark = df.sparkSession
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
-    spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
-    val loc = spark.sessionState.catalog.defaultTablePath(ident)
-    val fs = new org.apache.hadoop.fs.Path(loc)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(new org.apache.hadoop.fs.Path(loc)))
-      fs.delete(new org.apache.hadoop.fs.Path(loc), true)
-    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
-      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .saveAsTable(tableName)
+    val staging = ident.copy(table = ident.table + "_graft_staging_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12))
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    def locOf(id: org.apache.spark.sql.catalyst.TableIdentifier) =
+      new org.apache.hadoop.fs.Path(spark.sessionState.catalog.defaultTablePath(id))
+    try {
+      val w = df.write.mode(SaveMode.ErrorIfExists).format("parquet")
+        .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+        .saveAsTable(staging.quotedString)
+      // staging is fully committed — now retire the old table. A table
+      // written by a PREVIOUS session (in-memory catalog) has a live
+      // warehouse directory but no catalog entry, so the orphaned
+      // location must be cleared too or the rename below fails with
+      // LOCATION_ALREADY_EXISTS.
+      spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
+      val target = locOf(ident)
+      val fs = target.getFileSystem(hadoopConf)
+      if (fs.exists(target)) fs.delete(target, true)
+      // managed-table rename moves the data directory along with the
+      // catalog entry (one FS rename — atomic on HDFS/POSIX)
+      spark.sql(s"ALTER TABLE ${staging.quotedString} RENAME TO ${ident.quotedString}")
+    } finally {
+      // failure path: drop whatever the staging write left behind; the
+      // live table was never touched
+      if (spark.sessionState.catalog.tableExists(staging)) {
+        spark.sql(s"DROP TABLE IF EXISTS ${staging.quotedString}")
+        ()
+      }
+      val sloc = locOf(staging)
+      val sfs = sloc.getFileSystem(hadoopConf)
+      if (sfs.exists(sloc)) { sfs.delete(sloc, true); () }
+    }
   }
 
   def writeOrc(df: DataFrame, path: String, singleFile: Boolean = false): Unit =

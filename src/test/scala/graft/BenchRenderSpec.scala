@@ -1,0 +1,84 @@
+package graft
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness records only the last ~2000 chars of stdout; the
+  * canonical JSON line must fit under that cap or the recorded artifact
+  * carries `parsed:null` (as BENCH_r04/r05 did). These tests pin the
+  * shedding behavior of [[Bench.render]] against the REAL query-name
+  * set, so adding queries can never silently push the line back over
+  * the cap. */
+class BenchRenderSpec extends AnyFunSuite {
+
+  private def results(times: Map[String, Double]): Seq[(String, Double, Boolean, Int)] =
+    times.toSeq.sorted.map { case (k, v) => (k, v, v >= 0, if (v >= 0) 0 else 1) }
+
+  private def parse(s: String): JValue = JsonMethods.parse(s)
+
+  test("real query set at realistic timings: stdout line fits the tail cap and parses") {
+    // worst realistic case: every one of the real queries present, each
+    // with a 3-decimal sub-10s timing
+    val names = SparkEntry.queries.keySet.toSeq.sorted
+    val times = names.zipWithIndex.map { case (n, i) => n -> (0.1 + (i % 40) * 0.25) }.toMap
+    val (full, out) = Bench.render(results(times), "/root/testdata/sf0.1")
+    assert(out.length <= 1750, s"stdout line ${out.length} chars exceeds the tail budget")
+    val j = parse(out)
+    val kept = (j \ "queries").asInstanceOf[JObject].obj.length
+    val omitted = (j \ "queries_omitted") match {
+      case JInt(n) => n.toInt
+      case JNothing => 0
+      case other => fail(s"unexpected queries_omitted: $other")
+    }
+    assert(kept + omitted == names.length)
+    // the omitted seconds + kept seconds reconstruct the total
+    val keptSec = (j \ "queries").asInstanceOf[JObject].obj
+      .map(_._2.asInstanceOf[JDouble].num).sum
+    val omittedSec = (j \ "omitted_sec") match {
+      case JDouble(d) => d; case JInt(n) => n.toDouble; case JNothing => 0.0
+      case other => fail(s"unexpected omitted_sec: $other")
+    }
+    val total = (j \ "value").asInstanceOf[JDouble].num
+    assert(math.abs(keptSec + omittedSec - total) < 0.01 * names.length,
+      "kept + omitted seconds must reconstruct the total within rounding")
+    // shedding keeps the SLOWEST queries: the minimum kept time must be
+    // >= the maximum omitted time
+    if (omitted > 0) {
+      val keptNames = (j \ "queries").asInstanceOf[JObject].obj.map(_._1).toSet
+      val omittedTimes = times.filterNot { case (k, _) => keptNames(k) }.values
+      val keptTimes = times.filter { case (k, _) => keptNames(k) }.values
+      assert(keptTimes.min >= omittedTimes.max)
+    }
+    // the full line carries every query for the stderr/file record
+    val fullKept = (parse(full) \ "queries").asInstanceOf[JObject].obj.length
+    assert(fullKept == names.length)
+  }
+
+  test("small result set: stdout line is the full line, no omission fields") {
+    val (full, out) = Bench.render(
+      results(Map("q1_agg" -> 1.234567, "t6_row_index" -> 0.5)), "/x")
+    assert(full == out)
+    val j = parse(out)
+    assert(j \ "queries_omitted" == JNothing)
+    assert((j \ "queries" \ "q1_agg").asInstanceOf[JDouble].num == 1.235)
+  }
+
+  test("failed query reports -1 and lands in failed[]") {
+    val (_, out) = Bench.render(results(Map("good" -> 1.0, "bad" -> -1.0)), "/x")
+    val j = parse(out)
+    assert((j \ "queries" \ "bad").asInstanceOf[JInt].num.toInt == -1)
+    assert((j \ "failed").asInstanceOf[JArray].arr == List(JString("bad")))
+    // a failed query must not pollute the total
+    assert((j \ "value").asInstanceOf[JDouble].num == 1.0)
+  }
+
+  test("shedding never loops forever even with an absurdly small budget") {
+    val names = (1 to 50).map(i => f"query_with_a_rather_long_name_$i%02d")
+    val times = names.map(_ -> 1.0).toMap
+    val (_, out) = Bench.render(results(times), "/x", budget = 10)
+    // every query shed; the skeleton line still parses
+    val j = parse(out)
+    assert((j \ "queries_omitted").asInstanceOf[JInt].num.toInt == 50)
+  }
+}
