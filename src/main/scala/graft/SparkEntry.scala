@@ -908,6 +908,35 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "measure")
     }),
 
+    // ---- incremental merge (CDC apply) ---------------------------------
+
+    "merge_upsert" -> ((s, dir) => {
+      // fold a deterministic changeset into the orders snapshot: %7 keys
+      // get a re-priced update (v=1), %13 keys a tombstone (v=2 — so on
+      // keys divisible by both, the delete outranks the update), %17 keys
+      // spawn a shifted-key insert. ×1.5 is binary-exact, so the updated
+      // price is bit-identical across engines without rounding.
+      val orders = tbl(s, dir, "orders")
+      val snapshot = orders.select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price"),
+        lit(0L).as("v"))
+      val updates = orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("k"), lit("U").as("status"),
+          (col("o_totalprice") * 1.5).as("price"), lit(1L).as("v"),
+          lit(false).as("is_deleted"))
+      val deletes = orders.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"), lit(2L).as("v"),
+          lit(true).as("is_deleted"))
+      val inserts = orders.filter(col("o_orderkey") % 17 === 0)
+        .select((col("o_orderkey") + 100000000L).as("k"), lit("I").as("status"),
+          col("o_totalprice").as("price"), lit(1L).as("v"),
+          lit(false).as("is_deleted"))
+      Merge.applyChangeset(snapshot,
+          updates.unionByName(deletes).unionByName(inserts), Seq("k"), "v")
+        .orderBy("k")
+    }),
+
     // ---- splits & packing ----------------------------------------------
 
     "split_hash" -> ((s, dir) => {
@@ -1675,6 +1704,25 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'l_discount' AS measure, l_discount AS val FROM lineitem) t
         |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
+    "merge_upsert" ->
+      """WITH all_rows AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price,
+        |         CAST(0 AS BIGINT) AS v, FALSE AS del, 0 AS src FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', o_totalprice * 1.5, CAST(1 AS BIGINT), FALSE, 1
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(2 AS BIGINT), TRUE, 1
+        |  FROM orders WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'I', o_totalprice, CAST(1 AS BIGINT), FALSE, 1
+        |  FROM orders WHERE o_orderkey % 17 = 0),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY v DESC, src DESC) AS rn
+        |  FROM all_rows)
+        |SELECT k, status, price, v FROM ranked WHERE rn = 1 AND NOT del
+        |ORDER BY k""".stripMargin,
 
     "split_stratified" ->
       """SELECT doc_id, lang FROM documents

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Changeset application (MERGE/upsert): reconcile a base snapshot with
+  * a stream of keyed inserts / updates / deletes into the next snapshot.
+  *
+  * This is the incremental-ingest primitive of a large training-data
+  * pipeline: the 100 TB corpus snapshot is never rewritten from scratch —
+  * each run folds in the day's crawl delta (new docs, re-crawled docs,
+  * takedown deletes) and republishes.
+  *
+  * Semantics (latest-wins):
+  *   - rows are identified by `keyCols`;
+  *   - for each key, the surviving row is the one with the highest
+  *     (`versionCol`, source) pair, where a changeset row outranks a
+  *     snapshot row at equal version — so re-applying the same changeset
+  *     is idempotent;
+  *   - a surviving row whose `deleteCol` is true is dropped (tombstone);
+  *     tombstones in the CHANGESET delete snapshot rows, and a snapshot
+  *     built by a previous merge never carries tombstones forward.
+  *
+  * Scale shape: ONE hash shuffle on the key columns — the union is
+  * narrow, and the per-key winner is a `max_by` aggregate with map-side
+  * partial aggregation (no window sort, no join). Schemas must match
+  * (same payload columns in both frames); enforced up front so a drifted
+  * changeset fails loudly instead of null-padding.
+  */
+object Merge {
+
+  /** Apply `changes` to `snapshot`, returning the next snapshot (without
+    * the delete column — tombstones are consumed, not propagated).
+    *
+    * @param snapshot   current state; one live row per key (not checked —
+    *                   duplicate keys resolve by the same latest-wins rule)
+    * @param changes    keyed delta; `deleteCol` (BooleanType) marks
+    *                   tombstones; absent keys are inserts
+    * @param keyCols    identity columns (non-empty)
+    * @param versionCol monotone change ordinal (commit ts, crawl id, …);
+    *                   rows compare by it FIRST, so a stale late delta
+    *                   cannot clobber a newer snapshot row
+    */
+  def applyChangeset(snapshot: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], versionCol: String,
+      deleteCol: String = "is_deleted"): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val payload = snapshot.columns.filterNot(keyCols.contains).toSeq
+    require(payload.contains(versionCol),
+      s"snapshot must carry the version column '$versionCol'")
+    require(!snapshot.columns.contains(deleteCol),
+      s"snapshot must not carry tombstones ('$deleteCol') — a merged snapshot consumes them")
+    val expected = (keyCols ++ payload :+ deleteCol).sorted
+    require(changes.columns.sorted.sameElements(expected),
+      s"changeset columns ${changes.columns.sorted.mkString(",")} must be snapshot columns + '$deleteCol' (${expected.mkString(",")})")
+
+    val unified = snapshot
+      .withColumn(deleteCol, lit(false)).withColumn("__src", lit(0))
+      .select((keyCols ++ payload :+ deleteCol :+ "__src").map(col): _*)
+      .unionByName(changes.withColumn("__src", lit(1))
+        .select((keyCols ++ payload :+ deleteCol :+ "__src").map(col): _*))
+
+    val carried: Seq[Column] = (payload :+ deleteCol).map(col)
+    unified
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(carried: _*), struct(col(versionCol), col("__src"))).as("__w"))
+      .select(keyCols.map(col) ++ (payload :+ deleteCol).map(c => col(s"__w.$c")): _*)
+      .filter(!col(deleteCol))
+      .drop(deleteCol)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Merge
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MergeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def snap = Seq(
+    (1L, "a", 10.0, 0L),
+    (2L, "b", 20.0, 0L),
+    (3L, "c", 30.0, 0L)
+  ).toDF("k", "name", "price", "v")
+
+  test("upsert: update, delete, insert, and untouched rows") {
+    val changes = Seq(
+      (2L, "b2", 22.0, 1L, false), // update
+      (3L, "c", 30.0, 1L, true),   // delete
+      (9L, "z", 99.0, 1L, false)   // insert
+    ).toDF("k", "name", "price", "v", "is_deleted")
+    val out = Merge.applyChangeset(snap, changes, Seq("k"), "v")
+      .orderBy("k").as[(Long, String, Double, Long)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0, 0L), (2L, "b2", 22.0, 1L), (9L, "z", 99.0, 1L)))
+  }
+
+  test("latest version wins regardless of input order; stale delta ignored") {
+    val changes = Seq(
+      (1L, "new", 11.0, 5L, false),
+      (1L, "mid", 10.5, 3L, false),
+      (2L, "stale", 0.0, -1L, false) // older than the snapshot's v=0 row
+    ).toDF("k", "name", "price", "v", "is_deleted")
+    val out = Merge.applyChangeset(snap, changes, Seq("k"), "v")
+      .orderBy("k").as[(Long, String, Double, Long)].collect().toSeq
+    assert(out.head == ((1L, "new", 11.0, 5L)))
+    assert(out(1) == ((2L, "b", 20.0, 0L)), "a stale change must not clobber a newer snapshot row")
+  }
+
+  test("idempotent: re-applying the same changeset is a no-op") {
+    val changes = Seq(
+      (2L, "b2", 22.0, 1L, false),
+      (3L, "c", 30.0, 1L, true)
+    ).toDF("k", "name", "price", "v", "is_deleted")
+    val once = Merge.applyChangeset(snap, changes, Seq("k"), "v")
+    val twice = Merge.applyChangeset(once, changes, Seq("k"), "v")
+    assert(twice.orderBy("k").collect().toSeq == once.orderBy("k").collect().toSeq)
+  }
+
+  test("tombstones are consumed: output carries no delete column, and a deleted key can be re-inserted") {
+    val del = Seq((3L, "c", 30.0, 1L, true)).toDF("k", "name", "price", "v", "is_deleted")
+    val s1 = Merge.applyChangeset(snap, del, Seq("k"), "v")
+    assert(!s1.columns.contains("is_deleted"))
+    assert(s1.filter($"k" === 3L).isEmpty)
+    val reins = Seq((3L, "c3", 33.0, 2L, false)).toDF("k", "name", "price", "v", "is_deleted")
+    val s2 = Merge.applyChangeset(s1, reins, Seq("k"), "v")
+    assert(s2.filter($"k" === 3L).as[(Long, String, Double, Long)].head() == ((3L, "c3", 33.0, 2L)))
+  }
+
+  test("schema drift fails loudly") {
+    val wrong = Seq((1L, "x", 1L, false)).toDF("k", "name", "v", "is_deleted")
+    val e = intercept[IllegalArgumentException] {
+      Merge.applyChangeset(snap, wrong, Seq("k"), "v")
+    }
+    assert(e.getMessage.contains("changeset columns"))
+  }
+
+  test("plan shape: one shuffle, partial aggregation, no window sort") {
+    val changes = Seq((2L, "b2", 22.0, 1L, false)).toDF("k", "name", "price", "v", "is_deleted")
+    val plan = Merge.applyChangeset(snap, changes, Seq("k"), "v")
+      .queryExecution.executedPlan.toString
+    // per-key winner is an aggregate (map-side partial), not a window:
+    // a Window over the union would global-sort every partition
+    assert(!plan.contains("Window"), s"latest-wins must not plan a Window:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"expected an aggregate-based winner:\n$plan")
+  }
+}
