@@ -821,6 +821,25 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "io_sorted_roundtrip" -> ((s, dir) => {
+      // sorted-layout sink (Writers.writeSortedParquet): range-partition
+      // + in-file sort on (o_orderdate, o_orderkey), then read back
+      // through a selective date-range filter — the path LayoutSpec
+      // proves skips at the scan. Values must match the oracle on the
+      // ORIGINAL table (layout must never change content).
+      val path = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/orders_sorted.parquet"
+      val src = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      graft.sources.Writers.writeSortedParquet(src, path,
+        Seq("o_orderdate", "o_orderkey"), numFiles = 8)
+      s.read.parquet(path)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate").cast("date").cast("string").as("od"))
+        .orderBy("o_orderkey")
+    }),
+
     "io_json_array_roundtrip" -> ((s, dir) => {
       val path = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/nation.json"
       val src = tbl(s, dir, "nation")
@@ -1824,6 +1843,14 @@ object SparkEntry {
     "io_orc_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal, c_nationkey
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "io_sorted_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS od
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "io_json_array_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey

@@ -161,6 +161,37 @@ object Writers {
     }
   }
 
+  /** Range-partitioned, internally-sorted parquet layout: rows are
+    * globally range-distributed on `layoutCols` (sampled range exchange),
+    * sorted within each partition, and written one file per partition.
+    *
+    * Why this is a first-class sink at 100 TB: parquet footers carry
+    * min/max zone maps per row group, and Spark's scan skips row groups
+    * whose stats refute a pushed predicate — but on an unsorted layout
+    * every row group spans nearly the full key range and NOTHING skips.
+    * After this write, the key ranges of files (and row groups within
+    * them) are disjoint, so a selective filter on the layout key reads
+    * ~selectivity of the data instead of all of it, with zero read-path
+    * configuration. The one-off cost is a single range exchange at write
+    * time. LayoutSpec proves the effect on the scan's numOutputRows
+    * metric; sizing `numFiles` ≈ data / target-file-size keeps row
+    * groups within executor memory at any scale.
+    *
+    * `maxRecordsPerFile` (0 = off) additionally caps rows per written
+    * file WITHOUT another shuffle — the small-files-vs-huge-files knob
+    * when the range exchange's partition count can't be known up front
+    * (AQE may coalesce). */
+  def writeSortedParquet(df: DataFrame, path: String, layoutCols: Seq[String],
+      numFiles: Int, maxRecordsPerFile: Long = 0L): Unit = {
+    require(layoutCols.nonEmpty, "need at least one layout column")
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    df.repartitionByRange(numFiles, layoutCols.map(col): _*)
+      .sortWithinPartitions(layoutCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .parquet(path)
+  }
+
   def writeOrc(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
     if (singleFile)
       commitAsSingleFile(df, path)(p =>

@@ -1,0 +1,79 @@
+package graft
+
+import graft.sources.Writers
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Data-layout effectiveness proof: a sorted, range-partitioned parquet
+  * layout must let a selective filter on the layout key skip most of the
+  * data AT THE SCAN (row-group zone maps + file pruning), not merely
+  * filter it afterwards. Asserted on the scan's own numOutputRows
+  * metric, so the claim is about bytes/rows actually surfaced by the
+  * reader — the property that decides whether a 100 TB point lookup
+  * reads 100 TB or 100 GB. */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Rows surfaced by the (single) parquet scan of `df` after running it. */
+  private def scanOutputRows(df: DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, s"no FileSourceScanExec in:\n${df.queryExecution.executedPlan}")
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("sorted layout: selective key filter surfaces ~selectivity of rows; unsorted surfaces all") {
+    val n = 100000
+    // key arrives in hash-scrambled (maximally unsorted) order
+    val data = spark.range(n.toLong)
+      .select((col("id") * 2654435761L % n).as("k"), col("id").as("payload"))
+    val base = java.nio.file.Files.createTempDirectory("graft_layout_").toString
+
+    Writers.writeSortedParquet(data, s"$base/sorted", Seq("k"), numFiles = 8)
+    data.repartition(8).write.parquet(s"$base/unsorted")
+
+    // ~1% selectivity window on the layout key
+    def filtered(path: String) =
+      spark.read.parquet(path).filter(col("k") >= 1000 && col("k") < 2000)
+
+    val sortedRows = scanOutputRows(filtered(s"$base/sorted"))
+    val unsortedRows = scanOutputRows(filtered(s"$base/unsorted"))
+    val expected = filtered(s"$base/sorted").count()
+
+    // every run must agree on the ANSWER...
+    assert(filtered(s"$base/unsorted").count() == expected)
+    // ...but the sorted layout's scan reads ~one range partition — 1/8 of
+    // the data, plus slack because repartitionByRange SAMPLES its
+    // boundaries and partitions come out unequal — while the unsorted
+    // layout surfaces everything
+    assert(sortedRows <= n / 5,
+      s"sorted layout surfaced $sortedRows rows — zone-map skipping not effective")
+    assert(unsortedRows == n,
+      s"unsorted control surfaced $unsortedRows rows, expected all $n (test premise broken)")
+    assert(sortedRows >= expected, "scan cannot surface fewer rows than the answer")
+  }
+
+  test("maxRecordsPerFile caps file size without an extra shuffle") {
+    val base = java.nio.file.Files.createTempDirectory("graft_layout_").toString
+    val data = spark.range(10000L).select(col("id").as("k"), col("id").as("v"))
+    Writers.writeSortedParquet(data, s"$base/capped", Seq("k"),
+      numFiles = 2, maxRecordsPerFile = 1000L)
+    val files = new java.io.File(s"$base/capped").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 10, s"expected >=10 capped files, got ${files.length}")
+    // layout contract survives the split: per-file key ranges are disjoint
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getPath).agg(min("k"), max("k")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, "file key ranges overlap")
+      case _ => ()
+    }
+  }
+}
