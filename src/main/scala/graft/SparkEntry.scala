@@ -895,6 +895,29 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
+    "stream_interval_join" -> ((s, dir) => {
+      // click→purchase attribution via the streaming interval join run
+      // in batch mode (the identical code path StreamingSpec drives with
+      // MemoryStreams): each click pairs with same-user purchases less
+      // than 5 minutes after it. Timestamps emitted as epoch MICROS so
+      // the oracle compares in integer space.
+      val ev = tbl(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("purchase_user"), col("ts").as("purchase_ts"))
+      graft.streaming.EventStreams.intervalJoined(clicks, purchases,
+          "click_user", "purchase_user", "click_ts", "purchase_ts",
+          within = "5 minutes")
+        .select(col("click_id"), col("purchase_id"),
+          col("click_user").as("user_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purchase_ts")).as("purchase_us"))
+        .orderBy("click_id", "purchase_id")
+    }),
+
     "q31_subqueries" -> ((s, dir) => {
       tbl(s, dir, "orders"); tbl(s, dir, "customer")
       // correlated EXISTS + scalar subquery (max-based threshold keeps the
@@ -1664,6 +1687,19 @@ object SparkEntry {
         |SELECT iv.o_orderkey, count(*) AS n_events
         |FROM p JOIN iv ON p.d BETWEEN iv.st AND iv.st + 6
         |GROUP BY iv.o_orderkey ORDER BY iv.o_orderkey""".stripMargin,
+
+    "stream_interval_join" ->
+      // the 5-minute interval is 300000000 µs; both engines compare in
+      // integer-µs space (events.parquet is TIMESTAMP(NANOS), floored)
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events)
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        |  c.us AS click_us, p.us AS purchase_us
+        |FROM e c JOIN e p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.us >= c.us AND p.us < c.us + 300000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "q36_session_window" ->
       // gaps-and-islands in integer-µs space: a session breaks when the

@@ -105,6 +105,35 @@ object EventStreams {
       .drop(sigCol)
   }
 
+  /** Watermarked stream-stream interval join: each left row pairs with
+    * right rows of the same key whose timestamp falls in
+    * `[leftTs, leftTs + within)` — e.g. purchases attributed to the
+    * click that preceded them by < 5 minutes.
+    *
+    * Unbounded-join state discipline: BOTH sides carry a watermark and
+    * the join condition bounds `rightTs` relative to `leftTs` in both
+    * directions, so Spark can expire buffered rows once the watermark
+    * passes `ts + within` — without the two-sided time bound a
+    * stream-stream join must buffer one side forever. Batch frames run
+    * the identical code (watermarks are a no-op there), which is what
+    * the oracle gate compares.
+    *
+    * Column names of the two frames must be disjoint (rename before
+    * joining) — positional disambiguation of duplicate names inside a
+    * generic operator would silently bind the wrong side. */
+  def intervalJoined(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      within: String = "5 minutes", watermark: String = "10 minutes"): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint (both have: ${overlap.toSeq.sorted.mkString(", ")})")
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) < col(leftTs) + expr(s"INTERVAL $within"))
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * totals emitted on every update (the escape hatch for semantics
     * session_window/window can't express).

@@ -56,6 +56,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((200L, 1L, 3.0)))
   }
 
+  test("stream-stream interval join pairs rows across two live streams") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = EventStreams.intervalJoined(
+      clicks.toDF().select(col("event_id").as("click_id"),
+        col("user_id").as("cu"), col("ts").as("cts")),
+      purchases.toDF().select(col("event_id").as("purchase_id"),
+        col("user_id").as("pu"), col("ts").as("pts")),
+      "cu", "pu", "cts", "pts", within = "5 minutes", watermark = "10 minutes")
+    val q = joined.select("click_id", "purchase_id")
+      .writeStream.outputMode("append").format("memory").queryName("ij_out").start()
+    // user 100 clicks at :00 and :20; purchases at :02 (joins the first
+    // click only) and :40 (joins nothing); user 200 purchase at :03 has
+    // no click at all
+    clicks.addData(Event(1L, ts(0), 100L, "click", 0.0),
+      Event(2L, ts(20), 100L, "click", 0.0))
+    purchases.addData(Event(10L, ts(2), 100L, "purchase", 5.0),
+      Event(11L, ts(40), 100L, "purchase", 6.0),
+      Event(12L, ts(3), 200L, "purchase", 7.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ij_out").as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 10L)), s"got $rows")
+  }
+
+  test("interval join refuses overlapping column names") {
+    import spark.implicits._
+    val df = Seq((1L, ts(0))).toDF("id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.intervalJoined(df, df, "id", "id", "ts", "ts")
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
