@@ -950,6 +950,24 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "measure")
     }),
 
+    "approx_distinct" -> ((s, dir) => {
+      // HLL++ sketch vs exact distinct, per language group. The EMITTED
+      // columns are exact (oracle-comparable); the in-query require pins
+      // the sketch contract — approx_count_distinct is what a 100 TB
+      // pipeline reaches for when exact distinct would shuffle every key,
+      // and this gate keeps its error bounded on our session config the
+      // same way the ANN gates pin recall.
+      val agg = tbl(s, dir, "documents").groupBy("lang").agg(
+          countDistinct(col("doc_id")).as("n_distinct"),
+          approx_count_distinct(col("doc_id"), 0.02).as("approx"),
+          count(lit(1)).as("n_rows"))
+        .transform(Materialize.once(_, eager = true))
+      val bad = agg.filter(abs(col("approx") - col("n_distinct")) >
+        col("n_distinct") * 0.1 + lit(10)).count()
+      require(bad == 0, s"approx_count_distinct out of tolerance for $bad groups")
+      agg.select(col("lang"), col("n_distinct"), col("n_rows")).orderBy("lang")
+    }),
+
     // ---- incremental merge (CDC apply) ---------------------------------
 
     "merge_upsert" -> ((s, dir) => {
@@ -1759,6 +1777,10 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'l_discount' AS measure, l_discount AS val FROM lineitem) t
         |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
+    "approx_distinct" ->
+      """SELECT lang, count(DISTINCT doc_id) AS n_distinct, count(*) AS n_rows
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "merge_upsert" ->
       """WITH all_rows AS (

@@ -192,6 +192,61 @@ object Writers {
       .parquet(path)
   }
 
+  /** Compact a parquet directory's many small files into
+    * ~`targetFileBytes`-sized ones. The small-files problem is an ingest
+    * fact of life at scale: a streaming or per-batch writer leaves
+    * thousands of KB-sized files per partition, and every later scan
+    * pays one task + one footer-read + one object-store GET per file.
+    *
+    * Coalesce (narrow, no shuffle) merges existing files into fewer
+    * tasks; the rewrite goes to a temp directory through the normal
+    * commit protocol and replaces the original only after committing —
+    * a reader racing the compaction sees the old files or the new, and a
+    * failed rewrite leaves the original untouched. Returns
+    * (filesBefore, filesAfter); a directory already at or below the
+    * target count is left untouched (no-op, returns equal counts).
+    *
+    * Row-group caveat: parquet files merge at ROW level here (decode +
+    * re-encode). That re-packs tiny row groups into full ones — the
+    * point of compaction — but costs a full read+write of the data;
+    * schedule it off the hot path. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(dir).filter { st =>
+      st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")
+    }
+    val before = parts.length
+    val totalBytes = parts.map(_.getLen).sum
+    val want = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    if (want >= before) return (before, before)
+
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__graft-compact-tmp__")
+    try {
+      spark.read.parquet(path).coalesce(want)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    } catch { case e: Throwable =>
+      try { fs.delete(tmp, true); () } catch { case _: java.io.IOException => () }
+      throw e
+    }
+    // point of no return — mirror commitAsSingleFile's discipline: once
+    // the original is gone, a failed rename must NOT delete tmp (it is
+    // the only surviving copy)
+    if (!fs.delete(dir, true))
+      throw new java.io.IOException(s"compact: cannot remove $dir for replacement")
+    if (!fs.rename(tmp, dir))
+      throw new java.io.IOException(
+        s"compact: rename failed — compacted data preserved at $tmp")
+    val after = fs.listStatus(dir).count { st =>
+      st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")
+    }
+    (before, after)
+  }
+
   def writeOrc(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
     if (singleFile)
       commitAsSingleFile(df, path)(p =>

@@ -58,6 +58,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(sortedRows >= expected, "scan cannot surface fewer rows than the answer")
   }
 
+  test("compaction merges small files to the target size and preserves content") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val path = s"$base/many"
+    val data = spark.range(50000L).select(col("id").as("k"), md5(col("id").cast("string")).as("h"))
+    data.repartition(40).write.parquet(path)
+    val expected = spark.read.parquet(path).agg(sum("k"), count(lit(1))).head()
+
+    val nSmall = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nSmall == 40)
+    val small = new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    // target = half the total → expect 2 files
+    val (before, after) = Writers.compactParquet(spark, path, targetFileBytes = small / 2 + 1)
+    assert(before == 40 && after <= 3, s"before=$before after=$after")
+    val got = spark.read.parquet(path).agg(sum("k"), count(lit(1))).head()
+    assert(got == expected, "compaction must not change content")
+    // compaction never INCREASES file count: a tiny target that would
+    // want more files than exist is a no-op
+    val (b2, a2) = Writers.compactParquet(spark, path, targetFileBytes = 1L)
+    assert(b2 == a2)
+  }
+
   test("maxRecordsPerFile caps file size without an extra shuffle") {
     val base = java.nio.file.Files.createTempDirectory("graft_layout_").toString
     val data = spark.range(10000L).select(col("id").as("k"), col("id").as("v"))
