@@ -518,6 +518,19 @@ object SparkEntry {
             kmeansIters = 3)
       }),
 
+    "ann_pq_topk" -> ((s, dir) =>
+      // product-quantization path: 16×32 codebooks (4-dim subspaces) fit
+      // driver-side from the deterministic sample, ADC candidate scan,
+      // exact re-rank of the top 8·k — the memory-bound ANN family
+      // member (16 B codes vs 512 B raw doubles per vector)
+      annRecallGate(s, dir, floor = 0.75, label = "PQ+re-rank") {
+        (emb, queriesDf) =>
+          val model = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 32,
+            seed = 42L, iters = 10)
+          Pq.pqTopK(emb, "vec_id", "embedding",
+            queriesDf, "vec_id", "embedding", k = 10, model, rerankFactor = 8)
+      }),
+
     "ann_ivf_index_topk" -> ((s, dir) =>
       // persisted-index path: build the cell-partitioned index on disk,
       // then probe it — the scan is partition-pruned to the probed
@@ -1884,6 +1897,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "ann_ivf_kmeans_topk" -> annBruteOracleSql,
+    "ann_pq_topk" -> annBruteOracleSql,
     "ann_ivf_index_topk" -> annBruteOracleSql,
 
     "io_csv_roundtrip" ->

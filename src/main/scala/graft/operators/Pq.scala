@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.functions.PqFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN — the memory-bound member of the ANN family
+  * (alongside brute force and the IVF variants in [[Similarity]]).
+  *
+  * Where IVF cuts the SCANNED FRACTION (probe a few cells), PQ cuts the
+  * BYTES PER SCANNED VECTOR: each vector compresses to `m` small codes
+  * (m=8, k=16 → 8 indices ≈ 8 B vs 512 B of raw doubles), and scoring a
+  * corpus row against a query costs m table lookups into a per-query ADC
+  * table instead of a d-dim dot product. At 1B+ vectors this is the
+  * difference between an in-memory scan and an I/O-bound one; production
+  * systems (FAISS-style IVF-PQ) combine both — here they compose the
+  * same way: feed [[encode]]d vectors into an IVF cell layout and score
+  * cells with [[pqTopK]]'s ADC machinery.
+  *
+  * Codebooks are fit driver-side from a bounded deterministic sample
+  * (same model-params budget and rationale as
+  * [[Similarity.kmeansCentroids]]: k-means is a few-MB model fit, not a
+  * corpus-scale job) and ship into the plan as expression literals.
+  *
+  * Approximation contract: PQ scores (and the cosine built from them)
+  * are estimates. `rerankFactor > 1` re-scores the top
+  * `k × rerankFactor` ADC candidates with exact dots — the standard
+  * PQ + re-rank design: ADC discards ~everything cheaply, the exact pass
+  * touches only candidates.
+  */
+object Pq {
+
+  /** m codebooks × k centroids × (dim/m) doubles, fit per subspace. */
+  final case class PqModel(m: Int, k: Int, subDim: Int,
+      codebooks: Array[Array[Array[Double]]])
+
+  private def splitmix(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Fit per-subspace Lloyd k-means codebooks on a deterministic
+    * hash-ordered corpus sample (collected once: `sampleSize` × dim
+    * doubles — a few MB, the driver-side model-fit budget documented in
+    * [[Similarity]]). Seeds are hash-strided sample rows; empty cells
+    * keep their previous centroid. */
+  def fit(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, seed: Long = 42L, iters: Int = 10,
+      sampleSize: Int = 10000): PqModel = {
+    require(m >= 1 && k >= 2, s"need m >= 1, k >= 2 (got m=$m k=$k)")
+    val sample = corpus
+      .select(col(vecCol).cast("array<double>").as("v"),
+        md5(concat(col(idCol).cast("string"), lit(seed.toString))).as("__r"))
+      .filter(col("v").isNotNull && !exists(col("v"), x =>
+        x.isNull || x.isNaN || x === Double.PositiveInfinity ||
+          x === Double.NegativeInfinity))
+      .orderBy("__r").limit(sampleSize)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "Pq.fit: corpus has no usable vectors")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    require(sample.forall(_.length == dim), "Pq.fit: mixed vector dimensions")
+    val subDim = dim / m
+
+    val codebooks = Array.tabulate(m) { mi =>
+      val off = mi * subDim
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, off, off + subDim))
+      val kk = math.min(k, subs.length)
+      // deterministic spread seeds: splitmix-strided distinct sample rows
+      val seedIdx = new scala.collection.mutable.LinkedHashSet[Int]
+      var i = 0
+      while (seedIdx.size < kk && i < subs.length * 4) {
+        seedIdx += ((splitmix(seed + mi * 7919L + i).toInt & Int.MaxValue) % subs.length)
+        i += 1
+      }
+      var j = 0
+      while (seedIdx.size < kk) { seedIdx += j; j += 1 } // fill from the front
+      var cents = seedIdx.toArray.map(subs(_).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(kk)(new Array[Double](subDim))
+        val counts = new Array[Long](kk)
+        subs.foreach { s =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < kk) {
+            var d2 = 0.0
+            var d = 0
+            while (d < subDim) { val t = s(d) - cents(c)(d); d2 += t * t; d += 1 }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var d = 0
+          while (d < subDim) { sums(best)(d) += s(d); d += 1 }
+        }
+        cents = Array.tabulate(kk) { c =>
+          if (counts(c) == 0L) cents(c)
+          else sums(c).map(_ / counts(c))
+        }
+        it += 1
+      }
+      cents
+    }
+    // pad degenerate (kk < k) codebooks by repeating the last centroid so
+    // the model is rectangular — encode still picks the best true cell
+    val rect = codebooks.map { cb =>
+      if (cb.length == k) cb else cb ++ Array.fill(k - cb.length)(cb.last.clone())
+    }
+    PqModel(m, k, subDim, rect)
+  }
+
+  /** Encode a corpus: (id, code: array<int>[m], vnorm). Map-side only —
+    * the codebooks travel as plan literals. `keepVec = true` also carries
+    * the raw vector for exact re-ranking. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String, model: PqModel,
+      keepVec: Boolean = false): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("code", pqEncode(col("v"), model.codebooks))
+      .withColumn("vnorm", norm(col("v")))
+      .filter(col("code").isNotNull)
+    if (keepVec) base else base.drop("v")
+  }
+
+  /** ADC top-k: approximate cosine = adc_dot / (vnorm · qnorm) per
+    * (query, corpus row), partial-then-final top-k. With
+    * `rerankFactor > 1`, the top k·rerankFactor ADC candidates are
+    * re-scored with exact dots and the final top-k is exact-ordered —
+    * candidates-only, so the exact pass touches k·rerank rows per query,
+    * not the corpus. */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      model: PqModel, rerankFactor: Int = 8, excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1 && rerankFactor >= 1,
+      s"need k >= 1, rerankFactor >= 1 (got k=$k rerankFactor=$rerankFactor)")
+    val enc = encode(corpus, idCol, vecCol, model, keepVec = rerankFactor > 1)
+    val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("qv"),
+        norm(col(qvecCol)).as("nq"))
+      .withColumn("lut", pqLut(col("qv"), model.codebooks))
+      .filter(col("lut").isNotNull)
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+      .withColumn("acos",
+        pqAdcDot(col("code"), col("lut"), model.k) / (col("vnorm") * col("nq")))
+    if (rerankFactor == 1) {
+      Similarity.topKPerKey(
+        scored.select(col("query_id"), col("id"), col("acos").as("cosine")),
+        Seq("query_id"), col("cosine").desc, k)
+    } else {
+      val cand = Similarity.topKPerKey(
+        scored.select(col("query_id"), col("id"), col("acos").as("cosine"),
+          col("v"), col("vnorm"), col("qv"), col("nq")),
+        Seq("query_id"), col("cosine").desc, k * rerankFactor)
+      Similarity.topKPerKey(
+        cand.select(col("query_id"), col("id"),
+          (dot(col("v"), col("qv")) / (col("vnorm") * col("nq"))).as("cosine")),
+        Seq("query_id"), col("cosine").desc, k)
+    }
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{Pq, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("fit is deterministic and rectangular; encode yields m in-range codes") {
+    val m1 = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 32, seed = 7L)
+    val m2 = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 32, seed = 7L)
+    assert(m1.codebooks.flatten.flatten.toSeq == m2.codebooks.flatten.flatten.toSeq)
+    assert(m1.m == 16 && m1.k == 32 && m1.subDim == 4)
+    val codes = Pq.encode(emb, "vec_id", "embedding", m1)
+      .select("code").as[Seq[Int]].collect()
+    assert(codes.length == emb.count())
+    assert(codes.forall(c => c.length == 16 && c.forall(x => x >= 0 && x < 32)))
+  }
+
+  test("ADC approximates the true dot: reconstruction beats the zero-vector baseline everywhere") {
+    val model = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 32, seed = 7L)
+    import graft.functions.PqFunctions._
+    import graft.functions.VectorFunctions._
+    // self-ADC: score every vector against ITS OWN lut — the ADC dot of
+    // v with v must land near ||v||^2, within the quantization error
+    val withSelf = emb.select(col("embedding").as("v"))
+      .withColumn("code", pqEncode(col("v"), model.codebooks))
+      .withColumn("lut", pqLut(col("v"), model.codebooks))
+      .select((pqAdcDot(col("code"), col("lut"), model.k) / norm2(col("v"))).as("ratio"))
+      .as[Double].collect()
+    // quantized self-similarity: cos(v, q(v)) scaled by |q(v)|/|v| — loose
+    // bounds, but far from 0 and far from wild overshoot for every vector
+    assert(withSelf.forall(r => r > 0.5 && r < 1.5),
+      s"worst ratios: ${withSelf.sorted.take(3).mkString(",")} / ${withSelf.sorted.takeRight(3).mkString(",")}")
+  }
+
+  test("pqTopK with re-rank reaches high recall vs brute force on the embeddings corpus") {
+    val model = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 32, seed = 42L)
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("id").as("neighbor_id"))
+    val pq = Pq.pqTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10, model, rerankFactor = 8)
+      .select(col("query_id"), col("id").as("neighbor_id"))
+    val hits = brute.join(pq, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hits.toDouble / brute.count()
+    assert(recall >= 0.8, f"PQ recall@10 too low: $recall%.3f")
+    // exact re-rank means emitted cosines are TRUE cosines: the top-1
+    // neighbor per query must match brute exactly
+    val b1 = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 1).select("query_id", "id").as[(Long, Long)].collect().toSet
+    val p1 = Pq.pqTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 1, model, rerankFactor = 80)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(p1 == b1, s"top-1 after wide re-rank must be exact: $p1 vs $b1")
+  }
+
+  test("null and NaN vectors drop out of encode; dim mismatch fails loudly") {
+    val model = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 32)
+    val bad = Seq(
+      (1L, Array.fill(64)(1.0)),
+      (2L, null.asInstanceOf[Array[Double]]),
+      (3L, Array.fill(64)(Double.NaN))
+    ).toDF("id", "v")
+    val enc = Pq.encode(bad, "id", "v", model)
+    assert(enc.select("id").as[Long].collect().toSeq == Seq(1L))
+    val short = Seq((1L, Array.fill(32)(1.0))).toDF("id", "v")
+    val e = intercept[Exception] {
+      Pq.encode(short, "id", "v", model).collect()
+    }
+    assert(e.getMessage != null)
+  }
+}
