@@ -192,6 +192,26 @@ object Writers {
       .parquet(path)
   }
 
+  /** Z-ordered parquet layout: rows are range-distributed and sorted by
+    * the bit-interleaved [[graft.functions.ZOrderValue]] of
+    * `layoutCols`, so per-file min/max stats stay narrow in EVERY
+    * interleaved column — filters on any of them (alone or together)
+    * skip files/row groups, where [[writeSortedParquet]] serves only its
+    * single sort key. Columns must be non-negative integers fitting
+    * `bits` bits (bucket/rank anything else first); the ordering column
+    * is internal and not written. */
+  def writeZOrderedParquet(df: DataFrame, path: String, layoutCols: Seq[String],
+      bits: Int, numFiles: Int): Unit = {
+    require(layoutCols.size >= 2, "z-order needs at least 2 layout columns")
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val z = graft.functions.LayoutFunctions.zValue(bits, layoutCols.map(col): _*)
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Compact a parquet directory's many small files into
     * ~`targetFileBytes`-sized ones. The small-files problem is an ingest
     * fact of life at scale: a streaming or per-batch writer leaves

@@ -58,6 +58,35 @@ class LayoutSpec extends AnyFunSuite {
     assert(sortedRows >= expected, "scan cannot surface fewer rows than the answer")
   }
 
+  test("z-order layout: filters on EITHER column skip; single-key sort serves only its own key") {
+    val n = 100000
+    // two independent, hash-scrambled keys in [0, 1024)
+    val data = spark.range(n.toLong).select(
+      (col("id") * 2654435761L % 1024).as("k1"),
+      (col("id") * 1099511628211L % 1024).as("k2"),
+      col("id").as("payload"))
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    Writers.writeZOrderedParquet(data, s"$base/z", Seq("k1", "k2"), bits = 10, numFiles = 32)
+    Writers.writeSortedParquet(data, s"$base/k1sorted", Seq("k1"), numFiles = 32)
+
+    def surfaced(path: String, c: String): Double =
+      scanOutputRows(spark.read.parquet(path)
+        .filter(col(c) >= 100 && col(c) < 120)).toDouble / n
+
+    // content identical either way
+    assert(spark.read.parquet(s"$base/z").agg(sum("payload")).head() ==
+      spark.read.parquet(s"$base/k1sorted").agg(sum("payload")).head())
+    // z-layout: BOTH columns' zone maps are selective (32 files = 5
+    // z-bits; each column owns >= 2 of them → >= 4x skip, plus row-group
+    // slop). Single-key layout: its own key skips hard, the other reads
+    // everything — the failure mode z-order exists to fix.
+    assert(surfaced(s"$base/z", "k1") <= 0.45, s"z k1: ${surfaced(s"$base/z", "k1")}")
+    assert(surfaced(s"$base/z", "k2") <= 0.45, s"z k2: ${surfaced(s"$base/z", "k2")}")
+    assert(surfaced(s"$base/k1sorted", "k1") <= 0.15)
+    assert(surfaced(s"$base/k1sorted", "k2") >= 0.99,
+      "test premise: single-key layout cannot skip on the other column")
+  }
+
   test("compaction merges small files to the target size and preserves content") {
     val base = java.nio.file.Files.createTempDirectory("graft_compact_").toString
     val path = s"$base/many"
