@@ -126,6 +126,45 @@ object Pq {
     if (keepVec) base else base.drop("v")
   }
 
+  /** FAISS-style IVF-PQ: coarse centroids cut the SCANNED FRACTION
+    * (each query touches only its `nprobe` nearest cells), PQ codes cut
+    * the BYTES PER SCANNED VECTOR (ADC lookups instead of raw dots), and
+    * the exact re-rank restores true cosines on the surviving
+    * candidates. Both models are bounded driver-side fits; corpus
+    * assignment and encoding are one map pass each; the probe join is
+    * the same broadcast cell equi-join as [[Similarity.ivfCentroidTopK]].
+    * This is the composition that serves 1B+ vectors: ~nprobe/numCells
+    * of the corpus scanned, at m bytes per scanned row. */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      model: PqModel, numCentroids: Int = 16, nprobe: Int = 8,
+      seed: Long = 42L, rerankFactor: Int = 8, excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.HashFunctions.nearestCentroids
+    require(nprobe >= 1 && rerankFactor >= 1,
+      s"need nprobe >= 1, rerankFactor >= 1 (got $nprobe, $rerankFactor)")
+    val cents = Similarity.sampleCentroids(corpus, idCol, vecCol, numCentroids, seed)
+    val enc = encode(corpus, idCol, vecCol, model, keepVec = true)
+      .withColumn("cell", element_at(nearestCentroids(col("v"), cents, 1), 1))
+      .filter(col("cell").isNotNull)
+    val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("qv"),
+        norm(col(qvecCol)).as("nq"))
+      .withColumn("lut", pqLut(col("qv"), model.codebooks))
+      .filter(col("lut").isNotNull)
+      .withColumn("cell", explode(nearestCentroids(col("qv"), cents, nprobe)))
+    val scored = enc.join(broadcast(q), Seq("cell"))
+      .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+      .withColumn("acos",
+        pqAdcDot(col("code"), col("lut"), model.k) / (col("vnorm") * col("nq")))
+    val cand = Similarity.topKPerKey(
+      scored.select(col("query_id"), col("id"), col("acos").as("cosine"),
+        col("v"), col("vnorm"), col("qv"), col("nq")),
+      Seq("query_id"), col("cosine").desc, k * rerankFactor)
+    Similarity.topKPerKey(
+      cand.select(col("query_id"), col("id"),
+        (dot(col("v"), col("qv")) / (col("vnorm") * col("nq"))).as("cosine")),
+      Seq("query_id"), col("cosine").desc, k)
+  }
+
   /** ADC top-k: approximate cosine = adc_dot / (vnorm · qnorm) per
     * (query, corpus row), partial-then-final top-k. With
     * `rerankFactor > 1`, the top k·rerankFactor ADC candidates are
