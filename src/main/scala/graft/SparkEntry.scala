@@ -1010,6 +1010,28 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    "merge_diff" -> ((s, dir) => {
+      // the inverse direction: old snapshot vs a deterministically
+      // transformed new snapshot (same %7 reprice / %13 delete / %17
+      // shifted-insert shape as merge_upsert) → minimal changeset with
+      // consumed-side tombstones carrying the OLD payload
+      val orders = tbl(s, dir, "orders")
+      val oldSnap = orders.select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price"),
+        lit(0L).as("v"))
+      val survivors = orders.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 7 === 0, lit("U")).otherwise(col("o_orderstatus")).as("status"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.5)
+            .otherwise(col("o_totalprice")).as("price"),
+          when(col("o_orderkey") % 7 === 0, lit(1L)).otherwise(lit(0L)).as("v"))
+      val inserts = orders.filter(col("o_orderkey") % 17 === 0)
+        .select((col("o_orderkey") + 100000000L).as("k"), lit("I").as("status"),
+          col("o_totalprice").as("price"), lit(1L).as("v"))
+      Merge.diffSnapshots(oldSnap, survivors.unionByName(inserts), Seq("k"), "v")
+        .orderBy("k")
+    }),
+
     // ---- splits & packing ----------------------------------------------
 
     "split_hash" -> ((s, dir) => {
@@ -1812,6 +1834,31 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY v DESC, src DESC) AS rn
         |  FROM all_rows)
         |SELECT k, status, price, v FROM ranked WHERE rn = 1 AND NOT del
+        |ORDER BY k""".stripMargin,
+
+    "merge_diff" ->
+      """WITH old_snap AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price,
+        |         CAST(0 AS BIGINT) AS v FROM orders),
+        |new_snap AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.5 ELSE o_totalprice END AS price,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS v
+        |  FROM orders WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'I', o_totalprice, CAST(1 AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 17 = 0)
+        |SELECT COALESCE(o.k, n.k) AS k,
+        |  COALESCE(n.status, o.status) AS status,
+        |  COALESCE(n.price, o.price) AS price,
+        |  COALESCE(n.v, o.v) AS v,
+        |  n.k IS NULL AS is_deleted
+        |FROM old_snap o FULL OUTER JOIN new_snap n ON o.k = n.k
+        |WHERE o.k IS NULL OR n.k IS NULL
+        |   OR o.status IS DISTINCT FROM n.status
+        |   OR o.price IS DISTINCT FROM n.price
+        |   OR o.v IS DISTINCT FROM n.v
         |ORDER BY k""".stripMargin,
 
     "split_stratified" ->

@@ -68,4 +68,47 @@ object Merge {
       .filter(!col(deleteCol))
       .drop(deleteCol)
   }
+
+  /** The inverse of [[applyChangeset]]: diff two snapshots into the
+    * minimal changeset that replays one into the other —
+    * `applyChangeset(oldSnap, diffSnapshots(oldSnap, newSnap, …), …)`
+    * row-equals `newSnap` whenever versions are monotone (a key's
+    * version never decreases between snapshots; tombstones reuse the
+    * old row's version and win the equal-version tie as changeset rows).
+    *
+    * Emitted per key: nothing when the row is null-safely identical in
+    * both; the new row (insert/update) when added or changed; the OLD
+    * row flagged `deleteCol = true` when the key disappeared. One full
+    * outer join on the keys — a single co-partitioned shuffle, which at
+    * snapshot scale is the floor for any exact diff. This is how a
+    * 100 TB pipeline publishes an incremental delta (to downstream
+    * consumers, or for audit) instead of re-shipping the snapshot. */
+  def diffSnapshots(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCols: Seq[String], versionCol: String,
+      deleteCol: String = "is_deleted"): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(oldSnap.columns.sorted.sameElements(newSnap.columns.sorted),
+      s"snapshots must share one schema (old: ${oldSnap.columns.sorted.mkString(",")}, new: ${newSnap.columns.sorted.mkString(",")})")
+    require(!oldSnap.columns.contains(deleteCol),
+      s"snapshots must not carry '$deleteCol' — the diff introduces it")
+    val payload = oldSnap.columns.filterNot(keyCols.contains).toSeq
+    require(payload.contains(versionCol),
+      s"snapshots must carry the version column '$versionCol'")
+    val cols = keyCols ++ payload
+    val o = oldSnap.select(cols.map(col): _*)
+      .withColumn("__o", struct(payload.map(col): _*))
+      .select((keyCols.map(col) :+ col("__o")): _*)
+    val nw = newSnap.select(cols.map(col): _*)
+      .withColumn("__n", struct(payload.map(col): _*))
+      .select((keyCols.map(col) :+ col("__n")): _*)
+    o.join(nw, keyCols, "full_outer")
+      // <=> is null-safe on the whole payload struct: an unchanged row
+      // with nulls in it must NOT resurface as a spurious update
+      .filter(!(col("__o") <=> col("__n")))
+      .select(
+        keyCols.map(col) ++
+          payload.map(c =>
+            when(col("__n").isNotNull, col(s"__n.$c")).otherwise(col(s"__o.$c")).as(c)) :+
+          col("__n").isNull.as(deleteCol): _*)
+  }
 }

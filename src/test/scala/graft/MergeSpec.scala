@@ -65,6 +65,39 @@ class MergeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("changeset columns"))
   }
 
+  test("diffSnapshots emits the minimal changeset: insert, update, delete, nothing for identical") {
+    val newSnap = Seq(
+      (1L, "a", 10.0, 0L),   // unchanged → absent from the diff
+      (2L, "b2", 22.0, 1L),  // updated
+      (9L, "z", 99.0, 1L)    // inserted; key 3 deleted
+    ).toDF("k", "name", "price", "v")
+    val d = Merge.diffSnapshots(snap, newSnap, Seq("k"), "v")
+      .orderBy("k").as[(Long, String, Double, Long, Boolean)].collect().toSeq
+    assert(d == Seq(
+      (2L, "b2", 22.0, 1L, false),
+      (3L, "c", 30.0, 0L, true),
+      (9L, "z", 99.0, 1L, false)))
+  }
+
+  test("diff-then-apply replays old into new (roundtrip), including null payloads") {
+    val oldSnap = Seq(
+      (1L, Some("a"), 10.0, 0L),
+      (2L, None, 20.0, 0L),     // null payload, unchanged — must not resurface
+      (3L, Some("c"), 30.0, 0L)
+    ).toDF("k", "name", "price", "v")
+    val newSnap = Seq(
+      (1L, Some("a1"), 11.0, 1L),
+      (2L, None, 20.0, 0L),
+      (4L, Some("d"), 40.0, 1L)
+    ).toDF("k", "name", "price", "v")
+    val diff = Merge.diffSnapshots(oldSnap, newSnap, Seq("k"), "v")
+    // the unchanged null-payload row must not appear in the changeset
+    assert(diff.filter($"k" === 2L).isEmpty)
+    val replayed = Merge.applyChangeset(oldSnap, diff, Seq("k"), "v")
+    assert(replayed.orderBy("k").collect().toSeq ==
+      newSnap.orderBy("k").collect().toSeq)
+  }
+
   test("plan shape: one shuffle, partial aggregation, no window sort") {
     val changes = Seq((2L, "b2", 22.0, 1L, false)).toDF("k", "name", "price", "v", "is_deleted")
     val plan = Merge.applyChangeset(snap, changes, Seq("k"), "v")
