@@ -126,6 +126,80 @@ object Pq {
     if (keepVec) base else base.drop("v")
   }
 
+  /** Persist a PQ index at `path`: `path/codes` holds (id, code, vnorm)
+    * — m ints + one double per vector, NO raw vectors: this is the
+    * artifact whose scan stays RAM-resident at billions of rows — and
+    * `path/_codebooks` holds the model (one row per (subspace, centroid)
+    * with its coordinates). Building is one map pass over the corpus
+    * after the bounded driver-side fit. */
+  def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, m: Int = 16, k: Int = 32, seed: Long = 42L,
+      iters: Int = 10): PqModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = fit(corpus, idCol, vecCol, m, k, seed, iters)
+    model.codebooks.zipWithIndex.flatMap { case (cb, mi) =>
+      cb.zipWithIndex.map { case (c, j) => (mi, j, c.toSeq) }
+    }.toSeq.toDF("subspace", "centroid", "coords")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
+    encode(corpus, idCol, vecCol, model)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    model
+  }
+
+  /** Reload the codebooks written by [[buildPqIndex]]. */
+  def loadPqModel(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
+    val rows = spark.read.parquet(s"$path/_codebooks")
+      .orderBy("subspace", "centroid").collect()
+    require(rows.nonEmpty, s"no codebooks at $path/_codebooks")
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val books = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { r =>
+      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    require(books.forall(_.forall(_ != null)), s"ragged codebooks at $path")
+    PqModel(m, k, books(0)(0).length, books)
+  }
+
+  /** Query a [[buildPqIndex]] index: ADC top-k over the codes scan —
+    * the corpus' raw vectors are never read. `rerankWith` (the original
+    * (id, vec) frame, or any id-addressable vector store) re-scores the
+    * top k·rerankFactor candidates exactly; without it the ADC ranking
+    * and approximate cosines are returned as-is. */
+  def queryPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      rerankWith: Option[(DataFrame, String, String)] = None,
+      rerankFactor: Int = 8, excludeSelf: Boolean = true): DataFrame = {
+    val model = loadPqModel(spark, path)
+    val enc = spark.read.parquet(s"$path/codes")
+    val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("qv"),
+        norm(col(qvecCol)).as("nq"))
+      .withColumn("lut", pqLut(col("qv"), model.codebooks))
+      .filter(col("lut").isNotNull)
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+      .withColumn("acos",
+        pqAdcDot(col("code"), col("lut"), model.k) / (col("vnorm") * col("nq")))
+    rerankWith match {
+      case None =>
+        Similarity.topKPerKey(
+          scored.select(col("query_id"), col("id"), col("acos").as("cosine")),
+          Seq("query_id"), col("cosine").desc, k)
+      case Some((vecs, vidCol, vCol)) =>
+        val cand = Similarity.topKPerKey(
+          scored.select(col("query_id"), col("id"), col("acos").as("cosine"),
+            col("vnorm"), col("qv"), col("nq")),
+          Seq("query_id"), col("cosine").desc, k * rerankFactor)
+        val withVec = cand.join(
+          vecs.select(col(vidCol).as("id"), col(vCol).as("v")), Seq("id"))
+        Similarity.topKPerKey(
+          withVec.select(col("query_id"), col("id"),
+            (dot(col("v"), col("qv")) / (col("vnorm") * col("nq"))).as("cosine")),
+          Seq("query_id"), col("cosine").desc, k)
+    }
+  }
+
   /** FAISS-style IVF-PQ: coarse centroids cut the SCANNED FRACTION
     * (each query touches only its `nprobe` nearest cells), PQ codes cut
     * the BYTES PER SCANNED VECTOR (ADC lookups instead of raw dots), and

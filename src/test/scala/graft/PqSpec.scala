@@ -77,6 +77,33 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"IVF-PQ recall@10 too low: $recall%.3f")
   }
 
+  test("persisted PQ index: reload matches fit, codes-only scan ranks, re-rank restores exact order") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pq_").toString
+    val model = Pq.buildPqIndex(emb, "vec_id", "embedding", base, m = 16, k = 32, seed = 42L)
+    val loaded = Pq.loadPqModel(spark, base)
+    assert(loaded.m == model.m && loaded.k == model.k && loaded.subDim == model.subDim)
+    assert(loaded.codebooks.flatten.flatten.toSeq == model.codebooks.flatten.flatten.toSeq)
+    // the persisted artifact is codes-only: no raw vector column on disk
+    assert(!spark.read.parquet(s"$base/codes").columns.contains("v"))
+
+    val queries = emb.filter(col("vec_id") < 5)
+    // codes-only query must equal the in-memory ADC ranking (same model)
+    val fromIndex = Pq.queryPqIndex(spark, base, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val inMem = Pq.pqTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10, model, rerankFactor = 1)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(fromIndex == inMem)
+    // re-rank against the original vector frame gives exact top-1
+    val reranked = Pq.queryPqIndex(spark, base, queries, "vec_id", "embedding",
+      k = 1, rerankWith = Some((emb, "vec_id", "embedding")), rerankFactor = 80)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 1)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(reranked == brute)
+  }
+
   test("null and NaN vectors drop out of encode; dim mismatch fails loudly") {
     val model = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 32)
     val bad = Seq(
