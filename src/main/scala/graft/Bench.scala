@@ -90,21 +90,34 @@ object Bench {
     * the complete map always goes to stderr and bench_full_latest.json. */
   private[graft] def render(results: Seq[(String, Double, Boolean, Int)],
       sfDir: String, budget: Int = 1750): (String, String) = {
-    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+    val failedNames = results.collect { case (k, _, false, _) => k }
+    // the failed list cannot be shed like the queries map, so a
+    // mass-failure run (the run whose record matters most) must not blow
+    // the stdout line through the tail cap on failure names alone: cap
+    // the listed names and carry the true total alongside
+    val FailedCap = 16
+    val failed = failedNames.take(FailedCap).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
+    val failedTotal =
+      if (failedNames.length > FailedCap) s""","failed_total":${failedNames.length}"""
+      else ""
     // A query that failed a MINORITY of its repeats still reports a
     // median pass — surface it here so an intermittent in-query gate
     // failure (e.g. a flaky recall require) is recorded in the BENCH_r*
     // JSON, not just a stderr line. Format: name → failed runs.
     val flaky = results.collect { case (k, _, true, nf) if nf > 0 =>
-      "\"" + k + "\":" + nf }.mkString("{", ",", "}")
+      "\"" + k + "\":" + nf }.take(FailedCap).mkString("{", ",", "}")
     val total = results.collect { case (_, v, true, _) => v }.sum
 
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: an f"%.3f" interpolation follows the JVM default
+    // locale, and a comma-decimal locale would print 1,235 — invalid
+    // JSON, resurrecting the parsed:null failure this line exists to fix
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def line(entries: Seq[(String, Double)], extra: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed$failedTotal,"flaky":$flaky$extra,"sf":"$sfDir"}"""
     }
 
     val all = results.map { case (k, v, _, _) => (k, v) }

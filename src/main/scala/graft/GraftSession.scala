@@ -24,8 +24,19 @@ object GraftSession {
   // share a catalog, so they must share the warehouse; separate
   // processes get separate dirs, which is the isolation we want. Real
   // deployments override this with a durable cluster path.
-  private lazy val defaultWarehouse: String =
-    java.nio.file.Files.createTempDirectory("graft_warehouse_").toString
+  private lazy val defaultWarehouse: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warehouse_")
+    // best-effort cleanup at JVM exit — without it every test/bench run
+    // leaves a full copy of its bucketed tables in /tmp, unbounded
+    // across runs (the price of the unpredictable per-process path)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        java.nio.file.Files.walk(dir)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      } catch { case _: Throwable => () }))
+    dir.toString
+  }
 
   /** Apply graft's standard configuration to a builder. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b

@@ -51,15 +51,10 @@ object Pq {
       m: Int = 8, k: Int = 16, seed: Long = 42L, iters: Int = 10,
       sampleSize: Int = 10000): PqModel = {
     require(m >= 1 && k >= 2, s"need m >= 1, k >= 2 (got m=$m k=$k)")
-    val sample = corpus
-      .select(col(vecCol).cast("array<double>").as("v"),
-        md5(concat(col(idCol).cast("string"), lit(seed.toString))).as("__r"))
-      .filter(col("v").isNotNull && !exists(col("v"), x =>
-        x.isNull || x.isNaN || x === Double.PositiveInfinity ||
-          x === Double.NegativeInfinity))
-      .orderBy("__r").limit(sampleSize)
-      .select("v").collect()
-      .map(_.getSeq[Double](0).toArray)
+    // same deterministic bounded sampler as every other model fit —
+    // RAW vectors here (PQ quantizes unnormalized subspaces; cosine is
+    // reconstructed from the stored exact norms at query time)
+    val sample = Similarity.sampleRawVectors(corpus, idCol, vecCol, sampleSize, seed)
     require(sample.nonEmpty, "Pq.fit: corpus has no usable vectors")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
@@ -192,13 +187,28 @@ object Pq {
             col("vnorm"), col("qv"), col("nq")),
           Seq("query_id"), col("cosine").desc, k * rerankFactor)
         val withVec = cand.join(
-          vecs.select(col(vidCol).as("id"), col(vCol).as("v")), Seq("id"))
-        Similarity.topKPerKey(
-          withVec.select(col("query_id"), col("id"),
-            (dot(col("v"), col("qv")) / (col("vnorm") * col("nq"))).as("cosine")),
-          Seq("query_id"), col("cosine").desc, k)
+          vecs.select(col(vidCol).as("id"), col(vCol).as("v")), Seq("id"), "left")
+        // an inner join here would silently DROP candidates whose id the
+        // re-rank frame doesn't cover (stale/filtered vector store) and
+        // return quietly degraded neighbors; a coverage gap is a config
+        // error and must fail loudly. The count runs over the small
+        // candidate frame (≤ k·rerank rows per query), not the corpus.
+        val missing = withVec.filter(col("v").isNull).count()
+        require(missing == 0L,
+          s"queryPqIndex: rerankWith frame is missing $missing candidate ids — " +
+            "it must cover every indexed vector")
+        rerankExact(withVec, k)
     }
   }
+
+  /** Shared tail of every re-rank path: re-score candidates (columns
+    * query_id, id, v, vnorm, qv, nq) with exact dots and return the
+    * exact-ordered top-k — so emitted cosines are true cosines. */
+  private def rerankExact(cand: DataFrame, k: Int): DataFrame =
+    Similarity.topKPerKey(
+      cand.select(col("query_id"), col("id"),
+        (dot(col("v"), col("qv")) / (col("vnorm") * col("nq"))).as("cosine")),
+      Seq("query_id"), col("cosine").desc, k)
 
   /** FAISS-style IVF-PQ: coarse centroids cut the SCANNED FRACTION
     * (each query touches only its `nprobe` nearest cells), PQ codes cut
@@ -229,14 +239,10 @@ object Pq {
       .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
       .withColumn("acos",
         pqAdcDot(col("code"), col("lut"), model.k) / (col("vnorm") * col("nq")))
-    val cand = Similarity.topKPerKey(
+    rerankExact(Similarity.topKPerKey(
       scored.select(col("query_id"), col("id"), col("acos").as("cosine"),
         col("v"), col("vnorm"), col("qv"), col("nq")),
-      Seq("query_id"), col("cosine").desc, k * rerankFactor)
-    Similarity.topKPerKey(
-      cand.select(col("query_id"), col("id"),
-        (dot(col("v"), col("qv")) / (col("vnorm") * col("nq"))).as("cosine")),
-      Seq("query_id"), col("cosine").desc, k)
+      Seq("query_id"), col("cosine").desc, k * rerankFactor), k)
   }
 
   /** ADC top-k: approximate cosine = adc_dot / (vnorm · qnorm) per
@@ -264,14 +270,10 @@ object Pq {
         scored.select(col("query_id"), col("id"), col("acos").as("cosine")),
         Seq("query_id"), col("cosine").desc, k)
     } else {
-      val cand = Similarity.topKPerKey(
+      rerankExact(Similarity.topKPerKey(
         scored.select(col("query_id"), col("id"), col("acos").as("cosine"),
           col("v"), col("vnorm"), col("qv"), col("nq")),
-        Seq("query_id"), col("cosine").desc, k * rerankFactor)
-      Similarity.topKPerKey(
-        cand.select(col("query_id"), col("id"),
-          (dot(col("v"), col("qv")) / (col("vnorm") * col("nq"))).as("cosine")),
-        Seq("query_id"), col("cosine").desc, k)
+        Seq("query_id"), col("cosine").desc, k * rerankFactor), k)
     }
   }
 }

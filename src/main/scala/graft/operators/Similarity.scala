@@ -79,6 +79,32 @@ object Similarity {
       .withColumn("rank", row_number().over(globalW)).filter(col("rank") <= k)
   }
 
+  /** Deterministic hash-ordered RAW vector sample — the shared
+    * driver-side model-fit input (a bounded `n` × dim doubles, a few MB):
+    * the corpus vectors with the smallest md5(id ++ seed), unfiltered of
+    * nothing except unusable rows. One null vector (or null/NaN/Inf
+    * element) whose md5 sorts into the top `n` would otherwise poison a
+    * fit: NPE for nulls, and a NaN/Inf element propagates into every
+    * derived centroid, which `NearestCentroids` then null-maps every row
+    * away from. Shared by [[sampleCentroids]], [[kmeansPlusPlusSeeds]]
+    * and the PQ codebook fit so the predicate and ordering live once. */
+  private[operators] def sampleRawVectors(corpus: DataFrame, idCol: String,
+      vecCol: String, n: Int, seed: Long): Array[Array[Double]] =
+    corpus
+      .select(col(vecCol).cast("array<double>").as("v"),
+        md5(concat(col(idCol).cast("string"), lit(seed.toString))).as("__r"))
+      .filter(col("v").isNotNull && !exists(col("v"), x =>
+        x.isNull || x.isNaN || x === Double.PositiveInfinity ||
+          x === Double.NegativeInfinity))
+      .orderBy("__r").limit(n)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  private def unitNormalize(arr: Array[Double]): Array[Double] = {
+    val nrm = math.sqrt(arr.map(x => x * x).sum)
+    if (nrm == 0.0) arr else arr.map(_ / nrm)
+  }
+
   /** Deterministic coarse-centroid sample for [[ivfCentroidTopK]]: the
     * `numCentroids` corpus vectors with the smallest md5(id ++ seed),
     * unit-normalized. A driver-side model parameter (numCentroids × dim
@@ -87,25 +113,9 @@ object Similarity {
     * alternative (pass `kmeansIters > 0` to [[ivfCentroidTopK]]). */
   def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int, seed: Long): Array[Array[Double]] = {
-    val rows = corpus
-      .select(col(vecCol).cast("array<double>").as("v"),
-        md5(concat(col(idCol).cast("string"), lit(seed.toString))).as("__r"))
-      // one null vector (or null/NaN/Inf element) whose md5 sorts into the
-      // top numCentroids would otherwise poison a centroid: NPE for nulls,
-      // and a NaN/Inf element norm-normalizes to NaN, which makes
-      // NearestCentroids return null for EVERY row (IVF collapses to
-      // empty). Same predicate as kmeansPlusPlusSeeds/kmeansCentroids.
-      .filter(col("v").isNotNull && !exists(col("v"), x =>
-        x.isNull || x.isNaN || x === Double.PositiveInfinity ||
-          x === Double.NegativeInfinity))
-      .orderBy("__r").limit(numCentroids)
-      .select("v").collect()
+    val rows = sampleRawVectors(corpus, idCol, vecCol, numCentroids, seed)
     require(rows.nonEmpty, "sampleCentroids: corpus has no non-null vectors")
-    rows.map { r =>
-      val arr = r.getSeq[Double](0).toArray
-      val nrm = math.sqrt(arr.map(x => x * x).sum)
-      if (nrm == 0.0) arr else arr.map(_ / nrm)
-    }
+    rows.map(unitNormalize)
   }
 
   /** k-means++ seeding over a bounded, deterministic corpus sample: the
@@ -126,19 +136,8 @@ object Similarity {
       numCentroids: Int, seed: Long, sampleSize: Int = 10000): Array[Array[Double]] = {
     require(numCentroids >= 1 && sampleSize >= numCentroids,
       s"need sampleSize >= numCentroids >= 1 (got $sampleSize, $numCentroids)")
-    val sample = corpus
-      .select(col(vecCol).cast("array<double>").as("v"),
-        md5(concat(col(idCol).cast("string"), lit(seed.toString))).as("__r"))
-      .filter(col("v").isNotNull && !exists(col("v"), x =>
-        x.isNull || x.isNaN || x === Double.PositiveInfinity ||
-          x === Double.NegativeInfinity))
-      .orderBy("__r").limit(sampleSize)
-      .select("v").collect()
-      .map(_.getSeq[Double](0).toArray)
-      .map { arr =>
-        val nrm = math.sqrt(arr.map(x => x * x).sum)
-        if (nrm == 0.0) arr else arr.map(_ / nrm)
-      }
+    val sample = sampleRawVectors(corpus, idCol, vecCol, sampleSize, seed)
+      .map(unitNormalize)
     require(sample.nonEmpty, "kmeansPlusPlusSeeds: corpus has no usable vectors")
     val k = math.min(numCentroids, sample.length)
     def splitmix(x0: Long): Long = {

@@ -131,6 +131,11 @@ object Writers {
     val hadoopConf = spark.sessionState.newHadoopConf()
     def locOf(id: org.apache.spark.sql.catalyst.TableIdentifier) =
       new org.apache.hadoop.fs.Path(spark.sessionState.catalog.defaultTablePath(id))
+    // Past this flag the OLD table has been destroyed and staging is the
+    // ONLY surviving copy — cleanup must then never touch it (the same
+    // point-of-no-return discipline as compactParquet/commitAsSingleFile:
+    // a failed swap must preserve the data and name where it survived).
+    var oldRetired = false
     try {
       val w = df.write.mode(SaveMode.ErrorIfExists).format("parquet")
         .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
@@ -141,23 +146,34 @@ object Writers {
       // warehouse directory but no catalog entry, so the orphaned
       // location must be cleared too or the rename below fails with
       // LOCATION_ALREADY_EXISTS.
+      oldRetired = true
       spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
       val target = locOf(ident)
       val fs = target.getFileSystem(hadoopConf)
       if (fs.exists(target)) fs.delete(target, true)
       // managed-table rename moves the data directory along with the
       // catalog entry (one FS rename — atomic on HDFS/POSIX)
-      spark.sql(s"ALTER TABLE ${staging.quotedString} RENAME TO ${ident.quotedString}")
-    } finally {
-      // failure path: drop whatever the staging write left behind; the
-      // live table was never touched
-      if (spark.sessionState.catalog.tableExists(staging)) {
-        spark.sql(s"DROP TABLE IF EXISTS ${staging.quotedString}")
-        ()
+      try spark.sql(s"ALTER TABLE ${staging.quotedString} RENAME TO ${ident.quotedString}")
+      catch { case e: Throwable =>
+        throw new java.io.IOException(
+          s"bucketed swap failed after the old table was retired — data preserved " +
+            s"under staging table ${staging.quotedString}", e)
       }
-      val sloc = locOf(staging)
-      val sfs = sloc.getFileSystem(hadoopConf)
-      if (sfs.exists(sloc)) { sfs.delete(sloc, true); () }
+    } catch { case e: Throwable =>
+      // failure BEFORE the point of no return: the live table is intact,
+      // so the staging leftovers are safe (and right) to remove
+      if (!oldRetired) {
+        try {
+          if (spark.sessionState.catalog.tableExists(staging)) {
+            spark.sql(s"DROP TABLE IF EXISTS ${staging.quotedString}")
+            ()
+          }
+          val sloc = locOf(staging)
+          val sfs = sloc.getFileSystem(hadoopConf)
+          if (sfs.exists(sloc)) { sfs.delete(sloc, true); () }
+        } catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
+      }
+      throw e
     }
   }
 
@@ -235,10 +251,18 @@ object Writers {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val parts = fs.listStatus(dir).filter { st =>
-      st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith(".")
+    val entries = fs.listStatus(dir).filterNot { st =>
+      st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith(".")
     }
+    // a hive-partitioned layout (date=*/ subdirectories) would otherwise
+    // read as "0 files → already compact" and silently no-op — the exact
+    // layout most prone to small files. Refuse loudly; compact each
+    // partition directory instead.
+    val subdirs = entries.filter(_.isDirectory)
+    require(subdirs.isEmpty,
+      s"compact: $path contains subdirectories (${subdirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+        "partitioned layouts must be compacted per partition directory")
+    val parts = entries.filter(_.isFile)
     val before = parts.length
     val totalBytes = parts.map(_.getLen).sum
     val want = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt

@@ -73,6 +73,26 @@ class BenchRenderSpec extends AnyFunSuite {
     assert((j \ "value").asInstanceOf[JDouble].num == 1.0)
   }
 
+  test("mass-failure run: failed[] is capped so the line still fits the tail budget") {
+    val names = (1 to 96).map(i => f"query_with_a_rather_long_name_$i%02d")
+    val times = names.map(_ -> -1.0).toMap
+    val (_, out) = Bench.render(results(times), "/root/testdata/sf0.1")
+    assert(out.length <= 1750, s"mass-failure line ${out.length} chars exceeds the tail budget")
+    val j = parse(out)
+    assert((j \ "failed").asInstanceOf[JArray].arr.length == 16)
+    assert((j \ "failed_total").asInstanceOf[JInt].num.toInt == 96)
+  }
+
+  test("values render locale-independently (dot decimal separator)") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY) // comma-decimal locale
+      val (_, out) = Bench.render(results(Map("q1_agg" -> 1.234567)), "/x")
+      val j = parse(out)
+      assert((j \ "queries" \ "q1_agg").asInstanceOf[JDouble].num == 1.235)
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("shedding never loops forever even with an absurdly small budget") {
     val names = (1 to 50).map(i => f"query_with_a_rather_long_name_$i%02d")
     val times = names.map(_ -> 1.0).toMap

@@ -109,6 +109,16 @@ class LayoutSpec extends AnyFunSuite {
     assert(b2 == a2)
   }
 
+  test("compaction refuses a hive-partitioned directory instead of silently no-opping") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_part_").toString
+    spark.range(100L).select(col("id"), (col("id") % 3).as("p"))
+      .write.partitionBy("p").parquet(s"$base/t")
+    val e = intercept[IllegalArgumentException] {
+      Writers.compactParquet(spark, s"$base/t", targetFileBytes = 1L << 20)
+    }
+    assert(e.getMessage.contains("subdirectories"))
+  }
+
   test("maxRecordsPerFile caps file size without an extra shuffle") {
     val base = java.nio.file.Files.createTempDirectory("graft_layout_").toString
     val data = spark.range(10000L).select(col("id").as("k"), col("id").as("v"))

@@ -104,6 +104,18 @@ class PqSpec extends AnyFunSuite {
     assert(reranked == brute)
   }
 
+  test("queryPqIndex fails loudly when the re-rank frame misses candidate ids") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pq_gap_").toString
+    Pq.buildPqIndex(emb, "vec_id", "embedding", base, m = 16, k = 32)
+    val queries = emb.filter(col("vec_id") < 2)
+    val partial = emb.filter(col("vec_id") % 2 === 0) // half the corpus
+    val e = intercept[IllegalArgumentException] {
+      Pq.queryPqIndex(spark, base, queries, "vec_id", "embedding", k = 5,
+        rerankWith = Some((partial, "vec_id", "embedding"))).collect()
+    }
+    assert(e.getMessage.contains("missing"))
+  }
+
   test("null and NaN vectors drop out of encode; dim mismatch fails loudly") {
     val model = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 32)
     val bad = Seq(
