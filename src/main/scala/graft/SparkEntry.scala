@@ -981,6 +981,24 @@ object SparkEntry {
       agg.select(col("lang"), col("n_distinct"), col("n_rows")).orderBy("lang")
     }),
 
+    "corpus_quantiles" -> ((s, dir) => {
+      // per-language document-length quantiles — the corpus-report signal
+      // a curation pipeline watches for drift. Spark `percentile` and
+      // DuckDB `quantile_cont` both linearly interpolate over sorted
+      // values; on integer n_chars the interpolation arithmetic is
+      // engine-identical (x + (y-x)·f on exact-integer doubles), so the
+      // gate compares value-exact without rounding.
+      tbl(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          expr("percentile(n_chars, 0.25)").as("p25"),
+          expr("percentile(n_chars, 0.5)").as("p50"),
+          expr("percentile(n_chars, 0.75)").as("p75"),
+          expr("percentile(n_chars, 0.95)").as("p95"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
     // ---- incremental merge (CDC apply) ---------------------------------
 
     "merge_upsert" -> ((s, dir) => {
@@ -1815,6 +1833,15 @@ object SparkEntry {
 
     "approx_distinct" ->
       """SELECT lang, count(DISTINCT doc_id) AS n_distinct, count(*) AS n_rows
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "corpus_quantiles" ->
+      """SELECT lang,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75,
+        |  quantile_cont(n_chars, 0.95) AS p95,
+        |  count(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "merge_upsert" ->

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.Merge
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property fuzz for the changeset merge: random snapshots/changesets
+  * are replayed through BOTH the Spark operator and a 20-line in-memory
+  * reference model, and the results are diffed. All scenarios ride in
+  * ONE DataFrame keyed by (scenario, k) — merge semantics are per-key,
+  * so a composite key fuzzes dozens of independent scenarios in a
+  * single Spark job instead of one job per case. */
+class MergeFuzzSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private type SnapRow = (Int, Int, String, Double, Long) // scenario, k, name, price, v
+  private type ChRow = (Int, Int, String, Double, Long, Boolean)
+
+  private val payloadName: Gen[String] = Gen.oneOf("a", "b", "c", "", "x y", "é")
+
+  // one scenario: a snapshot (unique keys, version 0..2) + a changeset
+  // (keys drawn wider than the snapshot so inserts occur, deduped on
+  // (k, v) so the (version, source) winner is unambiguous)
+  private def scenario(sid: Int): Gen[(Seq[SnapRow], Seq[ChRow])] = for {
+    snapKeys <- Gen.someOf(0 to 8)
+    snap <- Gen.sequence[Seq[SnapRow], SnapRow](snapKeys.map(k => for {
+      n <- payloadName; p <- Gen.chooseNum(0.0, 100.0); v <- Gen.chooseNum(0L, 2L)
+    } yield (sid, k, n, p, v)))
+    nCh <- Gen.chooseNum(0, 12)
+    chRaw <- Gen.listOfN(nCh, for {
+      k <- Gen.chooseNum(0, 12); n <- payloadName
+      p <- Gen.chooseNum(0.0, 100.0); v <- Gen.chooseNum(0L, 4L)
+      del <- Gen.oneOf(true, false)
+    } yield (sid, k, n, p, v, del))
+  } yield (snap, chRaw.distinctBy(c => (c._2, c._5)))
+
+  private def refApply(snap: Seq[SnapRow], ch: Seq[ChRow]): Set[SnapRow] =
+    (snap.map(r => (r, 0, false)) ++
+      ch.map(c => ((c._1, c._2, c._3, c._4, c._5), 1, c._6)))
+      .groupBy(t => t._1._2).values.flatMap { rows =>
+        val w = rows.maxBy(t => (t._1._5, t._2))
+        if (w._3) None else Some(w._1)
+      }.toSet
+
+  test("applyChangeset agrees with the reference model over random scenarios") {
+    val seed0 = org.scalacheck.rng.Seed(7L)
+    val scenarios = Iterator.iterate((0, seed0)) { case (i, s) => (i + 1, s.next) }
+      .take(40)
+      .map { case (i, s) => scenario(i).pureApply(Gen.Parameters.default, s) }
+      .toSeq
+    val snapAll = scenarios.flatMap(_._1)
+    val chAll = scenarios.flatMap(_._2)
+    val out = Merge.applyChangeset(
+        snapAll.toDF("scenario", "k", "name", "price", "v"),
+        chAll.toDF("scenario", "k", "name", "price", "v", "is_deleted"),
+        Seq("scenario", "k"), "v")
+      .as[SnapRow].collect().toSet
+    val expected = scenarios.flatMap { case (sn, ch) => refApply(sn, ch) }.toSet
+    val extra = out -- expected
+    val missing = expected -- out
+    assert(extra.isEmpty && missing.isEmpty,
+      s"merge fuzz diverged: extra=${extra.take(3)} missing=${missing.take(3)}")
+  }
+
+  test("diff-then-apply roundtrip holds over random monotone snapshot pairs") {
+    val seed0 = org.scalacheck.rng.Seed(11L)
+    // old: unique keys at v=0; new: mutate/drop/insert with v=1
+    val pairGen: Int => Gen[(Seq[SnapRow], Seq[SnapRow])] = sid => for {
+      oldKeys <- Gen.someOf(0 to 8)
+      oldRows <- Gen.sequence[Seq[SnapRow], SnapRow](oldKeys.map(k => for {
+        n <- payloadName; p <- Gen.chooseNum(0.0, 100.0)
+      } yield (sid, k, n, p, 0L)))
+      kept <- Gen.someOf(oldRows)
+      mutated <- Gen.sequence[Seq[(SnapRow, Boolean)], (SnapRow, Boolean)](
+        kept.map(r => Gen.oneOf(true, false).flatMap(change =>
+          if (!change) Gen.const((r, false))
+          else payloadName.map(n => ((r._1, r._2, n + "!", r._4 + 1.0, 1L), true)))))
+      insKeys <- Gen.someOf(9 to 12)
+      ins <- Gen.sequence[Seq[SnapRow], SnapRow](insKeys.map(k =>
+        payloadName.map(n => (sid, k, n, 1.0, 1L))))
+    } yield (oldRows, mutated.map(_._1) ++ ins)
+    val pairs = Iterator.iterate((0, seed0)) { case (i, s) => (i + 1, s.next) }
+      .take(30)
+      .map { case (i, s) => pairGen(i).pureApply(Gen.Parameters.default, s) }
+      .toSeq
+    val oldDf = pairs.flatMap(_._1).toDF("scenario", "k", "name", "price", "v")
+    val newDf = pairs.flatMap(_._2).toDF("scenario", "k", "name", "price", "v")
+    val diff = Merge.diffSnapshots(oldDf, newDf, Seq("scenario", "k"), "v")
+    val replayed = Merge.applyChangeset(oldDf, diff, Seq("scenario", "k"), "v")
+      .as[SnapRow].collect().toSet
+    assert(replayed == pairs.flatMap(_._2).toSet,
+      "diff-then-apply must replay old into new")
+  }
+}
