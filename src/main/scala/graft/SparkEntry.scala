@@ -981,6 +981,21 @@ object SparkEntry {
       agg.select(col("lang"), col("n_distinct"), col("n_rows")).orderBy("lang")
     }),
 
+    "mm_image_dedup" -> ((s, dir) => {
+      // image near-dup pairs over REAL PNG payloads: consecutive ids
+      // carry byte-identical synthesized pictures (content keyed by
+      // id/2, dims >= 8x8), so the expected pair set is arithmetically
+      // predictable — exactly the (2g, 2g+1) pairs — while the hashes
+      // travel the real ImageIO decode + 8x8 aHash path and the SAME
+      // banded Hamming machinery as text simhash dedup.
+      val imgs = Multimodal.synthesizePngs(
+        tbl(s, dir, "documents").filter(col("doc_id") < 200), "doc_id",
+        groupEvery = 2)
+      Multimodal.imageNearDupPairs(imgs, "id", "content", maxHamming = 0)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "corpus_quantiles" -> ((s, dir) => {
       // per-language document-length quantiles — the corpus-report signal
       // a curation pipeline watches for drift. Spark `percentile` and
@@ -1834,6 +1849,13 @@ object SparkEntry {
     "approx_distinct" ->
       """SELECT lang, count(DISTINCT doc_id) AS n_distinct, count(*) AS n_rows
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "mm_image_dedup" ->
+      """SELECT d1.doc_id AS id_a, d2.doc_id AS id_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+        |WHERE d1.doc_id % 2 = 0 AND d1.doc_id < 200 AND d2.doc_id < 200
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "corpus_quantiles" ->
       """SELECT lang,

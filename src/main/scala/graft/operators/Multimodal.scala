@@ -208,6 +208,39 @@ object Multimodal {
         } catch { case scala.util.control.NonFatal(_) => None }
       }
 
+    /** 64-bit average-hash (aHash) perceptual fingerprint: decode (same
+      * sniff + raster-bound guards as [[decode]]), downscale to 8×8
+      * grayscale with bilinear interpolation, threshold each cell at the
+      * mean luminance — bit i set iff cell i is brighter than average.
+      * Re-encodes, resizes, and small edits of the same picture land
+      * within a few Hamming bits; unrelated pictures differ in ~32.
+      * None when the payload isn't a decodable image. */
+    def aHash(content: Array[Byte]): Option[Long] =
+      sniffFormat(content).filter(rasterBounded(content, _)).flatMap { _ =>
+        try {
+          val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+          if (src == null) None
+          else {
+            val small = new java.awt.image.BufferedImage(
+              8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val g = small.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(src, 0, 0, 8, 8, null)
+            } finally g.dispose()
+            val px = new Array[Int](64)
+            var i = 0
+            while (i < 64) { px(i) = small.getRaster.getSample(i % 8, i / 8, 0); i += 1 }
+            val mean = px.sum / 64.0
+            var h = 0L
+            i = 0
+            while (i < 64) { if (px(i) > mean) h |= (1L << i); i += 1 }
+            Some(h)
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+
     /** Real resize: decode, scale with bilinear interpolation, re-encode
       * as PNG (lossless + deterministic — JPEG re-encoding bytes vary by
       * encoder build). None when the payload isn't a decodable image. */
@@ -241,12 +274,20 @@ object Multimodal {
     * without decoding anything — the basis of the mm_decode_real /
     * mm_resize_real gates, which exercise the real ImageIO path on
     * corpora whose test data carries no binary column. */
-  def synthesizePngs(df: DataFrame, idCol: String): DataFrame = {
+  def synthesizePngs(df: DataFrame, idCol: String, groupEvery: Int = 1): DataFrame = {
+    require(groupEvery >= 1, s"groupEvery must be >= 1 (got $groupEvery)")
     val ids = df.select(col(idCol).cast("long").as("id")).as(Encoders.scalaLong)
     ids.mapPartitions { it =>
-      it.map { id =>
-        val w = 1 + (id % 16).toInt
-        val h = 1 + (id % 12).toInt
+      it.map { rowId =>
+        // groupEvery > 1: content keys off the GROUP (id / groupEvery),
+        // so consecutive ids carry byte-identical pictures — the basis of
+        // the image-dedup gate, whose oracle predicts exactly which ids
+        // collapse from arithmetic alone. Dims floor at 8×8 in that mode
+        // (tiny uniform images all aHash to the same degenerate value,
+        // which would create cross-group pairs no oracle can model).
+        val id = rowId / groupEvery
+        val w = if (groupEvery > 1) 8 + (id % 8).toInt else 1 + (id % 16).toInt
+        val h = if (groupEvery > 1) 8 + (id % 4).toInt else 1 + (id % 12).toInt
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
         var y = 0
@@ -260,10 +301,51 @@ object Multimodal {
         }
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
-        (id, bos.toByteArray)
+        (rowId, bos.toByteArray)
       }
     }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("id", "content")
   }
+
+  final case class AHashRow(id: Long, ahash: Option[Long])
+
+  /** Perceptual fingerprints for an image binary column: (id, ahash) via
+    * [[ImageDecode.aHash]]; non-decodable payloads → null hash. Narrow
+    * map stage — the decode cost IS the operator. */
+  def withImageAHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
+      .as(Encoders.product[MediaRow])
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.content == null) Array.emptyByteArray else r.content
+        AHashRow(r.id, ImageDecode.aHash(bytes))
+      }
+    }(Encoders.product[AHashRow]).toDF()
+  }
+
+  /** Image near-duplicate pairs: aHash fingerprints fed through the
+    * SAME banded Hamming machinery as text SimHash dedup
+    * ([[Dedup.simhashPairsFromSigs]] — pigeonhole chunk buckets, never
+    * all-pairs), because a 64-bit perceptual hash and a 64-bit text
+    * simhash have identical pairing geometry. This is the multimodal
+    * member of the dedup family: re-encoded/resized/lightly-edited
+    * copies of one picture collapse; undecodable payloads never pair.
+    * `maxHamming` ≤ chunks−agreeChunks (defaults ride the corpus-sized
+    * Auto banding; pass chunks/agreeChunks for a wider radius). */
+  def imageNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3, chunks: Int = Dedup.Auto,
+      agreeChunks: Int = Dedup.Auto): DataFrame =
+    Dedup.simhashPairsFromSigs(
+      withImageAHash(df, idCol, binCol)
+        .filter(col("ahash").isNotNull)
+        .select(col("id"), col("ahash").as("sh")),
+      maxHamming, chunks, agreeChunks)
+
+  /** Corpus with near-duplicate images removed (deterministic min-id
+    * representative per duplicate group, like the text dedup family). */
+  def imageDedup(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3): DataFrame =
+    Dedup.dropNearDuplicates(df, idCol,
+      imageNearDupPairs(df, idCol, binCol, maxHamming))
 
   /** Decode a (id, content: binary) frame into typed metadata, batch-wise
     * per partition. Input columns: `idCol` (long), `binCol` (binary).

@@ -379,6 +379,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.ImageDecode.sniffFormat(bomb).isEmpty)
   }
 
+  test("image aHash dedup: re-encoded and resized copies collapse, unrelated images survive") {
+    import java.awt.image.BufferedImage
+    // smooth gradient left→right — a structure aHash preserves across
+    // scales (random-pixel images would alias under the 8×8 downscale)
+    def gradient(w: Int, h: Int, dark: Boolean, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach { x =>
+        (0 until h).foreach { y =>
+          val v0 = (x * 255) / math.max(1, w - 1)
+          val v = if (dark) 255 - v0 else v0
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val a1 = gradient(64, 48, dark = false, "png")
+    val a2 = gradient(64, 48, dark = false, "bmp")                      // re-encode of the same picture
+    val a3 = Multimodal.ImageDecode.resize(a1, 32, 24).get              // downscaled copy
+    val b = gradient(64, 48, dark = true, "png")                        // inverted: unrelated
+    val txt = "not an image".getBytes("UTF-8")                          // undecodable
+    val df = Seq((1L, a1), (2L, a2), (3L, a3), (4L, b), (5L, txt)).toDF("id", "payload")
+
+    val hashes = Multimodal.withImageAHash(df, "id", "payload")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(hashes(5L).isEmpty, "text must not hash")
+    assert(java.lang.Long.bitCount(hashes(1L).get ^ hashes(4L).get) > 10,
+      "inverted gradient must be far in Hamming space")
+
+    val pairs = Multimodal.imageNearDupPairs(df, "id", "payload", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)),
+      s"copies must pair, got $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated image must not pair")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "undecodable payload must not pair")
+
+    val kept = Multimodal.imageDedup(df, "id", "payload", maxHamming = 3)
+      .select("id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(3L),
+      s"min-id representative keeps 1, got $kept")
+    assert(kept.contains(4L) && kept.contains(5L))
+  }
+
   test("resizeImages really rescales image payloads; text passes through") {
     val img = new java.awt.image.BufferedImage(40, 30, java.awt.image.BufferedImage.TYPE_INT_RGB)
     (0 until 40).foreach(x => (0 until 30).foreach(y => img.setRGB(x, y, (x * 7 + y) & 0xffffff)))
