@@ -981,6 +981,21 @@ object SparkEntry {
       agg.select(col("lang"), col("n_distinct"), col("n_rows")).orderBy("lang")
     }),
 
+    "mm_audio_dedup" -> ((s, dir) => {
+      // audio analog of mm_image_dedup: consecutive ids carry
+      // byte-identical group-keyed WAVs whose windowed energy profile
+      // encodes splitmix(group), so fingerprints are distinct across
+      // groups and identical within — expected pairs are exactly
+      // (2g, 2g+1), computed through the REAL RIFF parse + 64-window
+      // energy fingerprint and the shared banded-Hamming machinery.
+      val wavs = Multimodal.synthesizeWavs(
+        tbl(s, dir, "documents").filter(col("doc_id") < 200), "doc_id",
+        groupEvery = 2)
+      Multimodal.audioNearDupPairs(wavs, "id", "content", maxHamming = 0)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "mm_image_dedup" -> ((s, dir) => {
       // image near-dup pairs over REAL PNG payloads: consecutive ids
       // carry byte-identical synthesized pictures (content keyed by
@@ -1849,6 +1864,13 @@ object SparkEntry {
     "approx_distinct" ->
       """SELECT lang, count(DISTINCT doc_id) AS n_distinct, count(*) AS n_rows
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "mm_audio_dedup" ->
+      """SELECT d1.doc_id AS id_a, d2.doc_id AS id_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+        |WHERE d1.doc_id % 2 = 0 AND d1.doc_id < 200 AND d2.doc_id < 200
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "mm_image_dedup" ->
       """SELECT d1.doc_id AS id_a, d2.doc_id AS id_b,

@@ -460,7 +460,88 @@ object Multimodal {
       for ((rate, ch, bits) <- fmt; d <- dataLen)
         yield (rate, ch, bits, d)
     }
+
+    /** 64-bit energy-profile fingerprint of a PCM WAV (the audio analog
+      * of [[ImageDecode.aHash]]): the data chunk splits into 64 equal
+      * sample windows; bit w is set iff window w's mean absolute
+      * amplitude exceeds the overall mean. Re-containered and
+      * identically-resampled copies land within a few Hamming bits;
+      * unrelated recordings differ in ~32. 8-bit PCM is unsigned
+      * (centered at 128), wider widths signed little-endian — only the
+      * first byte group per frame is read (channel 0 for multichannel).
+      * None for non-WAV payloads or empty data. */
+    def energyFingerprint(c: Array[Byte]): Option[Long] =
+      parse(c).flatMap { case (_, ch, bits, dataLen) =>
+        // recover the data offset (parse validated the walk already)
+        var i = 12L
+        var off = -1L
+        while (off < 0 && i + 8 <= c.length) {
+          val at = i.toInt
+          val size = u32le(c, at + 4)
+          if (tag(c, at) == "data") off = i + 8
+          else i += 8L + size + (size & 1L)
+        }
+        val frame = (ch * bits / 8).toInt
+        val n = if (frame > 0) (dataLen / frame).toInt else 0
+        if (off < 0 || n < 64) None
+        else {
+          val energies = new Array[Double](64)
+          var w = 0
+          while (w < 64) {
+            val from = (n.toLong * w / 64).toInt
+            val until = (n.toLong * (w + 1) / 64).toInt
+            var s = 0.0
+            var j = from
+            while (j < until) {
+              val base = off.toInt + j * frame
+              val amp = bits match {
+                case 8L => math.abs((c(base) & 0xff) - 128)
+                case _ => math.abs(((c(base) & 0xff) | (c(base + 1) << 8)).toShort.toInt)
+              }
+              s += amp
+              j += 1
+            }
+            energies(w) = if (until > from) s / (until - from) else 0.0
+            w += 1
+          }
+          val mean = energies.sum / 64.0
+          var h = 0L
+          w = 0
+          while (w < 64) { if (energies(w) > mean) h |= (1L << w); w += 1 }
+          Some(h)
+        }
+      }
   }
+
+  /** Audio fingerprints for a binary column: (id, afp) via
+    * [[WavDecode.energyFingerprint]]; non-WAV payloads → null. */
+  def withAudioFingerprint(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
+      .as(Encoders.product[MediaRow])
+    ds.map { r =>
+      val bytes = if (r.content == null) Array.emptyByteArray else r.content
+      AHashRow(r.id, WavDecode.energyFingerprint(bytes))
+    }(Encoders.product[AHashRow])
+      .toDF("id", "afp")
+  }
+
+  /** Audio near-duplicate pairs — the audio member of the multimodal
+    * dedup family, sharing the banded-Hamming machinery with text
+    * SimHash and image aHash dedup. */
+  def audioNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3, chunks: Int = Dedup.Auto,
+      agreeChunks: Int = Dedup.Auto): DataFrame =
+    Dedup.simhashPairsFromSigs(
+      withAudioFingerprint(df, idCol, binCol)
+        .filter(col("afp").isNotNull)
+        .select(col("id"), col("afp").as("sh")),
+      maxHamming, chunks, agreeChunks)
+
+  /** Corpus with near-duplicate audio removed (min-id representative). */
+  def audioDedup(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3): DataFrame =
+    Dedup.dropNearDuplicates(df, idCol,
+      audioNearDupPairs(df, idCol, binCol, maxHamming))
 
   final case class AudioMetaRow(id: Long, sample_rate: Long, channels: Long,
       bits_per_sample: Long, n_samples: Long, duration_ms: Long, format: String)
@@ -551,12 +632,35 @@ object Multimodal {
   /** Deterministic tiny PCM WAVs from an id column (test/gate input —
     * the audio analog of [[synthesizePngs]]): 8-bit mono, sample rate
     * 8000, (id % 5 + 1) × 100 ms of a simple id-seeded waveform. */
-  def synthesizeWavs(df: DataFrame, idCol: String): DataFrame = {
+  def synthesizeWavs(df: DataFrame, idCol: String, groupEvery: Int = 1): DataFrame = {
+    require(groupEvery >= 1, s"groupEvery must be >= 1 (got $groupEvery)")
     val ds = df.select(col(idCol).cast("long").as("id")).as(Encoders.scalaLong)
-    ds.map { id =>
-      val nSamples = ((id % 5) + 1).toInt * 800 // 100ms steps at 8kHz
-      val data = Array.tabulate(nSamples)(i => ((id * 31 + i * 7) % 256 - 128).toByte)
-      (id, wavBytes(channels = 1, rate = 8000, bits = 8, data))
+    ds.map { rowId =>
+      val id = rowId / groupEvery
+      val data =
+        if (groupEvery == 1) {
+          val nSamples = ((id % 5) + 1).toInt * 800 // 100ms steps at 8kHz
+          Array.tabulate(nSamples)(i => ((id * 31 + i * 7) % 256 - 128).toByte)
+        } else {
+          // group-keyed ENERGY-PROFILE content for the audio-dedup gate:
+          // 64 windows of 100 samples whose loudness encodes the bits of
+          // splitmix(group) — consecutive ids carry byte-identical audio
+          // with a fingerprint distinct across groups (the raw
+          // (id*31+i*7) ramp has near-uniform energy in EVERY window, so
+          // all groups would fingerprint to the same degenerate value)
+          var z = id + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          val pattern = z ^ (z >>> 31)
+          Array.tabulate(6400) { i =>
+            val w = i / 100
+            val loud = ((pattern >>> w) & 1L) == 1L
+            val span = if (loud) 193 else 17 // ±96 vs ±8 around center 128
+            val amp = ((id * 31 + i * 7) % span).toInt - span / 2
+            (128 + amp).toByte // 8-bit PCM is unsigned, centered at 128
+          }
+        }
+      (rowId, wavBytes(channels = 1, rate = 8000, bits = 8, data))
     }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("id", "content")
   }
 }

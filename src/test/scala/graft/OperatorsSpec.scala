@@ -423,6 +423,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.contains(4L) && kept.contains(5L))
   }
 
+  test("audio energy-fingerprint dedup: identical WAVs collapse, distinct profiles and non-WAVs survive") {
+    val base = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    val wavs = Multimodal.synthesizeWavs(base, "doc_id", groupEvery = 2)
+    val withText = wavs.union(Seq((9L, "not audio at all".getBytes("UTF-8"))).toDF("id", "content"))
+    val fps = Multimodal.withAudioFingerprint(withText, "id", "content")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(fps(0L) == fps(1L) && fps(0L).nonEmpty, "same group must fingerprint identically")
+    assert(fps(0L) != fps(2L), "different groups must fingerprint differently")
+    assert(fps(9L).isEmpty, "non-WAV must not fingerprint")
+    val pairs = Multimodal.audioNearDupPairs(withText, "id", "content", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (2L, 3L)), s"got $pairs")
+    val kept = Multimodal.audioDedup(withText, "id", "content", maxHamming = 0)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 9L), s"got $kept")
+  }
+
   test("resizeImages really rescales image payloads; text passes through") {
     val img = new java.awt.image.BufferedImage(40, 30, java.awt.image.BufferedImage.TYPE_INT_RGB)
     (0 until 40).foreach(x => (0 until 30).foreach(y => img.setRGB(x, y, (x * 7 + y) & 0xffffff)))
