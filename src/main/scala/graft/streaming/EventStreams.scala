@@ -134,6 +134,65 @@ object EventStreams {
           col(rightTs) < col(leftTs) + expr(s"INTERVAL $within"))
   }
 
+  /** Maintain a parquet SNAPSHOT from an unbounded changeset stream:
+    * each micro-batch folds into the on-disk state via
+    * [[graft.operators.Merge.applyChangeset]] (latest-wins by
+    * (version, source), tombstones consumed) and the result replaces the
+    * snapshot through a staged write + atomic-ish swap.
+    *
+    * Exactly-once effect without a transactional table format: the
+    * merge itself is IDEMPOTENT (MergeSpec/MergeFuzzSpec pin it), so a
+    * batch re-delivered after a crash re-applies harmlessly — the
+    * at-least-once contract of foreachBatch composes with an idempotent
+    * apply into exactly-once state. The swap preserves the old snapshot
+    * until the new one is fully committed (same point-of-no-return
+    * discipline as the writers in [[graft.sources.Writers]]).
+    *
+    * Scale: each batch costs one key-shuffle over (snapshot + batch) —
+    * the same floor as any snapshot-maintenance job; at 100 TB the
+    * snapshot side would come from a bucketed/sorted layout so the
+    * shuffle is one-sided. Returns the started query. */
+  def upsertSink(changes: DataFrame, snapshotPath: String,
+      keyCols: Seq[String], versionCol: String,
+      deleteCol: String = "is_deleted",
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(snapshotPath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val exists = fs.exists(new org.apache.hadoop.fs.Path(snapshotPath))
+        val next =
+          if (!exists)
+            graft.operators.Merge.applyChangeset(
+              // empty snapshot with the batch's schema minus the tombstone
+              batch.sparkSession.createDataFrame(
+                new java.util.ArrayList[org.apache.spark.sql.Row](),
+                org.apache.spark.sql.types.StructType(
+                  batch.schema.filterNot(_.name == deleteCol))),
+              batch.toDF(), keyCols, versionCol, deleteCol)
+          else
+            graft.operators.Merge.applyChangeset(
+              spark.read.parquet(snapshotPath), batch.toDF(),
+              keyCols, versionCol, deleteCol)
+        // stage-and-swap: the snapshot being replaced is also an INPUT of
+        // this plan, so writing in place would read-while-overwrite;
+        // materialize to a staging dir first, then swap directories
+        val staging = new org.apache.hadoop.fs.Path(
+          snapshotPath + ".__graft-upsert-staging__")
+        next.write.mode("overwrite").parquet(staging.toString)
+        val target = new org.apache.hadoop.fs.Path(snapshotPath)
+        if (fs.exists(target) && !fs.delete(target, true))
+          throw new java.io.IOException(s"upsertSink: cannot replace $target")
+        if (!fs.rename(staging, target))
+          throw new java.io.IOException(
+            s"upsertSink: swap failed — new snapshot preserved at $staging")
+        ()
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * totals emitted on every update (the escape hatch for semantics
     * session_window/window can't express).

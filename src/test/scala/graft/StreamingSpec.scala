@@ -91,6 +91,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("disjoint"))
   }
 
+  test("upsertSink maintains a parquet snapshot across micro-batches; re-applied batch is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val snap = java.nio.file.Files.createTempDirectory("graft_upsert_").toString + "/state"
+    val input = MemoryStream[(Long, String, Double, Long, Boolean)]
+    val q = EventStreams.upsertSink(
+      input.toDF().toDF("k", "name", "price", "v", "is_deleted"),
+      snap, Seq("k"), "v")
+    // batch 1: two inserts
+    input.addData((1L, "a", 10.0, 1L, false), (2L, "b", 20.0, 1L, false))
+    q.processAllAvailable()
+    assert(spark.read.parquet(snap).count() == 2)
+    // batch 2: update 1, delete 2, insert 3
+    val batch2 = Seq((1L, "a2", 11.0, 2L, false), (2L, "b", 20.0, 2L, true),
+      (3L, "c", 30.0, 2L, false))
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    val state = spark.read.parquet(snap)
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(state == Set((1L, "a2", 11.0, 2L), (3L, "c", 30.0, 2L)), s"got $state")
+    // re-delivery of batch 2 (at-least-once replay) must not change state
+    input.addData(batch2: _*)
+    q.processAllAvailable(); q.stop()
+    val replayed = spark.read.parquet(snap)
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(replayed == state, "idempotent merge must absorb the replay")
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
