@@ -195,18 +195,39 @@ object Multimodal {
       }
 
     def decode(content: Array[Byte]): Option[MediaMeta] =
-      sniffFormat(content).filter(rasterBounded(content, _)).flatMap { fmt =>
-        try {
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-          if (img == null) None
-          else Some(MediaMeta(
-            width = img.getWidth.toLong,
-            height = img.getHeight.toLong,
-            channels = img.getColorModel.getNumComponents.toLong,
-            nBytes = content.length.toLong,
-            format = fmt))
-        } catch { case scala.util.control.NonFatal(_) => None }
+      safeDecode(content).map { case (fmt, img) =>
+        MediaMeta(
+          width = img.getWidth.toLong,
+          height = img.getHeight.toLong,
+          channels = img.getColorModel.getNumComponents.toLong,
+          nBytes = content.length.toLong,
+          format = fmt)
       }
+
+    /** The guarded decode shared by [[decode]], [[resize]] and [[aHash]]:
+      * sniff the magic, refuse unbounded declared rasters, hand to
+      * ImageIO, reject null results, swallow decode errors. The
+      * decode-bomb guard chain lives HERE ONCE — a hardening fix applies
+      * to every image operator or to none. */
+    private def safeDecode(content: Array[Byte]): Option[(String, java.awt.image.BufferedImage)] =
+      sniffFormat(content).filter(rasterBounded(content, _)).flatMap { fmt =>
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(content))).map(fmt -> _)
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+
+    /** Bilinear rescale into a fresh image of the given type. */
+    private def scaleInto(src: java.awt.image.BufferedImage,
+        w: Int, h: Int, imageType: Int): java.awt.image.BufferedImage = {
+      val dst = new java.awt.image.BufferedImage(w, h, imageType)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+      } finally g.dispose()
+      dst
+    }
 
     /** 64-bit average-hash (aHash) perceptual fingerprint: decode (same
       * sniff + raster-bound guards as [[decode]]), downscale to 8×8
@@ -216,53 +237,27 @@ object Multimodal {
       * within a few Hamming bits; unrelated pictures differ in ~32.
       * None when the payload isn't a decodable image. */
     def aHash(content: Array[Byte]): Option[Long] =
-      sniffFormat(content).filter(rasterBounded(content, _)).flatMap { _ =>
-        try {
-          val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-          if (src == null) None
-          else {
-            val small = new java.awt.image.BufferedImage(
-              8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-            val g = small.createGraphics()
-            try {
-              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-              g.drawImage(src, 0, 0, 8, 8, null)
-            } finally g.dispose()
-            val px = new Array[Int](64)
-            var i = 0
-            while (i < 64) { px(i) = small.getRaster.getSample(i % 8, i / 8, 0); i += 1 }
-            val mean = px.sum / 64.0
-            var h = 0L
-            i = 0
-            while (i < 64) { if (px(i) > mean) h |= (1L << i); i += 1 }
-            Some(h)
-          }
-        } catch { case scala.util.control.NonFatal(_) => None }
+      safeDecode(content).map { case (_, src) =>
+        val small = scaleInto(src, 8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val px = new Array[Int](64)
+        var i = 0
+        while (i < 64) { px(i) = small.getRaster.getSample(i % 8, i / 8, 0); i += 1 }
+        val mean = px.sum / 64.0
+        var h = 0L
+        i = 0
+        while (i < 64) { if (px(i) > mean) h |= (1L << i); i += 1 }
+        h
       }
 
     /** Real resize: decode, scale with bilinear interpolation, re-encode
       * as PNG (lossless + deterministic — JPEG re-encoding bytes vary by
       * encoder build). None when the payload isn't a decodable image. */
     def resize(content: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
-      sniffFormat(content).filter(rasterBounded(content, _)).flatMap { _ =>
-        try {
-          val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-          if (src == null) None
-          else {
-            val dst = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = dst.createGraphics()
-            try {
-              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-              g.drawImage(src, 0, 0, w, h, null)
-            } finally g.dispose()
-            val bos = new java.io.ByteArrayOutputStream()
-            if (javax.imageio.ImageIO.write(dst, "png", bos)) Some(bos.toByteArray)
-            else None
-          }
-        } catch { case scala.util.control.NonFatal(_) => None }
+      safeDecode(content).flatMap { case (_, src) =>
+        val dst = scaleInto(src, w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val bos = new java.io.ByteArrayOutputStream()
+        if (javax.imageio.ImageIO.write(dst, "png", bos)) Some(bos.toByteArray)
+        else None
       }
   }
 
@@ -419,7 +414,14 @@ object Multimodal {
       * junk bytes must fall through to the stub path, and a hostile
       * header cannot declare absurd rates/widths (nothing here
       * allocates, but derived durations feed downstream windowing). */
-    def parse(c: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    def parse(c: Array[Byte]): Option[(Long, Long, Long, Long)] =
+      parseFull(c).map { case (rate, ch, bits, dataLen, _) => (rate, ch, bits, dataLen) }
+
+    /** [[parse]] plus the byte OFFSET of the (first) data chunk's
+      * payload — the single source of truth for where samples live, so
+      * consumers never re-walk the chunks (a second walk could disagree
+      * with this one on multi-data-chunk files). */
+    private[operators] def parseFull(c: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
       if (c == null || c.length < 44) return None
       if (tag(c, 0) != "RIFF" || tag(c, 8) != "WAVE") return None
       // LONG cursor + unsigned-Long sizes end-to-end: a hostile size
@@ -433,6 +435,7 @@ object Multimodal {
       var i = 12L
       var fmt: Option[(Long, Long, Long)] = None
       var dataLen: Option[Long] = None
+      var dataOff = 0L
       while (i + 8 <= c.length && (fmt.isEmpty || dataLen.isEmpty)) {
         val at = i.toInt // safe: i + 8 <= length <= Int.MaxValue here
         val id = tag(c, at)
@@ -450,15 +453,17 @@ object Multimodal {
             rate >= 1000 && rate <= 1000000 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)
           if (!sane) return None
           fmt = Some((rate, channels, bits))
-        } else if (id == "data") {
-          // declared size may exceed the actual payload on a truncated
-          // file — clamp to what is really present
+        } else if (id == "data" && dataLen.isEmpty) {
+          // FIRST data chunk wins (RIFF allows several; readers play the
+          // first) — and declared size may exceed the actual payload on a
+          // truncated file, so clamp to what is really present
           dataLen = Some(math.min(size, c.length - i - 8))
+          dataOff = i + 8
         }
         i += 8L + size + (size & 1L) // chunks are even-padded
       }
       for ((rate, ch, bits) <- fmt; d <- dataLen)
-        yield (rate, ch, bits, d)
+        yield (rate, ch, bits, d, dataOff)
     }
 
     /** 64-bit energy-profile fingerprint of a PCM WAV (the audio analog
@@ -471,19 +476,11 @@ object Multimodal {
       * first byte group per frame is read (channel 0 for multichannel).
       * None for non-WAV payloads or empty data. */
     def energyFingerprint(c: Array[Byte]): Option[Long] =
-      parse(c).flatMap { case (_, ch, bits, dataLen) =>
-        // recover the data offset (parse validated the walk already)
-        var i = 12L
-        var off = -1L
-        while (off < 0 && i + 8 <= c.length) {
-          val at = i.toInt
-          val size = u32le(c, at + 4)
-          if (tag(c, at) == "data") off = i + 8
-          else i += 8L + size + (size & 1L)
-        }
-        val frame = (ch * bits / 8).toInt
+      parseFull(c).flatMap { case (_, ch, bits, dataLen, dataOff) =>
+        val bytesPer = (bits / 8).toInt
+        val frame = ch.toInt * bytesPer
         val n = if (frame > 0) (dataLen / frame).toInt else 0
-        if (off < 0 || n < 64) None
+        if (n < 64) None
         else {
           val energies = new Array[Double](64)
           var w = 0
@@ -493,11 +490,17 @@ object Multimodal {
             var s = 0.0
             var j = from
             while (j < until) {
-              val base = off.toInt + j * frame
-              val amp = bits match {
-                case 8L => math.abs((c(base) & 0xff) - 128)
-                case _ => math.abs(((c(base) & 0xff) | (c(base + 1) << 8)).toShort.toInt)
-              }
+              val base = dataOff.toInt + j * frame // channel 0 of the frame
+              // amplitude lives in the HIGH bytes of a little-endian PCM
+              // sample: for 16/24/32-bit read the top two bytes as s16
+              // (the low bytes are fine detail — fingerprinting them
+              // would hash noise, not loudness); 8-bit is unsigned
+              val amp =
+                if (bytesPer == 1) math.abs((c(base) & 0xff) - 128)
+                else {
+                  val hi = base + bytesPer - 2
+                  math.abs(((c(hi) & 0xff) | (c(hi + 1) << 8)).toShort.toInt)
+                }
               s += amp
               j += 1
             }

@@ -160,9 +160,28 @@ object EventStreams {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(snapshotPath)
-          .getFileSystem(spark.sessionState.newHadoopConf())
-        val exists = fs.exists(new org.apache.hadoop.fs.Path(snapshotPath))
+        val target = new org.apache.hadoop.fs.Path(snapshotPath)
+        val staging = new org.apache.hadoop.fs.Path(
+          snapshotPath + ".__graft-upsert-staging__")
+        val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+        // CRASH RECOVERY before reading state: the swap below is
+        // delete-then-rename, so a crash between the two leaves the only
+        // full state in staging and no target — an unrecovered restart
+        // would read "no snapshot" and silently rebuild from one batch.
+        // staging-present + target-missing → finish the interrupted swap;
+        // staging-present + target-present → the crash happened BEFORE
+        // the delete, staging is an incomplete-or-stale write: discard it.
+        if (fs.exists(staging)) {
+          if (!fs.exists(target)) {
+            if (!fs.rename(staging, target))
+              throw new java.io.IOException(
+                s"upsertSink: crash recovery failed — state preserved at $staging")
+          } else {
+            fs.delete(staging, true)
+            ()
+          }
+        }
+        val exists = fs.exists(target)
         val next =
           if (!exists)
             graft.operators.Merge.applyChangeset(
@@ -178,11 +197,10 @@ object EventStreams {
               keyCols, versionCol, deleteCol)
         // stage-and-swap: the snapshot being replaced is also an INPUT of
         // this plan, so writing in place would read-while-overwrite;
-        // materialize to a staging dir first, then swap directories
-        val staging = new org.apache.hadoop.fs.Path(
-          snapshotPath + ".__graft-upsert-staging__")
+        // materialize to a staging dir first, then swap directories. A
+        // crash inside the swap window is healed by the recovery above +
+        // the source's batch replay (idempotent merge).
         next.write.mode("overwrite").parquet(staging.toString)
-        val target = new org.apache.hadoop.fs.Path(snapshotPath)
         if (fs.exists(target) && !fs.delete(target, true))
           throw new java.io.IOException(s"upsertSink: cannot replace $target")
         if (!fs.rename(staging, target))

@@ -440,6 +440,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Set(0L, 2L, 9L), s"got $kept")
   }
 
+  test("energy fingerprint reads amplitude from the HIGH bytes of 16-bit PCM") {
+    def wav16(loudFirstHalf: Boolean): Array[Byte] = {
+      val n = 6400
+      val data = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        val inLoudHalf = (i < n / 2) == loudFirstHalf
+        // amplitude in the HIGH byte; LOW byte carries noise that a
+        // low-byte reader would mistake for signal
+        val s = (if (inLoudHalf) 24000 else 200) * (if (i % 2 == 0) 1 else -1) + (i % 127)
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      Multimodal.wavBytes(channels = 1, rate = 8000, bits = 16, data)
+    }
+    val f1 = Multimodal.WavDecode.energyFingerprint(wav16(loudFirstHalf = true)).get
+    val f2 = Multimodal.WavDecode.energyFingerprint(wav16(loudFirstHalf = false)).get
+    // loud-first: low 32 windows loud → low 32 bits set; loud-last mirrors
+    assert(f1 == 0x00000000ffffffffL, f"f1 = $f1%016x")
+    assert(f2 == 0xffffffff00000000L, f"f2 = $f2%016x")
+  }
+
   test("resizeImages really rescales image payloads; text passes through") {
     val img = new java.awt.image.BufferedImage(40, 30, java.awt.image.BufferedImage.TYPE_INT_RGB)
     (0 until 40).foreach(x => (0 until 30).foreach(y => img.setRGB(x, y, (x * 7 + y) & 0xffffff)))
