@@ -303,36 +303,45 @@ object Multimodal {
 
   final case class AHashRow(id: Long, ahash: Option[Long])
 
-  /** Perceptual fingerprints for an image binary column: (id, ahash) via
-    * [[ImageDecode.aHash]]; non-decodable payloads → null hash. Narrow
-    * map stage — the decode cost IS the operator. */
-  def withImageAHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+  /** Shared plumbing of every binary-column fingerprint: one narrow map
+    * applying `fp` per payload (the decode cost IS the operator);
+    * un-fingerprintable payloads → null. `fp` must be a serializable
+    * pure function ([[ImageDecode.aHash]], [[WavDecode.energyFingerprint]]). */
+  private def fingerprintFrame(df: DataFrame, idCol: String, binCol: String,
+      outCol: String, fp: Array[Byte] => Option[Long]): DataFrame = {
     val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
       .as(Encoders.product[MediaRow])
-    ds.mapPartitions { it =>
-      it.map { r =>
-        val bytes = if (r.content == null) Array.emptyByteArray else r.content
-        AHashRow(r.id, ImageDecode.aHash(bytes))
-      }
-    }(Encoders.product[AHashRow]).toDF()
+    ds.map { r =>
+      val bytes = if (r.content == null) Array.emptyByteArray else r.content
+      AHashRow(r.id, fp(bytes))
+    }(Encoders.product[AHashRow]).toDF("id", outCol)
   }
 
-  /** Image near-duplicate pairs: aHash fingerprints fed through the
-    * SAME banded Hamming machinery as text SimHash dedup
-    * ([[Dedup.simhashPairsFromSigs]] — pigeonhole chunk buckets, never
-    * all-pairs), because a 64-bit perceptual hash and a 64-bit text
-    * simhash have identical pairing geometry. This is the multimodal
-    * member of the dedup family: re-encoded/resized/lightly-edited
-    * copies of one picture collapse; undecodable payloads never pair.
-    * `maxHamming` ≤ chunks−agreeChunks (defaults ride the corpus-sized
-    * Auto banding; pass chunks/agreeChunks for a wider radius). */
+  /** 64-bit fingerprints through the SAME banded Hamming machinery as
+    * text SimHash dedup ([[Dedup.simhashPairsFromSigs]] — pigeonhole
+    * chunk buckets, never all-pairs): a perceptual hash and a text
+    * simhash have identical pairing geometry, so image, audio, and text
+    * near-dup detection share one candidate engine. */
+  private def fingerprintNearDupPairs(fps: DataFrame, fpCol: String,
+      maxHamming: Int, chunks: Int, agreeChunks: Int): DataFrame =
+    Dedup.simhashPairsFromSigs(
+      fps.filter(col(fpCol).isNotNull).select(col("id"), col(fpCol).as("sh")),
+      maxHamming, chunks, agreeChunks)
+
+  /** Perceptual fingerprints for an image binary column: (id, ahash) via
+    * [[ImageDecode.aHash]]; non-decodable payloads → null hash. */
+  def withImageAHash(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    fingerprintFrame(df, idCol, binCol, "ahash", ImageDecode.aHash)
+
+  /** Image near-duplicate pairs — the image member of the multimodal
+    * dedup family: re-encoded/resized/lightly-edited copies of one
+    * picture collapse; undecodable payloads never pair. `maxHamming` ≤
+    * chunks−agreeChunks (defaults ride the corpus-sized Auto banding;
+    * pass chunks/agreeChunks for a wider radius). */
   def imageNearDupPairs(df: DataFrame, idCol: String, binCol: String,
       maxHamming: Int = 3, chunks: Int = Dedup.Auto,
       agreeChunks: Int = Dedup.Auto): DataFrame =
-    Dedup.simhashPairsFromSigs(
-      withImageAHash(df, idCol, binCol)
-        .filter(col("ahash").isNotNull)
-        .select(col("id"), col("ahash").as("sh")),
+    fingerprintNearDupPairs(withImageAHash(df, idCol, binCol), "ahash",
       maxHamming, chunks, agreeChunks)
 
   /** Corpus with near-duplicate images removed (deterministic min-id
@@ -518,15 +527,8 @@ object Multimodal {
 
   /** Audio fingerprints for a binary column: (id, afp) via
     * [[WavDecode.energyFingerprint]]; non-WAV payloads → null. */
-  def withAudioFingerprint(df: DataFrame, idCol: String, binCol: String): DataFrame = {
-    val ds = df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
-      .as(Encoders.product[MediaRow])
-    ds.map { r =>
-      val bytes = if (r.content == null) Array.emptyByteArray else r.content
-      AHashRow(r.id, WavDecode.energyFingerprint(bytes))
-    }(Encoders.product[AHashRow])
-      .toDF("id", "afp")
-  }
+  def withAudioFingerprint(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    fingerprintFrame(df, idCol, binCol, "afp", WavDecode.energyFingerprint)
 
   /** Audio near-duplicate pairs — the audio member of the multimodal
     * dedup family, sharing the banded-Hamming machinery with text
@@ -534,10 +536,7 @@ object Multimodal {
   def audioNearDupPairs(df: DataFrame, idCol: String, binCol: String,
       maxHamming: Int = 3, chunks: Int = Dedup.Auto,
       agreeChunks: Int = Dedup.Auto): DataFrame =
-    Dedup.simhashPairsFromSigs(
-      withAudioFingerprint(df, idCol, binCol)
-        .filter(col("afp").isNotNull)
-        .select(col("id"), col("afp").as("sh")),
+    fingerprintNearDupPairs(withAudioFingerprint(df, idCol, binCol), "afp",
       maxHamming, chunks, agreeChunks)
 
   /** Corpus with near-duplicate audio removed (min-id representative). */

@@ -168,14 +168,8 @@ object Pq {
       rerankFactor: Int = 8, excludeSelf: Boolean = true): DataFrame = {
     val model = loadPqModel(spark, path)
     val enc = spark.read.parquet(s"$path/codes")
-    val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("qv"),
-        norm(col(qvecCol)).as("nq"))
-      .withColumn("lut", pqLut(col("qv"), model.codebooks))
-      .filter(col("lut").isNotNull)
-    val scored = enc.crossJoin(broadcast(q))
-      .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
-      .withColumn("acos",
-        pqAdcDot(col("code"), col("lut"), model.k) / (col("vnorm") * col("nq")))
+    val q = lutQueries(queries, qidCol, qvecCol, model)
+    val scored = adcScored(enc.crossJoin(broadcast(q)), model, excludeSelf)
     rerankWith match {
       case None =>
         Similarity.topKPerKey(
@@ -210,6 +204,33 @@ object Pq {
         (dot(col("v"), col("qv")) / (col("vnorm") * col("nq"))).as("cosine")),
       Seq("query_id"), col("cosine").desc, k)
 
+  /** Query-side preparation shared by every PQ query path: normalize,
+    * build the per-query ADC table, drop un-tableable (null/NaN) query
+    * vectors. */
+  private def lutQueries(queries: DataFrame, qidCol: String, qvecCol: String,
+      model: PqModel): DataFrame =
+    queries.select(col(qidCol).as("query_id"), col(qvecCol).as("qv"),
+        norm(col(qvecCol)).as("nq"))
+      .withColumn("lut", pqLut(col("qv"), model.codebooks))
+      .filter(col("lut").isNotNull)
+
+  /** ADC scoring shared by every PQ query path: drop self-pairs, score
+    * each (corpus row, query) with m table lookups over the joined
+    * codes+lut frame. */
+  private def adcScored(joined: DataFrame, model: PqModel,
+      excludeSelf: Boolean): DataFrame =
+    joined
+      .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+      .withColumn("acos",
+        pqAdcDot(col("code"), col("lut"), model.k) / (col("vnorm") * col("nq")))
+
+  /** Top-n ADC candidates carrying everything [[rerankExact]] needs. */
+  private def adcCandidates(scored: DataFrame, n: Int): DataFrame =
+    Similarity.topKPerKey(
+      scored.select(col("query_id"), col("id"), col("acos").as("cosine"),
+        col("v"), col("vnorm"), col("qv"), col("nq")),
+      Seq("query_id"), col("cosine").desc, n)
+
   /** FAISS-style IVF-PQ: coarse centroids cut the SCANNED FRACTION
     * (each query touches only its `nprobe` nearest cells), PQ codes cut
     * the BYTES PER SCANNED VECTOR (ADC lookups instead of raw dots), and
@@ -230,19 +251,10 @@ object Pq {
     val enc = encode(corpus, idCol, vecCol, model, keepVec = true)
       .withColumn("cell", element_at(nearestCentroids(col("v"), cents, 1), 1))
       .filter(col("cell").isNotNull)
-    val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("qv"),
-        norm(col(qvecCol)).as("nq"))
-      .withColumn("lut", pqLut(col("qv"), model.codebooks))
-      .filter(col("lut").isNotNull)
+    val q = lutQueries(queries, qidCol, qvecCol, model)
       .withColumn("cell", explode(nearestCentroids(col("qv"), cents, nprobe)))
-    val scored = enc.join(broadcast(q), Seq("cell"))
-      .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
-      .withColumn("acos",
-        pqAdcDot(col("code"), col("lut"), model.k) / (col("vnorm") * col("nq")))
-    rerankExact(Similarity.topKPerKey(
-      scored.select(col("query_id"), col("id"), col("acos").as("cosine"),
-        col("v"), col("vnorm"), col("qv"), col("nq")),
-      Seq("query_id"), col("cosine").desc, k * rerankFactor), k)
+    val scored = adcScored(enc.join(broadcast(q), Seq("cell")), model, excludeSelf)
+    rerankExact(adcCandidates(scored, k * rerankFactor), k)
   }
 
   /** ADC top-k: approximate cosine = adc_dot / (vnorm · qnorm) per
@@ -257,23 +269,14 @@ object Pq {
     require(k >= 1 && rerankFactor >= 1,
       s"need k >= 1, rerankFactor >= 1 (got k=$k rerankFactor=$rerankFactor)")
     val enc = encode(corpus, idCol, vecCol, model, keepVec = rerankFactor > 1)
-    val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("qv"),
-        norm(col(qvecCol)).as("nq"))
-      .withColumn("lut", pqLut(col("qv"), model.codebooks))
-      .filter(col("lut").isNotNull)
-    val scored = enc.crossJoin(broadcast(q))
-      .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
-      .withColumn("acos",
-        pqAdcDot(col("code"), col("lut"), model.k) / (col("vnorm") * col("nq")))
+    val q = lutQueries(queries, qidCol, qvecCol, model)
+    val scored = adcScored(enc.crossJoin(broadcast(q)), model, excludeSelf)
     if (rerankFactor == 1) {
       Similarity.topKPerKey(
         scored.select(col("query_id"), col("id"), col("acos").as("cosine")),
         Seq("query_id"), col("cosine").desc, k)
     } else {
-      rerankExact(Similarity.topKPerKey(
-        scored.select(col("query_id"), col("id"), col("acos").as("cosine"),
-          col("v"), col("vnorm"), col("qv"), col("nq")),
-        Seq("query_id"), col("cosine").desc, k * rerankFactor), k)
+      rerankExact(adcCandidates(scored, k * rerankFactor), k)
     }
   }
 }
