@@ -237,27 +237,36 @@ object Multimodal {
       * within a few Hamming bits; unrelated pictures differ in ~32.
       * None when the payload isn't a decodable image. */
     def aHash(content: Array[Byte]): Option[Long] =
-      safeDecode(content).map { case (_, src) =>
-        val small = scaleInto(src, 8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val px = new Array[Int](64)
-        var i = 0
-        while (i < 64) { px(i) = small.getRaster.getSample(i % 8, i / 8, 0); i += 1 }
-        val mean = px.sum / 64.0
-        var h = 0L
-        i = 0
-        while (i < 64) { if (px(i) > mean) h |= (1L << i); i += 1 }
-        h
+      safeDecode(content).flatMap { case (_, src) =>
+        // post-decode work stays guarded too: an exotic decoded image can
+        // still throw from the AWT scale path, and the operator contract
+        // is "undecodable/unprocessable → None", never a task abort
+        try {
+          val small = scaleInto(src, 8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val px = new Array[Int](64)
+          var i = 0
+          while (i < 64) { px(i) = small.getRaster.getSample(i % 8, i / 8, 0); i += 1 }
+          val mean = px.sum / 64.0
+          var h = 0L
+          i = 0
+          while (i < 64) { if (px(i) > mean) h |= (1L << i); i += 1 }
+          Some(h)
+        } catch { case scala.util.control.NonFatal(_) => None }
       }
 
     /** Real resize: decode, scale with bilinear interpolation, re-encode
       * as PNG (lossless + deterministic — JPEG re-encoding bytes vary by
-      * encoder build). None when the payload isn't a decodable image. */
+      * encoder build). None when the payload isn't a decodable image OR
+      * the requested dims are unusable (w/h <= 0 — BufferedImage would
+      * throw, and the contract is fall-through, not task abort). */
     def resize(content: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
       safeDecode(content).flatMap { case (_, src) =>
-        val dst = scaleInto(src, w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val bos = new java.io.ByteArrayOutputStream()
-        if (javax.imageio.ImageIO.write(dst, "png", bos)) Some(bos.toByteArray)
-        else None
+        try {
+          val dst = scaleInto(src, w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val bos = new java.io.ByteArrayOutputStream()
+          if (javax.imageio.ImageIO.write(dst, "png", bos)) Some(bos.toByteArray)
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
       }
   }
 

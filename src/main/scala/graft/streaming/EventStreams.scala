@@ -163,24 +163,43 @@ object EventStreams {
         val target = new org.apache.hadoop.fs.Path(snapshotPath)
         val staging = new org.apache.hadoop.fs.Path(
           snapshotPath + ".__graft-upsert-staging__")
+        val retired = new org.apache.hadoop.fs.Path(
+          snapshotPath + ".__graft-upsert-old__")
         val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-        // CRASH RECOVERY before reading state: the swap below is
-        // delete-then-rename, so a crash between the two leaves the only
-        // full state in staging and no target — an unrecovered restart
-        // would read "no snapshot" and silently rebuild from one batch.
-        // staging-present + target-missing → finish the interrupted swap;
-        // staging-present + target-present → the crash happened BEFORE
-        // the delete, staging is an incomplete-or-stale write: discard it.
-        if (fs.exists(staging)) {
-          if (!fs.exists(target)) {
-            if (!fs.rename(staging, target))
-              throw new java.io.IOException(
-                s"upsertSink: crash recovery failed — state preserved at $staging")
-          } else {
-            fs.delete(staging, true)
+        // a parquet job commit writes _SUCCESS — the marker that separates
+        // a COMPLETE staging from one whose write was killed midway
+        def committed(p: org.apache.hadoop.fs.Path): Boolean =
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+        def mv(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+          if (!fs.rename(from, to))
+            throw new java.io.IOException(s"upsertSink: rename $from -> $to failed")
+        // CRASH RECOVERY before reading state. The swap below is
+        // rename(target→retired) + rename(staging→target) + delete
+        // retired — at every instant a COMPLETE copy exists under some
+        // name, and recovery only ever deletes a directory when a
+        // complete copy survives elsewhere:
+        //   retired + target        → crash after the second rename:
+        //                             target is complete; drop retired.
+        //   retired + committed staging → crash between the renames:
+        //                             finish the swap.
+        //   retired alone           → staging write itself died after the
+        //                             first rename (cannot happen in this
+        //                             ordering, but restore anyway).
+        //   staging w/o _SUCCESS    → torn write; discard (target or the
+        //                             empty-start path is authoritative).
+        //   committed staging alone → crash after write, before swap;
+        //                             discard — the source replays the
+        //                             batch and the merge is idempotent.
+        if (fs.exists(retired)) {
+          if (fs.exists(target)) { fs.delete(retired, true); () }
+          else if (fs.exists(staging) && committed(staging)) {
+            mv(staging, target)
+            fs.delete(retired, true)
             ()
-          }
+          } else mv(retired, target)
         }
+        if (fs.exists(staging)) { fs.delete(staging, true); () }
+
         val exists = fs.exists(target)
         val next =
           if (!exists)
@@ -197,16 +216,14 @@ object EventStreams {
               keyCols, versionCol, deleteCol)
         // stage-and-swap: the snapshot being replaced is also an INPUT of
         // this plan, so writing in place would read-while-overwrite;
-        // materialize to a staging dir first, then swap directories. A
-        // crash inside the swap window is healed by the recovery above +
-        // the source's batch replay (idempotent merge).
+        // materialize to staging, then swap via RENAMES ONLY (a recursive
+        // delete of the live target could be half-done at a crash, and
+        // no recovery can distinguish a mutilated directory from a
+        // complete one — renames are atomic per directory).
         next.write.mode("overwrite").parquet(staging.toString)
-        if (fs.exists(target) && !fs.delete(target, true))
-          throw new java.io.IOException(s"upsertSink: cannot replace $target")
-        if (!fs.rename(staging, target))
-          throw new java.io.IOException(
-            s"upsertSink: swap failed — new snapshot preserved at $staging")
-        ()
+        if (fs.exists(target)) mv(target, retired)
+        mv(staging, target)
+        if (fs.exists(retired)) { fs.delete(retired, true); () }
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }

@@ -119,6 +119,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed == state, "idempotent merge must absorb the replay")
   }
 
+  test("upsertSink crash recovery: completed staging is promoted, torn staging is discarded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // scenario: crash BETWEEN the two swap renames — retired dir exists,
+    // target missing, staging fully committed (_SUCCESS). Recovery must
+    // promote staging, not rebuild from one batch.
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert_rec_").toString
+    val snap = s"$base/state"
+    Seq((1L, "pre", 1.0, 0L)).toDF("k", "name", "price", "v")
+      .write.parquet(snap + ".__graft-upsert-staging__")
+    new java.io.File(snap + ".__graft-upsert-old__").mkdirs()
+    val input = MemoryStream[(Long, String, Double, Long, Boolean)]
+    val q = EventStreams.upsertSink(
+      input.toDF().toDF("k", "name", "price", "v", "is_deleted"),
+      snap, Seq("k"), "v")
+    input.addData((2L, "b", 2.0, 1L, false))
+    q.processAllAvailable(); q.stop()
+    val state = spark.read.parquet(snap).as[(Long, String, Double, Long)].collect().toSet
+    assert(state == Set((1L, "pre", 1.0, 0L), (2L, "b", 2.0, 1L)),
+      s"recovered staging rows must survive into the merged state, got $state")
+    assert(!new java.io.File(snap + ".__graft-upsert-old__").exists())
+
+    // scenario: torn staging (no _SUCCESS), no target — must be
+    // discarded, not promoted as authoritative state
+    val snap2 = s"$base/state2"
+    val torn = new java.io.File(snap2 + ".__graft-upsert-staging__")
+    torn.mkdirs()
+    java.nio.file.Files.write(new java.io.File(torn, "part-00000.parquet").toPath,
+      Array[Byte](1, 2, 3)) // truncated garbage, and no _SUCCESS marker
+    val input2 = MemoryStream[(Long, String, Double, Long, Boolean)]
+    val q2 = EventStreams.upsertSink(
+      input2.toDF().toDF("k", "name", "price", "v", "is_deleted"),
+      snap2, Seq("k"), "v")
+    input2.addData((7L, "x", 7.0, 1L, false))
+    q2.processAllAvailable(); q2.stop()
+    val state2 = spark.read.parquet(snap2).as[(Long, String, Double, Long)].collect().toSet
+    assert(state2 == Set((7L, "x", 7.0, 1L)), s"torn staging must not poison state, got $state2")
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
