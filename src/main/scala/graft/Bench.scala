@@ -105,8 +105,14 @@ object Bench {
     // median pass — surface it here so an intermittent in-query gate
     // failure (e.g. a flaky recall require) is recorded in the BENCH_r*
     // JSON, not just a stderr line. Format: name → failed runs.
-    val flaky = results.collect { case (k, _, true, nf) if nf > 0 =>
-      "\"" + k + "\":" + nf }.take(FailedCap).mkString("{", ",", "}")
+    val flakyEntries = results.collect { case (k, _, true, nf) if nf > 0 =>
+      "\"" + k + "\":" + nf }
+    val flaky = flakyEntries.take(FailedCap).mkString("{", ",", "}")
+    // mirror failed_total: when the flaky map is truncated, the true
+    // count must survive in the canonical stdout record
+    val flakyTotal =
+      if (flakyEntries.length > FailedCap) s""","flaky_total":${flakyEntries.length}"""
+      else ""
     val total = results.collect { case (_, v, true, _) => v }.sum
 
     // Locale.ROOT: an f"%.3f" interpolation follows the JVM default
@@ -117,7 +123,7 @@ object Bench {
     def line(entries: Seq[(String, Double)], extra: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed$failedTotal,"flaky":$flaky$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed$failedTotal,"flaky":$flaky$flakyTotal$extra,"sf":"$sfDir"}"""
     }
 
     val all = results.map { case (k, v, _, _) => (k, v) }

@@ -34,6 +34,27 @@ case class ZOrderValue(children: Seq[Expression], bits: Int)
   override def nullable: Boolean = true
   override def foldable: Boolean = children.forall(_.foldable)
 
+  // plan-time rejection of non-integral layout columns — without this a
+  // string/date/decimal column passes analysis and fails per-row at
+  // execution, after the write job has already shuffled data
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val bad = children.zipWithIndex.collectFirst {
+      case (c, i) if !integral(c.dataType) => (c.dataType, i)
+    }
+    bad match {
+      case Some((dt, i)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"z_value requires integral columns; argument ${i + 1} is ${dt.simpleString} " +
+            "(bucket/rank non-integer columns before interleaving)")
+      case None =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
   override def eval(input: InternalRow): Any = {
     val n = children.size
     val vals = new Array[Long](n)

@@ -109,6 +109,8 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
   * lookups via [[PqAdcDot]]. */
 case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
     extends UnaryExpression with CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "PqLut needs non-empty codebooks")
   private val m = codebooks.length
   private val k = codebooks(0).length
   private val subDim = codebooks(0)(0).length

@@ -180,13 +180,16 @@ object Pq {
           scored.select(col("query_id"), col("id"), col("acos").as("cosine"),
             col("vnorm"), col("qv"), col("nq")),
           Seq("query_id"), col("cosine").desc, k * rerankFactor)
-        val withVec = cand.join(
-          vecs.select(col(vidCol).as("id"), col(vCol).as("v")), Seq("id"), "left")
         // an inner join here would silently DROP candidates whose id the
         // re-rank frame doesn't cover (stale/filtered vector store) and
         // return quietly degraded neighbors; a coverage gap is a config
-        // error and must fail loudly. The count runs over the small
-        // candidate frame (≤ k·rerank rows per query), not the corpus.
+        // error and must fail loudly. The candidate frame is small
+        // (≤ k·rerank rows per query) but COMPUTING it is the full ADC
+        // codes scan + top-k — materialize once so the coverage count
+        // and rerankExact share one scan instead of executing it twice
+        // (same pattern as Similarity.queryIvfIndex).
+        val withVec = graft.Materialize.once(cand.join(
+          vecs.select(col(vidCol).as("id"), col(vCol).as("v")), Seq("id"), "left"))
         val missing = withVec.filter(col("v").isNull).count()
         require(missing == 0L,
           s"queryPqIndex: rerankWith frame is missing $missing candidate ids — " +

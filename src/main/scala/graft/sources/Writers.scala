@@ -236,9 +236,17 @@ object Writers {
     *
     * Coalesce (narrow, no shuffle) merges existing files into fewer
     * tasks; the rewrite goes to a temp directory through the normal
-    * commit protocol and replaces the original only after committing —
-    * a reader racing the compaction sees the old files or the new, and a
-    * failed rewrite leaves the original untouched. Returns
+    * commit protocol and replaces the original only after committing.
+    * The swap is RENAME-ONLY (rename(dir → old) + rename(tmp → dir) +
+    * delete old — the same discipline as
+    * [[graft.streaming.EventStreams.upsertSink]]): at every instant a
+    * complete copy of the data exists under some name, so a crash at any
+    * point loses nothing, and the entry-time recovery below restores the
+    * live path from whichever complete copy survived. A reader racing
+    * the compaction sees the old files or the new, except in the
+    * sub-rename window between the two renames where the live path is
+    * briefly absent — a retrying reader recovers; data never does not.
+    * A failed rewrite leaves the original untouched. Returns
     * (filesBefore, filesAfter); a directory already at or below the
     * target count is left untouched (no-op, returns equal counts).
     *
@@ -251,6 +259,31 @@ object Writers {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__graft-compact-tmp__")
+    val old = new org.apache.hadoop.fs.Path(path + ".__graft-compact-old__")
+    def committed(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    def mv(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"compact: rename $from -> $to failed")
+    // CRASH RECOVERY from a previous compaction killed mid-swap. The
+    // swap is rename(dir→old) + rename(tmp→dir) + delete old; a complete
+    // copy always exists under some name, and recovery only deletes a
+    // directory when a complete copy survives elsewhere:
+    //   old + dir           → crash after the second rename: dir is the
+    //                         compacted copy; drop old.
+    //   old + committed tmp → crash between the renames: finish the swap.
+    //   old alone           → restore the original.
+    //   tmp w/o _SUCCESS    → torn rewrite; discard (dir is authoritative).
+    if (fs.exists(old)) {
+      if (fs.exists(dir)) { fs.delete(old, true); () }
+      else if (fs.exists(tmp) && committed(tmp)) {
+        mv(tmp, dir)
+        fs.delete(old, true)
+        ()
+      } else mv(old, dir)
+    }
+    if (fs.exists(tmp)) { fs.delete(tmp, true); () }
     val entries = fs.listStatus(dir).filterNot { st =>
       st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith(".")
     }
@@ -268,7 +301,6 @@ object Writers {
     val want = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     if (want >= before) return (before, before)
 
-    val tmp = new org.apache.hadoop.fs.Path(path + ".__graft-compact-tmp__")
     try {
       spark.read.parquet(path).coalesce(want)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -276,14 +308,12 @@ object Writers {
       try { fs.delete(tmp, true); () } catch { case _: java.io.IOException => () }
       throw e
     }
-    // point of no return — mirror commitAsSingleFile's discipline: once
-    // the original is gone, a failed rename must NOT delete tmp (it is
-    // the only surviving copy)
-    if (!fs.delete(dir, true))
-      throw new java.io.IOException(s"compact: cannot remove $dir for replacement")
-    if (!fs.rename(tmp, dir))
-      throw new java.io.IOException(
-        s"compact: rename failed — compacted data preserved at $tmp")
+    // rename-only swap — the original is never deleted until the
+    // compacted copy is live; a crash at any point is undone by the
+    // recovery block at entry
+    mv(dir, old)
+    mv(tmp, dir)
+    fs.delete(old, true)
     val after = fs.listStatus(dir).count { st =>
       st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith(".")

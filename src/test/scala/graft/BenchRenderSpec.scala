@@ -83,6 +83,19 @@ class BenchRenderSpec extends AnyFunSuite {
     assert((j \ "failed_total").asInstanceOf[JInt].num.toInt == 96)
   }
 
+  test("mass-flaky run: flaky{} is capped and flaky_total carries the true count") {
+    val names = (1 to 40).map(i => f"query_with_a_rather_long_name_$i%02d")
+    // passed overall (median positive) but with failed repeats → flaky
+    val res = names.map(n => (n, 1.0, true, 1))
+    val (_, out) = Bench.render(res, "/x")
+    val j = parse(out)
+    assert((j \ "flaky").asInstanceOf[JObject].obj.length == 16)
+    assert((j \ "flaky_total").asInstanceOf[JInt].num.toInt == 40)
+    // under the cap: no flaky_total emitted
+    val (_, small) = Bench.render(names.take(3).map(n => (n, 1.0, true, 1)), "/x")
+    assert((parse(small) \ "flaky_total") == JNothing)
+  }
+
   test("values render locale-independently (dot decimal separator)") {
     val prev = java.util.Locale.getDefault
     try {

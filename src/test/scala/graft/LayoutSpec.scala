@@ -137,4 +137,67 @@ class LayoutSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  test("z_value rejects a non-integral layout column at analysis time, before any shuffle") {
+    val df = spark.range(10L).select(col("id"), col("id").cast("string").as("s"))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.LayoutFunctions.zValue(8, col("id"), col("s")))
+    }
+    assert(e.getMessage.toLowerCase.contains("integral"), e.getMessage)
+  }
+
+  test("compaction recovers every crash-swap state without losing data") {
+    import org.apache.hadoop.fs.Path
+    def freshDir(): (String, org.apache.spark.sql.Row) = {
+      val base = java.nio.file.Files.createTempDirectory("graft_compact_rec_").toString
+      val path = s"$base/t"
+      spark.range(5000L).select(col("id").as("k")).repartition(10).write.parquet(path)
+      (path, spark.read.parquet(path).agg(sum("k"), count(lit(1))).head())
+    }
+    val fs = new Path("/").getFileSystem(spark.sessionState.newHadoopConf())
+
+    // state: old alone (crash right after rename(dir -> old)) → restored
+    locally {
+      val (path, expected) = freshDir()
+      fs.rename(new Path(path), new Path(path + ".__graft-compact-old__"))
+      val (b, a) = Writers.compactParquet(spark, path, targetFileBytes = 1L << 30)
+      assert(b == 10 && a < 10)
+      assert(spark.read.parquet(path).agg(sum("k"), count(lit(1))).head() == expected)
+    }
+    // state: old + committed tmp (crash between the renames) → swap finished;
+    // the tmp copy (distinguishable content) is the one that goes live
+    locally {
+      val (path, _) = freshDir()
+      spark.range(100L).select((col("id") + 1000000L).as("k"))
+        .coalesce(1).write.parquet(path + ".__graft-compact-tmp__")
+      fs.rename(new Path(path), new Path(path + ".__graft-compact-old__"))
+      val tmpExpected = spark.read.parquet(path + ".__graft-compact-tmp__")
+        .agg(sum("k"), count(lit(1))).head()
+      Writers.compactParquet(spark, path, targetFileBytes = 1L << 30)
+      assert(spark.read.parquet(path).agg(sum("k"), count(lit(1))).head() == tmpExpected)
+      assert(!fs.exists(new Path(path + ".__graft-compact-old__")))
+      assert(!fs.exists(new Path(path + ".__graft-compact-tmp__")))
+    }
+    // state: old + dir (crash after the second rename) → old dropped, dir kept
+    locally {
+      val (path, expected) = freshDir()
+      spark.range(7L).select(col("id").as("k"))
+        .write.parquet(path + ".__graft-compact-old__")
+      val (b, a) = Writers.compactParquet(spark, path, targetFileBytes = 1L << 30)
+      assert(b == 10 && a < 10)
+      assert(spark.read.parquet(path).agg(sum("k"), count(lit(1))).head() == expected)
+      assert(!fs.exists(new Path(path + ".__graft-compact-old__")))
+    }
+    // state: torn tmp without _SUCCESS → discarded, dir authoritative
+    locally {
+      val (path, expected) = freshDir()
+      spark.range(9L).select(col("id").as("k"))
+        .coalesce(1).write.parquet(path + ".__graft-compact-tmp__")
+      fs.delete(new Path(path + ".__graft-compact-tmp__/_SUCCESS"), false)
+      val (b, a) = Writers.compactParquet(spark, path, targetFileBytes = 1L << 30)
+      assert(b == 10 && a < 10)
+      assert(spark.read.parquet(path).agg(sum("k"), count(lit(1))).head() == expected)
+      assert(!fs.exists(new Path(path + ".__graft-compact-tmp__")))
+    }
+  }
 }

@@ -131,4 +131,21 @@ class PqSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("empty codebooks fail construction with a clear config error, not an index crash") {
+    import graft.functions.PqFunctions._
+    val c = col("v")
+    val eLut = intercept[IllegalArgumentException] {
+      pqLut(c, Array.empty[Array[Array[Double]]])
+    }
+    assert(eLut.getMessage.contains("non-empty codebooks"))
+    val eLutInner = intercept[IllegalArgumentException] {
+      pqLut(c, Array(Array.empty[Array[Double]]))
+    }
+    assert(eLutInner.getMessage.contains("non-empty codebooks"))
+    val eEnc = intercept[IllegalArgumentException] {
+      pqEncode(c, Array.empty[Array[Array[Double]]])
+    }
+    assert(eEnc.getMessage.contains("non-empty codebooks"))
+  }
 }
