@@ -390,7 +390,7 @@ object Dedup {
     * [[simhashPairsFromSigs]] for the trade table. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, seed: Long = 42L, chunks: Int = Auto,
-      agreeChunks: Int = Auto, saltBuckets: Int = 1): DataFrame = {
+      agreeChunks: Int = Auto, saltBuckets: Int = Auto): DataFrame = {
     // exclude token-free documents (mirrors minhashPairs' empty-doc
     // exclusion): every no-word doc simhashes to the degenerate all-zero
     // signature, so empties would pair with each other O(n²) at hamming 0
@@ -426,7 +426,7 @@ object Dedup {
     * 64 must divide evenly into `chunks` ranges. */
   def simhashPairsFromSigs(hashed: DataFrame, maxHamming: Int = 3,
       chunks: Int = Auto, agreeChunks: Int = Auto,
-      saltBuckets: Int = 1): DataFrame = {
+      saltBuckets: Int = Auto): DataFrame = {
     require(chunks != Auto || agreeChunks == Auto,
       "agreeChunks without chunks is ambiguous: pass chunks too (or leave both Auto)")
     // validate BEFORE any job runs: in reliable-checkpoint mode the
@@ -496,18 +496,31 @@ object Dedup {
     * becomes its own join key — the left side replicates a row into
     * cells (s, s..g-1), the right side into cells (0..s, s) — so the hot
     * bucket becomes g(g+1)/2 independent cells of ≈ (B/g)² pairs each,
-    * at the cost of replicating each bucket entry ~g times. Choose g ≈
-    * B_hot / √(target pairs per task). Every pair still appears exactly
-    * once: off-diagonal cells pair distinct salt groups (orientation
-    * then normalized to id_a < id_b, payloads following their ids);
-    * diagonal cells filter id_a < id_b directly.
+    * at the cost of replicating each bucket entry ~g times. Every pair
+    * still appears exactly once: off-diagonal cells pair distinct salt
+    * groups (orientation then normalized to id_a < id_b, payloads
+    * following their ids); diagonal cells filter id_a < id_b directly.
+    *
+    * `salt = Auto` (the default everywhere) derives g PER BUCKET from
+    * observed occupancy: one partial-aggregated count over the bucket
+    * keys (map-side combine — a hot key collapses to one row per
+    * partition, so the stats pass itself cannot hot-spot), then only
+    * buckets over [[SaltOccupancyFloor]] get g = ceil(B /
+    * floor) (capped at [[MaxAutoSalt]]), broadcast-joined back onto the
+    * entries; everything else keeps g = 1. A uniform g would replicate
+    * the WHOLE corpus ~g× to fix one adversarial bucket — per-bucket
+    * sizing makes only the hot buckets pay, which is what survives both
+    * the 100 TB benign corpus (zero replication) and the million-
+    * identical-docs attack (bounded cells) with one default. The
+    * triangle proof is untouched: g is constant within a bucket, and
+    * pairs only form within buckets.
     *
     * `payload` columns are emitted twice as `<c>_a` / `<c>_b`. */
   private def bucketSelfJoinPairs(entries: DataFrame, bucketCols: Seq[String],
       idCol: String, payload: Seq[String], salt: Int): DataFrame = {
-    require(salt >= 1, s"salt must be >= 1 (got $salt)")
+    require(salt == Auto || salt >= 1, s"salt must be >= 1 or Auto (got $salt)")
     val keys = bucketCols.map(col)
-    if (salt == 1) {
+    def plainJoin: DataFrame = {
       val l = entries.select((keys :+ col(idCol).as("id_a")) ++
         payload.map(c => col(c).as(s"${c}_a")): _*)
       val r = entries.select((keys :+ col(idCol).as("id_b")) ++
@@ -516,11 +529,33 @@ object Dedup {
         .filter(col("id_a") < col("id_b"))
         .select((Seq(col("id_a"), col("id_b")) ++
           payload.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b")))): _*)
-    } else {
-      val salted = entries.withColumn("__salt",
-        pmod(xxhash64(col(idCol)), lit(salt.toLong)).cast("int"))
+    }
+    if (salt == 1) plainJoin
+    else {
+      // per-row salt-group count __g: Auto sizes it from the bucket's
+      // observed occupancy (hot buckets only — the broadcast side holds
+      // just buckets over the floor, bounded by n/floor rows); explicit
+      // salt applies uniformly
+      val withG =
+        if (salt == Auto) {
+          val floor = sessionSaltFloor(entries.sparkSession)
+          val hot = entries.groupBy(keys: _*).agg(count(lit(1)).as("__bcnt"))
+            .filter(col("__bcnt") > floor)
+            .select((keys :+
+              least(ceil(col("__bcnt") / floor.toDouble),
+                lit(MaxAutoSalt.toLong)).cast("int").as("__g")): _*)
+          // benign corpus (no bucket over the floor): keep the plain
+          // explode-free join — Auto's only cost is this one
+          // partial-aggregated probe (a hot key collapses map-side, so
+          // the probe itself cannot skew)
+          if (hot.isEmpty) return plainJoin
+          entries.join(broadcast(hot), bucketCols, "left")
+            .withColumn("__g", coalesce(col("__g"), lit(1)))
+        } else entries.withColumn("__g", lit(salt))
+      val salted = withG.withColumn("__salt",
+        pmod(xxhash64(col(idCol)), col("__g").cast("long")).cast("int"))
       val l = salted.select((keys :+ col("__salt").as("__ci") :+
-        explode(sequence(col("__salt"), lit(salt - 1))).as("__cj") :+
+        explode(sequence(col("__salt"), col("__g") - 1)).as("__cj") :+
         col(idCol).as("id_a")) ++ payload.map(c => col(c).as(s"${c}_a")): _*)
       val r = salted.select((keys :+
         explode(sequence(lit(0), col("__salt"))).as("__ci") :+
@@ -657,6 +692,47 @@ object Dedup {
     * gets parameters that survive that scale, not the toy-corpus ones. */
   val Auto: Int = Int.MinValue
 
+  /** Pairs-per-cell budget behind [[Auto]] salting: a cell of
+    * ≈ floor² / 2 ≈ 16M candidate pairs is seconds of work for either
+    * verifier (bit_count XOR, or a dim-wide dot), far under task-skew
+    * territory. */
+  val AutoSaltTargetPairsPerCell: Long = 16L << 20
+
+  /** Bucket occupancy above which Auto salting kicks in:
+    * √(2 · targetPairs) ≈ 5792 rows — a bucket at the floor generates
+    * exactly the per-cell pair budget unsalted. Overridable per session
+    * via [[SaltFloorKey]] (tune the pairs-per-task budget to the
+    * cluster; also the unit-test hook). */
+  val SaltOccupancyFloor: Long =
+    math.sqrt(2.0 * AutoSaltTargetPairsPerCell).toLong
+
+  /** Runtime conf key overriding [[SaltOccupancyFloor]]. */
+  val SaltFloorKey = "graft.dedup.autoSalt.floor"
+
+  private def sessionSaltFloor(spark: org.apache.spark.sql.SparkSession): Long = {
+    val f = spark.conf.getOption(SaltFloorKey).map(_.trim).filter(_.nonEmpty)
+      .map(_.toLong).getOrElse(SaltOccupancyFloor)
+    require(f >= 1, s"$SaltFloorKey must be >= 1 (got $f)")
+    f
+  }
+
+  /** Replication cap for Auto salting: each hot-bucket row is
+    * replicated ~(g+1)× across cells, so an unbounded g would turn a
+    * pathological bucket into a pathological shuffle instead. At the
+    * cap, a bucket needs > 64·floor ≈ 370k identical signatures before
+    * cells exceed the pair budget — at that point the corpus needs
+    * exact dedup first, not a finer salt. */
+  val MaxAutoSalt: Int = 64
+
+  /** [[Auto]] salt resolution for one bucket's observed occupancy —
+    * the scalar mirror of the plan-side formula in the salted self-join:
+    * at/below the floor → 1 (no replication); above → ceil(B / floor),
+    * capped. */
+  def resolveSaltBuckets(bucketCount: Long,
+      floor: Long = SaltOccupancyFloor): Int =
+    if (bucketCount <= floor) 1
+    else math.min(MaxAutoSalt.toLong, (bucketCount + floor - 1) / floor).toInt
+
   /** [[Auto]] resolution for [[embeddingNearDupPairs]]'s `signBits`:
     * corpora at or under `bruteFloor` run the EXACT all-pairs path
     * (signBits=0 — a few thousand vectors verify faster than LSH
@@ -696,7 +772,7 @@ object Dedup {
     * trade. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, signBits: Int = Auto, seed: Long = 42L,
-      dim: Int = 64, saltBuckets: Int = 1): DataFrame = {
+      dim: Int = 64, saltBuckets: Int = Auto): DataFrame = {
     val base0 = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.norm(col(vecCol)).as("nrm"))
     // Auto: materialize the projected frame once (both join sides read it

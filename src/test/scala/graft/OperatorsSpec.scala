@@ -841,6 +841,60 @@ class OperatorsSpec extends AnyFunSuite {
     assert(es.count() >= 200L * 199 / 2, "identical vectors must all pair")
   }
 
+  test("Auto salting: hot buckets split per observed occupancy, cold corpus pays nothing") {
+    // scalar resolver: below floor → 1; above → ceil(B/floor), capped
+    assert(Dedup.resolveSaltBuckets(Dedup.SaltOccupancyFloor) == 1)
+    assert(Dedup.resolveSaltBuckets(Dedup.SaltOccupancyFloor + 1) == 2)
+    assert(Dedup.resolveSaltBuckets(10 * Dedup.SaltOccupancyFloor) == 10)
+    assert(Dedup.resolveSaltBuckets(Long.MaxValue / 4) == Dedup.MaxAutoSalt)
+    assert(Dedup.resolveSaltBuckets(400, floor = 100) == 4)
+
+    // end-to-end with the floor lowered so a unit-scale hot bucket trips
+    // Auto: 400 identical docs (one bucket at 4x the floor → g=4) + 400
+    // unique docs. Pair set must be IDENTICAL to the unsalted run, and
+    // the hot bucket's pairs must spread across triangle cells.
+    val n = 800
+    val docs = (0 until n).map { i =>
+      if (i < n / 2) (i.toLong, "the same exact adversarial document content repeated")
+      else (i.toLong, (0 until 30).map(j => s"a${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val expected = (n / 2).toLong * (n / 2 - 1) / 2
+    spark.conf.set(Dedup.SaltFloorKey, "100")
+    try {
+      val auto = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      assert(auto.count() == expected, "auto salting must not lose or duplicate pairs")
+      val unsalted = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 3, saltBuckets = 1)
+      assert(auto.exceptAll(unsalted).count() == 0 &&
+        unsalted.exceptAll(auto).count() == 0,
+        "auto-salted and unsalted pair sets must be identical")
+      // spread proof: reconstruct cells with the g Auto must have chosen
+      val g = Dedup.resolveSaltBuckets(n / 2, floor = 100)
+      assert(g == 4)
+      val perCell = auto
+        .withColumn("ca", least(pmod(xxhash64(col("id_a")), lit(g.toLong)),
+          pmod(xxhash64(col("id_b")), lit(g.toLong))))
+        .withColumn("cb", greatest(pmod(xxhash64(col("id_a")), lit(g.toLong)),
+          pmod(xxhash64(col("id_b")), lit(g.toLong))))
+        .groupBy("ca", "cb").count().select("count").as[Long].collect()
+      assert(perCell.length == g * (g + 1) / 2,
+        s"expected ${g * (g + 1) / 2} occupied triangle cells, got ${perCell.length}")
+      assert(perCell.max <= 2L * ((n / 2 / g) * (n / 2 / g)),
+        s"hot cell ${perCell.max} pairs — auto salting failed to spread")
+      // embedding path shares the generator: same equality guarantee
+      val vecs = (0 until 400).map { i =>
+        if (i < 200) (i.toLong, Array(1.0f, 0.0f, 0.0f, 0.0f))
+        else (i.toLong, Array.tabulate(4)(d => math.sin(i * 4 + d).toFloat))
+      }.toDF("vec_id", "embedding")
+      val ea = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.99, signBits = 4, dim = 4).select("id_a", "id_b")
+      val e1 = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.99, signBits = 4, dim = 4, saltBuckets = 1).select("id_a", "id_b")
+      assert(ea.exceptAll(e1).count() == 0 && e1.exceptAll(ea).count() == 0,
+        "embedding auto/unsalted pair sets must match")
+    } finally spark.conf.unset(Dedup.SaltFloorKey)
+  }
+
   test("ngramJaccard sampled-shingle opt-in: identical pairs stay exact, high recall vs exact") {
     // 25 base texts of 60 words; each base gets an identical twin and a
     // ~0.73-Jaccard variant (3 words swapped) — plus the twin pair at 1.0
