@@ -931,6 +931,41 @@ object SparkEntry {
         .orderBy("click_id", "purchase_id")
     }),
 
+    "stream_upsert_snapshot" -> ((s, dir) => {
+      // the streaming snapshot-maintenance sink (EventStreams.upsertSink)
+      // run FOR REAL: a 4-batch file-source stream of changes folds into
+      // an on-disk parquet snapshot (foreachBatch + idempotent changeset
+      // merge + rename-only swap), and the gate reads the final snapshot
+      // back. Batches partition KEYS (batch = hash(key) % 4), so the
+      // final state is independent of file-processing order — what's
+      // exercised is multi-batch accumulation (every later merge must
+      // preserve earlier batches' keys through the swap) and
+      // within-batch tombstone consumption ('error' events delete their
+      // key when they are the key's latest version).
+      val base = s"/tmp/graft_upsert_${math.abs(dir.hashCode)}"
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(basePath, true)
+      val changes = tbl(s, dir, "events")
+        .filter(col("event_id").isNotNull)
+        .select((col("event_id") % 997).as("k"), col("event_id").as("v"),
+          col("value"), col("event_type"),
+          (col("event_type") === "error").as("is_deleted"))
+      val nBatches = 4
+      (0 until nBatches).foreach { b =>
+        changes.filter(pmod(xxhash64(col("k")), lit(nBatches.toLong)) === b)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+      }
+      val stream = s.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      val q = graft.streaming.EventStreams.upsertSink(stream, s"$base/snap",
+        Seq("k"), "v", checkpointDir = Some(s"$base/ckpt"))
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/snap")
+        .select(col("k"), col("v"), col("value"), col("event_type"))
+        .orderBy("k")
+    }),
+
     "q31_subqueries" -> ((s, dir) => {
       tbl(s, dir, "orders"); tbl(s, dir, "customer")
       // correlated EXISTS + scalar subquery (max-based threshold keeps the
@@ -1801,6 +1836,22 @@ object SparkEntry {
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.us >= c.us AND p.us < c.us + 300000000
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "stream_upsert_snapshot" ->
+      // final state of a latest-wins (max version per key) changeset
+      // fold with tombstones: a key whose highest-version change is an
+      // 'error' event is deleted; others keep that change's payload.
+      // Versions (event_id) are unique, so the argmax is deterministic
+      // and payloads pass through both engines untouched (no float math).
+      """WITH c AS (
+        |  SELECT event_id % 997 AS k, event_id AS v, value, event_type,
+        |         (event_type = 'error') AS is_del
+        |  FROM events WHERE event_id IS NOT NULL
+        |), latest AS (SELECT k, max(v) AS v FROM c GROUP BY k)
+        |SELECT c.k, c.v, c.value, c.event_type
+        |FROM c JOIN latest ON c.k = latest.k AND c.v = latest.v
+        |WHERE NOT c.is_del
+        |ORDER BY c.k""".stripMargin,
 
     "q36_session_window" ->
       // gaps-and-islands in integer-µs space: a session breaks when the
