@@ -811,6 +811,37 @@ object SparkEntry {
         .orderBy("l_orderkey")
     }),
 
+    "io_csv_lossy_roundtrip" -> ((s, dir) => {
+      // byte-exact LossyUtf8 parity (reference data_filter.rs:578-585):
+      // a clean lineitem CSV gets one raw appended row whose middle cell
+      // carries a malformed byte (0xFF — never valid in UTF-8); the
+      // lossy read must keep every clean row byte-identical and decode
+      // the damaged cell with exactly one U+FFFD, which the DuckDB
+      // oracle reconstructs as chr(65533).
+      val path = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/lineitem_lossy.csv"
+      val src = tbl(s, dir, "lineitem")
+        .filter(col("l_linenumber") === 1 && col("l_orderkey") <= 20000)
+        .select("l_orderkey", "l_returnflag", "l_extendedprice")
+      graft.sources.Writers.writeCsv(src, path, delimiter = ';', singleFile = true)
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("90000001;Z".getBytes("UTF-8"))
+      bos.write(Array[Byte](0xFF.toByte))
+      bos.write("Z;1.5\n".getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(path), bos.toByteArray,
+        java.nio.file.StandardOpenOption.APPEND)
+      // the raw append bypasses Hadoop's local-FS checksum sidecar; drop
+      // it or the scan fails with ChecksumException
+      val pf = new java.io.File(path)
+      val crc = new java.io.File(pf.getParentFile, "." + pf.getName + ".crc")
+      if (crc.exists) { crc.delete(); () }
+      val (back, detected) = graft.sources.Readers.readAuto(s, path,
+        graft.sources.ReadConfig(lossyUtf8 = true))
+      require(detected.contains(';'), s"sniffer picked $detected")
+      back.select(col("l_orderkey").cast("long"), col("l_returnflag"),
+        col("l_extendedprice").cast("double"))
+        .orderBy("l_orderkey")
+    }),
+
     "io_ndjson_roundtrip" -> ((s, dir) => {
       val path = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/orders.ndjson"
       val src = tbl(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -2076,6 +2107,15 @@ object SparkEntry {
     "io_csv_euro_roundtrip" ->
       """SELECT l_orderkey, l_returnflag, l_extendedprice
         |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "io_csv_lossy_roundtrip" ->
+      // the damaged appended row decodes its malformed byte to exactly
+      // one U+FFFD = chr(65533); every clean row survives byte-identical
+      """SELECT l_orderkey, l_returnflag, l_extendedprice
+        |FROM lineitem WHERE l_linenumber = 1 AND l_orderkey <= 20000
+        |UNION ALL
+        |SELECT 90000001, 'Z' || chr(65533) || 'Z', 1.5
+        |ORDER BY l_orderkey""".stripMargin,
 
     "io_ndjson_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice

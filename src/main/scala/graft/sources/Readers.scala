@@ -19,21 +19,27 @@ final case class ReadConfig(
       * protects huge numeric IDs from lossy inference
       * (reference --force-string-cols, args.rs:76-96). */
     forceStringRegex: Option[String] = None,
-    /** CSV charset (Spark's `encoding` option), e.g. "ISO-8859-1".
-      *
-      * DOCUMENTED DIVERGENCE from the reference: polars-view reads CSV
-      * with LossyUtf8 (data_filter.rs:578-585) — a malformed byte decodes
-      * to U+FFFD and the rest of the row survives. Spark has no lossy
-      * mode: under the default UTF-8, a row with malformed bytes is
-      * PERMISSIVE-nulled wholesale (or the bytes pass through verbatim on
-      * the non-multiline path — version-dependent), so set this to the
-      * file's real charset (e.g. Latin-1, which decodes every byte
-      * sequence) to recover the reference's never-fail behavior.
-      * Proof fixture: SourcesSpec "malformed UTF-8 mid-file" — a bad
-      * byte mid-corpus keeps all 50 rows and every clean column intact
-      * under the Latin-1 fallback; only the damaged cell's substitution
-      * differs from the reference's U+FFFD. */
-    encoding: Option[String] = None)
+    /** CSV charset (Spark's `encoding` option), e.g. "ISO-8859-1" —
+      * for files whose REAL charset isn't UTF-8 (Latin-1 decodes every
+      * byte sequence, so it doubles as a never-fail fallback).
+      * Mutually exclusive with [[lossyUtf8]]. */
+    encoding: Option[String] = None,
+    /** Byte-exact parity with the reference's LossyUtf8 CSV read
+      * (data_filter.rs:578-585): malformed UTF-8 sequences decode to
+      * U+FFFD and the rest of the row survives. Spark's native CSV
+      * reader has no lossy mode (under default UTF-8 a damaged row is
+      * PERMISSIVE-nulled wholesale, version-dependent), so this flag
+      * routes the scan through [[Readers.lossyUtf8Lines]]: a Hadoop
+      * text-input scan (splittable — `\n` cannot occur inside a valid
+      * multi-byte sequence, so per-line REPLACE-decoding is
+      * byte-identical to whole-file lossy decode) feeding Spark's CSV
+      * parser as a Dataset[String]. Both JDK's UTF-8 decoder and Rust's
+      * from_utf8_lossy substitute per maximal subpart (Unicode TR36
+      * practice), so substitutions line up byte-for-byte.
+      * Proof: SourcesSpec lossy tests + the io_csv_lossy_roundtrip
+      * oracle gate (DuckDB reconstructs the damaged cell with
+      * chr(65533)). */
+    lossyUtf8: Boolean = false)
 
 /** S1–S7: format dispatch + readers. All readers return a lazy DataFrame
   * — no collect; the scan parallelizes over file splits as usual.
@@ -80,7 +86,7 @@ object Readers {
       case Format.Csv =>
         val headN = math.max(CsvSniffer.ProbeRows,
           math.max(cfg.inferSchemaRows, 1) + (if (cfg.header) 1 else 0))
-        val head = CsvSniffer.headLines(spark, path, headN, cfg.encoding)
+        val head = CsvSniffer.headLines(spark, path, headN, probeEncoding(cfg))
         if (head.isEmpty) throw GraftError.DelimiterNotDetected(path)
         val candidates = CsvSniffer.uniqueCandidates(cfg.delimiter)
         // last-candidate bypass as in CsvSniffer.detect (reference
@@ -90,7 +96,7 @@ object Readers {
           .find(CsvSniffer.probe(head.take(CsvSniffer.ProbeRows), _, cfg.header))
           .getOrElse(cfg.delimiter.getOrElse(candidates.last))
         val schema = inferCsvSchemaFromSample(spark, head, d.toString, cfg)
-        (csvReader(spark, d.toString, cfg).schema(schema).csv(path), Some(d))
+        (csvScan(spark, path, d.toString, schema, cfg), Some(d))
       case Format.Json    => (readJson(spark, path, cfg), None)
       case Format.NdJson  => (readNdJson(spark, path, cfg), None)
       case Format.Parquet => (readParquet(spark, path), None)
@@ -107,21 +113,70 @@ object Readers {
     cfg.encoding.fold(r)(r.option("encoding", _))
   }
 
+  /** The head-sample charset: lossy mode decodes the probe the same way
+    * the scan will (UTF-8 with U+FFFD substitution — InputStreamReader's
+    * default action is REPLACE), so header names can never diverge from
+    * data. */
+  private def probeEncoding(cfg: ReadConfig): Option[String] = {
+    require(!(cfg.lossyUtf8 && cfg.encoding.isDefined),
+      "lossyUtf8 is a UTF-8 decode mode — it cannot combine with an explicit encoding")
+    cfg.encoding.orElse(if (cfg.lossyUtf8) Some("UTF-8") else None)
+  }
+
+  /** The CSV scan: native file scan normally; in lossy mode the parser
+    * consumes [[lossyUtf8Lines]] instead of the raw path. */
+  private def csvScan(spark: SparkSession, path: String, sep: String,
+      schema: StructType, cfg: ReadConfig): DataFrame = {
+    val r = csvReader(spark, sep, cfg).schema(schema)
+    if (cfg.lossyUtf8) r.csv(lossyUtf8Lines(spark, path)) else r.csv(path)
+  }
+
+  /** Byte-exact LossyUtf8 line source (reference data_filter.rs:578-585):
+    * a Hadoop text-input scan yields each line's RAW BYTES (Text), and a
+    * per-partition `CharsetDecoder` with `CodingErrorAction.REPLACE`
+    * substitutes U+FFFD per maximal malformed subpart — the same
+    * substitution Rust's `from_utf8_lossy` performs.
+    *
+    * Scale shape: TextInputFormat splits at newlines in BYTE space, so
+    * the scan parallelizes over file splits exactly like Spark's native
+    * text source — and per-line decoding is byte-identical to whole-file
+    * decoding because 0x0A cannot occur inside any valid multi-byte
+    * UTF-8 sequence (a malformed run truncated at a newline is malformed
+    * on both sides either way). */
+  private[sources] def lossyUtf8Lines(spark: SparkSession, path: String): Dataset[String] = {
+    import spark.implicits._
+    spark.sparkContext.hadoopFile(path,
+        classOf[org.apache.hadoop.mapred.TextInputFormat],
+        classOf[org.apache.hadoop.io.LongWritable],
+        classOf[org.apache.hadoop.io.Text])
+      .mapPartitions { it =>
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+        it.map { case (_, t) =>
+          dec.reset()
+          dec.decode(java.nio.ByteBuffer.wrap(t.getBytes, 0, t.getLength)).toString
+        }
+      }
+      .toDS()
+  }
+
   /** S2: CSV with bounded inference + force-string overrides. */
   def readCsv(spark: SparkSession, path: String, cfg: ReadConfig): DataFrame = {
     val sep = cfg.delimiter
-      .getOrElse(CsvSniffer.detect(spark, path, None, cfg.header, cfg.encoding)).toString
+      .getOrElse(CsvSniffer.detect(spark, path, None, cfg.header, probeEncoding(cfg))).toString
     val schema = inferCsvSchema(spark, path, sep, cfg)
-    csvReader(spark, sep, cfg).schema(schema).csv(path)
+    csvScan(spark, path, sep, schema, cfg)
   }
 
   /** Bounded-window CSV schema inference on a head sample (fetched with
-    * cfg.encoding, so inferred column NAMES aren't mangled for
-    * non-UTF-8 files), then force-string overrides applied. */
+    * cfg.encoding — or lossy UTF-8 in lossy mode — so inferred column
+    * NAMES aren't mangled for non-UTF-8 files), then force-string
+    * overrides applied. */
   def inferCsvSchema(spark: SparkSession, path: String, sep: String,
       cfg: ReadConfig): StructType = {
     val n = math.max(cfg.inferSchemaRows, 1) + (if (cfg.header) 1 else 0)
-    val sample = CsvSniffer.headLines(spark, path, n, cfg.encoding)
+    val sample = CsvSniffer.headLines(spark, path, n, probeEncoding(cfg))
     inferCsvSchemaFromSample(spark, sample, sep, cfg)
   }
 

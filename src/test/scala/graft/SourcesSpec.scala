@@ -184,6 +184,64 @@ class SourcesSpec extends AnyFunSuite {
     assert(badName == "caféx", s"expected Latin-1 substitution, got '$badName'")
   }
 
+  test("lossyUtf8: byte-exact U+FFFD substitution parity with the reference's LossyUtf8") {
+    // the exact behavior of data_filter.rs:578-585: malformed sequences
+    // decode to U+FFFD per MAXIMAL SUBPART, everything else survives
+    // byte-identically — now a first-class mode, not a Latin-1
+    // approximation
+    val dir = Files.createTempDirectory("graft_lossy_exact").toFile
+    val f = new java.io.File(dir, "lossy.csv")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("id;name;qty\n".getBytes("UTF-8"))
+    for (i <- 1 to 50) {
+      if (i == 25) {
+        bos.write(s"$i;caf".getBytes("UTF-8"))
+        bos.write(Array[Byte](0xE9.toByte)) // lone lead byte → one U+FFFD
+        bos.write(s"x;$i\n".getBytes("UTF-8"))
+      } else if (i == 30) {
+        bos.write(s"$i;a".getBytes("UTF-8"))
+        // truncated 3-byte sequence (E2 82, missing third byte): one
+        // maximal subpart → exactly ONE U+FFFD, as from_utf8_lossy emits
+        bos.write(Array[Byte](0xE2.toByte, 0x82.toByte))
+        bos.write(s"b;$i\n".getBytes("UTF-8"))
+      } else if (i == 35) {
+        // valid multi-byte data must pass through untouched
+        bos.write(s"$i;héllo☃;$i\n".getBytes("UTF-8"))
+      } else bos.write(s"$i;name_$i;$i\n".getBytes("UTF-8"))
+    }
+    Files.write(f.toPath, bos.toByteArray)
+    val cfg = ReadConfig(delimiter = Some(';'), lossyUtf8 = true)
+    val out = Readers.readCsv(spark, f.getAbsolutePath, cfg)
+    val rows = out.select("id", "name", "qty").as[(Int, String, Int)]
+      .collect().sortBy(_._1)
+    assert(rows.length == 50, "row count must survive malformed bytes")
+    rows.foreach { case (i, nm, q) => assert(q == i, s"row $i sibling column damaged") }
+    assert(rows.find(_._1 == 25).get._2 == "caf�x")
+    assert(rows.find(_._1 == 30).get._2 == "a�b",
+      "a truncated multi-byte sequence is ONE maximal subpart → one U+FFFD")
+    assert(rows.find(_._1 == 35).get._2 == "héllo☃")
+    rows.filter(r => r._1 != 25 && r._1 != 30 && r._1 != 35)
+      .foreach { case (i, nm, _) => assert(nm == s"name_$i") }
+    // readAuto dispatch carries the mode (delimiter still sniffed)
+    val (auto, d) = Readers.readAuto(spark, f.getAbsolutePath, ReadConfig(lossyUtf8 = true))
+    assert(d.contains(';'))
+    assert(auto.filter(col("id") === 25).select("name").as[String].head() == "caf�x")
+    // lossy + explicit encoding is contradictory — fail loudly
+    intercept[IllegalArgumentException] {
+      Readers.readCsv(spark, f.getAbsolutePath,
+        ReadConfig(delimiter = Some(';'), lossyUtf8 = true, encoding = Some("ISO-8859-1")))
+    }
+    // malformed bytes in the HEADER get the same substitution (schema
+    // names decode with the identical REPLACE action as the data)
+    val f2 = new java.io.File(dir, "hdr.csv")
+    val b2 = new java.io.ByteArrayOutputStream()
+    b2.write("na".getBytes("UTF-8")); b2.write(Array[Byte](0xFF.toByte))
+    b2.write("me;qty\nx;1\n".getBytes("UTF-8"))
+    Files.write(f2.toPath, b2.toByteArray)
+    val hdr = Readers.readCsv(spark, f2.getAbsolutePath, cfg)
+    assert(hdr.columns.toSeq == Seq("na�me", "qty"))
+  }
+
   // ---- JSON/NDJSON inference parity (data_filter.rs:312,340) -----------
 
   val bigIdNdjson =
