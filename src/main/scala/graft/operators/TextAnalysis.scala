@@ -154,11 +154,14 @@ object TextAnalysis {
     *
     * Scale shape: the "training pass" is two two-phase counts (bigrams,
     * unigrams) over one explode of the corpus; V rides as a broadcast
-    * 1-row frame. The unigram/bigram count joins carry NO broadcast
-    * hint — Catalyst stats + AQE pick broadcast when the vocab fits and
-    * shuffle when it doesn't (a forced hint would OOM the driver on a
-    * 100 TB vocabulary). No driver collect anywhere; the model IS a
-    * DataFrame. */
+    * 1-row frame. The model (bigram → logp) assembles at DISTINCT-BIGRAM
+    * cardinality — biCounts joins uniCounts on the bigram's first word —
+    * and the full exploded corpus is then joined exactly once, so only
+    * ONE corpus-sized shuffle exists beyond the counts themselves. The
+    * model-side joins carry NO broadcast hint — Catalyst stats + AQE
+    * pick broadcast when the vocab fits and shuffle when it doesn't (a
+    * forced hint would OOM the driver on a 100 TB vocabulary). No
+    * driver collect anywhere; the model IS a DataFrame. */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
       k: Double = 0.5): DataFrame = {
     require(k > 0, s"smoothing k must be positive, got $k")
@@ -171,25 +174,30 @@ object TextAnalysis {
         zip_with(w, slice(w, lit(2), size(w)), (a, b) => concat(a, lit(" "), b)),
         lit(1), size(w) - 1))
     val docBi = df.select(id, explode(bigrams2).as("bigram"))
-      .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .transform(Materialize.once(_)) // feeds training counts AND scoring
     val biCounts = docBi.groupBy("bigram").agg(count(lit(1)).as("c_bi"))
     val uniCounts = df
       .select(explode(w).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c_uni"))
-      .transform(Materialize.once(_)) // consumed twice: V and the scoring join
+      .transform(Materialize.once(_)) // consumed twice: V and the model join
     val vocab = uniCounts.select(count(lit(1)).cast("double").as("v_size"))
     // no broadcast hint on the count frames: vocab-sized is usually
     // broadcastable but can reach hundreds of millions of rows at
     // 100 TB — let Catalyst stats + AQE decide (a hint would force a
-    // driver OOM at that size); the 1-row V frame is always safe
-    val scored = docBi
-      .join(biCounts, "bigram")
+    // driver OOM at that size); the 1-row V frame is always safe.
+    // logp is a pure function of the bigram, so the model assembles at
+    // DISTINCT-BIGRAM cardinality (biCounts ⋈ uniCounts) and the full
+    // exploded corpus is joined exactly ONCE — joining docBi to both
+    // count frames would shuffle the corpus twice for the same numbers
+    val biModel = biCounts
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .join(uniCounts, "w1")
       .crossJoin(broadcast(vocab))
       .withColumn("logp", log(
         (col("c_bi").cast("double") + lit(k)) /
           (col("c_uni").cast("double") + lit(k) * col("v_size"))))
+      .select("bigram", "logp")
+    val scored = docBi.join(biModel, "bigram")
     val perDoc = scored.groupBy(id).agg(
       count(lit(1)).as("n_bigrams"), avg(col("logp")).as("avg_logp"))
     df.select(id).join(perDoc, Seq(idCol), "left")
