@@ -140,16 +140,16 @@ object Dedup {
     * (band, bandHash), deduped bare (id_a, id_b) with id_a < id_b.
     * Signatures are NOT carried through the pair shuffle (128 longs ×
     * pairs would dominate the exchange); callers join whatever they need
-    * back by id. */
-  private def lshCandidates(sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
-    val banded = bandedSigs(sigs, cfg)
-    val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
-    val rt = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
-    l.join(rt, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    * back by id.
+    *
+    * Pair generation rides [[bucketSelfJoinPairs]] with Auto salting: a
+    * corpus with millions of byte-identical documents collides in EVERY
+    * band — the same hot-bucket exposure as the SimHash/embedding paths,
+    * and the same per-occupancy triangle split fixes it. */
+  private def lshCandidates(sigs: DataFrame, cfg: MinHashConfig): DataFrame =
+    bucketSelfJoinPairs(bandedSigs(sigs, cfg), Seq("band", "band_hash"),
+      "id", Seq.empty, Auto)
       .distinct()
-  }
 
   /** LSH-candidates-then-EXACT-verify near-dup pairs: candidate pairs
     * from banded MinHash-LSH (every bucket collision, no estimated-

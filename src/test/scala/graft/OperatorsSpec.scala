@@ -881,6 +881,13 @@ class OperatorsSpec extends AnyFunSuite {
         s"expected ${g * (g + 1) / 2} occupied triangle cells, got ${perCell.length}")
       assert(perCell.max <= 2L * ((n / 2 / g) * (n / 2 / g)),
         s"hot cell ${perCell.max} pairs — auto salting failed to spread")
+      // MinHash LSH shares the generator (identical docs collide in
+      // EVERY band): all C(400,2) identical pairs must survive Auto
+      // salting exactly once
+      val mh = Dedup.minhashPairs(docs, "doc_id", "text")
+        .filter(col("est_jaccard") === 1.0)
+      assert(mh.count() == expected,
+        "minhash auto-salted candidates must cover every identical pair once")
       // embedding path shares the generator: same equality guarantee
       val vecs = (0 until 400).map { i =>
         if (i < 200) (i.toLong, Array(1.0f, 0.0f, 0.0f, 0.0f))
