@@ -231,14 +231,25 @@ object Readers {
   }
 
   /** S5: newline-delimited JSON with bounded inference + force-string
-    * (one-small-job head sample, like the CSV path). */
+    * (one-small-job head sample, like the CSV path). `cfg.lossyUtf8`
+    * applies here too: NDJSON is line-delimited like CSV, so the same
+    * [[lossyUtf8Lines]] source feeds the JSON parser and a malformed
+    * byte costs one U+FFFD instead of a PERMISSIVE-nulled row. (The
+    * array-document reader can't ride it — array documents span lines.) */
   def readNdJson(spark: SparkSession, path: String, cfg: ReadConfig): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val head = spark.read.textFile(path)
-      .limit(math.max(cfg.inferSchemaRows, 1)).collectAsList().asScala.toSeq
+    require(!(cfg.lossyUtf8 && cfg.encoding.isDefined),
+      "lossyUtf8 is a UTF-8 decode mode — it cannot combine with an explicit encoding")
+    val head =
+      if (cfg.lossyUtf8)
+        CsvSniffer.headLines(spark, path, math.max(cfg.inferSchemaRows, 1), Some("UTF-8"))
+      else spark.read.textFile(path)
+        .limit(math.max(cfg.inferSchemaRows, 1)).collectAsList().asScala.toSeq
     val schema = inferJsonSchema(spark, head, cfg)
     val base = spark.read.option("mode", "PERMISSIVE")
-    schema.fold(base.json(path))(s => base.schema(s).json(path))
+    val reader = schema.fold(base)(base.schema)
+    if (cfg.lossyUtf8) reader.json(lossyUtf8Lines(spark, path))
+    else reader.json(path)
   }
 
   /** Schema from a head sample of JSON documents: inferred by Spark's

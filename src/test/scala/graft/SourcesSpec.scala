@@ -240,6 +240,17 @@ class SourcesSpec extends AnyFunSuite {
     Files.write(f2.toPath, b2.toByteArray)
     val hdr = Readers.readCsv(spark, f2.getAbsolutePath, cfg)
     assert(hdr.columns.toSeq == Seq("na�me", "qty"))
+    // NDJSON rides the same line source: a malformed byte inside a JSON
+    // string costs one U+FFFD, not a PERMISSIVE-nulled row
+    val f3 = new java.io.File(dir, "lossy.ndjson")
+    val b3 = new java.io.ByteArrayOutputStream()
+    b3.write("{\"id\": 1, \"name\": \"ok\"}\n{\"id\": 2, \"name\": \"ca".getBytes("UTF-8"))
+    b3.write(Array[Byte](0xE9.toByte))
+    b3.write("f\"}\n".getBytes("UTF-8"))
+    Files.write(f3.toPath, b3.toByteArray)
+    val nd = Readers.readNdJson(spark, f3.getAbsolutePath, ReadConfig(lossyUtf8 = true))
+      .select("id", "name").as[(Long, String)].collect().sortBy(_._1)
+    assert(nd.toSeq == Seq((1L, "ok"), (2L, "ca�f")))
   }
 
   // ---- JSON/NDJSON inference parity (data_filter.rs:312,340) -----------
