@@ -531,6 +531,39 @@ object SparkEntry {
             queriesDf, "vec_id", "embedding", k = 10, model, rerankFactor = 8)
       }),
 
+    "ann_ivfpq_topk" -> ((s, dir) =>
+      // FAISS-style IVF-PQ composition — the config production runs:
+      // coarse cells cut the scanned fraction, PQ codes cut bytes per
+      // scanned row, exact re-rank restores true cosines. IvfPqSweep
+      // at sf0.01/sf0.1: nprobe=12 of 16 → recall 0.94/0.90 (nprobe=8
+      // measured 0.78/0.80 — below the PQ-family floor; the IVF probe,
+      // not the PQ code, is what bounds recall on these structureless
+      // synthetic embeddings)
+      annRecallGate(s, dir, floor = 0.75, label = "IVF-PQ") {
+        (emb, queriesDf) =>
+          val model = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 32,
+            seed = 42L, iters = 10)
+          Pq.ivfPqTopK(emb, "vec_id", "embedding",
+            queriesDf, "vec_id", "embedding", k = 10, model,
+            numCentroids = 16, nprobe = 12, rerankFactor = 8)
+      }),
+
+    "ann_ivfpq_index_topk" -> ((s, dir) =>
+      // persisted IVF-PQ: cell-partitioned CODES on disk (no raw
+      // vectors), query = partition-pruned ADC scan + exact re-rank
+      // against the vector store it was built from (IvfPqIndexSpec
+      // asserts the pruning). IvfPqSweep recall at nprobe=12:
+      // 0.88/0.86 (sf0.01/sf0.1)
+      annRecallGate(s, dir, floor = 0.75, label = "persisted IVF-PQ index") {
+        (emb, queriesDf) =>
+          val path = s"/tmp/graft_ivfpq_${math.abs(dir.hashCode)}"
+          Pq.buildIvfPqIndex(emb, "vec_id", "embedding", path,
+            numCentroids = 16, m = 16, k = 32, seed = 42L, kmeansIters = 2)
+          Pq.queryIvfPqIndex(s, path, queriesDf,
+            "vec_id", "embedding", k = 10, nprobe = 12,
+            rerankWith = Some((emb, "vec_id", "embedding")), rerankFactor = 8)
+      }),
+
     "ann_ivf_index_topk" -> ((s, dir) =>
       // persisted-index path: build the cell-partitioned index on disk,
       // then probe it — the scan is partition-pruned to the probed
@@ -2099,6 +2132,8 @@ object SparkEntry {
     "ann_ivf_kmeans_topk" -> annBruteOracleSql,
     "ann_pq_topk" -> annBruteOracleSql,
     "ann_ivf_index_topk" -> annBruteOracleSql,
+    "ann_ivfpq_topk" -> annBruteOracleSql,
+    "ann_ivfpq_index_topk" -> annBruteOracleSql,
 
     "io_csv_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice

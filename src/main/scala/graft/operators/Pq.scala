@@ -176,26 +176,35 @@ object Pq {
           scored.select(col("query_id"), col("id"), col("acos").as("cosine")),
           Seq("query_id"), col("cosine").desc, k)
       case Some((vecs, vidCol, vCol)) =>
-        val cand = Similarity.topKPerKey(
-          scored.select(col("query_id"), col("id"), col("acos").as("cosine"),
-            col("vnorm"), col("qv"), col("nq")),
-          Seq("query_id"), col("cosine").desc, k * rerankFactor)
-        // an inner join here would silently DROP candidates whose id the
-        // re-rank frame doesn't cover (stale/filtered vector store) and
-        // return quietly degraded neighbors; a coverage gap is a config
-        // error and must fail loudly. The candidate frame is small
-        // (≤ k·rerank rows per query) but COMPUTING it is the full ADC
-        // codes scan + top-k — materialize once so the coverage count
-        // and rerankExact share one scan instead of executing it twice
-        // (same pattern as Similarity.queryIvfIndex).
-        val withVec = graft.Materialize.once(cand.join(
-          vecs.select(col(vidCol).as("id"), col(vCol).as("v")), Seq("id"), "left"))
-        val missing = withVec.filter(col("v").isNull).count()
-        require(missing == 0L,
-          s"queryPqIndex: rerankWith frame is missing $missing candidate ids — " +
-            "it must cover every indexed vector")
-        rerankExact(withVec, k)
+        rerankFromStore(scored, k, rerankFactor, vecs, vidCol, vCol)
     }
+  }
+
+  /** Re-rank tail for the PERSISTED paths, where the index holds no raw
+    * vectors: take the top k·rerankFactor ADC candidates, fetch their
+    * vectors from the caller's store, re-score exactly.
+    *
+    * An inner join here would silently DROP candidates whose id the
+    * re-rank frame doesn't cover (stale/filtered vector store) and
+    * return quietly degraded neighbors; a coverage gap is a config
+    * error and must fail loudly. The candidate frame is small
+    * (≤ k·rerank rows per query) but COMPUTING it is the full ADC
+    * codes scan + top-k — materialize once so the coverage count
+    * and rerankExact share one scan instead of executing it twice
+    * (same pattern as Similarity.queryIvfIndex). */
+  private def rerankFromStore(scored: DataFrame, k: Int, rerankFactor: Int,
+      vecs: DataFrame, vidCol: String, vCol: String): DataFrame = {
+    val cand = Similarity.topKPerKey(
+      scored.select(col("query_id"), col("id"), col("acos").as("cosine"),
+        col("vnorm"), col("qv"), col("nq")),
+      Seq("query_id"), col("cosine").desc, k * rerankFactor)
+    val withVec = graft.Materialize.once(cand.join(
+      vecs.select(col(vidCol).as("id"), col(vCol).as("v")), Seq("id"), "left"))
+    val missing = withVec.filter(col("v").isNull).count()
+    require(missing == 0L,
+      s"PQ re-rank: rerankWith frame is missing $missing candidate ids — " +
+        "it must cover every indexed vector")
+    rerankExact(withVec, k)
   }
 
   /** Shared tail of every re-rank path: re-score candidates (columns
@@ -258,6 +267,88 @@ object Pq {
       .withColumn("cell", explode(nearestCentroids(col("qv"), cents, nprobe)))
     val scored = adcScored(enc.join(broadcast(q), Seq("cell")), model, excludeSelf)
     rerankExact(adcCandidates(scored, k * rerankFactor), k)
+  }
+
+  /** Persist an IVF-PQ index at `path` — the composition [[ivfPqTopK]]
+    * proves in memory, as the on-disk artifact production would serve
+    * 1B+ vectors from:
+    *
+    *   - `path/codes/cell=N/…` — PQ codes (id, code, vnorm) partitioned
+    *     by coarse cell: a probe reads only the probed cells' FILES
+    *     (static partition pruning), and each scanned row is m ints +
+    *     one double, not d doubles;
+    *   - `path/_centroids` — the coarse quantizer ([[Similarity.buildIvfIndex]]
+    *     layout, so the loaders are shared);
+    *   - `path/_codebooks` — the PQ model ([[buildPqIndex]] layout).
+    *
+    * Raw vectors are deliberately NOT stored: the query-side exact
+    * re-rank fetches the few surviving candidates from the caller's
+    * vector store (`rerankWith`), which at scale is the primary-copy
+    * table the index was built from. Both model fits are bounded
+    * driver-side jobs; assignment + encoding is one map pass.
+    *
+    * Returns the fitted model (callers that keep the session open can
+    * query without re-reading `_codebooks`). */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, numCentroids: Int = 64, m: Int = 16, k: Int = 32,
+      seed: Long = 42L, iters: Int = 10, kmeansIters: Int = 0): PqModel = {
+    import graft.functions.HashFunctions.nearestCentroids
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = Similarity.fitCentroids(corpus, idCol, vecCol,
+      numCentroids, seed, kmeansIters)
+    val model = fit(corpus, idCol, vecCol, m, k, seed, iters)
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    model.codebooks.zipWithIndex.flatMap { case (cb, mi) =>
+      cb.zipWithIndex.map { case (c, j) => (mi, j, c.toSeq) }
+    }.toSeq.toDF("subspace", "centroid", "coords")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
+    encode(corpus, idCol, vecCol, model, keepVec = true)
+      .withColumn("cell", element_at(nearestCentroids(col("v"), cents, 1), 1))
+      .filter(col("cell").isNotNull) // non-finite vectors are unindexable
+      .drop("v")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    model
+  }
+
+  /** Query a [[buildIvfPqIndex]] index: probe the `nprobe` nearest
+    * cells per query. The probed cell set re-enters the plan as an
+    * `isin` literal so the codes scan prunes at PARTITION level —
+    * unprobed cells are never read from storage (plan-asserted in
+    * IvfPqIndexSpec) — and the probed cells are scored with ADC
+    * lookups, never raw dots. `rerankWith` re-scores the top
+    * k·rerankFactor survivors exactly against the caller's vector
+    * store; without it the ADC ranking is returned as-is. */
+  def queryIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      nprobe: Int = 8, rerankWith: Option[(DataFrame, String, String)] = None,
+      rerankFactor: Int = 8, excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.HashFunctions.nearestCentroids
+    require(nprobe >= 1 && rerankFactor >= 1,
+      s"need nprobe >= 1, rerankFactor >= 1 (got $nprobe, $rerankFactor)")
+    val cents = Similarity.loadCentroids(spark, path)
+    val model = loadPqModel(spark, path)
+    // materialize the expanded probe frame ONCE before the driver-side
+    // cell collect — same consistency rationale as Similarity.queryIvfIndex
+    val q = graft.Materialize.once(
+      lutQueries(queries, qidCol, qvecCol, model)
+        .withColumn("cell", explode(nearestCentroids(col("qv"), cents, nprobe))),
+      eager = true)
+    val probeCells: Array[Int] =
+      q.select("cell").distinct().collect().map(_.getInt(0))
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+    val scored = adcScored(codes.join(broadcast(q), Seq("cell")), model, excludeSelf)
+    rerankWith match {
+      case None =>
+        Similarity.topKPerKey(
+          scored.select(col("query_id"), col("id"), col("acos").as("cosine")),
+          Seq("query_id"), col("cosine").desc, k)
+      case Some((vecs, vidCol, vCol)) =>
+        rerankFromStore(scored, k, rerankFactor, vecs, vidCol, vCol)
+    }
   }
 
   /** ADC top-k: approximate cosine = adc_dot / (vnorm · qnorm) per

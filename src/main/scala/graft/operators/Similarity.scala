@@ -267,7 +267,7 @@ object Similarity {
   /** Centroid fit shared by [[ivfCentroidTopK]] and [[buildIvfIndex]]:
     * Lloyd-refined when `kmeansIters > 0`, plain deterministic sample
     * otherwise. */
-  private def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+  private[operators] def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int, seed: Long, kmeansIters: Int): Array[Array[Double]] =
     if (kmeansIters > 0)
       kmeansCentroids(corpus, idCol, vecCol, numCentroids, seed, kmeansIters)
@@ -333,6 +333,18 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
   }
 
+  /** Reload the `cell → centroid` table written by [[buildIvfIndex]] (or
+    * [[Pq.buildIvfPqIndex]] — same layout). Cell ids are dense 0..n-1 by
+    * construction, so ordering by cell yields a positional array. */
+  private[operators] def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] = {
+    val cents = spark.read.parquet(s"$path/_centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(cents.nonEmpty, s"no centroids at $path/_centroids")
+    cents
+  }
+
   /** Query a [[buildIvfIndex]] index: per query, probe the `nprobe`
     * nearest cells. The probed cell set is collected to the driver
     * (≤ queries×nprobe ints — the same model-params budget as the
@@ -344,9 +356,7 @@ object Similarity {
       nprobe: Int = 8): DataFrame = {
     import graft.functions.HashFunctions.nearestCentroids
     require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
-    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/_centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray)
+    val cents = loadCentroids(spark, path)
     // materialize the expanded query frame ONCE before the driver-side
     // cell collect: without it the plan runs twice (once for the collect,
     // once inside the join), and a non-deterministic query source could
