@@ -34,12 +34,16 @@ case class ZOrderValue(children: Seq[Expression], bits: Int)
   override def nullable: Boolean = true
   override def foldable: Boolean = children.forall(_.foldable)
 
-  // plan-time rejection of non-integral layout columns — without this a
-  // string/date/decimal column passes analysis and fails per-row at
-  // execution, after the write job has already shuffled data
+  // plan-time rejection of non-interleavable layout columns — without
+  // this a string/decimal column passes analysis and fails per-row at
+  // execution, after the write job has already shuffled data. Date and
+  // timestamp ARE interleavable: they evaluate to Int (days) / Long
+  // (micros), monotone in time — z-ordering by (event_date, region) is
+  // the canonical layout — so they stay accepted.
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def integral(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType => true
+      case DateType | TimestampType | TimestampNTZType => true
       case _ => false
     }
     val bad = children.zipWithIndex.collectFirst {

@@ -539,11 +539,16 @@ object Dedup {
       val withG =
         if (salt == Auto) {
           val floor = sessionSaltFloor(entries.sparkSession)
-          val hot = entries.groupBy(keys: _*).agg(count(lit(1)).as("__bcnt"))
-            .filter(col("__bcnt") > floor)
-            .select((keys :+
-              least(ceil(col("__bcnt") / floor.toDouble),
-                lit(MaxAutoSalt.toLong)).cast("int").as("__g")): _*)
+          // materialized ONCE: the isEmpty probe below is an action, and
+          // without this the broadcast join would re-run the full
+          // occupancy aggregation a second time when the pair join
+          // executes (and again on every later action on the result)
+          val hot = graft.Materialize.once(
+            entries.groupBy(keys: _*).agg(count(lit(1)).as("__bcnt"))
+              .filter(col("__bcnt") > floor)
+              .select((keys :+
+                least(ceil(col("__bcnt") / floor.toDouble),
+                  lit(MaxAutoSalt.toLong)).cast("int").as("__g")): _*))
           // benign corpus (no bucket over the floor): keep the plain
           // explode-free join — Auto's only cost is this one
           // partial-aggregated probe (a hot key collapses map-side, so

@@ -124,11 +124,22 @@ object Readers {
   }
 
   /** The CSV scan: native file scan normally; in lossy mode the parser
-    * consumes [[lossyUtf8Lines]] instead of the raw path. */
+    * consumes [[lossyUtf8Lines]] instead of the raw path.
+    *
+    * Lossy mode handles the header itself: Spark's `csv(Dataset[String])`
+    * with header=true removes EVERY line byte-equal to the first one
+    * (CSVUtils.filterHeaderLine filters all partitions), which would
+    * silently drop mid-file data rows that happen to repeat the header
+    * text — a parity break vs the native per-file scan. The Hadoop text
+    * source gives each line's byte OFFSET, so offset 0 identifies each
+    * file's real header line exactly; we drop that and parse headerless. */
   private def csvScan(spark: SparkSession, path: String, sep: String,
       schema: StructType, cfg: ReadConfig): DataFrame = {
     val r = csvReader(spark, sep, cfg).schema(schema)
-    if (cfg.lossyUtf8) r.csv(lossyUtf8Lines(spark, path)) else r.csv(path)
+    if (cfg.lossyUtf8)
+      r.option("header", false)
+        .csv(lossyUtf8Lines(spark, path, dropFirstLinePerFile = cfg.header))
+    else r.csv(path)
   }
 
   /** Byte-exact LossyUtf8 line source (reference data_filter.rs:578-585):
@@ -142,8 +153,13 @@ object Readers {
     * text source — and per-line decoding is byte-identical to whole-file
     * decoding because 0x0A cannot occur inside any valid multi-byte
     * UTF-8 sequence (a malformed run truncated at a newline is malformed
-    * on both sides either way). */
-  private[sources] def lossyUtf8Lines(spark: SparkSession, path: String): Dataset[String] = {
+    * on both sides either way).
+    *
+    * `dropFirstLinePerFile` removes exactly the line at byte offset 0 of
+    * each file — per-file header removal, byte-positional, immune to
+    * data rows that repeat the header text (see [[csvScan]]). */
+  private[sources] def lossyUtf8Lines(spark: SparkSession, path: String,
+      dropFirstLinePerFile: Boolean = false): Dataset[String] = {
     import spark.implicits._
     spark.sparkContext.hadoopFile(path,
         classOf[org.apache.hadoop.mapred.TextInputFormat],
@@ -153,7 +169,7 @@ object Readers {
         val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
           .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
           .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
-        it.map { case (_, t) =>
+        it.collect { case (off, t) if !(dropFirstLinePerFile && off.get == 0L) =>
           dec.reset()
           dec.decode(java.nio.ByteBuffer.wrap(t.getBytes, 0, t.getLength)).toString
         }
@@ -224,6 +240,11 @@ object Readers {
     * the file head (Jackson incremental parser — never a full-document
     * pass just to infer). */
   def readJson(spark: SparkSession, path: String, cfg: ReadConfig): DataFrame = {
+    // config errors fail loudly: the lossy decoder is line-oriented and
+    // array documents span lines, so silently ignoring the flag would
+    // hand back exactly the PERMISSIVE-nulling the caller opted out of
+    require(!cfg.lossyUtf8,
+      "lossyUtf8 is line-oriented (CSV/NDJSON) — array-document JSON spans lines")
     val schema = inferJsonSchema(spark,
       headJsonArrayElements(spark, path, math.max(cfg.inferSchemaRows, 1)), cfg)
     val base = spark.read.option("multiLine", true).option("mode", "PERMISSIVE")
@@ -238,11 +259,10 @@ object Readers {
     * array-document reader can't ride it — array documents span lines.) */
   def readNdJson(spark: SparkSession, path: String, cfg: ReadConfig): DataFrame = {
     import scala.jdk.CollectionConverters._
-    require(!(cfg.lossyUtf8 && cfg.encoding.isDefined),
-      "lossyUtf8 is a UTF-8 decode mode — it cannot combine with an explicit encoding")
+    val probeCs = probeEncoding(cfg) // validates the lossy/encoding exclusion
     val head =
       if (cfg.lossyUtf8)
-        CsvSniffer.headLines(spark, path, math.max(cfg.inferSchemaRows, 1), Some("UTF-8"))
+        CsvSniffer.headLines(spark, path, math.max(cfg.inferSchemaRows, 1), probeCs)
       else spark.read.textFile(path)
         .limit(math.max(cfg.inferSchemaRows, 1)).collectAsList().asScala.toSeq
     val schema = inferJsonSchema(spark, head, cfg)

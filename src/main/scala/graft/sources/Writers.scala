@@ -261,29 +261,9 @@ object Writers {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new org.apache.hadoop.fs.Path(path + ".__graft-compact-tmp__")
     val old = new org.apache.hadoop.fs.Path(path + ".__graft-compact-old__")
-    def committed(p: org.apache.hadoop.fs.Path): Boolean =
-      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
-    def mv(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
-      if (!fs.rename(from, to))
-        throw new java.io.IOException(s"compact: rename $from -> $to failed")
-    // CRASH RECOVERY from a previous compaction killed mid-swap. The
-    // swap is rename(dir→old) + rename(tmp→dir) + delete old; a complete
-    // copy always exists under some name, and recovery only deletes a
-    // directory when a complete copy survives elsewhere:
-    //   old + dir           → crash after the second rename: dir is the
-    //                         compacted copy; drop old.
-    //   old + committed tmp → crash between the renames: finish the swap.
-    //   old alone           → restore the original.
-    //   tmp w/o _SUCCESS    → torn rewrite; discard (dir is authoritative).
-    if (fs.exists(old)) {
-      if (fs.exists(dir)) { fs.delete(old, true); () }
-      else if (fs.exists(tmp) && committed(tmp)) {
-        mv(tmp, dir)
-        fs.delete(old, true)
-        ()
-      } else mv(old, dir)
-    }
-    if (fs.exists(tmp)) { fs.delete(tmp, true); () }
+    // crash recovery from a previous compaction killed mid-swap — the
+    // four-state machine lives in FsSwap (shared with upsertSink)
+    FsSwap.recover(fs, dir, tmp, old, "compact")
     val entries = fs.listStatus(dir).filterNot { st =>
       st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith(".")
     }
@@ -310,10 +290,8 @@ object Writers {
     }
     // rename-only swap — the original is never deleted until the
     // compacted copy is live; a crash at any point is undone by the
-    // recovery block at entry
-    mv(dir, old)
-    mv(tmp, dir)
-    fs.delete(old, true)
+    // recovery at entry
+    FsSwap.swap(fs, dir, tmp, old, "compact")
     val after = fs.listStatus(dir).count { st =>
       st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith(".")

@@ -166,39 +166,12 @@ object EventStreams {
         val retired = new org.apache.hadoop.fs.Path(
           snapshotPath + ".__graft-upsert-old__")
         val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-        // a parquet job commit writes _SUCCESS — the marker that separates
-        // a COMPLETE staging from one whose write was killed midway
-        def committed(p: org.apache.hadoop.fs.Path): Boolean =
-          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
-        def mv(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
-          if (!fs.rename(from, to))
-            throw new java.io.IOException(s"upsertSink: rename $from -> $to failed")
-        // CRASH RECOVERY before reading state. The swap below is
-        // rename(target→retired) + rename(staging→target) + delete
-        // retired — at every instant a COMPLETE copy exists under some
-        // name, and recovery only ever deletes a directory when a
-        // complete copy survives elsewhere:
-        //   retired + target        → crash after the second rename:
-        //                             target is complete; drop retired.
-        //   retired + committed staging → crash between the renames:
-        //                             finish the swap.
-        //   retired alone           → staging write itself died after the
-        //                             first rename (cannot happen in this
-        //                             ordering, but restore anyway).
-        //   staging w/o _SUCCESS    → torn write; discard (target or the
-        //                             empty-start path is authoritative).
-        //   committed staging alone → crash after write, before swap;
-        //                             discard — the source replays the
-        //                             batch and the merge is idempotent.
-        if (fs.exists(retired)) {
-          if (fs.exists(target)) { fs.delete(retired, true); () }
-          else if (fs.exists(staging) && committed(staging)) {
-            mv(staging, target)
-            fs.delete(retired, true)
-            ()
-          } else mv(retired, target)
-        }
-        if (fs.exists(staging)) { fs.delete(staging, true); () }
+        // CRASH RECOVERY before reading state — the four-state
+        // rename-only machine lives in FsSwap (shared with
+        // compactParquet). The committed-staging-alone discard is safe
+        // HERE because the source replays the batch and the merge is
+        // idempotent.
+        graft.sources.FsSwap.recover(fs, target, staging, retired, "upsertSink")
 
         val exists = fs.exists(target)
         val next =
@@ -221,9 +194,7 @@ object EventStreams {
         // no recovery can distinguish a mutilated directory from a
         // complete one — renames are atomic per directory).
         next.write.mode("overwrite").parquet(staging.toString)
-        if (fs.exists(target)) mv(target, retired)
-        mv(staging, target)
-        if (fs.exists(retired)) { fs.delete(retired, true); () }
+        graft.sources.FsSwap.swap(fs, target, staging, retired, "upsertSink")
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }

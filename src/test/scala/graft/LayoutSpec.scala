@@ -150,6 +150,19 @@ class LayoutSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("integral"), e.getMessage)
   }
 
+  test("z_value accepts date and timestamp layout columns (Int/Long-backed, monotone)") {
+    // z-ordering by (event_date, key) is the canonical layout — the
+    // type check must not reject what eval always handled
+    val df = spark.range(10L).select(col("id"),
+      date_add(lit(java.sql.Date.valueOf("2026-01-01")), col("id").cast("int")).as("d"),
+      (lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))).as("ts"))
+    val out = df.select(
+      graft.functions.LayoutFunctions.zValue(8, col("d"), col("id")).as("zd"),
+      graft.functions.LayoutFunctions.zValue(8, col("ts"), col("id")).as("zt"))
+      .collect()
+    assert(out.length == 10 && out.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+  }
+
   test("compaction recovers every crash-swap state without losing data") {
     import org.apache.hadoop.fs.Path
     def freshDir(): (String, org.apache.spark.sql.Row) = {

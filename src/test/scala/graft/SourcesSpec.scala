@@ -251,6 +251,25 @@ class SourcesSpec extends AnyFunSuite {
     val nd = Readers.readNdJson(spark, f3.getAbsolutePath, ReadConfig(lossyUtf8 = true))
       .select("id", "name").as[(Long, String)].collect().sortBy(_._1)
     assert(nd.toSeq == Seq((1L, "ok"), (2L, "ca�f")))
+    // array-document JSON cannot ride the line decoder — fail loudly,
+    // never silently hand back the PERMISSIVE-nulling the caller opted
+    // out of
+    intercept[IllegalArgumentException] {
+      Readers.readJson(spark, f3.getAbsolutePath, ReadConfig(lossyUtf8 = true))
+    }
+    // a mid-file data row byte-equal to the header must SURVIVE: Spark's
+    // csv(Dataset[String]) header mode filters every line equal to the
+    // first, so the lossy path drops the offset-0 line itself instead —
+    // per-file, byte-positional, parity with the native scan
+    val f4 = new java.io.File(dir, "hdrdup.csv")
+    Files.write(f4.toPath,
+      "a;b\n1;2\na;b\n3;4\n".getBytes("UTF-8"))
+    val dup = Readers.readCsv(spark, f4.getAbsolutePath,
+      ReadConfig(delimiter = Some(';'), lossyUtf8 = true,
+        forceStringRegex = Some("*")))
+      .as[(String, String)].collect().toSeq
+    assert(dup.length == 3, s"header-equal data row lost: $dup")
+    assert(dup.contains(("a", "b")), s"header-equal data row lost: $dup")
   }
 
   // ---- JSON/NDJSON inference parity (data_filter.rs:312,340) -----------
