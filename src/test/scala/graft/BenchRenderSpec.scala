@@ -12,8 +12,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * the cap. */
 class BenchRenderSpec extends AnyFunSuite {
 
-  private def results(times: Map[String, Double]): Seq[(String, Double, Boolean, Int)] =
-    times.toSeq.sorted.map { case (k, v) => (k, v, v >= 0, if (v >= 0) 0 else 1) }
+  private def results(times: Map[String, Double]): Seq[Bench.QueryResult] =
+    times.toSeq.sorted.map { case (k, v) =>
+      Bench.QueryResult(k, v, v >= 0, if (v >= 0) 0 else 1, 0.0, 1) }
 
   private def parse(s: String): JValue = JsonMethods.parse(s)
 
@@ -86,13 +87,14 @@ class BenchRenderSpec extends AnyFunSuite {
   test("mass-flaky run: flaky{} is capped and flaky_total carries the true count") {
     val names = (1 to 40).map(i => f"query_with_a_rather_long_name_$i%02d")
     // passed overall (median positive) but with failed repeats → flaky
-    val res = names.map(n => (n, 1.0, true, 1))
+    val res = names.map(n => Bench.QueryResult(n, 1.0, true, 1, 0.0, 1))
     val (_, out) = Bench.render(res, "/x")
     val j = parse(out)
     assert((j \ "flaky").asInstanceOf[JObject].obj.length == 16)
     assert((j \ "flaky_total").asInstanceOf[JInt].num.toInt == 40)
     // under the cap: no flaky_total emitted
-    val (_, small) = Bench.render(names.take(3).map(n => (n, 1.0, true, 1)), "/x")
+    val (_, small) = Bench.render(
+      names.take(3).map(n => Bench.QueryResult(n, 1.0, true, 1, 0.0, 1)), "/x")
     assert((parse(small) \ "flaky_total") == JNothing)
   }
 
@@ -104,6 +106,62 @@ class BenchRenderSpec extends AnyFunSuite {
       val j = parse(out)
       assert((j \ "queries" \ "q1_agg").asInstanceOf[JDouble].num == 1.235)
     } finally java.util.Locale.setDefault(prev)
+  }
+
+  test("parseAnchors reads the real BASELINE.md tables, not prose or paths") {
+    val md =
+      """| `ann_brute_topk` | 2.19 | `ann_ivf_centroid_topk` | 2.99 |
+        || `mm_resize` | 0.18 | stub passthrough on text payloads |
+        || Schema-inference cost bound | 200 rows scanned | `infer_schema_rows` default |
+        |prose mention: merge_diff 6.46x and `q1_agg` ran fast
+        || `t2 correctness` | DuckDB-oracle | `/root/testdata/sf0.01/` (~60k rows) |
+        || `merge_diff` | 1.06 | `corpus_quantiles` | 0.59 |
+        |""".stripMargin
+    val a = Bench.parseAnchors(md)
+    assert(a == Map("ann_brute_topk" -> 2.19, "ann_ivf_centroid_topk" -> 2.99,
+      "mm_resize" -> 0.18, "merge_diff" -> 1.06, "corpus_quantiles" -> 0.59))
+  }
+
+  test("parseAnchors: a later table re-anchor overrides the earlier one") {
+    val a = Bench.parseAnchors("| `q1_agg` | 0.92 |\n| `q1_agg` | 1.50 |")
+    assert(a == Map("q1_agg" -> 1.50))
+  }
+
+  test("the real BASELINE.md parses to anchors covering the bench set") {
+    val p = java.nio.file.Paths.get("BASELINE.md")
+    assume(java.nio.file.Files.isReadable(p))
+    val a = Bench.parseAnchors(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    // every parsed anchor must name a real query — a parse that picks up
+    // stray numbers would silently mis-flag
+    val unknown = a.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"anchors for non-queries: $unknown")
+    assert(a.size >= 90, s"expected >=90 anchors, parsed ${a.size}")
+  }
+
+  test("flagged carries queries over 2x anchor with their ratio; others excluded") {
+    val res = Seq(
+      Bench.QueryResult("slow_q", 3.0, true, 0, 0.0, 3),   // 3x anchor → flagged
+      Bench.QueryResult("fine_q", 1.5, true, 0, 0.0, 1),   // 1.5x → not flagged
+      Bench.QueryResult("new_q", 9.0, true, 0, 0.0, 1),    // no anchor → not flagged
+      Bench.QueryResult("dead_q", -1.0, false, 1, 0.0, 1)) // failed → not flagged
+    val anchors = Map("slow_q" -> 1.0, "fine_q" -> 1.0, "dead_q" -> 1.0)
+    val (_, out) = Bench.render(res, "/x", anchors)
+    val j = parse(out)
+    assert((j \ "flagged" \ "slow_q").asInstanceOf[JDouble].num == 3.0)
+    assert((j \ "flagged").asInstanceOf[JObject].obj.map(_._1) == List("slow_q"))
+    assert((j \ "reruns").asInstanceOf[JInt].num.toInt == 1)
+  }
+
+  test("stdout carries build_sec for the persisted-index gates; full line for all") {
+    val res = Seq(
+      Bench.QueryResult("ann_ivfpq_index_topk", 5.0, true, 0, 3.2, 1),
+      Bench.QueryResult("q1_agg", 1.0, true, 0, 0.4, 1))
+    val (full, out) = Bench.render(res, "/x")
+    val jo = parse(out)
+    assert((jo \ "build" \ "ann_ivfpq_index_topk").asInstanceOf[JDouble].num == 3.2)
+    assert((jo \ "build" \ "q1_agg") == JNothing)
+    val jf = parse(full)
+    assert((jf \ "build" \ "q1_agg").asInstanceOf[JDouble].num == 0.4)
   }
 
   test("shedding never loops forever even with an absurdly small budget") {
