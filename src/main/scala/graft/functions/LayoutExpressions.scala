@@ -36,27 +36,32 @@ case class ZOrderValue(children: Seq[Expression], bits: Int)
 
   // plan-time rejection of non-interleavable layout columns — without
   // this a string/decimal column passes analysis and fails per-row at
-  // execution, after the write job has already shuffled data. Date and
-  // timestamp ARE interleavable: they evaluate to Int (days) / Long
-  // (micros), monotone in time — z-ordering by (event_date, region) is
-  // the canonical layout — so they stay accepted.
+  // execution, after the write job has already shuffled data. Date IS
+  // interleavable (Int days, ~15 bits — fits the <=31-bit budget);
+  // raw timestamps are NOT: they evaluate to epoch MICROS (~2^60),
+  // which can never fit the <=31 representable bits, so every realistic
+  // value clamps to the max — a silently degenerate constant layout.
+  // Writers.writeZOrderedParquet min-subtracts and rescales all layout
+  // columns (timestamps included) before interleaving; anyone calling
+  // z_value directly must do the same.
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def integral(dt: DataType): Boolean = dt match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case DateType | TimestampType | TimestampNTZType => true
-      case _ => false
-    }
-    val bad = children.zipWithIndex.collectFirst {
-      case (c, i) if !integral(c.dataType) => (c.dataType, i)
-    }
-    bad match {
-      case Some((dt, i)) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"z_value requires integral columns; argument ${i + 1} is ${dt.simpleString} " +
-            "(bucket/rank non-integer columns before interleaving)")
-      case None =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    }
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    children.zipWithIndex.collectFirst {
+      case (c, i) if c.dataType == TimestampType || c.dataType == TimestampNTZType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"z_value: argument ${i + 1} is ${c.dataType.simpleString} — epoch " +
+            "microseconds never fit the interleave bit budget and would clamp " +
+            "to a constant; rescale first (Writers.writeZOrderedParquet does " +
+            "this automatically, or cast to date / min-subtract and bucket)")
+      case (c, i) if !(c.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType => true
+        case _ => false
+      }) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"z_value requires integral columns; argument ${i + 1} is " +
+            s"${c.dataType.simpleString} (bucket/rank non-integer columns " +
+            "before interleaving)")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
   }
 
   override def eval(input: InternalRow): Any = {

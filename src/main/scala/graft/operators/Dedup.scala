@@ -110,6 +110,11 @@ object Dedup {
     * Short-but-nonempty documents use a whole-text fallback shingle (see
     * MinHashFromText), so identical short docs still pair at 1.0 while
     * unrelated short docs don't.
+    *
+    * NOT a pure lazy plan builder: Auto salting runs ONE bounded
+    * bucket-occupancy Spark job at call time to size the hot-bucket
+    * split (see [[bucketSelfJoinPairs]]); nothing stays cached after
+    * the call returns.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
@@ -387,7 +392,11 @@ object Dedup {
     * (pigeonhole-exact for maxHamming ≤ chunks - agreeChunks). Billion-
     * doc corpora use (chunks=8, agreeChunks=4): 32-bit bucket keys →
     * ~3,700× fewer expected candidates at radius ≤ 4; see
-    * [[simhashPairsFromSigs]] for the trade table. */
+    * [[simhashPairsFromSigs]] for the trade table.
+    *
+    * NOT a pure lazy plan builder with `saltBuckets = Auto` (default):
+    * one bounded bucket-occupancy job runs at call time (see
+    * [[bucketSelfJoinPairs]]); nothing stays cached after the call. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, seed: Long = 42L, chunks: Int = Auto,
       agreeChunks: Int = Auto, saltBuckets: Int = Auto): DataFrame = {
@@ -539,21 +548,29 @@ object Dedup {
       val withG =
         if (salt == Auto) {
           val floor = sessionSaltFloor(entries.sparkSession)
-          // materialized ONCE: the isEmpty probe below is an action, and
-          // without this the broadcast join would re-run the full
-          // occupancy aggregation a second time when the pair join
-          // executes (and again on every later action on the result)
-          val hot = graft.Materialize.once(
-            entries.groupBy(keys: _*).agg(count(lit(1)).as("__bcnt"))
-              .filter(col("__bcnt") > floor)
-              .select((keys :+
-                least(ceil(col("__bcnt") / floor.toDouble),
-                  lit(MaxAutoSalt.toLong)).cast("int").as("__g")): _*))
+          // EAGER: Auto runs the occupancy probe as ONE Spark job here,
+          // at plan-construction time (documented on the public pair
+          // operators). The surviving hot buckets are collected to the
+          // driver — they are destined for a broadcast join, so this
+          // adds no driver-memory bound that broadcast didn't already
+          // impose (≤ n/floor rows, each a few key columns + an int) —
+          // and re-emitted as a LOCAL relation: nothing stays persisted
+          // or checkpoint-pinned after the call, and the pair join
+          // never re-runs the aggregation
+          val hotPlan = entries.groupBy(keys: _*)
+            .agg(count(lit(1)).as("__bcnt"))
+            .filter(col("__bcnt") > floor)
+            .select((keys :+
+              least(ceil(col("__bcnt") / floor.toDouble),
+                lit(MaxAutoSalt.toLong)).cast("int").as("__g")): _*)
+          val hotRows = hotPlan.collect()
           // benign corpus (no bucket over the floor): keep the plain
           // explode-free join — Auto's only cost is this one
           // partial-aggregated probe (a hot key collapses map-side, so
           // the probe itself cannot skew)
-          if (hot.isEmpty) return plainJoin
+          if (hotRows.isEmpty) return plainJoin
+          val hot = entries.sparkSession.createDataFrame(
+            java.util.Arrays.asList(hotRows: _*), hotPlan.schema)
           entries.join(broadcast(hot), bucketCols, "left")
             .withColumn("__g", coalesce(col("__g"), lit(1)))
         } else entries.withColumn("__g", lit(salt))
@@ -774,7 +791,12 @@ object Dedup {
     * that survive a 1B-vector corpus instead of 2^8 buckets. Pass
     * signBits=0 explicitly to force exact all-pairs at any size (the
     * oracle-parity opt-in), or a positive width to pin the recall/volume
-    * trade. */
+    * trade.
+    *
+    * NOT a pure lazy plan builder: `signBits = Auto` counts the corpus,
+    * and `saltBuckets = Auto` runs one bounded bucket-occupancy job at
+    * call time (see [[bucketSelfJoinPairs]]); nothing stays cached
+    * after the call. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, signBits: Int = Auto, seed: Long = 42L,
       dim: Int = 64, saltBuckets: Int = Auto): DataFrame = {

@@ -132,6 +132,11 @@ object Pq {
       iters: Int = 10): PqModel = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // same marker discipline as buildIvfPqIndex: torn builds must be
+    // refused by the reader, not served as a model/codes mix
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.FsSwap.beginArtifact(fs, new org.apache.hadoop.fs.Path(path))
     val model = fit(corpus, idCol, vecCol, m, k, seed, iters)
     model.codebooks.zipWithIndex.flatMap { case (cb, mi) =>
       cb.zipWithIndex.map { case (c, j) => (mi, j, c.toSeq) }
@@ -139,6 +144,8 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
     encode(corpus, idCol, vecCol, model)
       .write.mode("overwrite").parquet(s"$path/codes")
+    graft.sources.FsSwap.commitArtifact(fs, new org.apache.hadoop.fs.Path(path),
+      s"pq m=$m k=$k seed=$seed")
     model
   }
 
@@ -166,6 +173,10 @@ object Pq {
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
       rerankWith: Option[(DataFrame, String, String)] = None,
       rerankFactor: Int = 8, excludeSelf: Boolean = true): DataFrame = {
+    graft.sources.FsSwap.requireCommitted(
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(path), "queryPqIndex")
     val model = loadPqModel(spark, path)
     val enc = spark.read.parquet(s"$path/codes")
     val q = lutQueries(queries, qidCol, qvecCol, model)
@@ -295,6 +306,14 @@ object Pq {
     import graft.functions.HashFunctions.nearestCentroids
     val spark = corpus.sparkSession
     import spark.implicits._
+    // marker discipline (FsSwap): dropped before the first part write,
+    // written after the last — a build killed between the three part
+    // writes (or over an existing index) leaves no marker, and
+    // queryIvfPqIndex refuses a markerless index instead of silently
+    // serving a new-model/old-codes mix
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.FsSwap.beginArtifact(fs, new org.apache.hadoop.fs.Path(path))
     val cents = Similarity.fitCentroids(corpus, idCol, vecCol,
       numCentroids, seed, kmeansIters)
     val model = fit(corpus, idCol, vecCol, m, k, seed, iters)
@@ -310,6 +329,8 @@ object Pq {
       .filter(col("cell").isNotNull) // non-finite vectors are unindexable
       .drop("v")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    graft.sources.FsSwap.commitArtifact(fs, new org.apache.hadoop.fs.Path(path),
+      s"ivfpq numCentroids=$numCentroids m=$m k=$k seed=$seed")
     model
   }
 
@@ -328,6 +349,10 @@ object Pq {
     import graft.functions.HashFunctions.nearestCentroids
     require(nprobe >= 1 && rerankFactor >= 1,
       s"need nprobe >= 1, rerankFactor >= 1 (got $nprobe, $rerankFactor)")
+    graft.sources.FsSwap.requireCommitted(
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(path), "queryIvfPqIndex")
     val cents = Similarity.loadCentroids(spark, path)
     val model = loadPqModel(spark, path)
     // materialize the expanded probe frame ONCE before the driver-side

@@ -321,6 +321,11 @@ object Similarity {
       kmeansIters: Int = 0): Unit = {
     import graft.functions.HashFunctions.nearestCentroids
     val spark = corpus.sparkSession
+    // marker discipline (FsSwap): a build killed between the two part
+    // writes leaves no marker and queryIvfIndex refuses the torn index
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.FsSwap.beginArtifact(fs, new org.apache.hadoop.fs.Path(path))
     val cents = fitCentroids(corpus, idCol, vecCol, numCentroids, seed, kmeansIters)
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -331,6 +336,8 @@ object Similarity {
         element_at(nearestCentroids(col(vecCol), cents, 1), 1).as("cell"))
       .filter(col("cell").isNotNull) // non-finite vectors are unindexable
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    graft.sources.FsSwap.commitArtifact(fs, new org.apache.hadoop.fs.Path(path),
+      s"ivf numCentroids=$numCentroids seed=$seed")
   }
 
   /** Reload the `cell → centroid` table written by [[buildIvfIndex]] (or
@@ -356,6 +363,10 @@ object Similarity {
       nprobe: Int = 8): DataFrame = {
     import graft.functions.HashFunctions.nearestCentroids
     require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    graft.sources.FsSwap.requireCommitted(
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(path), "queryIvfIndex")
     val cents = loadCentroids(spark, path)
     // materialize the expanded query frame ONCE before the driver-side
     // cell collect: without it the plan runs twice (once for the collect,

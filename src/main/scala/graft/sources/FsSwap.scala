@@ -15,7 +15,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * distinguish a mutilated directory from a complete one), so a crash
   * at any point loses nothing and [[recover]] restores the live path
   * from whichever complete copy survived. Safety-critical and easy to
-  * get subtly wrong — which is why it lives in exactly one place. */
+  * get subtly wrong — which is why it lives in exactly one place.
+  *
+  * ONE WRITER PER TARGET at a time: staging/retired names are fixed
+  * per target and [[recover]] deletes what it finds under them, so two
+  * concurrent swappers on the same path can destroy each other's
+  * in-flight staging or promote a stale retired copy. Callers must
+  * serialize swaps per path (documented on each public entry point);
+  * this is the same single-maintainer-per-table discipline every
+  * table-format compactor assumes. */
 private[graft] object FsSwap {
 
   /** A parquet job commit writes `_SUCCESS` — the marker that separates
@@ -73,4 +81,37 @@ private[graft] object FsSwap {
     mv(fs, staging, target, ctx)
     if (fs.exists(retired)) { fs.delete(retired, true); () }
   }
+
+  // ---- multi-part artifact commit marker --------------------------------
+
+  /** Terminal marker for MULTI-part on-disk artifacts (the persisted
+    * ANN indexes write 2–3 sibling directories — centroids, codebooks,
+    * codes). Each part's own `_SUCCESS` only proves that PART committed;
+    * nothing ties the parts together, so a build killed between parts
+    * (or a failed overwrite of an existing index) leaves a READABLE but
+    * INCONSISTENT artifact — new model, old codes. The marker closes
+    * that window: deleted FIRST on rebuild, written LAST after every
+    * part committed, required by every reader. */
+  val CommitMarker = "_graft_index_commit"
+
+  /** Call before the first part write of a (re)build: drops the marker
+    * so a torn rebuild can never pass for the old complete artifact. */
+  def beginArtifact(fs: FileSystem, dir: Path): Unit = {
+    val m = new Path(dir, CommitMarker)
+    if (fs.exists(m)) { fs.delete(m, false); () }
+  }
+
+  /** Call after the LAST part write committed; `info` (build params)
+    * lands in the marker for post-mortem debugging. */
+  def commitArtifact(fs: FileSystem, dir: Path, info: String): Unit = {
+    val out = fs.create(new Path(dir, CommitMarker), true)
+    try out.write((info + "\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Readers call this before trusting any part of the artifact. */
+  def requireCommitted(fs: FileSystem, dir: Path, ctx: String): Unit =
+    if (!fs.exists(new Path(dir, CommitMarker)))
+      throw new java.io.IOException(
+        s"$ctx: no $CommitMarker under $dir — the index is absent, " +
+          "mid-build, or a torn rebuild left inconsistent parts; rebuild it")
 }

@@ -259,10 +259,15 @@ object Readers {
     * array-document reader can't ride it — array documents span lines.) */
   def readNdJson(spark: SparkSession, path: String, cfg: ReadConfig): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val probeCs = probeEncoding(cfg) // validates the lossy/encoding exclusion
+    probeEncoding(cfg) // validates the lossy/encoding exclusion
+    // both branches sample ACROSS files: CsvSniffer.headLines heads only
+    // one part file, so a lossy multi-file directory would silently lose
+    // columns present only in non-sampled files — the lossy sample must
+    // see the same multi-file head the scan will
     val head =
       if (cfg.lossyUtf8)
-        CsvSniffer.headLines(spark, path, math.max(cfg.inferSchemaRows, 1), probeCs)
+        lossyUtf8Lines(spark, path)
+          .limit(math.max(cfg.inferSchemaRows, 1)).collectAsList().asScala.toSeq
       else spark.read.textFile(path)
         .limit(math.max(cfg.inferSchemaRows, 1)).collectAsList().asScala.toSeq
     val schema = inferJsonSchema(spark, head, cfg)

@@ -213,14 +213,53 @@ object Writers {
     * `layoutCols`, so per-file min/max stats stay narrow in EVERY
     * interleaved column — filters on any of them (alone or together)
     * skip files/row groups, where [[writeSortedParquet]] serves only its
-    * single sort key. Columns must be non-negative integers fitting
-    * `bits` bits (bucket/rank anything else first); the ordering column
-    * is internal and not written. */
+    * single sort key. The ordering column is internal and not written.
+    *
+    * Layout columns may be any integral, date, or timestamp type: each
+    * is first normalized to `(value - min) / scale` with `scale` sized
+    * so the column's full range fits `bits` bits (one cheap min/max agg
+    * job before the write — noise next to the full-shuffle write
+    * itself). Without this, any column whose values exceed `2^bits`
+    * (epoch days ≈ 20k, epoch micros ≈ 1.8e15) silently clamps to a
+    * CONSTANT and contributes nothing to the layout — the degenerate
+    * case the normalization exists to kill. Nulls sort together via the
+    * z-value's null propagation. */
   def writeZOrderedParquet(df: DataFrame, path: String, layoutCols: Seq[String],
       bits: Int, numFiles: Int): Unit = {
     require(layoutCols.size >= 2, "z-order needs at least 2 layout columns")
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
-    val z = graft.functions.LayoutFunctions.zValue(bits, layoutCols.map(col): _*)
+    import org.apache.spark.sql.types._
+    // monotone long view of each layout column (exactness is irrelevant
+    // for layout — only order matters): dates → days, timestamps →
+    // epoch seconds, integrals → themselves. Non-orderable types still
+    // fail at plan time inside ZOrderValue's type check.
+    def asLong(name: String): org.apache.spark.sql.Column = {
+      df.schema(name).dataType match {
+        case DateType => datediff(col(name), to_date(lit("1970-01-01")))
+          .cast(LongType)
+        case TimestampType | TimestampNTZType =>
+          col(name).cast(TimestampType).cast(LongType)
+        case _ => col(name).cast(LongType)
+      }
+    }
+    val longCols = layoutCols.map(asLong)
+    val aggs = longCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(c).as(s"mn$i"), max(c).as(s"mx$i")) }
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val normalized = longCols.zipWithIndex.map { case (c, i) =>
+      if (stats.isNullAt(2 * i)) lit(0L) // all-null/empty column: constant
+      else {
+        val mn = stats.getLong(2 * i)
+        val span = stats.getLong(2 * i + 1) - mn // >= 0
+        // power-of-two downscale: drop just enough low bits that the
+        // span fits `bits` bits — exact integer ops, <=1 bit of
+        // resolution lost vs an arbitrary divisor
+        val needBits = 64 - java.lang.Long.numberOfLeadingZeros(span)
+        val drop = math.max(0, needBits - bits)
+        shiftright(c - lit(mn), drop)
+      }
+    }
+    val z = graft.functions.LayoutFunctions.zValue(bits, normalized: _*)
     df.withColumn("__graft_z", z)
       .repartitionByRange(numFiles, col("__graft_z"))
       .sortWithinPartitions("__graft_z")
@@ -253,7 +292,17 @@ object Writers {
     * Row-group caveat: parquet files merge at ROW level here (decode +
     * re-encode). That re-packs tiny row groups into full ones — the
     * point of compaction — but costs a full read+write of the data;
-    * schedule it off the hot path. */
+    * schedule it off the hot path.
+    *
+    * SINGLE WRITER PER PATH (load-bearing): the staging/retired names
+    * are fixed per target, and the entry-time [[FsSwap.recover]] deletes
+    * whatever it finds under them. Two concurrent compactions of the
+    * same path — or a compaction racing an [[graft.streaming.EventStreams.upsertSink]]
+    * swap on the same directory — can delete each other's in-flight
+    * staging or promote a stale retired copy. Concurrent invocation on
+    * one path is a caller error, not a supported mode; serialize
+    * maintenance per table (at scale: one compaction job per table per
+    * schedule tick, exactly how table-format maintenance is run). */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileBytes: Long = 128L << 20): (Int, Int) = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")

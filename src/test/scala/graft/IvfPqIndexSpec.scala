@@ -97,4 +97,26 @@ class IvfPqIndexSpec extends AnyFunSuite {
       "vec_id", "embedding", k = 7, nprobe = 4).collect()
     assert(out.length == 14) // 2 queries × k
   }
+
+  test("a torn build (no commit marker) is refused by the query, not served") {
+    // a build killed between part writes leaves readable parquet under
+    // _centroids/_codebooks/codes but NO terminal marker — serving that
+    // mix (new model, old codes) would be a silent-wrong-answer bug
+    val p = Files.createTempDirectory("graft_ivfpq_torn").toFile.getAbsolutePath
+    val corpus = synthCorpus(200, 8)
+    Pq.buildIvfPqIndex(corpus, "vec_id", "embedding", p,
+      numCentroids = 4, m = 4, k = 8, seed = 7L)
+    // simulate the tear: marker gone, parts intact
+    assert(new java.io.File(p, "_graft_index_commit").delete())
+    val queries = corpus.filter($"vec_id" < 2)
+    val e = intercept[java.io.IOException] {
+      Pq.queryIvfPqIndex(spark, p, queries, "vec_id", "embedding", k = 5)
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    // a completed rebuild restores service
+    Pq.buildIvfPqIndex(corpus, "vec_id", "embedding", p,
+      numCentroids = 4, m = 4, k = 8, seed = 7L)
+    assert(Pq.queryIvfPqIndex(spark, p, queries, "vec_id", "embedding",
+      k = 5, nprobe = 4).collect().length == 10)
+  }
 }

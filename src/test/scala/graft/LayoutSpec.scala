@@ -150,17 +150,57 @@ class LayoutSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("integral"), e.getMessage)
   }
 
-  test("z_value accepts date and timestamp layout columns (Int/Long-backed, monotone)") {
-    // z-ordering by (event_date, key) is the canonical layout — the
-    // type check must not reject what eval always handled
+  test("z_value accepts date layout columns but rejects raw timestamps at plan time") {
+    // z-ordering by (event_date, key) is the canonical layout — dates
+    // (Int days, ~15 bits) genuinely fit the bit budget and stay
+    // accepted…
     val df = spark.range(10L).select(col("id"),
       date_add(lit(java.sql.Date.valueOf("2026-01-01")), col("id").cast("int")).as("d"),
       (lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))).as("ts"))
     val out = df.select(
-      graft.functions.LayoutFunctions.zValue(8, col("d"), col("id")).as("zd"),
-      graft.functions.LayoutFunctions.zValue(8, col("ts"), col("id")).as("zt"))
+      graft.functions.LayoutFunctions.zValue(16, col("d"), col("id")).as("zd"))
       .collect()
-    assert(out.length == 10 && out.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+    assert(out.length == 10 && out.forall(r => !r.isNullAt(0)))
+    // …but raw timestamps are epoch MICROS: they can never fit <=31
+    // bits, so every realistic value would clamp to a constant — the
+    // silently degenerate layout must be a plan-time error instead
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.LayoutFunctions.zValue(16, col("ts"), col("id")))
+    }
+    assert(e.getMessage.contains("rescale"), e.getMessage)
+  }
+
+  test("z-ordered write normalizes timestamps: both columns spread across files") {
+    // the degenerate failure this pins: pre-normalization, every epoch
+    // micro clamped to (1<<bits)-1 and the timestamp contributed a
+    // CONSTANT to the z-value — file ranges stayed wide in ts and the
+    // layout silently served only the other column
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_ts_").toString
+    val df = spark.range(4000L).select(
+      (lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).cast("long") +
+        (col("id") % 1000) * 60).cast("timestamp").as("ts"),
+      pmod(col("id") * 2654435761L, lit(1000)).as("k"))
+    Writers.writeZOrderedParquet(df, s"$dir/t", Seq("ts", "k"), bits = 10, numFiles = 8)
+    val files = new java.io.File(s"$dir/t").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length == 8, s"expected 8 files, got ${files.length}")
+    // per-file ts spans must be narrow: a constant-contribution ts
+    // would leave every file covering the FULL 1000-minute range
+    val fullSpanSec = 1000L * 60
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg((max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("span"))
+        .head()
+      r.getLong(0)
+    }
+    val narrow = spans.count(_ <= fullSpanSec * 3 / 4)
+    assert(narrow >= files.length / 2,
+      s"z-order gave no ts locality: per-file spans ${spans.toSeq} vs full $fullSpanSec")
+    // content fidelity: normalization must not alter the rows written
+    val got = spark.read.parquet(s"$dir/t")
+    assert(got.count() == 4000L)
+    assert(got.agg(sum(col("k")), sum(col("ts").cast("long"))).head() ==
+      df.agg(sum(col("k")), sum(col("ts").cast("long"))).head())
   }
 
   test("compaction recovers every crash-swap state without losing data") {

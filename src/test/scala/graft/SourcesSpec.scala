@@ -251,6 +251,18 @@ class SourcesSpec extends AnyFunSuite {
     val nd = Readers.readNdJson(spark, f3.getAbsolutePath, ReadConfig(lossyUtf8 = true))
       .select("id", "name").as[(Long, String)].collect().sortBy(_._1)
     assert(nd.toSeq == Seq((1L, "ok"), (2L, "ca�f")))
+    // lossy DIRECTORY input: schema inference must sample across part
+    // files like the non-lossy path — a column present only in the
+    // second file used to vanish (headLines heads one file only)
+    val ndDir = new java.io.File(dir, "nd_multi"); ndDir.mkdir()
+    Files.write(new java.io.File(ndDir, "part-0.ndjson").toPath,
+      "{\"id\": 1}\n".getBytes("UTF-8"))
+    Files.write(new java.io.File(ndDir, "part-1.ndjson").toPath,
+      "{\"id\": 2, \"extra\": \"only-here\"}\n".getBytes("UTF-8"))
+    val multi = Readers.readNdJson(spark, ndDir.getAbsolutePath,
+      ReadConfig(lossyUtf8 = true, inferSchemaRows = 100))
+    assert(multi.columns.toSet == Set("id", "extra"),
+      s"lossy multi-file inference lost columns: ${multi.columns.toSeq}")
     // array-document JSON cannot ride the line decoder — fail loudly,
     // never silently hand back the PERMISSIVE-nulling the caller opted
     // out of
