@@ -65,6 +65,103 @@ object SparkEntry {
     brute.orderBy("query_id", "rank")
   }
 
+  // ---- reference real-query corpus (testes-sqls.txt:1-110) ------------
+
+  /** The F8-style fixture schema the reference's real queries run over
+    * (reference testes-sqls.txt / its PIS-COFINS CSVs: 21 columns with
+    * spaces, accents, parens, slashes and a colon in the names), derived
+    * DETERMINISTICALLY from `orders` with engine-invariant arithmetic
+    * (integer modulo on the dense o_orderkey; IEEE multiplies of the
+    * same double operands) so the DuckDB oracle rebuilds the identical
+    * frame and the dialect shim gets hash-level cover — CorpusSpec pins
+    * shapes, these gates pin VALUES. */
+  private def corpusAllData(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val ano = (lit(2018) + k % 8).cast("int")
+    val tri = (lit(1) + floor(k / lit(8.0)).cast("long") % 4).cast("int")
+    val p = col("o_totalprice")
+    tbl(s, dir, "orders").filter(k <= 2400).select(
+      when(k % 13 === 0, lit(null).cast("string"))
+        .otherwise(col("o_custkey").cast("string")).as("CNPJ Base"),
+      ano.as("Ano do Período de Apuração"),
+      tri.as("Trimestre do Período de Apuração"),
+      when(k % 6 === 0, "dezembro").when(k % 6 === 1, "Dez")
+        .when(k % 6 === 2, "janeiro").when(k % 6 === 3, "dez")
+        .when(k % 6 === 4, "DEZEMBRO").otherwise("março")
+        .as("Mês do Período de Apuração"),
+      concat(lit("PAC 12345678 "), ano.cast("string"), lit(".0"),
+        tri.cast("string")).as("Período Apuração Crédito"),
+      when(k % 3 === 0, "Ressarcimento").when(k % 3 === 1, "Compensação")
+        .otherwise("Dedução").as("Tipo de Crédito"),
+      concat(lit("R"), (k % 5).cast("string")).as("Tipo Crédito"),
+      when(k % 7 === 0, lit(null).cast("string"))
+        .when(k % 3 === 0, "Saldo credor").when(k % 3 === 1, "Outros")
+        .otherwise("Saldo devedor")
+        .as("Natureza da Base de Cálculo dos Créditos"),
+      (lit(40) + k % 30).cast("int").as("Código de Situação Tributária (CST)"),
+      when(k % 11 === 0, lit(null).cast("double"))
+        .otherwise(lit(0.65) + lit(0.5) * (k % 3).cast("double"))
+        .as("Alíquota de PIS/PASEP (em percentual)"),
+      p.as("Valor da Base de Cálculo das Contribuições"),
+      (p * 0.1).as("Crédito vinculado à Receita Bruta Não Cumulativa: Tributada"),
+      (p * 0.2).as("Crédito vinculado à Receita Bruta Não Cumulativa: Não Tributada"),
+      (p * 0.3).as("Crédito vinculado à Receita Bruta Não Cumulativa: de Exportação"),
+      (p * 0.6).as("Crédito vinculado à Receita Bruta Não Cumulativa"),
+      (p * 0.05).as("Crédito vinculado à Receita Bruta Cumulativa (Valores Excluídos)"),
+      (p * 0.7).as("Crédito vinculado à Receita Bruta Total"),
+      (p * 0.4).as("Valor Total Crédito"),
+      (p * 0.41).as("Valor Crédito Data Transmissão"),
+      concat(lit("PERD"), (k % 9).cast("string")).as("PER/DCOMP"),
+      when(k % 4 === 0, "entrada").when(k % 4 === 1, "Entrada de insumo")
+        .when(k % 4 === 2, "saida").otherwise("ENTRADA").as("Tipo de Operação"))
+  }
+
+  /** DuckDB rebuild of [[corpusAllData]] — keep the arithmetic textually
+    * parallel to the Spark side: every value is integer modulo over the
+    * dense o_orderkey or an IEEE multiply of the same double operands,
+    * so both engines produce bit-identical frames. */
+  private val corpusCte: String =
+    """WITH AllData AS (
+      |  SELECT
+      |    CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE CAST(o_custkey AS VARCHAR) END AS "CNPJ Base",
+      |    CAST(2018 + o_orderkey % 8 AS INT) AS "Ano do Período de Apuração",
+      |    CAST(1 + CAST(FLOOR(o_orderkey / CAST(8.0 AS DOUBLE)) AS BIGINT) % 4 AS INT) AS "Trimestre do Período de Apuração",
+      |    CASE o_orderkey % 6 WHEN 0 THEN 'dezembro' WHEN 1 THEN 'Dez' WHEN 2 THEN 'janeiro' WHEN 3 THEN 'dez' WHEN 4 THEN 'DEZEMBRO' ELSE 'março' END AS "Mês do Período de Apuração",
+      |    'PAC 12345678 ' || CAST(CAST(2018 + o_orderkey % 8 AS INT) AS VARCHAR) || '.0' || CAST(CAST(1 + CAST(FLOOR(o_orderkey / CAST(8.0 AS DOUBLE)) AS BIGINT) % 4 AS INT) AS VARCHAR) AS "Período Apuração Crédito",
+      |    CASE o_orderkey % 3 WHEN 0 THEN 'Ressarcimento' WHEN 1 THEN 'Compensação' ELSE 'Dedução' END AS "Tipo de Crédito",
+      |    'R' || CAST(o_orderkey % 5 AS VARCHAR) AS "Tipo Crédito",
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL WHEN o_orderkey % 3 = 0 THEN 'Saldo credor' WHEN o_orderkey % 3 = 1 THEN 'Outros' ELSE 'Saldo devedor' END AS "Natureza da Base de Cálculo dos Créditos",
+      |    CAST(40 + o_orderkey % 30 AS INT) AS "Código de Situação Tributária (CST)",
+      |    CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE CAST(0.65 AS DOUBLE) + CAST(0.5 AS DOUBLE) * CAST(o_orderkey % 3 AS DOUBLE) END AS "Alíquota de PIS/PASEP (em percentual)",
+      |    o_totalprice AS "Valor da Base de Cálculo das Contribuições",
+      |    o_totalprice * CAST(0.1 AS DOUBLE) AS "Crédito vinculado à Receita Bruta Não Cumulativa: Tributada",
+      |    o_totalprice * CAST(0.2 AS DOUBLE) AS "Crédito vinculado à Receita Bruta Não Cumulativa: Não Tributada",
+      |    o_totalprice * CAST(0.3 AS DOUBLE) AS "Crédito vinculado à Receita Bruta Não Cumulativa: de Exportação",
+      |    o_totalprice * CAST(0.6 AS DOUBLE) AS "Crédito vinculado à Receita Bruta Não Cumulativa",
+      |    o_totalprice * CAST(0.05 AS DOUBLE) AS "Crédito vinculado à Receita Bruta Cumulativa (Valores Excluídos)",
+      |    o_totalprice * CAST(0.7 AS DOUBLE) AS "Crédito vinculado à Receita Bruta Total",
+      |    o_totalprice * CAST(0.4 AS DOUBLE) AS "Valor Total Crédito",
+      |    o_totalprice * CAST(0.41 AS DOUBLE) AS "Valor Crédito Data Transmissão",
+      |    'PERD' || CAST(o_orderkey % 9 AS VARCHAR) AS "PER/DCOMP",
+      |    CASE o_orderkey % 4 WHEN 0 THEN 'entrada' WHEN 1 THEN 'Entrada de insumo' WHEN 2 THEN 'saida' ELSE 'ENTRADA' END AS "Tipo de Operação"
+      |  FROM orders WHERE o_orderkey <= 2400
+      |)""".stripMargin
+
+  /** Total-order key for every corpus oracle (row-unique: o_totalprice
+    * is distinct under the k <= 2400 cut at every shipped SF). */
+  private val corpusOrd = """"Valor da Base de Cálculo das Contribuições""""
+
+  /** Replay one of the reference's real queries VERBATIM through the
+    * dialect front end (T4/GraftSql) over [[corpusAllData]], then apply
+    * a total order on the row-unique base-value column so the
+    * positional driver compare is deterministic (the dialect semantics
+    * under test are order-independent; CorpusSpec pins the corpus ORDER
+    * BY behaviors). */
+  private def corpusGate(s: SparkSession, dir: String, q: String): DataFrame = {
+    val out = sql(corpusAllData(s, dir), q.stripSuffix(";"))
+    out.orderBy(col("Valor da Base de Cálculo das Contribuições"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -916,6 +1013,151 @@ object SparkEntry {
           col("o_orderdate").cast("date").cast("string").as("od"))
         .orderBy("o_orderkey")
     }),
+
+    "io_zorder_roundtrip" -> ((s, dir) => {
+      // z-ordered layout sink: (l_shipdate TIMESTAMP, l_partkey)
+      // interleaved through the auto-normalizing writer (timestamps are
+      // min-subtracted and rescaled to the bit budget — the degenerate
+      // constant-contribution case is plan-killed), then read back under
+      // a BOTH-columns selective filter, the access pattern z-order
+      // exists for. Values must match the oracle on the ORIGINAL table:
+      // layout must never change content.
+      val path = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/lineitem_z.parquet"
+      val src = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+          "l_shipdate")
+      graft.sources.Writers.writeZOrderedParquet(src, path,
+        Seq("l_shipdate", "l_partkey"), bits = 12, numFiles = 8)
+      s.read.parquet(path)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-07-01").cast("timestamp") &&
+          col("l_partkey") <= 200)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"),
+          col("l_shipdate").cast("date").cast("string").as("sd"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "io_bucketed_roundtrip" -> ((s, dir) => {
+      // bucketed managed table (stage-and-swap overwrite), aggregated on
+      // the bucket column — the layout whose point is that this groupBy
+      // needs NO exchange (BucketingSpec asserts the plan); the oracle
+      // checks the numbers over the original parquet
+      val name = s"graft_bkt_cust_${math.abs(dir.hashCode)}"
+      val src = tbl(s, dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      graft.sources.Writers.writeBucketed(src, name,
+        Seq("c_nationkey"), numBuckets = 8, sortCols = Seq("c_custkey"))
+      s.table(name)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("c_acctbal").cast("decimal(20,2)")).cast("double")
+            .as("sum_bal"))
+        .orderBy("c_nationkey")
+    }),
+
+    "io_compact_roundtrip" -> ((s, dir) => {
+      // small-files ingest (48 tiny files) → compactParquet (rename-only
+      // swap) → read back; content fidelity against the oracle on the
+      // ORIGINAL table, and the compaction must actually reduce files
+      val path = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/orders_compact.parquet"
+      val src = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      src.repartition(48).write.mode("overwrite").parquet(path)
+      val (before, after) =
+        graft.sources.Writers.compactParquet(s, path, targetFileBytes = 64L << 20)
+      require(after < before,
+        s"compaction did not reduce files ($before -> $after)")
+      s.read.parquet(path)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- reference real-query corpus, value-exact (testes-sqls.txt) ---
+
+    "corpus_q1" -> ((s, dir) => corpusGate(s, dir,
+      "SELECT * FROM AllData;")),
+
+    "corpus_q2" -> ((s, dir) => corpusGate(s, dir,
+      """SELECT
+        |    "Ano do Período de Apuração",
+        |    "Trimestre do Período de Apuração",
+        |    "Mês do Período de Apuração",
+        |    "Tipo de Crédito",
+        |    "Natureza da Base de Cálculo dos Créditos",
+        |    "Valor da Base de Cálculo das Contribuições",
+        |    "Crédito vinculado à Receita Bruta Não Cumulativa: Tributada",
+        |    "Crédito vinculado à Receita Bruta Não Cumulativa: Não Tributada",
+        |    "Crédito vinculado à Receita Bruta Não Cumulativa: de Exportação",
+        |    "Crédito vinculado à Receita Bruta Total"
+        |FROM AllData
+        |Where
+        |    "Ano do Período de Apuração" = 2024
+        |And
+        |    "Mês do Período de Apuração" Like 'dez%'""".stripMargin)),
+
+    "corpus_q3" -> ((s, dir) => corpusGate(s, dir,
+      """SELECT *
+        |Except(
+        |    "Crédito vinculado à Receita Bruta Total",
+        |    "Crédito vinculado à Receita Bruta Não Cumulativa",
+        |    "Mês do Período de Apuração"
+        |)
+        |FROM AllData
+        |Where
+        |    "Ano do Período de Apuração" = 2024
+        |And
+        |    "Trimestre do Período de Apuração" = 4
+        |And
+        |    "Mês do Período de Apuração" Like '%dez%'""".stripMargin)),
+
+    "corpus_q4" -> ((s, dir) => corpusGate(s, dir,
+      """SELECT
+        |  AllData.*,
+        |  SubStr("Período Apuração Crédito", 14, 4) AS Ano
+        |FROM
+        |  AllData
+        |WHERE
+        |  SubStr("Período Apuração Crédito", 14, 4) = '2019';""".stripMargin)),
+
+    "corpus_q5" -> ((s, dir) => corpusGate(s, dir,
+      """SELECT *
+        |FROM AllData
+        |Where
+        |    "Natureza da Base de Cálculo dos Créditos" is not null
+        |And
+        |    "Tipo de Operação" ILike '%entrada%'
+        |And
+        |    "Código de Situação Tributária (CST)" Between 50 And 66
+        |ORDER BY
+        |    "Código de Situação Tributária (CST)"""".stripMargin)),
+
+    "corpus_q6" -> ((s, dir) => corpusGate(s, dir,
+      """WITH DadosComAno AS (
+        |  SELECT
+        |    *,
+        |    CAST(SubStr("Período Apuração Crédito", 14, 4) AS INTEGER) AS Ano
+        |  FROM AllData
+        |)
+        |SELECT
+        |    *
+        |    EXCEPT (
+        |        "Valor Total Crédito",
+        |        "Valor Crédito Data Transmissão"
+        |    )
+        |    REPLACE (
+        |        SubStr("Período Apuração Crédito", 1, 12)
+        |        AS "Período Apuração Crédito"
+        |    )
+        |    RENAME (
+        |        "PER/DCOMP" AS "Pedido de Ressarcimento (PER)"
+        |    )
+        |FROM DadosComAno
+        |WHERE Ano >= 2019
+        |ORDER BY
+        |  Ano ASC,
+        |  "Período Apuração Crédito" ASC,
+        |  "Tipo Crédito" DESC;""".stripMargin)),
 
     "io_json_array_roundtrip" -> ((s, dir) => {
       val path = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/nation.json"
@@ -2167,6 +2409,81 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
         |  AND o_orderdate < TIMESTAMP '1996-01-01'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "corpus_q1" -> s"""$corpusCte
+      |SELECT * FROM AllData ORDER BY $corpusOrd""".stripMargin,
+
+    "corpus_q2" -> s"""$corpusCte
+      |SELECT
+      |  "Ano do Período de Apuração", "Trimestre do Período de Apuração",
+      |  "Mês do Período de Apuração", "Tipo de Crédito",
+      |  "Natureza da Base de Cálculo dos Créditos",
+      |  "Valor da Base de Cálculo das Contribuições",
+      |  "Crédito vinculado à Receita Bruta Não Cumulativa: Tributada",
+      |  "Crédito vinculado à Receita Bruta Não Cumulativa: Não Tributada",
+      |  "Crédito vinculado à Receita Bruta Não Cumulativa: de Exportação",
+      |  "Crédito vinculado à Receita Bruta Total"
+      |FROM AllData
+      |WHERE "Ano do Período de Apuração" = 2024
+      |  AND "Mês do Período de Apuração" LIKE 'dez%'
+      |ORDER BY $corpusOrd""".stripMargin,
+
+    "corpus_q3" -> s"""$corpusCte
+      |SELECT * EXCLUDE (
+      |    "Crédito vinculado à Receita Bruta Total",
+      |    "Crédito vinculado à Receita Bruta Não Cumulativa",
+      |    "Mês do Período de Apuração")
+      |FROM AllData
+      |WHERE "Ano do Período de Apuração" = 2024
+      |  AND "Trimestre do Período de Apuração" = 4
+      |  AND "Mês do Período de Apuração" LIKE '%dez%'
+      |ORDER BY $corpusOrd""".stripMargin,
+
+    "corpus_q4" -> s"""$corpusCte
+      |SELECT *, substr("Período Apuração Crédito", 14, 4) AS Ano
+      |FROM AllData
+      |WHERE substr("Período Apuração Crédito", 14, 4) = '2019'
+      |ORDER BY $corpusOrd""".stripMargin,
+
+    "corpus_q5" -> s"""$corpusCte
+      |SELECT * FROM AllData
+      |WHERE "Natureza da Base de Cálculo dos Créditos" IS NOT NULL
+      |  AND "Tipo de Operação" ILIKE '%entrada%'
+      |  AND "Código de Situação Tributária (CST)" BETWEEN 50 AND 66
+      |ORDER BY $corpusOrd""".stripMargin,
+
+    "corpus_q6" -> s"""$corpusCte,
+      |DadosComAno AS (
+      |  SELECT *,
+      |    CAST(substr("Período Apuração Crédito", 14, 4) AS INTEGER) AS Ano
+      |  FROM AllData
+      |)
+      |SELECT * EXCLUDE (
+      |    "Valor Total Crédito", "Valor Crédito Data Transmissão",
+      |    "PER/DCOMP", "Período Apuração Crédito"),
+      |  substr("Período Apuração Crédito", 1, 12) AS "Período Apuração Crédito",
+      |  "PER/DCOMP" AS "Pedido de Ressarcimento (PER)"
+      |FROM DadosComAno
+      |WHERE Ano >= 2019
+      |ORDER BY $corpusOrd""".stripMargin,
+
+    "io_zorder_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS sd
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1995-07-01'
+        |  AND l_partkey <= 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "io_bucketed_roundtrip" ->
+      """SELECT c_nationkey, count(*) AS cnt,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "io_compact_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "io_json_array_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
