@@ -1073,6 +1073,25 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "m3_examples" -> ((s, dir) => {
+      // M3 conformance: EVERY example the generator emits for the orders
+      // schema (the reference's full sql_commands template set,
+      // sqls.rs:561-628) must execute through GraftSql; the gate emits
+      // per-example (rows, cols) so the driver hash-checks the whole
+      // template surface against DuckDB-computed counts. The 22-query
+      // loop is driver-side by design — a bounded conformance sweep,
+      // not a data-scale operator.
+      import s.implicits._
+      val df = tbl(s, dir, "orders")
+      val exs = graft.meta.Introspect.sqlExamples(df.schema)
+      require(exs.length == 22, s"orders template set drifted: ${exs.length}")
+      val rows = exs.zipWithIndex.map { case (q, i) =>
+        val out = SqlTransform(q.stripSuffix(";"))(df)
+        (i, out.count(), out.columns.length)
+      }
+      rows.toDF("ex", "nrows", "ncols").orderBy("ex")
+    }),
+
     // ---- reference real-query corpus, value-exact (testes-sqls.txt) ---
 
     "corpus_q1" -> ((s, dir) => corpusGate(s, dir,
@@ -2409,6 +2428,51 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
         |  AND o_orderdate < TIMESTAMP '1996-01-01'
         |ORDER BY o_orderkey""".stripMargin,
+
+    // per-example (rows, cols) for the 22 generated templates over the
+    // orders schema. Star modifiers (EXCEPT/RENAME/REPLACE) never change
+    // row counts, so each branch reduces to the template's FILTER/GROUP
+    // semantics; column counts are schema facts. Kept in generator
+    // order — regenerate alongside Introspect.sqlExamples.
+    "m3_examples" ->
+      """WITH n AS (SELECT count(*) AS c FROM orders)
+        |SELECT * FROM (
+        |  SELECT 0 AS ex, c AS nrows, 6 AS ncols FROM n            -- SELECT *
+        |  UNION ALL SELECT 1, LEAST(c, 50), 6 FROM n                -- LIMIT 50
+        |  UNION ALL SELECT 2, c, 2 FROM n                           -- named cols
+        |  UNION ALL SELECT 3, c, 4 FROM n                           -- * EXCEPT(2)
+        |  UNION ALL SELECT 4, c, 6 FROM n                           -- * RENAME(2)
+        |  UNION ALL SELECT 5, c, 6 FROM n                           -- * REPLACE round
+        |  UNION ALL SELECT 6, c, 6 FROM n                           -- * REPLACE case
+        |  UNION ALL SELECT 7, c, 8 FROM n                           -- computed cols
+        |  UNION ALL SELECT 8, c, 5 FROM n                           -- EXCEPT+REPLACE+RENAME
+        |  UNION ALL SELECT 9, c, 2 FROM n                           -- CAST to float
+        |  UNION ALL SELECT 10, c, 7 FROM n                          -- CASE category
+        |  UNION ALL SELECT 11,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey IS NOT NULL), 6
+        |  UNION ALL SELECT 12,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey >= 10), 6
+        |  UNION ALL SELECT 13,
+        |    (SELECT count(*) FROM orders WHERE o_orderstatus ILIKE '%a%'), 6
+        |  UNION ALL SELECT 14,
+        |    (SELECT count(*) FROM orders
+        |     WHERE (o_orderkey BETWEEN 1 AND 1000)
+        |       AND o_orderstatus IS NOT NULL), 6
+        |  UNION ALL SELECT 15, c, 6 FROM n                          -- ORDER BY
+        |  UNION ALL SELECT 16,
+        |    (SELECT count(DISTINCT o_orderdate) FROM orders), 3     -- count per group
+        |  UNION ALL SELECT 17,
+        |    (SELECT count(DISTINCT o_orderstatus) FROM orders), 2   -- sum per group
+        |  UNION ALL SELECT 18,
+        |    (SELECT count(DISTINCT o_orderstatus) FROM orders), 5   -- multi-agg
+        |  UNION ALL SELECT 19,
+        |    (SELECT count(*) FROM (SELECT o_orderstatus FROM orders
+        |      GROUP BY o_orderstatus HAVING AVG(o_orderkey) > 0)), 2 -- HAVING alias
+        |  UNION ALL SELECT 20, c, 2 FROM n                          -- STRFTIME
+        |  UNION ALL SELECT 21,
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_orderkey, o_orderstatus
+        |      FROM orders)), 2                                      -- DISTINCT
+        |) ORDER BY ex""".stripMargin,
 
     "corpus_q1" -> s"""$corpusCte
       |SELECT * FROM AllData ORDER BY $corpusOrd""".stripMargin,

@@ -46,7 +46,11 @@ object Introspect {
     case ByteType | ShortType | IntegerType | LongType => true; case _ => false
   }
   private def isFloat(d: DataType) = d == FloatType || d == DoubleType
-  private def isDate(d: DataType) = d == DateType || d == TimestampType
+  // TimestampNTZType included: unadjusted parquet timestamps read as NTZ
+  // in Spark 4, and the reference's date templates (STRFTIME) apply to
+  // any datetime column regardless of zone semantics
+  private def isDate(d: DataType) =
+    d == DateType || d == TimestampType || d == TimestampNTZType
   private def isAny(d: DataType) = d != NullType
 
   val DefaultQuery: String = "-- Select all columns and rows\nSELECT *\nFROM AllData;"
@@ -176,7 +180,7 @@ object Introspect {
 
   def alignmentFor(dt: DataType): Align = dt match {
     case _: NumericType => Right
-    case BooleanType | DateType | TimestampType => Center
+    case BooleanType | DateType | TimestampType | TimestampNTZType => Center
     // the reference centers Duration columns (data_format.rs:39-40);
     // Spark's counterparts are the interval types
     case _: DayTimeIntervalType | _: YearMonthIntervalType => Center
