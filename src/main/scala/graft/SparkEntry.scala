@@ -631,33 +631,34 @@ object SparkEntry {
     "ann_ivfpq_topk" -> ((s, dir) =>
       // FAISS-style IVF-PQ composition — the config production runs:
       // coarse cells cut the scanned fraction, PQ codes cut bytes per
-      // scanned row, exact re-rank restores true cosines. IvfPqSweep
-      // at sf0.01/sf0.1: nprobe=12 of 16 → recall 0.94/0.90 (nprobe=8
-      // measured 0.78/0.80 — below the PQ-family floor; the IVF probe,
-      // not the PQ code, is what bounds recall on these structureless
-      // synthetic embeddings)
-      annRecallGate(s, dir, floor = 0.75, label = "IVF-PQ") {
+      // scanned row, exact re-rank restores true cosines. nprobe is
+      // AUTO (Pq.resolveNprobe: 0.85 scanned fraction → 14 of 16
+      // cells); IvfPqSweep at sf0.01/sf0.1 measures recall 0.94/0.92 —
+      // the IVF probe, not the PQ code, is what bounds recall on these
+      // structureless synthetic embeddings
+      annRecallGate(s, dir, floor = 0.8, label = "IVF-PQ") {
         (emb, queriesDf) =>
           val model = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 32,
             seed = 42L, iters = 10)
           Pq.ivfPqTopK(emb, "vec_id", "embedding",
             queriesDf, "vec_id", "embedding", k = 10, model,
-            numCentroids = 16, nprobe = 12, rerankFactor = 8)
+            numCentroids = 16, rerankFactor = 8)
       }),
 
     "ann_ivfpq_index_topk" -> ((s, dir) =>
       // persisted IVF-PQ: cell-partitioned CODES on disk (no raw
       // vectors), query = partition-pruned ADC scan + exact re-rank
       // against the vector store it was built from (IvfPqIndexSpec
-      // asserts the pruning). IvfPqSweep recall at nprobe=12:
-      // 0.88/0.86 (sf0.01/sf0.1)
-      annRecallGate(s, dir, floor = 0.75, label = "persisted IVF-PQ index") {
+      // asserts the pruning). nprobe AUTO from the index's realized
+      // cell count (0.85 fraction → 14 of 16); IvfPqSweep recall
+      // 0.96/0.92 at sf0.01/sf0.1
+      annRecallGate(s, dir, floor = 0.8, label = "persisted IVF-PQ index") {
         (emb, queriesDf) =>
           val path = s"/tmp/graft_ivfpq_${math.abs(dir.hashCode)}"
           Pq.buildIvfPqIndex(emb, "vec_id", "embedding", path,
             numCentroids = 16, m = 16, k = 32, seed = 42L, kmeansIters = 2)
           Pq.queryIvfPqIndex(s, path, queriesDf,
-            "vec_id", "embedding", k = 10, nprobe = 12,
+            "vec_id", "embedding", k = 10,
             rerankWith = Some((emb, "vec_id", "embedding")), rerankFactor = 8)
       }),
 

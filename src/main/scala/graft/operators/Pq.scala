@@ -254,6 +254,28 @@ object Pq {
         col("v"), col("vnorm"), col("qv"), col("nq")),
       Seq("query_id"), col("cosine").desc, n)
 
+  /** [[Dedup.Auto]] re-exported so IVF-PQ call sites can default
+    * `nprobe` to data-derived sizing without importing Dedup. */
+  val Auto: Int = Dedup.Auto
+
+  /** [[Auto]] resolution for `nprobe`: probe the cell count that keeps
+    * the expected SCANNED FRACTION of the corpus at `targetFraction`,
+    * derived from the REALIZED cell count (mirroring
+    * [[Dedup.resolveSignBits]]'s derive-from-data approach). The
+    * failure mode this kills: a fixed nprobe tuned against 16 cells
+    * silently collapses to a ~1% scan when the index is rebuilt with
+    * 1024 cells — recall falls off a cliff while nothing errors.
+    *
+    * On structureless embeddings (the synthetic gate corpus — the
+    * worst case for IVF) the scanned fraction bounds recall directly,
+    * so the default fraction is set where the sweep measures
+    * recall@10 ≥ 0.9 through the exact re-rank. Clustered real-world
+    * embeddings concentrate true neighbors in few cells — pin nprobe
+    * lower explicitly once measured recall allows, that is where the
+    * IVF speedup lives. */
+  def resolveNprobe(numCells: Int, targetFraction: Double = 0.85): Int =
+    math.min(numCells, math.max(1, math.ceil(numCells * targetFraction).toInt))
+
   /** FAISS-style IVF-PQ: coarse centroids cut the SCANNED FRACTION
     * (each query touches only its `nprobe` nearest cells), PQ codes cut
     * the BYTES PER SCANNED VECTOR (ADC lookups instead of raw dots), and
@@ -265,17 +287,18 @@ object Pq {
     * of the corpus scanned, at m bytes per scanned row. */
   def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
-      model: PqModel, numCentroids: Int = 16, nprobe: Int = 8,
+      model: PqModel, numCentroids: Int = 16, nprobe: Int = Auto,
       seed: Long = 42L, rerankFactor: Int = 8, excludeSelf: Boolean = true): DataFrame = {
     import graft.functions.HashFunctions.nearestCentroids
-    require(nprobe >= 1 && rerankFactor >= 1,
-      s"need nprobe >= 1, rerankFactor >= 1 (got $nprobe, $rerankFactor)")
+    require(nprobe == Auto || (nprobe >= 1 && rerankFactor >= 1),
+      s"need nprobe >= 1 or Auto, rerankFactor >= 1 (got $nprobe, $rerankFactor)")
     val cents = Similarity.sampleCentroids(corpus, idCol, vecCol, numCentroids, seed)
+    val nprobe0 = if (nprobe == Auto) resolveNprobe(cents.length) else nprobe
     val enc = encode(corpus, idCol, vecCol, model, keepVec = true)
       .withColumn("cell", element_at(nearestCentroids(col("v"), cents, 1), 1))
       .filter(col("cell").isNotNull)
     val q = lutQueries(queries, qidCol, qvecCol, model)
-      .withColumn("cell", explode(nearestCentroids(col("qv"), cents, nprobe)))
+      .withColumn("cell", explode(nearestCentroids(col("qv"), cents, nprobe0)))
     val scored = adcScored(enc.join(broadcast(q), Seq("cell")), model, excludeSelf)
     rerankExact(adcCandidates(scored, k * rerankFactor), k)
   }
@@ -344,22 +367,26 @@ object Pq {
     * store; without it the ADC ranking is returned as-is. */
   def queryIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
-      nprobe: Int = 8, rerankWith: Option[(DataFrame, String, String)] = None,
+      nprobe: Int = Auto, rerankWith: Option[(DataFrame, String, String)] = None,
       rerankFactor: Int = 8, excludeSelf: Boolean = true): DataFrame = {
     import graft.functions.HashFunctions.nearestCentroids
-    require(nprobe >= 1 && rerankFactor >= 1,
-      s"need nprobe >= 1, rerankFactor >= 1 (got $nprobe, $rerankFactor)")
+    require(nprobe == Auto || (nprobe >= 1 && rerankFactor >= 1),
+      s"need nprobe >= 1 or Auto, rerankFactor >= 1 (got $nprobe, $rerankFactor)")
     graft.sources.FsSwap.requireCommitted(
       new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf()),
       new org.apache.hadoop.fs.Path(path), "queryIvfPqIndex")
     val cents = Similarity.loadCentroids(spark, path)
     val model = loadPqModel(spark, path)
+    // Auto sizes from the index's REALIZED cell count, so a rebuild
+    // with more cells keeps the scanned fraction (and recall) instead
+    // of silently shrinking the probe
+    val nprobe0 = if (nprobe == Auto) resolveNprobe(cents.length) else nprobe
     // materialize the expanded probe frame ONCE before the driver-side
     // cell collect — same consistency rationale as Similarity.queryIvfIndex
     val q = graft.Materialize.once(
       lutQueries(queries, qidCol, qvecCol, model)
-        .withColumn("cell", explode(nearestCentroids(col("qv"), cents, nprobe))),
+        .withColumn("cell", explode(nearestCentroids(col("qv"), cents, nprobe0))),
       eager = true)
     val probeCells: Array[Int] =
       q.select("cell").distinct().collect().map(_.getInt(0))

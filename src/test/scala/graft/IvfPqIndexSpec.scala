@@ -98,6 +98,23 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(out.length == 14) // 2 queries × k
   }
 
+  test("auto-nprobe keeps the scanned fraction as cell counts grow") {
+    // the regression Auto kills: a fixed nprobe tuned at 16 cells is a
+    // 1.4% scan at 1024 cells — recall collapses silently. Auto scales
+    // with the REALIZED cell count.
+    assert(Pq.resolveNprobe(16) == 14)
+    assert(Pq.resolveNprobe(1024) == math.ceil(1024 * 0.85).toInt)
+    assert(Pq.resolveNprobe(1) == 1)
+    assert(Pq.resolveNprobe(4) == 4) // never exceeds the cell count
+    // end-to-end: Auto (default) query over the spec index answers with
+    // full k rows per query
+    val queries = synthCorpus(500, 8).filter($"vec_id" < 2)
+    val out = Pq.queryIvfPqIndex(spark, indexPath, queries,
+      "vec_id", "embedding", k = 7,
+      rerankWith = Some((synthCorpus(500, 8), "vec_id", "embedding"))).collect()
+    assert(out.length == 14)
+  }
+
   test("a torn build (no commit marker) is refused by the query, not served") {
     // a build killed between part writes leaves readable parquet under
     // _centroids/_codebooks/codes but NO terminal marker — serving that

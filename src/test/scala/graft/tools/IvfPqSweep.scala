@@ -23,7 +23,9 @@ object IvfPqSweep {
     val total = brute.count()
     val model = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 32,
       seed = 42L, iters = 10)
-    for (np <- Seq(8, 12); rf <- Seq(8, 16)) {
+    val nps = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(8, 12, 13, 14))
+    for (np <- nps; rf <- Seq(8, 16)) {
       val ivfpq = Pq.ivfPqTopK(emb, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 10, model,
         numCentroids = 16, nprobe = np, rerankFactor = rf)
@@ -34,7 +36,7 @@ object IvfPqSweep {
     val path = s"/tmp/graft_ivfpq_sweep_${math.abs(dir.hashCode)}"
     Pq.buildIvfPqIndex(emb, "vec_id", "embedding", path,
       numCentroids = 16, m = 16, k = 32, seed = 42L, kmeansIters = 2)
-    for (np <- Seq(8, 12); rf <- Seq(8, 16)) {
+    for (np <- nps; rf <- Seq(8, 16)) {
       val idx = Pq.queryIvfPqIndex(spark, path, queries,
         "vec_id", "embedding", k = 10, nprobe = np,
         rerankWith = Some((emb, "vec_id", "embedding")), rerankFactor = rf)
