@@ -510,6 +510,32 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_minhash_salted" -> ((s, dir) => {
+      // the SALTED pair path proven on the real corpus: floor=1 forces
+      // every candidate-producing LSH bucket through the per-bucket
+      // triangle split (g = ceil(B/1) capped at MaxAutoSalt), so the
+      // diagonal/off-diagonal cell machinery and the cap all engage —
+      // at default floor (5792) no sf0.1 bucket ever trips, leaving the
+      // salted plan unit-test-only. Output must be value-exact against
+      // the SAME all-pairs oracle as dedup_minhash: salting may never
+      // change results, only task shape. The conf is read at plan
+      // construction (the eager probe), so the finally-restore cannot
+      // race the execution.
+      val prev = s.conf.getOption(Dedup.SaltFloorKey)
+      s.conf.set(Dedup.SaltFloorKey, "1")
+      try {
+        Dedup.minhashExactPairs(tbl(s, dir, "documents"), "doc_id", "text",
+          Dedup.MinHashConfig(numHashes = 128, bands = 64), exactThreshold = 0.5)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(Dedup.SaltFloorKey, v)
+          case None => s.conf.unset(Dedup.SaltFloorKey)
+        }
+      }
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // the chunked-LSH pair machinery over an ENGINE-PORTABLE signature:
       // 60-bit simhash whose token hash is the first 15 hex chars of
@@ -2614,6 +2640,25 @@ object SparkEntry {
         |  AND len(list_intersect(n.sh, o.sh))::DOUBLE /
         |      (len(n.sh) + len(o.sh) - len(list_intersect(n.sh, o.sh))) >= 0.5
         |ORDER BY id_new, id_other""".stripMargin,
+
+    // identical oracle as dedup_minhash: the salted plan must produce
+    // byte-identical pairs
+    "dedup_minhash_salted" ->
+      """WITH sets AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS words
+        |        FROM documents) t
+        |  WHERE len(words) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+        |FROM sets a, sets b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_minhash" ->
       """WITH sets AS (
