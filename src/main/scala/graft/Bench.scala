@@ -66,7 +66,12 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
     }
-    val anchors = loadAnchors()
+    // anchors are sf0.1 medians (BASELINE.md) — flagging a deliberate
+    // sf1.0/sf10 scale run against them would mark every query "slow",
+    // so anchor logic engages only at the anchors' own scale factor
+    val anchors =
+      if (sfDir.stripSuffix("/").endsWith("sf0.1")) loadAnchors()
+      else Map.empty[String, Double]
     // SPARK_GRAFT_ADAPTIVE=0 disables the over-anchor re-measure (for
     // timing the raw single-shot behavior); default ON — the driver's
     // artifact is the official record and must self-adjudicate noise.
