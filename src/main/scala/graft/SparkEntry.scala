@@ -23,17 +23,32 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects natively:
-    // read the raw int64 nanos and downcast to a µs TimestampType column.
-    // FLOOR division, not DIV (truncate-toward-zero): the q36 oracle uses
-    // DuckDB's `epoch_ns(ts) // 1000` which floors, so a pre-1970 ns
-    // timestamp would differ by 1µs between engines under DIV.
+    // Normalize events.ts to a µs-precision TimestampType regardless of
+    // which testdata generation wrote the file:
+    //   - TIMESTAMP(NANOS): Spark rejects it natively; nanosAsLong reads
+    //     the raw int64 nanos, which we FLOOR-divide (not DIV /
+    //     truncate-toward-zero) to µs — the q36 oracle uses DuckDB's
+    //     `epoch_ns(ts) // 1000` which floors, so a pre-1970 ns
+    //     timestamp would differ by 1µs between engines under DIV.
+    //   - TIMESTAMP_NTZ (µs files without isAdjustedToUTC): cast to
+    //     TimestampType — exact, because the session timezone is pinned
+    //     to UTC (GraftSession), matching DuckDB's naive reading.
+    //   - TimestampType: already what downstream expects.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/$name.parquet")
     val df =
-      if (name == "events") raw.withColumn("ts", expr(
-        "timestamp_micros(CASE WHEN ts % 1000 < 0 THEN ts DIV 1000 - 1 ELSE ts DIV 1000 END)"))
-      else raw
+      if (name == "events") {
+        import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+        raw.schema("ts").dataType match {
+          case LongType => raw.withColumn("ts", expr(
+            "timestamp_micros(CASE WHEN ts % 1000 < 0 THEN ts DIV 1000 - 1 ELSE ts DIV 1000 END)"))
+          case TimestampNTZType =>
+            raw.withColumn("ts", col("ts").cast(TimestampType))
+          case TimestampType => raw
+          case other => throw new IllegalStateException(
+            s"events.ts has unsupported type $other (expected int64 nanos, timestamp_ntz, or timestamp)")
+        }
+      } else raw
     df.createOrReplaceTempView(name)
     df
   }
