@@ -1230,6 +1230,87 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    "q37_polars_strings" -> ((s, dir) => {
+      // Polars string-function surface through the dialect shim:
+      // STARTS_WITH/ENDS_WITH/STRPOS rename onto Spark's
+      // startswith/endswith/instr (identical semantics, 1-based strpos
+      // with 0 for absent); LEFT/REVERSE/SPLIT_PART exist natively in
+      // both engines
+      sql(tbl(s, dir, "documents"),
+        """SELECT doc_id,
+          |  STARTS_WITH(text, 'key') AS sw,
+          |  ENDS_WITH(source, '1') AS ew,
+          |  CAST(STRPOS(text, 'spark') AS BIGINT) AS sp,
+          |  SPLIT_PART(text, ' ', 3) AS w3,
+          |  LEFT(text, 12) AS l12,
+          |  REVERSE(lang) AS rl
+          |FROM AllData ORDER BY doc_id""".stripMargin)
+    }),
+
+    "q38_polars_quantiles" -> ((s, dir) => {
+      // Polars quantile aggregates: QUANTILE_CONT → Spark's exact
+      // interpolated `percentile`; QUANTILE_DISC → PERCENTILE_DISC
+      // WITHIN GROUP. Oracle-parity choices: quantity is integer-valued
+      // and q ∈ {.25,.5,.75} keeps every interpolation binary-exact in
+      // both engines; the q=0.5 DISCRETE quantile is the one q where the
+      // floor((n-1)q) and ceil(nq)-1 index conventions coincide for all
+      // n; stddev/variance accumulate differently per engine → round(6)
+      sql(tbl(s, dir, "lineitem"),
+        """SELECT l_returnflag,
+          |  MEDIAN(l_quantity) AS med_qty,
+          |  QUANTILE_CONT(l_quantity, 0.25) AS q25_qty,
+          |  QUANTILE_CONT(l_quantity, 0.75) AS q75_qty,
+          |  QUANTILE_DISC(l_extendedprice, 0.5) AS qd_price,
+          |  ROUND(STDDEV(l_quantity), 6) AS sd_qty,
+          |  ROUND(VARIANCE(l_quantity), 6) AS var_qty
+          |FROM AllData GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    "q39_floordiv_regex" -> ((s, dir) => {
+      // Polars `//` floor division (FLOOR of true division — floors
+      // toward -inf, unlike integer DIV's truncation) and the
+      // Postgres-style regex-match operators ~ / ~* / !~
+      sql(tbl(s, dir, "part"),
+        """SELECT p_partkey,
+          |  p_partkey // 10 AS k10,
+          |  (p_partkey * 3) // 7 AS k7,
+          |  (0 - p_partkey) // 7 AS kn7,
+          |  p_name ~ 'blue' AS m1,
+          |  p_name ~* 'BLUE' AS m2,
+          |  p_name !~ '^s' AS m3
+          |FROM AllData WHERE p_partkey // 100 = 5 ORDER BY p_partkey""".stripMargin)
+    }),
+
+    "q40_polars_arrays" -> ((s, dir) => {
+      // Polars array-function surface over a real array column:
+      // ARRAY_LENGTH/UPPER/LOWER rename to array_size/max/min, UNNEST to
+      // EXPLODE (subquery position). Float cells widen to double and
+      // round(4) for cross-engine compare.
+      sql(tbl(s, dir, "embeddings"),
+        """SELECT vec_id, alen, amax, amin, ROUND(CAST(x AS DOUBLE), 4) AS xv
+          |FROM (
+          |  SELECT vec_id,
+          |    CAST(ARRAY_LENGTH(embedding) AS BIGINT) AS alen,
+          |    ROUND(CAST(ARRAY_UPPER(embedding) AS DOUBLE), 4) AS amax,
+          |    ROUND(CAST(ARRAY_LOWER(embedding) AS DOUBLE), 4) AS amin,
+          |    UNNEST(embedding) AS x
+          |  FROM AllData WHERE vec_id < 20
+          |) ORDER BY vec_id, xv""".stripMargin)
+    }),
+
+    "q41_strptime_roundtrip" -> ((s, dir) => {
+      // STRPTIME (Polars %-codes) → TO_TIMESTAMP with the shared
+      // translated pattern; proven by format→parse round-trip at
+      // seconds resolution. Emitted as epoch µs so both engines compare
+      // in integer space.
+      sql(tbl(s, dir, "events"),
+        """SELECT event_id,
+          |  STRPTIME(STRFTIME(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS t2
+          |FROM AllData""".stripMargin)
+        .select(col("event_id"), unix_micros(col("t2")).as("t2us"))
+        .orderBy("event_id")
+    }),
+
     "q32_asof_join" -> ((s, dir) => {
       // enrich synthetic event timeline with the most recent order of the
       // same customer (right side deduped per (key, ts) for determinism)
@@ -2243,6 +2324,57 @@ object SparkEntry {
         |       user_id, count(*) AS n_events, round(sum(value), 2) AS session_value
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q37_polars_strings" ->
+      """SELECT doc_id,
+        |  starts_with(text, 'key') AS sw,
+        |  ends_with(source, '1') AS ew,
+        |  strpos(text, 'spark') AS sp,
+        |  split_part(text, ' ', 3) AS w3,
+        |  left(text, 12) AS l12,
+        |  reverse(lang) AS rl
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q38_polars_quantiles" ->
+      """SELECT l_returnflag,
+        |  median(l_quantity) AS med_qty,
+        |  quantile_cont(l_quantity, 0.25) AS q25_qty,
+        |  quantile_cont(l_quantity, 0.75) AS q75_qty,
+        |  quantile_disc(l_extendedprice, 0.5) AS qd_price,
+        |  round(stddev(l_quantity), 6) AS sd_qty,
+        |  round(variance(l_quantity), 6) AS var_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q39_floordiv_regex" ->
+      // `//` spelled as FLOOR of true division on both sides — DuckDB's
+      // own `//` is also a floor division but the explicit form pins the
+      // semantics this gate asserts
+      """SELECT p_partkey,
+        |  CAST(FLOOR(p_partkey / 10.0) AS BIGINT) AS k10,
+        |  CAST(FLOOR((p_partkey * 3) / 7.0) AS BIGINT) AS k7,
+        |  CAST(FLOOR((0 - p_partkey) / 7.0) AS BIGINT) AS kn7,
+        |  regexp_matches(p_name, 'blue') AS m1,
+        |  regexp_matches(p_name, 'BLUE', 'i') AS m2,
+        |  NOT regexp_matches(p_name, '^s') AS m3
+        |FROM part WHERE CAST(FLOOR(p_partkey / 100.0) AS BIGINT) = 5
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q40_polars_arrays" ->
+      """SELECT vec_id, alen, amax, amin, ROUND(CAST(x AS DOUBLE), 4) AS xv
+        |FROM (
+        |  SELECT vec_id,
+        |    len(embedding) AS alen,
+        |    ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS amax,
+        |    ROUND(CAST(list_min(embedding) AS DOUBLE), 4) AS amin,
+        |    UNNEST(embedding) AS x
+        |  FROM embeddings WHERE vec_id < 20
+        |) ORDER BY vec_id, xv""".stripMargin,
+
+    "q41_strptime_roundtrip" ->
+      """SELECT event_id,
+        |  epoch_us(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+        |                    '%Y-%m-%d %H:%M:%S')) AS t2us
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q32_asof_join" ->
       """WITH r AS (

@@ -60,30 +60,263 @@ object SqlRewriter {
     out.toString
   }
 
-  /** Pass 1: double-quoted identifiers → backticks; STRFTIME → DATE_FORMAT
-    * with a translated pattern. */
-  def rewriteQuotesAndFunctions(sql: String): String =
-    render(rewriteToks(lex(sql)))
+  /** Polars-SQL function names that rename 1:1 onto a Spark builtin with
+    * identical argument order and semantics. Applied only when the word
+    * heads a call (next non-ws token is `(`) — a column named
+    * `array_length` stays untouched. */
+  private val fnRenames: Map[String, String] = Map(
+    "starts_with" -> "STARTSWITH",
+    "ends_with" -> "ENDSWITH",
+    "strpos" -> "INSTR",
+    "array_length" -> "ARRAY_SIZE",
+    "array_to_string" -> "ARRAY_JOIN",
+    "array_unique" -> "ARRAY_DISTINCT",
+    "array_upper" -> "ARRAY_MAX",
+    "array_lower" -> "ARRAY_MIN",
+    "array_reverse" -> "REVERSE",
+    "unnest" -> "EXPLODE",
+    // Spark's `percentile` is the exact linearly-interpolated quantile —
+    // the same definition as SQL QUANTILE_CONT — and takes (col, q) in
+    // the same order
+    "quantile_cont" -> "PERCENTILE")
 
-  /** Recursive token rewrite. STRFTIME handling is argument-aware: only
-    * the FORMAT argument (2nd) has its string literal pattern-translated —
-    * a '%' inside any other argument's literal is data, not a pattern
-    * (e.g. `STRFTIME(x,'%Y') || ' %done'`) — and value arguments are
-    * rewritten recursively so a nested STRFTIME is also renamed instead of
-    * surviving as an unresolvable function. */
+  /** Words that can directly precede an operand without being one
+    * (operator/clause keywords). Used to decide whether a `(`-group is a
+    * function call and whether `~` / a sign is infix or prefix. CAST,
+    * EXTRACT etc. are deliberately absent — they ARE call heads. */
+  private val sqlKeywords: Set[String] = Set(
+    "select", "from", "where", "group", "by", "having", "order", "limit",
+    "offset", "union", "intersect", "except", "join", "on", "using", "as",
+    "and", "or", "not", "in", "is", "like", "ilike", "rlike", "between",
+    "case", "when", "then", "else", "end", "distinct",
+    "exists", "values", "escape", "with", "over", "partition",
+    "rows", "range", "preceding", "following", "unbounded", "current",
+    "asc", "desc", "nulls", "within")
+
+  private def isOperandEndTok(t: Tok): Boolean = t match {
+    case _: SStr | _: BQuot | _: DQuot => true
+    case w: Word                       => !sqlKeywords.contains(w.text.toLowerCase)
+    case Punct(")")                    => true
+    case Punct("*")                    => false
+    case _                             => false
+  }
+
+  private def prevNonWs(toks: IndexedSeq[Tok], from: Int): Int = {
+    var i = from
+    while (i >= 0 && toks(i).isInstanceOf[Ws]) i -= 1
+    i
+  }
+
+  /** Index of the matching OPEN paren for the close paren at `close`. */
+  private def matchParenRev(toks: IndexedSeq[Tok], close: Int): Int = {
+    var depth = 0
+    var i = close
+    while (i >= 0) {
+      toks(i) match {
+        case Punct(")") => depth += 1
+        case Punct("(") =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ =>
+      }
+      i -= 1
+    }
+    -1
+  }
+
+  /** Exclusive end of the primary expression starting at `start`:
+    * a parenthesized group, a string literal, or an (optionally dotted)
+    * identifier chain with an optional trailing call-argument group. */
+  private def atomEndFwd(toks: Vector[Tok], start: Int): Int = {
+    if (start >= toks.length) return start
+    toks(start) match {
+      case Punct("(") =>
+        val c = matchParen(toks, start)
+        if (c < 0) toks.length else c + 1
+      case _: SStr => start + 1
+      case _: Word | _: BQuot | _: DQuot =>
+        var e = start + 1
+        var go = true
+        while (go) {
+          val d = nextNonWs(toks, e)
+          if (d < toks.length && toks(d) == Punct(".")) {
+            val w = nextNonWs(toks, d + 1)
+            if (w < toks.length && (toks(w).isInstanceOf[Word] ||
+              toks(w).isInstanceOf[BQuot] || toks(w).isInstanceOf[DQuot])) { e = w + 1 }
+            else go = false
+          } else go = false
+        }
+        val p = nextNonWs(toks, e)
+        if (p < toks.length && toks(p) == Punct("(")) {
+          val c = matchParen(toks, p)
+          if (c < 0) toks.length else c + 1
+        } else e
+      case _ => start + 1
+    }
+  }
+
+  /** Start of the dotted identifier chain whose last word is at `end`. */
+  private def dottedStartBack(toks: Vector[Tok], end: Int): Int = {
+    var s = end
+    var go = true
+    while (go) {
+      val d = prevNonWs(toks, s - 1)
+      if (d >= 0 && toks(d) == Punct(".")) {
+        val w = prevNonWs(toks, d - 1)
+        if (w >= 0 && (toks(w).isInstanceOf[Word] || toks(w).isInstanceOf[BQuot] ||
+          toks(w).isInstanceOf[DQuot])) s = w
+        else go = false
+      } else go = false
+    }
+    s
+  }
+
+  /** Start index of the primary expression whose LAST token is at `end`:
+    * mirrors [[atomEndFwd]] scanning backwards (close-paren group plus a
+    * possible function-name head, or a dotted identifier chain). */
+  private def atomStartBack(toks: Vector[Tok], end: Int): Int = toks(end) match {
+    case Punct(")") =>
+      val open = matchParenRev(toks, end)
+      if (open < 0) end
+      else {
+        val p = prevNonWs(toks, open - 1)
+        val isFnHead = p >= 0 && (toks(p) match {
+          case w: Word => !sqlKeywords.contains(w.text.toLowerCase)
+          case _: BQuot | _: DQuot => true
+          case _ => false
+        })
+        if (isFnHead) dottedStartBack(toks, p) else open
+      }
+    case _: Word | _: BQuot | _: DQuot => dottedStartBack(toks, end)
+    case _ => end
+  }
+
+  /** Start of the multiplicative chain that forms the LEFT operand of the
+    * operator at `opIdx` — walks back over `* / %`-joined terms (each an
+    * atom with optional unary signs) and stops at any lower-precedence
+    * boundary, so `a * b // c` floors `a * b / c` (left associativity),
+    * not `b / c`. */
+  private def multChainStart(toks: Vector[Tok], opIdx: Int): Int = {
+    var start = opIdx
+    var pos = opIdx
+    var continue = true
+    while (continue) {
+      val e = prevNonWs(toks, pos - 1)
+      if (e < 0) continue = false
+      else {
+        var s = atomStartBack(toks, e)
+        // fold in unary signs: `-a // b` must floor `(-a)/b`, and signs
+        // chain (`- -a`); a sign is unary iff nothing operand-like
+        // precedes it
+        var signGo = true
+        while (signGo) {
+          val q = prevNonWs(toks, s - 1)
+          if (q >= 0 && (toks(q) == Punct("-") || toks(q) == Punct("+"))) {
+            val r = prevNonWs(toks, q - 1)
+            if (r < 0 || !isOperandEndTok(toks(r))) s = q else signGo = false
+          } else signGo = false
+        }
+        start = s
+        val p = prevNonWs(toks, s - 1)
+        if (p >= 0 && (toks(p) == Punct("*") || toks(p) == Punct("/") ||
+          toks(p) == Punct("%"))) pos = p
+        else continue = false
+      }
+    }
+    start
+  }
+
+  /** Polars' `//` floor-division operator → `FLOOR((left) / (right))`.
+    * Spark has no `//`; FLOOR of the true division reproduces Polars'
+    * semantics including negative operands (floor, not
+    * truncate-toward-zero: `-7 // 2` is -4). Spark's `/` is always
+    * fractional (ints promote to double) and `FLOOR(double)` returns
+    * BIGINT — matching Polars' int64 result for integer inputs.
+    * Processes the LEFTMOST occurrence then recurses, so chains
+    * left-associate: `a // b // c` → `FLOOR(FLOOR(a/b) / c)`. */
+  private[sql] def rewriteFloorDiv(toks: Vector[Tok]): Vector[Tok] = {
+    var i = 0
+    while (i + 1 < toks.length) {
+      if (toks(i) == Punct("/") && toks(i + 1) == Punct("/")) {
+        val lStart = multChainStart(toks, i)
+        // right operand: optional unary signs then one atom (binding
+        // tighter than the division, per left associativity)
+        var rAtom = nextNonWs(toks, i + 2)
+        while (rAtom < toks.length &&
+          (toks(rAtom) == Punct("-") || toks(rAtom) == Punct("+")))
+          rAtom = nextNonWs(toks, rAtom + 1)
+        val rEnd = atomEndFwd(toks, rAtom)
+        val right = toks.slice(nextNonWs(toks, i + 2), rEnd)
+        val replaced = Vector(Word("FLOOR"), Punct("("), Punct("(")) ++
+          toks.slice(lStart, i) ++
+          Vector(Punct(")"), Ws(" "), Punct("/"), Ws(" "), Punct("(")) ++
+          right ++ Vector(Punct(")"), Punct(")"))
+        return rewriteFloorDiv(
+          toks.slice(0, lStart) ++ replaced ++ toks.slice(rEnd, toks.length))
+      }
+      i += 1
+    }
+    toks
+  }
+
+  /** Pass 1: double-quoted identifiers → backticks; `//` floor division;
+    * Polars function renames; STRFTIME/STRPTIME pattern translation;
+    * QUANTILE_DISC → WITHIN GROUP form; `~ !~ ~* !~*` regex operators. */
+  def rewriteQuotesAndFunctions(sql: String): String =
+    render(rewriteToks(rewriteFloorDiv(lex(sql))))
+
+  /** Recursive token rewrite. STRFTIME/STRPTIME handling is
+    * argument-aware: only the FORMAT argument (2nd) has its string
+    * literal pattern-translated — a '%' inside any other argument's
+    * literal is data, not a pattern (e.g. `STRFTIME(x,'%Y') || ' %done'`)
+    * — and value arguments are rewritten recursively so a nested call is
+    * also renamed instead of surviving as an unresolvable function. */
   private def rewriteToks(toks: Vector[Tok]): Vector[Tok] = {
     val out = ArrayBuffer.empty[Tok]
+
+    def lastIsOperandEnd: Boolean = {
+      var j = out.length - 1
+      while (j >= 0 && out(j).isInstanceOf[Ws]) j -= 1
+      j >= 0 && isOperandEndTok(out(j))
+    }
+
+    /** Emit the regex PATTERN operand starting at `from`, prefixing
+      * `(?i)` when `ci`. A string literal gets the prefix folded into the
+      * literal; any other operand is wrapped in CONCAT('(?i)', atom).
+      * Returns the resume index. */
+    def emitPattern(from: Int, ci: Boolean): Int = {
+      val j = nextNonWs(toks, from)
+      if (j == from) out += Ws(" ") // `a~'p'` → keep a gap after RLIKE
+      out ++= toks.slice(from, j) // preserve whitespace
+      if (!ci) j
+      else if (j < toks.length && toks(j).isInstanceOf[SStr]) {
+        val s = toks(j).asInstanceOf[SStr]
+        out += SStr("'(?i)" + s.text.substring(1))
+        j + 1
+      } else {
+        val aEnd = atomEndFwd(toks, j)
+        out += Word("CONCAT"); out += Punct("("); out += SStr("'(?i)'"); out += Punct(",")
+        out ++= rewriteToks(toks.slice(j, aEnd))
+        out += Punct(")")
+        aEnd
+      }
+    }
+
     var i = 0
     while (i < toks.length) {
       toks(i) match {
         case d: DQuot =>
           out += BQuot("`" + d.name.replace("`", "``") + "`")
           i += 1
-        case w: Word if w.text.equalsIgnoreCase("strftime") =>
+        case w: Word if w.text.equalsIgnoreCase("strftime") ||
+            w.text.equalsIgnoreCase("strptime") =>
           val open = nextNonWs(toks, i + 1)
           val close = if (open < toks.length && toks(open) == Punct("(")) matchParen(toks, open) else -1
           if (close >= 0) {
-            out += Word("DATE_FORMAT")
+            // STRPTIME(str, '%…') parses with the same %-codes STRFTIME
+            // prints with; Spark's TO_TIMESTAMP takes the same translated
+            // JVM pattern DATE_FORMAT does
+            out += Word(if (w.text.equalsIgnoreCase("strftime")) "DATE_FORMAT" else "TO_TIMESTAMP")
             out ++= toks.slice(i + 1, open + 1) // pre-paren ws + '('
             val args = splitTopLevel(toks.slice(open + 1, close))
             args.zipWithIndex.foreach { case (arg, k) =>
@@ -101,6 +334,45 @@ object SqlRewriter {
             out += Punct(")")
             i = close + 1
           } else { out += w; i += 1 }
+        case w: Word if w.text.equalsIgnoreCase("quantile_disc") =>
+          // QUANTILE_DISC(x, q) → PERCENTILE_DISC(q) WITHIN GROUP
+          // (ORDER BY x): Spark only has the SQL-standard inverse-
+          // distribution syntax for the discrete quantile
+          val open = nextNonWs(toks, i + 1)
+          val close = if (open < toks.length && toks(open) == Punct("(")) matchParen(toks, open) else -1
+          val args = if (close >= 0) splitTopLevel(toks.slice(open + 1, close)) else Nil
+          if (args.length == 2) {
+            def trimWs(ts: Seq[Tok]): Vector[Tok] =
+              ts.dropWhile(_.isInstanceOf[Ws]).reverse
+                .dropWhile(_.isInstanceOf[Ws]).reverse.toVector
+            out += Word("PERCENTILE_DISC"); out += Punct("(")
+            out ++= rewriteToks(trimWs(args(1)))
+            out += Punct(")"); out += Ws(" "); out += Word("WITHIN"); out += Ws(" ")
+            out += Word("GROUP"); out += Ws(" "); out += Punct("(")
+            out += Word("ORDER"); out += Ws(" "); out += Word("BY"); out += Ws(" ")
+            out ++= rewriteToks(trimWs(args(0)))
+            out += Punct(")")
+            i = close + 1
+          } else { out += w; i += 1 }
+        case w: Word if fnRenames.contains(w.text.toLowerCase) && {
+            val open = nextNonWs(toks, i + 1)
+            open < toks.length && toks(open) == Punct("(")
+          } =>
+          out += Word(fnRenames(w.text.toLowerCase))
+          i += 1
+        case Punct("!") if i + 1 < toks.length && toks(i + 1) == Punct("~") &&
+            lastIsOperandEnd =>
+          // `a !~ p` / `a !~* p` — negated (case-insensitive) regex match
+          val ci = i + 2 < toks.length && toks(i + 2) == Punct("*")
+          out += Ws(" "); out += Word("NOT"); out += Ws(" "); out += Word("RLIKE")
+          i = emitPattern(i + (if (ci) 3 else 2), ci)
+        case Punct("~") if lastIsOperandEnd =>
+          // infix `a ~ p` / `a ~* p` — regex match (unanchored search,
+          // same as RLIKE); prefix `~` (no preceding operand) passes
+          // through as Spark's bitwise NOT
+          val ci = i + 1 < toks.length && toks(i + 1) == Punct("*")
+          out += Ws(" "); out += Word("RLIKE")
+          i = emitPattern(i + (if (ci) 2 else 1), ci)
         case t => out += t; i += 1
       }
     }

@@ -182,4 +182,112 @@ class SqlRewriterSpec extends AnyFunSuite {
         |SELECT k, SUM(v) AS total FROM base GROUP BY k HAVING total > 10 ORDER BY k""".stripMargin)
     assert(out.collect().map(_.getString(0)).toSeq == Seq("x"))
   }
+
+  // ---- Polars dialect widening: renames, STRPTIME, quantiles -----------
+
+  test("function renames apply only at call sites") {
+    val out = SqlRewriter.rewriteQuotesAndFunctions(
+      "SELECT STARTS_WITH(s, 'a'), ends_with(s, 'z'), STRPOS(s, 'q'), " +
+        "ARRAY_LENGTH(arr), array_to_string(arr, ','), ARRAY_UNIQUE(arr), " +
+        "ARRAY_UPPER(arr), ARRAY_LOWER(arr), ARRAY_REVERSE(arr), UNNEST(arr), " +
+        "QUANTILE_CONT(v, 0.25), array_length FROM t")
+    val low = out.toLowerCase
+    assert(low.contains("startswith(") && low.contains("endswith(") &&
+      low.contains("instr(") && low.contains("array_size(") &&
+      low.contains("array_join(") && low.contains("array_distinct(") &&
+      low.contains("array_max(") && low.contains("array_min(") &&
+      low.contains("reverse(") && low.contains("explode(") &&
+      low.contains("percentile("), out)
+    // bare word (a column named array_length) is untouched
+    assert(low.contains(" array_length from t"), out)
+  }
+
+  test("STRPTIME → TO_TIMESTAMP with translated %-pattern") {
+    val out = SqlRewriter.rewriteQuotesAndFunctions(
+      "SELECT STRPTIME(s, '%Y-%m-%d %H:%M:%S') FROM t")
+    assert(out.contains("TO_TIMESTAMP"), out)
+    assert(out.contains("'yyyy-MM-dd HH:mm:ss'"), out)
+  }
+
+  test("QUANTILE_DISC(x, q) → PERCENTILE_DISC(q) WITHIN GROUP (ORDER BY x)") {
+    val out = SqlRewriter.rewriteQuotesAndFunctions(
+      "SELECT QUANTILE_DISC(v, 0.9) FROM t GROUP BY k")
+    assert(out.replaceAll("\\s+", " ")
+      .contains("PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY v)"), out)
+  }
+
+  test("quantile rewrites execute end-to-end") {
+    Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 10.0))
+      .toDF("k", "v").createOrReplaceTempView("qt")
+    val rows = GraftSql.run(spark,
+      """SELECT k, QUANTILE_CONT(v, 0.5) AS qc, QUANTILE_DISC(v, 0.5) AS qd,
+        |MEDIAN(v) AS med FROM qt GROUP BY k ORDER BY k""".stripMargin).collect()
+    assert(rows(0).getDouble(1) == 2.5) // interpolated
+    assert(rows(0).getDouble(2) == 2.0) // discrete picks a data value
+    assert(rows(0).getDouble(3) == 2.5)
+    assert(rows(1).getDouble(1) == 10.0)
+  }
+
+  // ---- Polars dialect widening: regex operators ------------------------
+
+  test("regex match operators rewrite to RLIKE forms") {
+    def rw(s: String) =
+      SqlRewriter.rewriteQuotesAndFunctions(s).replaceAll("\\s+", " ")
+    assert(rw("SELECT a ~ 'x' FROM t") == "SELECT a RLIKE 'x' FROM t")
+    assert(rw("SELECT a !~ 'x' FROM t") == "SELECT a NOT RLIKE 'x' FROM t")
+    assert(rw("SELECT a ~* 'x' FROM t") == "SELECT a RLIKE '(?i)x' FROM t")
+    assert(rw("SELECT a !~* 'x' FROM t") == "SELECT a NOT RLIKE '(?i)x' FROM t")
+    // non-literal pattern under ~* gets a CONCAT-ed prefix
+    assert(rw("SELECT a ~* p FROM t").contains("RLIKE CONCAT('(?i)',p)"))
+    // no-space form still gets a separator
+    assert(rw("SELECT a~'x' FROM t") == "SELECT a RLIKE 'x' FROM t")
+  }
+
+  test("prefix ~ (bitwise NOT) is left alone; != survives") {
+    def rw(s: String) = SqlRewriter.rewriteQuotesAndFunctions(s)
+    assert(rw("SELECT ~5 FROM t") == "SELECT ~5 FROM t")
+    assert(rw("SELECT a != b FROM t") == "SELECT a != b FROM t")
+    // after AND (keyword), ~ is prefix again
+    assert(rw("SELECT x FROM t WHERE b AND ~a = 0")
+      == "SELECT x FROM t WHERE b AND ~a = 0")
+  }
+
+  test("regex operators execute end-to-end") {
+    Seq("Alpha", "beta", "gamma").toDF("s").createOrReplaceTempView("rx")
+    val n = GraftSql.run(spark,
+      "SELECT COUNT(*) AS n FROM rx WHERE s ~* '^AL'").head().getLong(0)
+    assert(n == 1)
+    val m = GraftSql.run(spark,
+      "SELECT COUNT(*) AS n FROM rx WHERE s !~ 'ta$'").head().getLong(0)
+    assert(m == 2) // 'beta' ends in ta; Alpha and gamma survive
+  }
+
+  // ---- Polars dialect widening: // floor division ----------------------
+
+  test("// floor division: precedence and associativity") {
+    def rw(s: String) =
+      SqlRewriter.rewriteQuotesAndFunctions(s).replaceAll("\\s+", "")
+    assert(rw("SELECT a // b FROM t") == "SELECTFLOOR((a)/(b))FROMt")
+    // left operand is the whole multiplicative chain
+    assert(rw("SELECT a * b // c FROM t") == "SELECTFLOOR((a*b)/(c))FROMt")
+    // right operand is one term only (left associativity)
+    assert(rw("SELECT a // b * c FROM t") == "SELECTFLOOR((a)/(b))*cFROMt")
+    // chains left-associate
+    assert(rw("SELECT a // b // c FROM t") == "SELECTFLOOR((FLOOR((a)/(b)))/(c))FROMt")
+    // additive boundary stops the left scan
+    assert(rw("SELECT x + a // b FROM t") == "SELECTx+FLOOR((a)/(b))FROMt")
+    // unary minus folds into the floored operand: (-a)//b, not -(a//b)
+    assert(rw("SELECT -a // b FROM t") == "SELECTFLOOR((-a)/(b))FROMt")
+    // function-call operands survive intact
+    assert(rw("SELECT CAST(x AS INT) // 3 FROM t")
+      == "SELECTFLOOR((CAST(xASINT))/(3))FROMt")
+  }
+
+  test("// floor division executes with Polars semantics") {
+    Seq((7L, 2L), (-7L, 2L), (9L, 3L)).toDF("a", "b")
+      .createOrReplaceTempView("fd")
+    val rows = GraftSql.run(spark,
+      "SELECT a // b AS q FROM fd ORDER BY a").collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(-4L, 3L, 3L)) // floor, not truncate: -7//2 = -4
+  }
 }
