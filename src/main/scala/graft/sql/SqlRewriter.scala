@@ -124,9 +124,22 @@ object SqlRewriter {
     -1
   }
 
+  /** `1e-3` lexes as Word("1e") Punct("-") Word("3") — these helpers let
+    * the atom scanners glue a signed exponent back into one numeric
+    * operand instead of mistaking the sign for a binary operator. */
+  private def isExpHead(t: Tok): Boolean = t match {
+    case Word(x) => x.matches("(?i)[0-9][0-9_.]*e")
+    case _       => false
+  }
+  private def isDigits(t: Tok): Boolean = t match {
+    case Word(x) => x.nonEmpty && x.forall(_.isDigit)
+    case _       => false
+  }
+
   /** Exclusive end of the primary expression starting at `start`:
-    * a parenthesized group, a string literal, or an (optionally dotted)
-    * identifier chain with an optional trailing call-argument group. */
+    * a parenthesized group, a string literal, a signed-exponent numeric
+    * literal, or an (optionally dotted) identifier chain with an
+    * optional trailing call-argument group. */
   private def atomEndFwd(toks: Vector[Tok], start: Int): Int = {
     if (start >= toks.length) return start
     toks(start) match {
@@ -134,6 +147,10 @@ object SqlRewriter {
         val c = matchParen(toks, start)
         if (c < 0) toks.length else c + 1
       case _: SStr => start + 1
+      case w: Word if isExpHead(w) && start + 2 < toks.length &&
+          (toks(start + 1) == Punct("-") || toks(start + 1) == Punct("+")) &&
+          isDigits(toks(start + 2)) =>
+        start + 3
       case _: Word | _: BQuot | _: DQuot =>
         var e = start + 1
         var go = true
@@ -175,6 +192,10 @@ object SqlRewriter {
     * mirrors [[atomEndFwd]] scanning backwards (close-paren group plus a
     * possible function-name head, or a dotted identifier chain). */
   private def atomStartBack(toks: Vector[Tok], end: Int): Int = toks(end) match {
+    case d: Word if isDigits(d) && end >= 2 &&
+        (toks(end - 1) == Punct("-") || toks(end - 1) == Punct("+")) &&
+        isExpHead(toks(end - 2)) =>
+      end - 2
     case Punct(")") =>
       val open = matchParenRev(toks, end)
       if (open < 0) end

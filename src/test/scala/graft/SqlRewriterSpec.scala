@@ -281,6 +281,9 @@ class SqlRewriterSpec extends AnyFunSuite {
     // function-call operands survive intact
     assert(rw("SELECT CAST(x AS INT) // 3 FROM t")
       == "SELECTFLOOR((CAST(xASINT))/(3))FROMt")
+    // scientific-notation literals are one operand, not a binary minus
+    assert(rw("SELECT x // 1e-3 FROM t") == "SELECTFLOOR((x)/(1e-3))FROMt")
+    assert(rw("SELECT 2.5e-2 // y FROM t") == "SELECTFLOOR((2.5e-2)/(y))FROMt")
   }
 
   test("// floor division executes with Polars semantics") {
