@@ -1311,6 +1311,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q42_date_parts" -> ((s, dir) => {
+      // Polars DATE_PART/EXTRACT field spellings with no identical Spark
+      // field: ordinal_day → DOY, weekday/isodow → DAYOFWEEK_ISO
+      // (Mon=1..Sun=7 in both), epoch → double cast. Standard fields
+      // pass through untouched.
+      sql(tbl(s, dir, "orders"),
+        """SELECT o_orderkey,
+          |  CAST(DATE_PART('year', o_orderdate) AS BIGINT) AS y,
+          |  CAST(DATE_PART('quarter', o_orderdate) AS BIGINT) AS q,
+          |  CAST(DATE_PART('ordinal_day', o_orderdate) AS BIGINT) AS doy,
+          |  CAST(DATE_PART('weekday', o_orderdate) AS BIGINT) AS wd,
+          |  DATE_PART('epoch', o_orderdate) AS ep,
+          |  CAST(EXTRACT(isodow FROM o_orderdate) AS BIGINT) AS wd2
+          |FROM AllData ORDER BY o_orderkey""".stripMargin)
+    }),
+
     "q32_asof_join" -> ((s, dir) => {
       // enrich synthetic event timeline with the most recent order of the
       // same customer (right side deduped per (key, ts) for determinism)
@@ -2375,6 +2391,16 @@ object SparkEntry {
         |  epoch_us(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
         |                    '%Y-%m-%d %H:%M:%S')) AS t2us
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q42_date_parts" ->
+      """SELECT o_orderkey,
+        |  CAST(date_part('year', o_orderdate) AS BIGINT) AS y,
+        |  CAST(date_part('quarter', o_orderdate) AS BIGINT) AS q,
+        |  CAST(date_part('doy', o_orderdate) AS BIGINT) AS doy,
+        |  CAST(date_part('isodow', o_orderdate) AS BIGINT) AS wd,
+        |  epoch(CAST(o_orderdate AS TIMESTAMP)) AS ep,
+        |  CAST(date_part('isodow', o_orderdate) AS BIGINT) AS wd2
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q32_asof_join" ->
       """WITH r AS (

@@ -80,6 +80,15 @@ object SqlRewriter {
     // the same order
     "quantile_cont" -> "PERCENTILE")
 
+  /** DATE_PART/EXTRACT field spellings Polars accepts that Spark names
+    * differently. `weekday`/`isodow` are ISO Mon=1..Sun=7 in Polars —
+    * Spark's DAYOFWEEK_ISO, not its Sun=1 DAYOFWEEK. `epoch` has no
+    * Spark field at all and is special-cased to a double cast. */
+  private val datePartMap: Map[String, String] = Map(
+    "ordinal_day" -> "DOY",
+    "weekday" -> "DAYOFWEEK_ISO",
+    "isodow" -> "DAYOFWEEK_ISO")
+
   /** Words that can directly precede an operand without being one
     * (operator/clause keywords). Used to decide whether a `(`-group is a
     * function call and whether `~` / a sign is infix or prefix. CAST,
@@ -353,6 +362,66 @@ object SqlRewriter {
               } else out ++= rewriteToks(arg.toVector)
             }
             out += Punct(")")
+            i = close + 1
+          } else { out += w; i += 1 }
+        case w: Word if w.text.equalsIgnoreCase("date_part") =>
+          // field-name mapping, plus the epoch special case: Spark has
+          // no 'epoch' field — seconds-since-epoch (with fraction) is a
+          // double cast of the timestamp
+          val open = nextNonWs(toks, i + 1)
+          val close = if (open < toks.length && toks(open) == Punct("(")) matchParen(toks, open) else -1
+          val args = if (close >= 0) splitTopLevel(toks.slice(open + 1, close)) else Nil
+          val fieldLit = args.headOption.flatMap(_.collectFirst { case s: SStr => s })
+            .filter(_ => args.length == 2)
+          val field = fieldLit.map(s => s.text.substring(1, s.text.length - 1).toLowerCase)
+          def trimWs(ts: Seq[Tok]): Vector[Tok] =
+            ts.dropWhile(_.isInstanceOf[Ws]).reverse
+              .dropWhile(_.isInstanceOf[Ws]).reverse.toVector
+          if (field.contains("epoch")) {
+            out += Word("CAST"); out += Punct("(")
+            out += Word("CAST"); out += Punct("(")
+            out ++= rewriteToks(trimWs(args(1)))
+            out += Ws(" "); out += Word("AS"); out += Ws(" "); out += Word("TIMESTAMP")
+            out += Punct(")")
+            out += Ws(" "); out += Word("AS"); out += Ws(" "); out += Word("DOUBLE")
+            out += Punct(")")
+            i = close + 1
+          } else if (field.exists(datePartMap.contains)) {
+            out += Word("DATE_PART"); out += Punct("(")
+            out += SStr("'" + datePartMap(field.get) + "'"); out += Punct(",")
+            out ++= rewriteToks(trimWs(args(1)))
+            out += Punct(")")
+            i = close + 1
+          } else { out += w; i += 1 }
+        case w: Word if w.text.equalsIgnoreCase("extract") && {
+            val open = nextNonWs(toks, i + 1)
+            open < toks.length && toks(open) == Punct("(")
+          } =>
+          // EXTRACT(field FROM x): same field mapping, keyword position
+          val open = nextNonWs(toks, i + 1)
+          val close = matchParen(toks, open)
+          val fIdx = nextNonWs(toks, open + 1)
+          val fieldW = toks(fIdx) match {
+            case fw: Word => Some(fw.text.toLowerCase)
+            case _        => None
+          }
+          if (close >= 0 && fieldW.contains("epoch")) {
+            val fromIdx = nextNonWs(toks, fIdx + 1)
+            if (fromIdx < close && isWord(toks(fromIdx), "from")) {
+              out += Word("CAST"); out += Punct("(")
+              out += Word("CAST"); out += Punct("(")
+              out ++= rewriteToks(toks.slice(fromIdx + 1, close))
+              out += Ws(" "); out += Word("AS"); out += Ws(" "); out += Word("TIMESTAMP")
+              out += Punct(")")
+              out += Ws(" "); out += Word("AS"); out += Ws(" "); out += Word("DOUBLE")
+              out += Punct(")")
+              i = close + 1
+            } else { out += w; i += 1 }
+          } else if (close >= 0 && fieldW.exists(datePartMap.contains)) {
+            out += w
+            out ++= toks.slice(i + 1, fIdx)
+            out += Word(datePartMap(fieldW.get))
+            out ++= rewriteToks(toks.slice(fIdx + 1, close + 1))
             i = close + 1
           } else { out += w; i += 1 }
         case w: Word if w.text.equalsIgnoreCase("quantile_disc") =>

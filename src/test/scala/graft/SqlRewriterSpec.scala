@@ -228,6 +228,38 @@ class SqlRewriterSpec extends AnyFunSuite {
     assert(rows(1).getDouble(1) == 10.0)
   }
 
+  test("DATE_PART/EXTRACT field mapping") {
+    def rw(s: String) =
+      SqlRewriter.rewriteQuotesAndFunctions(s).replaceAll("\\s+", " ")
+    assert(rw("SELECT DATE_PART('ordinal_day', d) FROM t")
+      .contains("DATE_PART('DOY',d)"))
+    assert(rw("SELECT DATE_PART('weekday', d) FROM t")
+      .contains("DATE_PART('DAYOFWEEK_ISO',d)"))
+    assert(rw("SELECT DATE_PART('epoch', ts) FROM t")
+      .contains("CAST(CAST(ts AS TIMESTAMP) AS DOUBLE)"))
+    assert(rw("SELECT EXTRACT(isodow FROM d) FROM t")
+      .contains("EXTRACT(DAYOFWEEK_ISO FROM d)"))
+    assert(rw("SELECT EXTRACT(epoch FROM ts) FROM t")
+      .contains("CAST(CAST( ts AS TIMESTAMP) AS DOUBLE)"))
+    // standard fields pass through untouched
+    assert(rw("SELECT DATE_PART('year', d) FROM t")
+      .contains("DATE_PART('year', d)"))
+    assert(rw("SELECT EXTRACT(YEAR FROM d) FROM t")
+      .contains("EXTRACT(YEAR FROM d)"))
+  }
+
+  test("date-part mapping executes end-to-end") {
+    spark.sql("SELECT TIMESTAMP '2021-03-08 06:30:00' AS ts")
+      .createOrReplaceTempView("dp") // 2021-03-08 is a Monday
+    val r = GraftSql.run(spark,
+      """SELECT DATE_PART('weekday', ts) AS wd,
+        |DATE_PART('ordinal_day', ts) AS doy,
+        |DATE_PART('epoch', ts) AS ep FROM dp""".stripMargin).head()
+    assert(r.getInt(0) == 1) // ISO Monday = 1
+    assert(r.getInt(1) == 67)
+    assert(r.getDouble(2) == 1615185000.0)
+  }
+
   // ---- Polars dialect widening: regex operators ------------------------
 
   test("regex match operators rewrite to RLIKE forms") {
