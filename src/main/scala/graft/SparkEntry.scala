@@ -716,6 +716,41 @@ object SparkEntry {
             "vec_id", "embedding", k = 10, nprobe = 8)
       }),
 
+    "ann_ivf_index_append" -> ((s, dir) =>
+      // incremental-ingest path: index built on HALF the corpus, the
+      // other half APPENDED against the frozen centroids (no rebuild),
+      // then probed — recall is asserted against brute force over the
+      // FULL corpus, so a lost or double-counted appended row fails the
+      // floor, not just a unit test
+      annRecallGate(s, dir, floor = 0.5, label = "appended IVF index") {
+        (emb, queriesDf) =>
+          val path = s"/tmp/graft_ivfap_${math.abs(dir.hashCode)}"
+          Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", path,
+            numCentroids = 16, seed = 42L, kmeansIters = 2)
+          Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 2 =!= 0),
+            "vec_id", "embedding", path)
+          Similarity.queryIvfIndex(s, path, queriesDf,
+            "vec_id", "embedding", k = 10, nprobe = 8)
+      }),
+
+    "ann_ivfpq_index_append" -> ((s, dir) =>
+      // IVF-PQ twin of the append gate: frozen centroids AND frozen
+      // codebooks (fit on the first half only) must still clear the
+      // same floor as the full-build gate through the exact re-rank
+      annRecallGate(s, dir, floor = 0.8, label = "appended IVF-PQ index") {
+        (emb, queriesDf) =>
+          val path = s"/tmp/graft_ivfpqap_${math.abs(dir.hashCode)}"
+          Pq.buildIvfPqIndex(emb.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", path,
+            numCentroids = 16, m = 16, k = 32, seed = 42L, kmeansIters = 2)
+          Pq.appendToIvfPqIndex(emb.filter(col("vec_id") % 2 =!= 0),
+            "vec_id", "embedding", path)
+          Pq.queryIvfPqIndex(s, path, queriesDf, "vec_id", "embedding",
+            k = 10, rerankWith = Some((emb, "vec_id", "embedding")),
+            rerankFactor = 8)
+      }),
+
     "mm_audio_meta" -> ((s, dir) => {
       // synthesizeWavs builds REAL RIFF/PCM bytes from doc_id with
       // arithmetic-derivable parameters, so the oracle can check the
@@ -2593,6 +2628,8 @@ object SparkEntry {
     "ann_ivf_kmeans_topk" -> annBruteOracleSql,
     "ann_pq_topk" -> annBruteOracleSql,
     "ann_ivf_index_topk" -> annBruteOracleSql,
+    "ann_ivf_index_append" -> annBruteOracleSql,
+    "ann_ivfpq_index_append" -> annBruteOracleSql,
     "ann_ivfpq_topk" -> annBruteOracleSql,
     "ann_ivfpq_index_topk" -> annBruteOracleSql,
 

@@ -357,6 +357,41 @@ object Pq {
     model
   }
 
+  /** Append a batch to a COMMITTED [[buildIvfPqIndex]] index without
+    * rebuilding: the batch is encoded with the index's FROZEN codebooks
+    * and assigned to its FROZEN coarse centroids (one map pass), then
+    * appended into the cell partitions — the IVF-PQ twin of
+    * [[Similarity.appendToIvfIndex]], with the same marker discipline
+    * (dropped before the first appended file, re-written after the
+    * last) and the same drift contract: both models are frozen, so a
+    * shifting distribution shows up as occupancy skew in the returned
+    * per-cell counts (and growing quantization error), the signals to
+    * rebuild on. Returns (appended row count, appended rows per cell). */
+  def appendToIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): (Long, Map[Int, Long]) = {
+    import graft.functions.HashFunctions.nearestCentroids
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.FsSwap.requireCommitted(fs, p, "appendToIvfPqIndex")
+    val cents = Similarity.loadCentroids(spark, path)
+    val model = loadPqModel(spark, path)
+    // materialized once: one assignment feeds the write AND the counts
+    val assigned = graft.Materialize.once(
+      encode(batch, idCol, vecCol, model, keepVec = true)
+        .withColumn("cell", element_at(nearestCentroids(col("v"), cents, 1), 1))
+        .filter(col("cell").isNotNull)
+        .drop("v"),
+      eager = true)
+    graft.sources.FsSwap.beginArtifact(fs, p)
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    graft.sources.FsSwap.commitArtifact(fs, p,
+      "ivfpq append (frozen centroids + codebooks)")
+    val counts = assigned.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (counts.values.sum, counts)
+  }
+
   /** Query a [[buildIvfPqIndex]] index: probe the `nprobe` nearest
     * cells per query. The probed cell set re-enters the plan as an
     * `isin` literal so the codes scan prunes at PARTITION level —

@@ -384,6 +384,50 @@ object Similarity {
     cellCosineTopK(idx, q, k, dedupPairs = false)
   }
 
+  /** Append a batch of vectors to a COMMITTED [[buildIvfIndex]] index
+    * without rebuilding: rows are assigned to the index's FROZEN
+    * centroids (one shuffle-free map pass against the broadcast
+    * centroid array — the same shape as the original build) and
+    * appended into the cell partitions. At scale this is the difference
+    * between an ingest-batch-sized write and re-clustering a
+    * billion-vector corpus for every arriving batch.
+    *
+    * Marker discipline (single writer per path, as for build): the
+    * commit marker is dropped before the first appended file and
+    * re-written after the last, so a reader racing the append — or an
+    * append killed mid-write — fails loudly on the missing marker
+    * instead of scoring against a half-appended cell.
+    *
+    * Centroids are FROZEN by design: appended vectors land in their
+    * nearest existing cell, so recall under distribution drift degrades
+    * through observable occupancy skew, never silently — the returned
+    * per-cell counts are the rebuild trigger. Returns
+    * (appended row count, appended rows per cell). */
+  def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): (Long, Map[Int, Long]) = {
+    import graft.functions.HashFunctions.nearestCentroids
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.FsSwap.requireCommitted(fs, p, "appendToIvfIndex")
+    val cents = loadCentroids(spark, path)
+    // materialized once: the assignment feeds BOTH the appended write
+    // and the occupancy counts — re-running a non-deterministic batch
+    // source could write one assignment and report another
+    val assigned = graft.Materialize.once(
+      batch.select(col(idCol).as("id"), col(vecCol).as("v"),
+          norm(col(vecCol)).as("nv"),
+          element_at(nearestCentroids(col(vecCol), cents, 1), 1).as("cell"))
+        .filter(col("cell").isNotNull), // non-finite vectors are unindexable
+      eager = true)
+    graft.sources.FsSwap.beginArtifact(fs, p)
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+    graft.sources.FsSwap.commitArtifact(fs, p, "ivf append (frozen centroids)")
+    val counts = assigned.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (counts.values.sum, counts)
+  }
+
   /** IVF-style ANN: cell = hyperplane sign bucket; query probes cells
     * whose bucket differs in ≤ `probeBits` bits (Hamming ball). */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,

@@ -67,4 +67,44 @@ class IvfIndexSpec extends AnyFunSuite {
       .select($"query_id", $"id".as("neighbor_id"))
     assert(ivf.exceptAll(again).count() == 0 && again.exceptAll(ivf).count() == 0)
   }
+
+  test("append: frozen-centroid ingest lands every row; appended ids reachable") {
+    val p = Files.createTempDirectory("graft_ivf_ap").toFile.getAbsolutePath
+    val corpus = synthCorpus(500, 8)
+    Similarity.buildIvfIndex(corpus.filter($"vec_id" < 300), "vec_id",
+      "embedding", p, numCentroids = 8, seed = 7L, kmeansIters = 2)
+    val (n, perCell) = Similarity.appendToIvfIndex(
+      corpus.filter($"vec_id" >= 300), "vec_id", "embedding", p)
+    assert(n == 200 && perCell.values.sum == 200)
+    // nothing lost, nothing double-counted across build + append
+    assert(spark.read.parquet(s"$p/vectors").count() == 500)
+    // a query whose true neighbors are appended rows must surface them.
+    // The jittered corpus has ~20 EXACT duplicates of any vector (the
+    // jitter pattern cycles), all tied at cosine 1.0 — k must exceed
+    // the tie set or the top-k could legitimately pick only pre-append
+    // ids on tie-break order
+    val q = corpus.filter($"vec_id" === 498) // even blob, appended range
+    val res = Similarity.queryIvfIndex(spark, p, q,
+      "vec_id", "embedding", k = 25, nprobe = 4)
+    assert(res.filter($"id" >= 300).count() > 0, "appended rows never probed")
+  }
+
+  test("append: requires a committed index and refuses readers mid-append") {
+    val p = Files.createTempDirectory("graft_ivf_ap2").toFile.getAbsolutePath
+    val corpus = synthCorpus(100, 8)
+    // append onto nothing → loud refusal, not a silent first build
+    assertThrows[java.io.IOException] {
+      Similarity.appendToIvfIndex(corpus, "vec_id", "embedding", p)
+    }
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", p,
+      numCentroids = 4, seed = 7L, kmeansIters = 0)
+    // simulate an append killed mid-write: marker dropped, not restored
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.FsSwap.beginArtifact(fs, hp)
+    assertThrows[java.io.IOException] {
+      Similarity.queryIvfIndex(spark, p, corpus.filter($"vec_id" < 2),
+        "vec_id", "embedding", k = 5, nprobe = 2)
+    }
+  }
 }

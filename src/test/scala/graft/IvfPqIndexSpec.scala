@@ -136,4 +136,31 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(Pq.queryIvfPqIndex(spark, p, queries, "vec_id", "embedding",
       k = 5, nprobe = 4).collect().length == 10)
   }
+
+  test("append: frozen-model ingest encodes with stored codebooks, loses nothing") {
+    val p = Files.createTempDirectory("graft_ivfpq_ap").toFile.getAbsolutePath
+    val corpus = synthCorpus(500, 8)
+    Pq.buildIvfPqIndex(corpus.filter($"vec_id" < 300), "vec_id", "embedding",
+      p, numCentroids = 8, m = 4, k = 16, seed = 7L, kmeansIters = 2)
+    val (n, perCell) = Pq.appendToIvfPqIndex(
+      corpus.filter($"vec_id" >= 300), "vec_id", "embedding", p)
+    assert(n == 200 && perCell.values.sum == 200)
+    val codes = spark.read.parquet(s"$p/codes")
+    assert(codes.count() == 500)
+    // appended rows carry codes of the SAME width (frozen model applied)
+    assert(codes.select(size($"code")).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(4))
+    // store-backed query over the merged index reaches appended ids.
+    // k exceeds the ~20-member exact-duplicate tie set (see
+    // IvfIndexSpec) so the assertion is tie-break-proof.
+    val q = corpus.filter($"vec_id" === 499) // odd blob, appended range
+    val res = Pq.queryIvfPqIndex(spark, p, q, "vec_id", "embedding",
+      k = 25, rerankWith = Some((corpus, "vec_id", "embedding")))
+    assert(res.filter($"id" >= 300).count() > 0, "appended rows never probed")
+    // append onto a missing index refuses loudly
+    assertThrows[java.io.IOException] {
+      Pq.appendToIvfPqIndex(corpus, "vec_id", "embedding",
+        Files.createTempDirectory("graft_ivfpq_ap2").toFile.getAbsolutePath)
+    }
+  }
 }
