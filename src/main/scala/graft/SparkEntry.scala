@@ -1565,6 +1565,34 @@ object SparkEntry {
 
     // ---- incremental merge (CDC apply) ---------------------------------
 
+    "merge_scd2" -> ((s, dir) => {
+      // SCD-2 history fold: every event is a versioned change to its
+      // key (event_id % 997), 'error' events are tombstones. Applied in
+      // TWO sequential batches split at the key's median version — the
+      // second apply must close the first batch's open rows — and the
+      // emitted full history (validity chain with delete gaps) matches
+      // DuckDB's single-pass window construction value-exact.
+      val ev = tbl(s, dir, "events")
+        .filter(col("event_id").isNotNull)
+        .select((col("event_id") % 997).as("k"), col("event_id").as("v"),
+          col("value"), col("event_type"),
+          (col("event_type") === "error").as("is_del"))
+      // batch1 must hold strictly EARLIER versions per key than batch2
+      // (an interleaved split would trip the stale guard by design):
+      // v DIV 997 is the per-key dense ordinal, so a fixed threshold
+      // splits every key's timeline at the same point at every sf
+      val ord = (col("v") / 997).cast("long")
+      val batch1 = ev.filter(ord < 5)
+      val batch2 = ev.filter(ord >= 5)
+      val emptyHistory = ev.filter(lit(false))
+        .select(col("k"), col("value"), col("event_type"),
+          col("v").as("valid_from"), col("v").as("valid_to"))
+      val h1 = Merge.scd2Apply(emptyHistory, batch1, Seq("k"), "v",
+        deleteCol = "is_del")
+      Merge.scd2Apply(h1, batch2, Seq("k"), "v", deleteCol = "is_del")
+        .orderBy("k", "valid_from")
+    }),
+
     "merge_upsert" -> ((s, dir) => {
       // fold a deterministic changeset into the orders snapshot: %7 keys
       // get a re-priced update (v=1), %13 keys a tombstone (v=2 — so on
@@ -2498,6 +2526,23 @@ object SparkEntry {
         |  quantile_cont(n_chars, 0.95) AS p95,
         |  count(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "merge_scd2" ->
+      // the full validity chain in one window pass: valid_to = next
+      // change's version regardless of its type (so a delete's version
+      // closes its predecessor), delete rows themselves emit nothing
+      """WITH c AS (
+        |  SELECT event_id % 997 AS k, event_id AS v, value, event_type,
+        |         (event_type = 'error') AS is_del
+        |  FROM events WHERE event_id IS NOT NULL
+        |), chained AS (
+        |  SELECT k, v, value, event_type, is_del,
+        |    lead(v) OVER (PARTITION BY k ORDER BY v) AS vto
+        |  FROM c
+        |)
+        |SELECT k, value, event_type, v AS valid_from, vto AS valid_to
+        |FROM chained WHERE NOT is_del
+        |ORDER BY k, valid_from""".stripMargin,
 
     "merge_upsert" ->
       """WITH all_rows AS (

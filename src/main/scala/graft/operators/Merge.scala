@@ -69,6 +69,87 @@ object Merge {
       .drop(deleteCol)
   }
 
+  /** Apply a changeset to an SCD-2 (validity-interval) HISTORY table:
+    * where [[applyChangeset]] overwrites a key's row (SCD-1), this
+    * preserves lineage — every change CLOSES the key's open interval
+    * and opens a new one, so any past state of the corpus is
+    * reconstructible with `WHERE valid_from <= t AND (valid_to IS NULL
+    * OR valid_to > t)`. That point-in-time queryability is what a
+    * training pipeline needs to answer "exactly which document versions
+    * did run X train on".
+    *
+    * Layout: history rows carry the payload plus `validFromCol` and
+    * `validToCol` (null = open/current; at most one open row per key).
+    * `changes` carries the same payload plus `versionCol` (the change's
+    * effective ordinal — it becomes the new row's valid_from) and the
+    * `deleteCol` tombstone flag.
+    *
+    * Per key, with the batch's fresh changes ordered by version:
+    *   - the pre-existing open row closes at the first change's version;
+    *   - each non-delete change opens [its version, next change's
+    *     version); the last stays open;
+    *   - a delete inserts nothing but its version still closes its
+    *     predecessor — a validity gap means the key did not exist;
+    *   - STALE changes (version ≤ the open row's valid_from) are
+    *     dropped before any of the above: the open row's knowledge
+    *     wins, mirroring [[applyChangeset]]'s stale-delta protection,
+    *     and re-applying an already-applied batch is a no-op;
+    *   - closed history rows pass through untouched.
+    *
+    * Scale shape: the window and both key joins touch only the CHANGES
+    * and the OPEN rows (one live row per key) — the closed bulk of a
+    * 100 TB history table is never shuffled, only unioned through. */
+  def scd2Apply(history: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], versionCol: String,
+      deleteCol: String = "is_deleted",
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "need at least one key column")
+    val histCols = history.columns.toSeq
+    require(histCols.contains(validFromCol) && histCols.contains(validToCol),
+      s"history must carry '$validFromCol' and '$validToCol'")
+    require(!histCols.contains(deleteCol),
+      s"history must not carry tombstones ('$deleteCol') — scd2Apply consumes them")
+    val payload = histCols.filterNot(c =>
+      keyCols.contains(c) || c == validFromCol || c == validToCol)
+    val expected = (keyCols ++ payload :+ versionCol :+ deleteCol).sorted
+    require(changes.columns.sorted.sameElements(expected),
+      s"changeset columns ${changes.columns.sorted.mkString(",")} must be " +
+        s"key + payload + '$versionCol' + '$deleteCol' (${expected.mkString(",")})")
+    require(history.schema(validFromCol).dataType ==
+      changes.schema(versionCol).dataType,
+      s"'$validFromCol' (${history.schema(validFromCol).dataType}) and " +
+        s"'$versionCol' (${changes.schema(versionCol).dataType}) must share a type")
+
+    val outCols = (keyCols ++ payload :+ validFromCol :+ validToCol).map(col)
+    val open = history.filter(col(validToCol).isNull)
+    // stale guard BEFORE the chain window, so a dropped stale change
+    // cannot close a fresh neighbor's interval either
+    val openVf = open.select(
+      keyCols.map(col) :+ col(validFromCol).as("__open_vf"): _*)
+    val fresh = changes.join(openVf, keyCols, "left")
+      .filter(col("__open_vf").isNull || col(versionCol) > col("__open_vf"))
+      .drop("__open_vf")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol))
+    val chained = fresh
+      .withColumn("__vto", lead(col(versionCol), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+    val firstPerKey = chained.filter(col("__rn") === 1)
+      .select(keyCols.map(col) :+ col(versionCol).as("__close_at"): _*)
+    val closedNow = open.join(firstPerKey, keyCols, "left")
+      .withColumn(validToCol,
+        when(col("__close_at").isNotNull, col("__close_at"))
+          .otherwise(col(validToCol)))
+      .select(outCols: _*)
+    val inserts = chained.filter(!col(deleteCol))
+      .select(keyCols.map(col) ++ payload.map(col) :+
+        col(versionCol).as(validFromCol) :+ col("__vto").as(validToCol): _*)
+    history.filter(col(validToCol).isNotNull).select(outCols: _*)
+      .unionByName(closedNow)
+      .unionByName(inserts)
+  }
+
   /** The inverse of [[applyChangeset]]: diff two snapshots into the
     * minimal changeset that replays one into the other —
     * `applyChangeset(oldSnap, diffSnapshots(oldSnap, newSnap, …), …)`

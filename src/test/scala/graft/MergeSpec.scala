@@ -108,4 +108,62 @@ class MergeSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
       s"expected an aggregate-based winner:\n$plan")
   }
+
+  // ---- SCD-2 ------------------------------------------------------------
+
+  private def hist(rows: Seq[(Long, String, Long, Option[Long])]) =
+    rows.toDF("k", "name", "valid_from", "valid_to")
+  private def chg(rows: Seq[(Long, String, Long, Boolean)]) =
+    rows.toDF("k", "name", "v", "is_deleted")
+
+  test("scd2: chain within a batch, close across batches, delete gaps") {
+    val empty = hist(Nil)
+    // batch 1: key 1 changes at v=1 and v=3; key 2 appears at v=2
+    val h1 = Merge.scd2Apply(empty,
+      chg(Seq((1L, "a1", 1L, false), (1L, "a3", 3L, false), (2L, "b2", 2L, false))),
+      Seq("k"), "v")
+    val got1 = h1.orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(got1 == Seq((1L, "a1", 1L, Some(3L)), (1L, "a3", 3L, None),
+      (2L, "b2", 2L, None)))
+    // batch 2: key 1 deleted at v=5 then re-created at v=7; key 2 updated
+    val h2 = Merge.scd2Apply(h1,
+      chg(Seq((1L, "a3", 5L, true), (1L, "a7", 7L, false), (2L, "b9", 9L, false))),
+      Seq("k"), "v")
+    val got2 = h2.orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(got2 == Seq(
+      (1L, "a1", 1L, Some(3L)),
+      (1L, "a3", 3L, Some(5L)), // closed by the delete — then a gap [5,7)
+      (1L, "a7", 7L, None),
+      (2L, "b2", 2L, Some(9L)),
+      (2L, "b9", 9L, None)))
+  }
+
+  test("scd2: stale changes are dropped; re-applying a batch is a no-op") {
+    val h1 = Merge.scd2Apply(hist(Nil), chg(Seq((1L, "a5", 5L, false))),
+      Seq("k"), "v")
+    // same batch again: version 5 is not > open valid_from 5 → dropped
+    val h2 = Merge.scd2Apply(h1, chg(Seq((1L, "a5", 5L, false))), Seq("k"), "v")
+    assert(h2.collect().toSeq == h1.collect().toSeq)
+    // a strictly older change is dropped too, even alongside a fresh one
+    val h3 = Merge.scd2Apply(h1,
+      chg(Seq((1L, "old", 3L, false), (1L, "a8", 8L, false))), Seq("k"), "v")
+    val got = h3.orderBy("valid_from").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("a5", "a8"))
+  }
+
+  test("scd2: schema and type drift fail loudly") {
+    val h = hist(Seq((1L, "a", 1L, None)))
+    assertThrows[IllegalArgumentException] { // missing delete col
+      Merge.scd2Apply(h, Seq((1L, "x", 2L)).toDF("k", "name", "v"), Seq("k"), "v")
+    }
+    assertThrows[IllegalArgumentException] { // version type mismatch
+      Merge.scd2Apply(h,
+        Seq((1L, "x", 2.0, false)).toDF("k", "name", "v", "is_deleted"),
+        Seq("k"), "v")
+    }
+  }
 }
