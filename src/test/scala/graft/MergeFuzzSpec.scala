@@ -92,4 +92,49 @@ class MergeFuzzSpec extends AnyFunSuite {
     assert(replayed == pairs.flatMap(_._2).toSet,
       "diff-then-apply must replay old into new")
   }
+
+  test("scd2: any version-threshold split applied sequentially equals the one-shot apply") {
+    // random change streams (unique versions per key); for each
+    // scenario a random threshold T splits the stream into earlier/later
+    // batches — the two-batch apply must equal the single apply, which
+    // in turn must equal a direct reference chain
+    type C = (Int, Int, String, Long, Boolean) // scenario, k, name, v, del
+    val gen: Int => Gen[(Seq[C], Long)] = sid => for {
+      n <- Gen.chooseNum(0, 14)
+      raw <- Gen.listOfN(n, for {
+        k <- Gen.chooseNum(0, 4); nm <- payloadName
+        v <- Gen.chooseNum(0L, 9L); del <- Gen.oneOf(true, false)
+      } yield (sid, k, nm, v, del))
+      t <- Gen.chooseNum(0L, 9L)
+    } yield (raw.distinctBy(c => (c._2, c._4)), t)
+    val seed0 = org.scalacheck.rng.Seed(13L)
+    val scenarios = Iterator.iterate((0, seed0)) { case (i, s) => (i + 1, s.next) }
+      .take(40)
+      .map { case (i, s) => gen(i).pureApply(Gen.Parameters.default, s) }
+      .toSeq
+    val all = scenarios.flatMap(_._1)
+    def df(rows: Seq[(Int, Int, String, Long, Boolean)]) =
+      rows.toDF("scenario", "k", "name", "v", "is_deleted")
+    val empty = df(Nil).select($"scenario", $"k", $"name",
+      $"v".as("valid_from"), $"v".as("valid_to"))
+    val keys = Seq("scenario", "k")
+    val oneShot = Merge.scd2Apply(empty, df(all), keys, "v")
+    val batch1 = scenarios.flatMap { case (rows, t) => rows.filter(_._4 < t) }
+    val batch2 = scenarios.flatMap { case (rows, t) => rows.filter(_._4 >= t) }
+    val twoStep = Merge.scd2Apply(
+      Merge.scd2Apply(empty, df(batch1), keys, "v"), df(batch2), keys, "v")
+    type H = (Int, Int, String, Long, Option[Long])
+    def rows(d: org.apache.spark.sql.DataFrame): Set[H] =
+      d.collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    // reference chain computed in memory
+    val expected: Set[H] = all.groupBy(c => (c._1, c._2)).values.flatMap { cs =>
+      val sorted = cs.sortBy(_._4)
+      sorted.zip(sorted.drop(1).map(n => Some(n._4)) :+ None).collect {
+        case (c, vto) if !c._5 => (c._1, c._2, c._3, c._4, vto)
+      }
+    }.toSet
+    assert(rows(oneShot) == expected, "one-shot apply diverged from reference")
+    assert(rows(twoStep) == expected, "sequential apply diverged from one-shot")
+  }
 }
