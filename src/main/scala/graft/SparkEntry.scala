@@ -1593,6 +1593,22 @@ object SparkEntry {
         .orderBy("k", "valid_from")
     }),
 
+    "merge_scd2_snapshot" -> ((s, dir) => {
+      // the question SCD-2 lineage exists for: corpus state AS OF a
+      // fixed version — keys inside a delete gap return no row
+      val ev = tbl(s, dir, "events")
+        .filter(col("event_id").isNotNull)
+        .select((col("event_id") % 997).as("k"), col("event_id").as("v"),
+          col("value"), col("event_type"),
+          (col("event_type") === "error").as("is_del"))
+      val emptyHistory = ev.filter(lit(false))
+        .select(col("k"), col("value"), col("event_type"),
+          col("v").as("valid_from"), col("v").as("valid_to"))
+      val history = Merge.scd2Apply(emptyHistory, ev, Seq("k"), "v",
+        deleteCol = "is_del")
+      Merge.scd2Snapshot(history, lit(6979L)).orderBy("k")
+    }),
+
     "merge_upsert" -> ((s, dir) => {
       // fold a deterministic changeset into the orders snapshot: %7 keys
       // get a re-priced update (v=1), %13 keys a tombstone (v=2 — so on
@@ -2543,6 +2559,21 @@ object SparkEntry {
         |SELECT k, value, event_type, v AS valid_from, vto AS valid_to
         |FROM chained WHERE NOT is_del
         |ORDER BY k, valid_from""".stripMargin,
+
+    "merge_scd2_snapshot" ->
+      """WITH c AS (
+        |  SELECT event_id % 997 AS k, event_id AS v, value, event_type,
+        |         (event_type = 'error') AS is_del
+        |  FROM events WHERE event_id IS NOT NULL
+        |), chained AS (
+        |  SELECT k, v, value, event_type, is_del,
+        |    lead(v) OVER (PARTITION BY k ORDER BY v) AS vto
+        |  FROM c
+        |)
+        |SELECT k, value, event_type, v AS valid_from, vto AS valid_to
+        |FROM chained
+        |WHERE NOT is_del AND v <= 6979 AND (vto IS NULL OR vto > 6979)
+        |ORDER BY k""".stripMargin,
 
     "merge_upsert" ->
       """WITH all_rows AS (

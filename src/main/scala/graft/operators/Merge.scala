@@ -150,6 +150,20 @@ object Merge {
       .unionByName(inserts)
   }
 
+  /** Point-in-time read of an [[scd2Apply]] history: the rows valid AT
+    * `at` — the question the history exists to answer. A key inside a
+    * delete gap (valid_to ≤ at < next valid_from) correctly returns no
+    * row. Pure filter, no shuffle or join: with the history table
+    * range-partitioned or z-ordered on the validity columns
+    * ([[graft.sources.Writers.writeSortedParquet]] /
+    * `writeZOrderedParquet`), the scan prunes to the files whose
+    * interval stats straddle `at`. */
+  def scd2Snapshot(history: DataFrame, at: Column,
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): DataFrame =
+    history.filter(col(validFromCol) <= at &&
+      (col(validToCol).isNull || col(validToCol) > at))
+
   /** The inverse of [[applyChangeset]]: diff two snapshots into the
     * minimal changeset that replays one into the other —
     * `applyChangeset(oldSnap, diffSnapshots(oldSnap, newSnap, …), …)`

@@ -155,6 +155,18 @@ class MergeSpec extends AnyFunSuite {
     assert(got == Seq("a5", "a8"))
   }
 
+  test("scd2Snapshot: as-of read honors intervals and delete gaps") {
+    val h = Merge.scd2Apply(hist(Nil), chg(Seq(
+      (1L, "a1", 1L, false), (1L, "a1-del", 5L, true), (1L, "a7", 7L, false),
+      (2L, "b3", 3L, false))), Seq("k"), "v")
+    def at(t: Long) = Merge.scd2Snapshot(h, lit(t))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(at(2L) == Seq((1L, "a1")))            // before key 2 exists
+    assert(at(4L) == Seq((1L, "a1"), (2L, "b3")))
+    assert(at(6L) == Seq((2L, "b3")))            // key 1 in its delete gap
+    assert(at(9L) == Seq((1L, "a7"), (2L, "b3")))
+  }
+
   test("scd2: schema and type drift fail loudly") {
     val h = hist(Seq((1L, "a", 1L, None)))
     assertThrows[IllegalArgumentException] { // missing delete col
