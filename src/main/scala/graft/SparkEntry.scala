@@ -1255,6 +1255,27 @@ object SparkEntry {
         |  "Período Apuração Crédito" ASC,
         |  "Tipo Crédito" DESC;""".stripMargin)),
 
+    "io_sql_table_fns" -> ((s, dir) => {
+      // Polars SQL file table functions in FROM: nation written as
+      // ';'-delimited CSV (the sniffer must detect the dialect) and
+      // region as parquet, then joined back through read_csv /
+      // read_parquet — values must match the same join on the ORIGINAL
+      // tables
+      val base = s"/tmp/graft_rt_${math.abs(dir.hashCode)}"
+      graft.sources.Writers.writeCsv(
+        tbl(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+        s"$base/nation_tf.csv", delimiter = ';')
+      graft.sources.Writers.writeParquet(
+        tbl(s, dir, "region").select("r_regionkey", "r_name"),
+        s"$base/region_tf.parquet")
+      graft.sql.GraftSql.run(s,
+        s"""SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey, n.n_name, r.r_name
+           |FROM read_csv('$base/nation_tf.csv') n
+           |JOIN read_parquet('$base/region_tf.parquet') r
+           |  ON n.n_regionkey = r.r_regionkey
+           |ORDER BY n_nationkey""".stripMargin)
+    }),
+
     "io_json_array_roundtrip" -> ((s, dir) => {
       val path = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/nation.json"
       val src = tbl(s, dir, "nation")
@@ -2865,6 +2886,11 @@ object SparkEntry {
     "io_json_array_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "io_sql_table_fns" ->
+      """SELECT n.n_nationkey, n.n_name, r.r_name
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY n.n_nationkey""".stripMargin,
 
     // cosine in DuckDB must be spelled as the explicit double-precision
     // left-to-right fold — verified bit-identical to Spark's aggregate()

@@ -289,6 +289,41 @@ object SqlRewriter {
     toks
   }
 
+  /** Polars SQL's file table functions, usable in FROM. */
+  private val tableFns = Set("read_csv", "read_parquet", "read_json", "read_ndjson")
+
+  /** Pass 0: replace each `read_*('path')` table-function call with the
+    * name `resolve(fn, path)` returns — the caller registers the file
+    * as a temp view under that name through graft's Readers (delimiter
+    * sniffing, bounded inference, format dispatch all apply). A call
+    * whose argument is not a single string literal passes through
+    * untouched and surfaces as Spark's own parse/analysis error. */
+  def substituteTableFns(sql: String, resolve: (String, String) => String): String = {
+    val toks = lex(sql)
+    val out = ArrayBuffer.empty[Tok]
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case w: Word if tableFns.contains(w.text.toLowerCase) =>
+          val open = nextNonWs(toks, i + 1)
+          val close =
+            if (open < toks.length && toks(open) == Punct("(")) matchParen(toks, open) else -1
+          val inner =
+            if (close >= 0) toks.slice(open + 1, close).filterNot(_.isInstanceOf[Ws])
+            else Vector.empty[Tok]
+          inner match {
+            case Vector(s: SStr) =>
+              val path = s.text.substring(1, s.text.length - 1).replace("''", "'")
+              out += Word(resolve(w.text.toLowerCase, path))
+              i = close + 1
+            case _ => out += w; i += 1
+          }
+        case t => out += t; i += 1
+      }
+    }
+    render(out.toVector)
+  }
+
   /** Pass 1: double-quoted identifiers → backticks; `//` floor division;
     * Polars function renames; STRFTIME/STRPTIME pattern translation;
     * QUANTILE_DISC → WITHIN GROUP form; `~ !~ ~* !~*` regex operators. */

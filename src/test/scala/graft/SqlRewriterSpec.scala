@@ -260,6 +260,22 @@ class SqlRewriterSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 1615185000.0)
   }
 
+  test("read_* table functions register views through the Readers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tf").toFile.getAbsolutePath
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    graft.sources.Writers.writeCsv(df, s"$dir/t.csv", delimiter = '|')
+    graft.sources.Writers.writeParquet(df, s"$dir/t.parquet")
+    val out = GraftSql.run(spark,
+      s"""SELECT a.id, b.s FROM read_csv('$dir/t.csv') a
+         |JOIN read_parquet('$dir/t.parquet') b ON a.id = b.id
+         |ORDER BY a.id""".stripMargin).collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("x", "y"))
+    // non-literal argument passes through → Spark's own error, not ours
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      GraftSql.run(spark, "SELECT * FROM read_parquet(p)").collect()
+    }
+  }
+
   // ---- Polars dialect widening: regex operators ------------------------
 
   test("regex match operators rewrite to RLIKE forms") {
