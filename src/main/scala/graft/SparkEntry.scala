@@ -1451,6 +1451,48 @@ object SparkEntry {
         .orderBy("click_id", "purchase_id")
     }),
 
+    "stream_dedup_ingest" -> ((s, dir) => {
+      // the streaming dedup-ingest sink run FOR REAL: documents (plus a
+      // re-keyed duplicate of every 3rd doc) arrive as a 5-batch
+      // file-source stream — four doc_id-quartile batches then a
+      // dup-only batch — and the final corpus must hold exactly the
+      // FIRST occurrence of every text. File mtimes are pinned so the
+      // file source's timestamp ordering replays the intended sequence;
+      // within-quartile corpus-internal duplicates resolve to the min
+      // doc_id by the within-batch dedup, cross-batch ones by the
+      // against-corpus anti-join.
+      val base = s"/tmp/graft_ingest_${math.abs(dir.hashCode)}"
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(basePath, true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/in"))
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+      val dups = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val batches = (0 until 4).map(b =>
+        docs.filter(col("doc_id") * 4 / n >= b && col("doc_id") * 4 / n < b + 1)) :+ dups
+      batches.zipWithIndex.foreach { case (df, b) =>
+        val tmp = s"$base/tmp$b"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).filter(_.getName.startsWith("part-")).head
+        val dest = new org.apache.hadoop.fs.Path(s"$base/in/batch$b.parquet")
+        fs.rename(part, dest)
+        fs.setTimes(dest, 60000L * (b + 1), -1)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      val q = graft.streaming.EventStreams.dedupIngestSink(stream,
+        s"$base/corpus", "doc_id", "text",
+        checkpointDir = Some(s"$base/ckpt"))
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/corpus")
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     "stream_upsert_snapshot" -> ((s, dir) => {
       // the streaming snapshot-maintenance sink (EventStreams.upsertSink)
       // run FOR REAL: a 4-batch file-source stream of changes folds into
@@ -2400,6 +2442,19 @@ object SparkEntry {
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.us >= c.us AND p.us < c.us + 300000000
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "stream_dedup_ingest" ->
+      // greedy first-occurrence admission over ordered batches = global
+      // min doc_id per text (batches are doc_id quartiles, so the first
+      // batch containing a text also contains its smallest id)
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 3 = 0
+        |)
+        |SELECT min(doc_id) AS doc_id, text FROM all_docs
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
 
     "stream_upsert_snapshot" ->
       // final state of a latest-wins (max version per key) changeset

@@ -199,6 +199,57 @@ object EventStreams {
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }
 
+  /** Streaming corpus ingest with duplicate rejection — the ingest
+    * front door of a training pipeline: re-crawls and mirror copies
+    * never enter the corpus. Each micro-batch is deduplicated WITHIN
+    * itself (first occurrence by `idCol` wins —
+    * [[graft.operators.Dedup.exactByHash]], grouping on the 8-byte
+    * xxhash64 with the full text kept only to break hash collisions)
+    * and then against everything already admitted, and the survivors
+    * are appended to the corpus snapshot through the same crash-safe
+    * rename-only swap as [[upsertSink]] (batch replay after a crash is
+    * idempotent: replayed rows anti-join away against the corpus).
+    *
+    * The admitted corpus persists a `__graft_text_h` column, so the
+    * per-batch against-corpus anti-join scans only (hash, text) —
+    * payload columns prune away. Semantic (MinHash) admission is the
+    * batch operator family ([[graft.operators.Dedup.admitNew]] /
+    * `minhashExactPairsAgainstSketches`) composed in a custom
+    * foreachBatch; this sink's contract is EXACT identity, which keeps
+    * it SQL-oracle-checkable end-to-end. */
+  def dedupIngestSink(docs: DataFrame, corpusPath: String,
+      idCol: String, textCol: String,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val HashCol = "__graft_text_h"
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val target = new org.apache.hadoop.fs.Path(corpusPath)
+        val staging = new org.apache.hadoop.fs.Path(
+          corpusPath + ".__graft-ingest-staging__")
+        val retired = new org.apache.hadoop.fs.Path(
+          corpusPath + ".__graft-ingest-old__")
+        val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+        graft.sources.FsSwap.recover(fs, target, staging, retired, "dedupIngestSink")
+        val withinBatch = graft.operators.Dedup
+          .exactByHash(batch.toDF(), textCol, idCol)
+          .drop("n_dups")
+          .withColumn(HashCol, xxhash64(col(textCol)))
+        val next =
+          if (!fs.exists(target)) withinBatch
+          else {
+            val corpus = spark.read.parquet(corpusPath)
+            val seen = corpus.select(col(HashCol), col(textCol)).distinct()
+            corpus.unionByName(
+              withinBatch.join(seen, Seq(HashCol, textCol), "left_anti"))
+          }
+        next.write.mode("overwrite").parquet(staging.toString)
+        graft.sources.FsSwap.swap(fs, target, staging, retired, "dedupIngestSink")
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * totals emitted on every update (the escape hatch for semantics
     * session_window/window can't express).

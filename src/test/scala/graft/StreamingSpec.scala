@@ -119,6 +119,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed == state, "idempotent merge must absorb the replay")
   }
 
+  test("dedupIngestSink admits first occurrences only, within and across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = java.nio.file.Files.createTempDirectory("graft_ingest_").toString + "/corpus"
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.dedupIngestSink(
+      input.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text")
+    // batch 1: A twice (within-batch dup) + B
+    input.addData((1L, "aaa"), (2L, "bbb"), (3L, "aaa"))
+    q.processAllAvailable()
+    val s1 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(s1 == Set(1L, 2L))
+    // batch 2: A again (cross-batch dup, higher id) + new C
+    val b2 = Seq((10L, "aaa"), (11L, "ccc"))
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    val s2 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(s2 == Set(1L, 2L, 11L))
+    // replay of batch 2 (at-least-once) must be absorbed
+    input.addData(b2: _*)
+    q.processAllAvailable(); q.stop()
+    val s3 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(s3 == s2, "replayed batch must not re-admit or duplicate")
+  }
+
   test("upsertSink crash recovery: completed staging is promoted, torn staging is discarded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
