@@ -144,6 +144,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(s3 == s2, "replayed batch must not re-admit or duplicate")
   }
 
+  test("near-dup ingest composition: admitNew inside a custom foreachBatch") {
+    // the composition dedupIngestSink's doc points users to for SEMANTIC
+    // (MinHash) admission: same sink shape, Dedup.admitNew as the gatekeeper
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = java.nio.file.Files.createTempDirectory("graft_nd_ingest_")
+      .toString + "/corpus"
+    val cfg = graft.operators.Dedup.MinHashConfig(numHashes = 64, bands = 32)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val exists = new java.io.File(corpus).exists
+        val admitted =
+          if (!exists) batch.toDF()
+          else graft.operators.Dedup.admitNew(batch.toDF(),
+            spark.read.parquet(corpus), "doc_id", "text", cfg,
+            exactThreshold = 0.5)
+        admitted.write.mode(if (exists) "append" else "overwrite").parquet(corpus)
+      }.start()
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val b = "completely different content about spark shuffles and partition pruning"
+    input.addData((1L, a), (2L, b))
+    q.processAllAvailable()
+    // batch 2: a near-duplicate of A (one appended word) and a fresh doc
+    input.addData((10L, a + " tonight"),
+      (11L, "a third document with nothing in common with the others at all"))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 11L), s"near-dup must be rejected, fresh admitted: $ids")
+  }
+
   test("upsertSink crash recovery: completed staging is promoted, torn staging is discarded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
