@@ -646,20 +646,59 @@ object SqlRewriter {
     // Replace sites bottom-up so indices stay valid.
     var current = toks
     sites.sortBy(-_.starIdx).foreach { site =>
-      // probe text: whole query, with EVERY site reduced to a bare star —
-      // then ask for the schema of this site's enclosing SELECT block.
-      val allBare = bareStars(current)
-      val block = enclosingBlock(current, site.starIdx)
-      val probe = render(bareStars(lex(block match {
-        case Some((from, to)) =>
-          // include any WITH prefix (CTEs the block may reference)
-          withPrefix(current) + render(current.slice(from, to))
-        case None => render(current)
-      })))
+      // probe text: the star expands to the FROM relation's columns, so
+      // the probe is `SELECT *` over the site's OWN select block FROM
+      // its top-level FROM onward — probing the whole select would leak
+      // sibling select items' aliases into the expansion
+      // (`SELECT * EXCEPT(d), f(d) AS ts FROM t` must expand to t's
+      // columns minus d, never include ts). CTEs stay in scope via the
+      // WITH prefix; any other star sites inside the probe are bared.
+      val (blockToks, offset) = enclosingBlock(current, site.starIdx) match {
+        case Some((from, to)) => (current.slice(from, to), from)
+        case None             => (current, 0)
+      }
+      val probeBody = {
+        var depth = 0
+        var fromIdx = -1
+        var k = site.starIdx - offset
+        while (k < blockToks.length && fromIdx < 0) {
+          blockToks(k) match {
+            case Punct("(") => depth += 1
+            case Punct(")") => depth -= 1
+            case w: Word if depth == 0 && w.text.equalsIgnoreCase("from") =>
+              fromIdx = k
+            case _ =>
+          }
+          k += 1
+        }
+        if (fromIdx < 0) render(blockToks) // FROM-less select: probe as-is
+        else {
+          // truncate clauses that may reference the REPLACED select list
+          // (ORDER BY on a sibling alias, GROUP BY vs a bare star) or
+          // splice in other branches (set ops) — none affect the FROM
+          // relation's schema
+          val stop = Set("group", "having", "order", "window", "limit",
+            "offset", "union", "intersect", "except")
+          var depth = 0
+          var endIdx = blockToks.length
+          var m = fromIdx
+          while (m < blockToks.length && endIdx == blockToks.length) {
+            blockToks(m) match {
+              case Punct("(") => depth += 1
+              case Punct(")") => depth -= 1
+              case w: Word if depth == 0 && m > fromIdx &&
+                stop.contains(w.text.toLowerCase) => endIdx = m
+              case _ =>
+            }
+            m += 1
+          }
+          "SELECT * " + render(blockToks.slice(fromIdx, endIdx))
+        }
+      }
+      val probe = render(bareStars(lex(withPrefix(current) + probeBody)))
       val cols = probeSchema(probe)
       val projection = expandProjection(cols, site.mods)
       current = current.patch(site.starIdx, lex(projection), site.endIdx - site.starIdx)
-      val _ = allBare // (kept for clarity; bareStars applied per-probe above)
     }
     render(current)
   }

@@ -310,6 +310,29 @@ class SqlRewriterSpec extends AnyFunSuite {
     assert(m == 2) // 'beta' ends in ta; Alpha and gamma survive
   }
 
+  test("all dialect passes compose in one query") {
+    // CTE + star modifiers + regex op + // + STRPTIME + QUANTILE_CONT
+    // in a single statement: the pass ORDER (table fns → floordiv →
+    // token rewrites → star expansion → HAVING fallback) must not
+    // interfere
+    Seq((1L, "alpha", 10.0, "2021-01-05"), (2L, "beta", 20.0, "2021-01-06"),
+      (3L, "alpha", 30.0, "2021-01-07"), (4L, "gamma", 40.0, "2021-01-08"))
+      .toDF("id", "grp", "v", "d").createOrReplaceTempView("combo")
+    val out = GraftSql.run(spark,
+      """WITH base AS (
+        |  SELECT * EXCEPT(d), STRPTIME(d, '%Y-%m-%d') AS ts
+        |  FROM combo WHERE grp ~* '^(AL|GA)' AND id // 2 <= 1
+        |)
+        |SELECT grp, QUANTILE_CONT(v, 0.5) AS med, COUNT(*) AS n
+        |FROM base GROUP BY grp HAVING n >= 1 ORDER BY grp""".stripMargin)
+      .collect()
+    // rows surviving the filter: ids 1,3 (alpha; 1//2=0, 3//2=1) — id 4
+    // (gamma) fails // <= 1; beta fails the regex
+    assert(out.map(_.getString(0)).toSeq == Seq("alpha"))
+    assert(out.head.getDouble(1) == 20.0) // median of 10, 30
+    assert(out.head.getLong(2) == 2L)
+  }
+
   // ---- Polars dialect widening: // floor division ----------------------
 
   test("// floor division: precedence and associativity") {
