@@ -310,6 +310,17 @@ class SqlRewriterSpec extends AnyFunSuite {
     assert(m == 2) // 'beta' ends in ta; Alpha and gamma survive
   }
 
+  test("star modifiers expand over a table-function source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tf_star")
+      .toFile.getAbsolutePath
+    Seq((1L, "x", 5.0), (2L, "y", 6.0)).toDF("id", "s", "v")
+      .write.parquet(s"$dir/t.parquet")
+    val out = GraftSql.run(spark,
+      s"SELECT * EXCEPT(v) FROM read_parquet('$dir/t.parquet') ORDER BY id")
+    assert(out.columns.toSeq == Seq("id", "s"))
+    assert(out.count() == 2)
+  }
+
   test("all dialect passes compose in one query") {
     // CTE + star modifiers + regex op + // + STRPTIME + QUANTILE_CONT
     // in a single statement: the pass ORDER (table fns → floordiv →
