@@ -310,6 +310,16 @@ class SqlRewriterSpec extends AnyFunSuite {
     assert(m == 2) // 'beta' ends in ta; Alpha and gamma survive
   }
 
+  test("HAVING on a quantile alias survives the fallback substitution") {
+    Seq(("a", 1.0), ("a", 9.0), ("b", 2.0), ("b", 3.0))
+      .toDF("k", "v").createOrReplaceTempView("havq")
+    val out = GraftSql.run(spark,
+      """SELECT k, QUANTILE_DISC(v, 0.5) AS med FROM havq
+        |GROUP BY k HAVING med > 1.5 ORDER BY k""".stripMargin).collect()
+    // medians: a → 1.0 (discrete lower middle), b → 2.0; only b survives
+    assert(out.map(_.getString(0)).toSeq == Seq("b"))
+  }
+
   test("star modifiers expand over a table-function source") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tf_star")
       .toFile.getAbsolutePath
