@@ -136,5 +136,15 @@ class MergeFuzzSpec extends AnyFunSuite {
     }.toSet
     assert(rows(oneShot) == expected, "one-shot apply diverged from reference")
     assert(rows(twoStep) == expected, "sequential apply diverged from one-shot")
+
+    // point-in-time reads at every version boundary (and between): the
+    // snapshot must equal the reference rows whose interval covers t
+    Seq(0L, 3L, 5L, 9L).foreach { t =>
+      val snap = rows(Merge.scd2Snapshot(oneShot,
+        org.apache.spark.sql.functions.lit(t)))
+      val want = expected.filter { case (_, _, _, vf, vto) =>
+        vf <= t && vto.forall(_ > t) }
+      assert(snap == want, s"scd2Snapshot at t=$t diverged")
+    }
   }
 }
