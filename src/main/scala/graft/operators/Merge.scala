@@ -96,6 +96,13 @@ object Merge {
     *     and re-applying an already-applied batch is a no-op;
     *   - closed history rows pass through untouched.
     *
+    * Versions must be UNIQUE per key within a batch (they are change
+    * ordinals — commit timestamps, crawl ids): two changes to one key
+    * at the same version have no defined order, and the chain window
+    * would pick one nondeterministically. Dedupe on (key, version)
+    * upstream (e.g. [[graft.operators.Dedup.exact]]) if a source can
+    * emit such collisions.
+    *
     * Scale shape: the window and both key joins touch only the CHANGES
     * and the OPEN rows (one live row per key) — the closed bulk of a
     * 100 TB history table is never shuffled, only unioned through. */
