@@ -90,10 +90,18 @@ object Merge {
     *     version); the last stays open;
     *   - a delete inserts nothing but its version still closes its
     *     predecessor — a validity gap means the key did not exist;
-    *   - STALE changes (version ≤ the open row's valid_from) are
-    *     dropped before any of the above: the open row's knowledge
+    *   - STALE changes (version ≤ the key's freshness watermark —
+    *     the highest version the history has already absorbed,
+    *     `max(coalesce(valid_to, valid_from))` over the key's rows)
+    *     are dropped before any of the above: the history's knowledge
     *     wins, mirroring [[applyChangeset]]'s stale-delta protection,
-    *     and re-applying an already-applied batch is a no-op;
+    *     and re-applying an already-applied batch is a no-op. The
+    *     watermark reads ALL of the key's rows, not just the open
+    *     one: when the latest applied change was a delete the key has
+    *     no open row, but its closed predecessor's `valid_to` still
+    *     records the delete's version — guarding on the open row
+    *     alone would let a replayed batch re-insert the whole chain
+    *     as duplicate overlapping intervals;
     *   - closed history rows pass through untouched.
     *
     * Versions must be UNIQUE per key within a batch (they are change
@@ -103,9 +111,15 @@ object Merge {
     * upstream (e.g. [[graft.operators.Dedup.exact]]) if a source can
     * emit such collisions.
     *
-    * Scale shape: the window and both key joins touch only the CHANGES
+    * Scale shape: the window and the key joins touch only the CHANGES
     * and the OPEN rows (one live row per key) — the closed bulk of a
-    * 100 TB history table is never shuffled, only unioned through. */
+    * 100 TB history table is never shuffled, only unioned through.
+    * The freshness watermark needs closed rows too, but only for keys
+    * IN the batch: history is first narrowed by a broadcast left-semi
+    * join on the batch's keys (no shuffle of history; the scan prunes
+    * with the broadcast hash), and the watermark aggregate then runs
+    * on that small survivor set. Changes are a batch delta, presumed
+    * small enough to broadcast — the hints below assume that. */
   def scd2Apply(history: DataFrame, changes: DataFrame,
       keyCols: Seq[String], versionCol: String,
       deleteCol: String = "is_deleted",
@@ -132,19 +146,25 @@ object Merge {
     val outCols = (keyCols ++ payload :+ validFromCol :+ validToCol).map(col)
     val open = history.filter(col(validToCol).isNull)
     // stale guard BEFORE the chain window, so a dropped stale change
-    // cannot close a fresh neighbor's interval either
-    val openVf = open.select(
-      keyCols.map(col) :+ col(validFromCol).as("__open_vf"): _*)
-    val fresh = changes.join(openVf, keyCols, "left")
-      .filter(col("__open_vf").isNull || col(versionCol) > col("__open_vf"))
-      .drop("__open_vf")
+    // cannot close a fresh neighbor's interval either. Watermark over
+    // ALL of the key's history rows (closed rows included — a
+    // delete-tail key has no open row but its closed predecessor's
+    // valid_to records the delete's version), narrowed to the batch's
+    // keys by broadcast semi-join so the history bulk never shuffles.
+    val changeKeys = changes.select(keyCols.map(col): _*).distinct()
+    val wm = history.join(broadcast(changeKeys), keyCols, "left_semi")
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(coalesce(col(validToCol), col(validFromCol))).as("__wm"))
+    val fresh = changes.join(broadcast(wm), keyCols, "left")
+      .filter(col("__wm").isNull || col(versionCol) > col("__wm"))
+      .drop("__wm")
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol))
     val chained = fresh
       .withColumn("__vto", lead(col(versionCol), 1).over(w))
       .withColumn("__rn", row_number().over(w))
     val firstPerKey = chained.filter(col("__rn") === 1)
       .select(keyCols.map(col) :+ col(versionCol).as("__close_at"): _*)
-    val closedNow = open.join(firstPerKey, keyCols, "left")
+    val closedNow = open.join(broadcast(firstPerKey), keyCols, "left")
       .withColumn(validToCol,
         when(col("__close_at").isNotNull, col("__close_at"))
           .otherwise(col(validToCol)))

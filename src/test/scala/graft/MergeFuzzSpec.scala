@@ -137,6 +137,15 @@ class MergeFuzzSpec extends AnyFunSuite {
     assert(rows(oneShot) == expected, "one-shot apply diverged from reference")
     assert(rows(twoStep) == expected, "sequential apply diverged from one-shot")
 
+    // idempotent replay: re-applying the FULL stream (and the earlier
+    // batch) onto the finished history must change nothing — including
+    // scenarios whose latest change is a delete (no open row remains,
+    // so the freshness watermark must come from closed rows too)
+    val replayFull = Merge.scd2Apply(oneShot, df(all), keys, "v")
+    assert(rows(replayFull) == expected, "full-stream replay was not a no-op")
+    val replayOld = Merge.scd2Apply(oneShot, df(batch1), keys, "v")
+    assert(rows(replayOld) == expected, "stale-batch replay was not a no-op")
+
     // point-in-time reads at every version boundary (and between): the
     // snapshot must equal the reference rows whose interval covers t
     Seq(0L, 3L, 5L, 9L).foreach { t =>

@@ -155,6 +155,29 @@ class MergeSpec extends AnyFunSuite {
     assert(got == Seq("a5", "a8"))
   }
 
+  test("scd2: re-applying a batch whose tail is a delete is still a no-op") {
+    // the key's latest applied change is a DELETE → no open row remains,
+    // so a guard reading only open rows would treat every replayed
+    // change as fresh and re-insert the whole chain as duplicates
+    val batch = chg(Seq((1L, "a1", 1L, false), (1L, "a3", 3L, false),
+      (1L, "gone", 5L, true)))
+    val h1 = Merge.scd2Apply(hist(Nil), batch, Seq("k"), "v")
+    val h2 = Merge.scd2Apply(h1, batch, Seq("k"), "v")
+    assert(h2.orderBy("valid_from").collect().toSeq ==
+      h1.orderBy("valid_from").collect().toSeq)
+    // and a fresh change after the delete starts cleanly post-gap
+    val h3 = Merge.scd2Apply(h2, chg(Seq((1L, "back", 8L, false))), Seq("k"), "v")
+    val got = h3.orderBy("valid_from").collect()
+      .map(r => (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(got == Seq(("a1", 1L, Some(3L)), ("a3", 3L, Some(5L)),
+      ("back", 8L, None)))
+    // replay of the ORIGINAL batch onto the extended history: all stale
+    val h4 = Merge.scd2Apply(h3, batch, Seq("k"), "v")
+    assert(h4.orderBy("valid_from").collect().toSeq ==
+      h3.orderBy("valid_from").collect().toSeq)
+  }
+
   test("scd2Snapshot: as-of read honors intervals and delete gaps") {
     val h = Merge.scd2Apply(hist(Nil), chg(Seq(
       (1L, "a1", 1L, false), (1L, "a1-del", 5L, true), (1L, "a7", 7L, false),

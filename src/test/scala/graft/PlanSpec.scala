@@ -101,6 +101,31 @@ class PlanSpec extends AnyFunSuite {
     assert(rns.toSeq == (1L to rns.length).toSeq, "non-contiguous row index")
   }
 
+  test("scd2Apply: open-set joins broadcast the changes side — history never shuffles") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // history = the live corpus (large); changes = a batch delta (small).
+    // Every join that touches history (watermark semi-join, close join)
+    // must build its hash side from the CHANGES-derived frame, or the
+    // whole corpus shuffles per batch.
+    val hist = spark.read.parquet(s"$dir/orders.parquet")
+      .select($"o_orderkey".as("k"), $"o_orderstatus".as("name"),
+        $"o_orderkey".cast("long").as("valid_from"),
+        lit(null).cast("long").as("valid_to"))
+    val ch = Seq((1L, "x", 99999L, false), (2L, "y", 99999L, true))
+      .toDF("k", "name", "v", "is_deleted")
+    val p = graft.operators.Merge.scd2Apply(hist, ch, Seq("k"), "v")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"watermark semi-join and close join must both broadcast:\n$p")
+    // the history side must never hash-shuffle: the only exchanges
+    // allowed are broadcasts and the window shuffle over the small
+    // changes frame (hashpartitioning on the key of a frame whose
+    // source is the local changes relation)
+    assert(!p.contains("SortMergeJoin"),
+      s"history side shuffled into a sort-merge join:\n$p")
+  }
+
   test("mm_resize: narrow plan — no shuffle anywhere in the decode stage") {
     val p = planOf("mm_resize")
     // decode/re-encode is the canonical narrow transform. FormattedMode
