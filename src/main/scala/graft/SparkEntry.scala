@@ -1383,6 +1383,22 @@ object SparkEntry {
           |FROM AllData ORDER BY o_orderkey""".stripMargin)
     }),
 
+    "q43_polars_columns" -> ((s, dir) => {
+      // Polars COLUMNS() projection expansion + GROUP BY ALL / ORDER BY
+      // ALL. COLUMNS('^re$') expands schema-probed to the matching
+      // columns; nested in ROUND(SUM(…), 2) the whole item replicates
+      // per column, aliased to the column name (polars' root-name
+      // naming). GROUP BY ALL groups on the non-aggregate items and
+      // ORDER BY ALL sorts left-to-right — Spark supports both
+      // natively; the dialect passes must leave them intact. round(2)
+      // for cross-engine double-sum parity (same as q1_agg).
+      sql(tbl(s, dir, "lineitem"),
+        """SELECT l_returnflag,
+          |  ROUND(SUM(COLUMNS('^l_(quantity|extendedprice)$')), 2),
+          |  COUNT(*) AS n
+          |FROM AllData GROUP BY ALL ORDER BY ALL""".stripMargin)
+    }),
+
     "q32_asof_join" -> ((s, dir) => {
       // enrich synthetic event timeline with the most recent order of the
       // same customer (right side deduped per (key, ts) for determinism)
@@ -2556,6 +2572,15 @@ object SparkEntry {
         |  epoch(CAST(o_orderdate AS TIMESTAMP)) AS ep,
         |  CAST(date_part('isodow', o_orderdate) AS BIGINT) AS wd2
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q43_polars_columns" ->
+      // the COLUMNS expansion spelled out; DuckDB's own GROUP BY ALL /
+      // ORDER BY ALL pin the same grouping and row order
+      """SELECT l_returnflag,
+        |  ROUND(SUM(l_quantity), 2) AS l_quantity,
+        |  ROUND(SUM(l_extendedprice), 2) AS l_extendedprice,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin,
 
     "q32_asof_join" ->
       """WITH r AS (

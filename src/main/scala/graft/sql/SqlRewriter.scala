@@ -104,6 +104,9 @@ object SqlRewriter {
 
   private def isOperandEndTok(t: Tok): Boolean = t match {
     case _: SStr | _: BQuot | _: DQuot => true
+    // END closes a CASE expression — an operand-final keyword: what
+    // follows it (`~`, a sign, `//`) is infix, not prefix
+    case w: Word if w.text.equalsIgnoreCase("end") => true
     case w: Word                       => !sqlKeywords.contains(w.text.toLowerCase)
     case Punct(")")                    => true
     case Punct("*")                    => false
@@ -156,6 +159,22 @@ object SqlRewriter {
         val c = matchParen(toks, start)
         if (c < 0) toks.length else c + 1
       case _: SStr => start + 1
+      case w: Word if w.text.equalsIgnoreCase("case") =>
+        // CASE … END is one atom; CASEs nest, so depth-count to the
+        // matching END (e.g. `2 // CASE WHEN p THEN a ELSE b END`)
+        var depth = 1
+        var i = start + 1
+        var res = toks.length
+        while (i < toks.length && depth > 0) {
+          toks(i) match {
+            case x: Word if x.text.equalsIgnoreCase("case") => depth += 1
+            case x: Word if x.text.equalsIgnoreCase("end") =>
+              depth -= 1; if (depth == 0) res = i + 1
+            case _ => ()
+          }
+          i += 1
+        }
+        res
       case w: Word if isExpHead(w) && start + 2 < toks.length &&
           (toks(start + 1) == Punct("-") || toks(start + 1) == Punct("+")) &&
           isDigits(toks(start + 2)) =>
@@ -205,6 +224,22 @@ object SqlRewriter {
         (toks(end - 1) == Punct("-") || toks(end - 1) == Punct("+")) &&
         isExpHead(toks(end - 2)) =>
       end - 2
+    case w: Word if w.text.equalsIgnoreCase("end") =>
+      // the atom ending in END is a whole CASE expression; CASEs nest,
+      // so depth-count back to the matching CASE head
+      var depth = 1
+      var i = end - 1
+      var res = end
+      while (i >= 0 && depth > 0) {
+        toks(i) match {
+          case x: Word if x.text.equalsIgnoreCase("end")  => depth += 1
+          case x: Word if x.text.equalsIgnoreCase("case") =>
+            depth -= 1; if (depth == 0) res = i
+          case _ => ()
+        }
+        i -= 1
+      }
+      if (depth == 0) res else end
     case Punct(")") =>
       val open = matchParenRev(toks, end)
       if (open < 0) end
@@ -256,14 +291,19 @@ object SqlRewriter {
     start
   }
 
-  /** Polars' `//` floor-division operator → `FLOOR((left) / (right))`.
-    * Spark has no `//`; FLOOR of the true division reproduces Polars'
-    * semantics including negative operands (floor, not
-    * truncate-toward-zero: `-7 // 2` is -4). Spark's `/` is always
-    * fractional (ints promote to double) and `FLOOR(double)` returns
-    * BIGINT — matching Polars' int64 result for integer inputs.
-    * Processes the LEFTMOST occurrence then recurses, so chains
-    * left-associate: `a // b // c` → `FLOOR(FLOOR(a/b) / c)`. */
+  /** Polars' `//` floor-division operator →
+    * `GRAFT_FLOORDIV((left), (right))` — the native
+    * [[graft.functions.FloorDiv]] expression [[graft.sql.GraftSql]]
+    * registers per session. The earlier `FLOOR((l) / (r))` form was
+    * correct only up to 2^53: Spark's `/` promotes integers to double,
+    * so larger int64 operands silently lost ulps where Polars' `//` is
+    * exact. The native expression dispatches on the RESOLVED types
+    * (integral → exact `Math.floorDiv` over longs; fractional →
+    * `floor(l/r)`, byte-identical to the old form) — a dispatch the
+    * text-level rewrite cannot make. Floor (not truncate-toward-zero)
+    * either way: `-7 // 2` is -4. Processes the LEFTMOST occurrence
+    * then recurses, so chains left-associate: `a // b // c` →
+    * `GRAFT_FLOORDIV(GRAFT_FLOORDIV(a, b), c)`. */
   private[sql] def rewriteFloorDiv(toks: Vector[Tok]): Vector[Tok] = {
     var i = 0
     while (i + 1 < toks.length) {
@@ -277,9 +317,9 @@ object SqlRewriter {
           rAtom = nextNonWs(toks, rAtom + 1)
         val rEnd = atomEndFwd(toks, rAtom)
         val right = toks.slice(nextNonWs(toks, i + 2), rEnd)
-        val replaced = Vector(Word("FLOOR"), Punct("("), Punct("(")) ++
+        val replaced = Vector(Word("GRAFT_FLOORDIV"), Punct("("), Punct("(")) ++
           toks.slice(lStart, i) ++
-          Vector(Punct(")"), Ws(" "), Punct("/"), Ws(" "), Punct("(")) ++
+          Vector(Punct(")"), Punct(","), Ws(" "), Punct("(")) ++
           right ++ Vector(Punct(")"), Punct(")"))
         return rewriteFloorDiv(
           toks.slice(0, lStart) ++ replaced ++ toks.slice(rEnd, toks.length))
@@ -646,59 +686,247 @@ object SqlRewriter {
     // Replace sites bottom-up so indices stay valid.
     var current = toks
     sites.sortBy(-_.starIdx).foreach { site =>
-      // probe text: the star expands to the FROM relation's columns, so
-      // the probe is `SELECT *` over the site's OWN select block FROM
-      // its top-level FROM onward — probing the whole select would leak
-      // sibling select items' aliases into the expansion
-      // (`SELECT * EXCEPT(d), f(d) AS ts FROM t` must expand to t's
-      // columns minus d, never include ts). CTEs stay in scope via the
-      // WITH prefix; any other star sites inside the probe are bared.
-      val (blockToks, offset) = enclosingBlock(current, site.starIdx) match {
-        case Some((from, to)) => (current.slice(from, to), from)
-        case None             => (current, 0)
-      }
-      val probeBody = {
-        var depth = 0
-        var fromIdx = -1
-        var k = site.starIdx - offset
-        while (k < blockToks.length && fromIdx < 0) {
-          blockToks(k) match {
-            case Punct("(") => depth += 1
-            case Punct(")") => depth -= 1
-            case w: Word if depth == 0 && w.text.equalsIgnoreCase("from") =>
-              fromIdx = k
-            case _ =>
-          }
-          k += 1
-        }
-        if (fromIdx < 0) render(blockToks) // FROM-less select: probe as-is
-        else {
-          // truncate clauses that may reference the REPLACED select list
-          // (ORDER BY on a sibling alias, GROUP BY vs a bare star) or
-          // splice in other branches (set ops) — none affect the FROM
-          // relation's schema
-          val stop = Set("group", "having", "order", "window", "limit",
-            "offset", "union", "intersect", "except")
-          var depth = 0
-          var endIdx = blockToks.length
-          var m = fromIdx
-          while (m < blockToks.length && endIdx == blockToks.length) {
-            blockToks(m) match {
-              case Punct("(") => depth += 1
-              case Punct(")") => depth -= 1
-              case w: Word if depth == 0 && m > fromIdx &&
-                stop.contains(w.text.toLowerCase) => endIdx = m
-              case _ =>
-            }
-            m += 1
-          }
-          "SELECT * " + render(blockToks.slice(fromIdx, endIdx))
-        }
-      }
-      val probe = render(bareStars(lex(withPrefix(current) + probeBody)))
+      val probe = schemaProbe(current, site.starIdx)
       val cols = probeSchema(probe)
       val projection = expandProjection(cols, site.mods)
       current = current.patch(site.starIdx, lex(projection), site.endIdx - site.starIdx)
+    }
+    render(current)
+  }
+
+  /** Probe text resolving the FROM-scope columns visible at token
+    * `siteIdx`: `SELECT *` over the site's OWN select block FROM its
+    * top-level FROM onward — probing the whole select would leak
+    * sibling select items' aliases into the expansion
+    * (`SELECT * EXCEPT(d), f(d) AS ts FROM t` must expand to t's
+    * columns minus d, never include ts). CTEs stay in scope via the
+    * WITH prefix; any star sites inside the probe are bared. Shared by
+    * the star-modifier and COLUMNS() expansions. */
+  private def schemaProbe(current: Vector[Tok], siteIdx: Int): String = {
+    val (from, to) = enclosingBlock(current, siteIdx).getOrElse((0, current.length))
+    schemaProbeInBlock(current, from, to, siteIdx)
+  }
+
+  /** [[schemaProbe]] with an explicitly chosen scope — the COLUMNS()
+    * expansion resolves sites nested inside call parens, where the
+    * innermost paren group is NOT the select block. `scanFrom` must be
+    * a block-depth-0 position (the star site itself, or the COLUMNS
+    * item's SELECT keyword); the probe takes the first depth-0 FROM
+    * after it, so a set-op sibling's FROM is never picked up. */
+  private def schemaProbeInBlock(current: Vector[Tok], blockStart: Int,
+      blockEnd: Int, scanFrom: Int): String = {
+    val blockToks = current.slice(blockStart, blockEnd)
+    val offset = blockStart
+    val probeBody = {
+      var depth = 0
+      var fromIdx = -1
+      var k = scanFrom - offset
+      while (k < blockToks.length && fromIdx < 0) {
+        blockToks(k) match {
+          case Punct("(") => depth += 1
+          case Punct(")") => depth -= 1
+          case w: Word if depth == 0 && w.text.equalsIgnoreCase("from") =>
+            fromIdx = k
+          case _ =>
+        }
+        k += 1
+      }
+      if (fromIdx < 0) render(blockToks) // FROM-less select: probe as-is
+      else {
+        // truncate clauses that may reference the REPLACED select list
+        // (ORDER BY on a sibling alias, GROUP BY vs a bare star) or
+        // splice in other branches (set ops) — none affect the FROM
+        // relation's schema
+        val stop = Set("group", "having", "order", "window", "limit",
+          "offset", "union", "intersect", "except")
+        var depth = 0
+        var endIdx = blockToks.length
+        var m = fromIdx
+        while (m < blockToks.length && endIdx == blockToks.length) {
+          blockToks(m) match {
+            case Punct("(") => depth += 1
+            case Punct(")") => depth -= 1
+            case w: Word if depth == 0 && m > fromIdx &&
+              stop.contains(w.text.toLowerCase) => endIdx = m
+            case _ =>
+          }
+          m += 1
+        }
+        "SELECT * " + render(blockToks.slice(fromIdx, endIdx))
+      }
+    }
+    render(bareStars(lex(withPrefix(current) + probeBody)))
+  }
+
+  // ---- COLUMNS() projection expansion -----------------------------------
+
+  /** Polars SQL's `COLUMNS(...)` projection function: expands to the
+    * FROM-scope columns its argument selects —
+    *   - `COLUMNS('^re$')` — a string literal both starting with `^`
+    *     and ending with `$` selects by regex (polars' `col("^…$")`
+    *     convention);
+    *   - `COLUMNS('name')` — any other string literal is a LITERAL
+    *     column name, which must exist;
+    *   - `COLUMNS(*)` — every column.
+    * A select item that IS a bare `COLUMNS(...)` call expands to the
+    * matching columns in schema order. When the call is nested in a
+    * larger expression (`SUM(COLUMNS('^x'))`), the whole select item
+    * is replicated once per matching column with the call replaced by
+    * that column and the replica aliased to the column's name —
+    * polars' expression-expansion naming, where a multi-column
+    * expression keeps each root column's name. Zero matching columns
+    * fail loudly (a typo'd regex must not masquerade as an empty
+    * projection), as does an explicit `AS` alias on a multi-column
+    * expansion (polars rejects the duplicate output name). One
+    * COLUMNS call per select item. */
+  def expandColumnsFn(sql: String, probeSchema: String => Seq[String]): String = {
+    val toks = lex(sql)
+    // sites: Word("columns") heading a paren group whose content is one
+    // string literal (Right(pattern)) or a bare star (Left(()))
+    final case class Site(head: Int, close: Int, arg: Either[Unit, String])
+    val sites = toks.indices.flatMap { i =>
+      toks(i) match {
+        case w: Word if w.text.equalsIgnoreCase("columns") =>
+          val open = nextNonWs(toks, i + 1)
+          val close =
+            if (open < toks.length && toks(open) == Punct("(")) matchParen(toks, open)
+            else -1
+          val inner =
+            if (close >= 0) toks.slice(open + 1, close).filterNot(_.isInstanceOf[Ws])
+            else Vector.empty[Tok]
+          inner match {
+            case Vector(s: SStr) =>
+              Some(Site(i, close,
+                Right(s.text.substring(1, s.text.length - 1).replace("''", "'"))))
+            case Vector(Punct("*")) => Some(Site(i, close, Left(())))
+            case _                  => None
+          }
+        case _ => None
+      }
+    }
+    if (sites.isEmpty) return sql
+
+    var current = toks
+    // bottom-up: items are disjoint, so earlier sites' indices survive
+    sites.sortBy(-_.head).foreach { site =>
+      // the select item containing the site: find the nearest enclosing
+      // scope (innermost paren span outward, then the whole query) whose
+      // depth-0 stream has a SELECT before the site, then cut at that
+      // scope's depth-0 commas / clause keywords
+      val spans: Seq[(Int, Int)] = {
+        val ps = ArrayBuffer.empty[(Int, Int)]
+        var i = 0
+        while (i < site.head) {
+          if (current(i) == Punct("(")) {
+            val c = matchParen(current, i)
+            if (c > site.head) ps += ((i + 1, c))
+          }
+          i += 1
+        }
+        ps.sortBy(-_._1).toSeq :+ ((0, current.length))
+      }
+      val (bStart, bEnd, selIdx) = spans.iterator.map { case (s, e) =>
+        var depth = 0
+        var sel = -1
+        var i = s
+        while (i < site.head) {
+          current(i) match {
+            case Punct("(") => depth += 1
+            case Punct(")") => depth -= 1
+            case w: Word if depth == 0 && w.text.equalsIgnoreCase("select") => sel = i
+            case _ =>
+          }
+          i += 1
+        }
+        (s, e, sel)
+      }.find(_._3 >= 0).getOrElse(
+        throw new IllegalArgumentException("COLUMNS() outside a SELECT list"))
+
+      val cols = probeSchema(schemaProbeInBlock(current, bStart, bEnd, selIdx))
+      val matched: Seq[String] = site.arg match {
+        case Left(_) => cols
+        case Right(p) if p.startsWith("^") && p.endsWith("$") =>
+          val re = p.r
+          cols.filter(c => re.findFirstIn(c).isDefined)
+        case Right(name) => cols.filter(_ == name)
+      }
+      require(matched.nonEmpty,
+        s"COLUMNS(${site.arg.fold(_ => "*", p => s"'$p'")}) matched no columns " +
+          s"of [${cols.mkString(", ")}]")
+
+      val clauseStop = Set("from", "where", "group", "having", "order",
+        "window", "limit", "offset", "union", "intersect", "except")
+      var itemStart = {
+        var last = selIdx + 1
+        var depth = 0
+        var i = selIdx + 1
+        while (i < site.head) {
+          current(i) match {
+            case Punct("(")               => depth += 1
+            case Punct(")")               => depth -= 1
+            case Punct(",") if depth == 0 => last = i + 1
+            case _                        =>
+          }
+          i += 1
+        }
+        last
+      }
+      val afterSel = nextNonWs(current, itemStart)
+      if (afterSel < site.head && isWord(current(afterSel), "distinct"))
+        itemStart = afterSel + 1
+      val itemEnd = {
+        // the site may sit inside wrapping call parens: start the scan
+        // at its depth relative to the select list, so the separators
+        // (depth-0 commas / clause keywords) are found at depth 0
+        var depth = {
+          var d = 0
+          var i = selIdx
+          while (i < site.head) {
+            current(i) match {
+              case Punct("(") => d += 1
+              case Punct(")") => d -= 1
+              case _          =>
+            }
+            i += 1
+          }
+          d
+        }
+        var end = bEnd
+        var i = site.close + 1
+        while (i < bEnd && end == bEnd) {
+          current(i) match {
+            case Punct("(") => depth += 1
+            case Punct(")") => depth -= 1
+            case Punct(",") if depth == 0 => end = i
+            case w: Word if depth == 0 && clauseStop.contains(w.text.toLowerCase) =>
+              end = i
+            case _ =>
+          }
+          i += 1
+        }
+        end
+      }
+
+      val itemToks = current.slice(itemStart, itemEnd)
+      val relHead = site.head - itemStart
+      val relClose = site.close - itemStart
+      val nonWs = itemToks.indices.filterNot(itemToks(_).isInstanceOf[Ws])
+      val bare = nonWs.head == relHead && nonWs.last == relClose
+      val quoted = matched.map(c => s"`${c.replace("`", "``")}`")
+      val replacement: String =
+        if (bare) quoted.mkString(", ")
+        else {
+          val hasAlias = nonWs.length >= 2 &&
+            isWord(itemToks(nonWs(nonWs.length - 2)), "as")
+          require(!hasAlias || matched.lengthCompare(1) == 0,
+            s"explicit AS alias on a COLUMNS expansion matching " +
+              s"${matched.length} columns — every replica would share one name")
+          matched.zip(quoted).map { case (c, q) =>
+            val body = render(itemToks.patch(relHead, lex(q), relClose + 1 - relHead))
+            if (hasAlias) body else s"$body AS `${c.replace("`", "``")}`"
+          }.mkString(", ")
+        }
+      current = current.patch(itemStart, lex(replacement), itemEnd - itemStart)
     }
     render(current)
   }

@@ -354,28 +354,123 @@ class SqlRewriterSpec extends AnyFunSuite {
     assert(out.head.getLong(2) == 2L)
   }
 
+  // ---- COLUMNS() projection expansion ----------------------------------
+
+  test("COLUMNS('^re$') expands to matching columns; COLUMNS(*) to all") {
+    Seq((1L, 2.0, 3.0, "x")).toDF("id", "v_a", "v_b", "tag")
+      .createOrReplaceTempView("colfn")
+    val out = GraftSql.run(spark, "SELECT COLUMNS('^v_.*$') FROM colfn")
+    assert(out.columns.toSeq == Seq("v_a", "v_b"))
+    val all = GraftSql.run(spark, "SELECT COLUMNS(*) FROM colfn")
+    assert(all.columns.toSeq == Seq("id", "v_a", "v_b", "tag"))
+    // non-anchored string is a literal column name
+    val lit = GraftSql.run(spark, "SELECT COLUMNS('tag') FROM colfn")
+    assert(lit.columns.toSeq == Seq("tag"))
+    // alongside other select items
+    val mixed = GraftSql.run(spark,
+      "SELECT id, COLUMNS('^v_.*$'), tag FROM colfn")
+    assert(mixed.columns.toSeq == Seq("id", "v_a", "v_b", "tag"))
+  }
+
+  test("COLUMNS nested in an expression replicates the item per column") {
+    Seq((1L, 2.0, 30.0), (2L, 4.0, 10.0)).toDF("id", "v_a", "v_b")
+      .createOrReplaceTempView("colfn2")
+    val out = GraftSql.run(spark,
+      "SELECT SUM(COLUMNS('^v_.*$')) FROM colfn2")
+    assert(out.columns.toSeq == Seq("v_a", "v_b"))
+    val r = out.collect().head
+    assert(r.getDouble(0) == 6.0 && r.getDouble(1) == 40.0)
+    // deeper nesting with extra call args
+    val r2 = GraftSql.run(spark,
+      "SELECT ROUND(COLUMNS('^v_.*$') / 3, 2) FROM colfn2 WHERE id = 1")
+      .collect().head
+    assert(r2.getDouble(0) == 0.67 && r2.getDouble(1) == 10.0)
+  }
+
+  test("COLUMNS edge cases: zero matches fail loudly; CTE scope; multi-alias rejected") {
+    Seq((1L, 2.0)).toDF("id", "v").createOrReplaceTempView("colfn3")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.run(spark, "SELECT COLUMNS('^nope_.*$') FROM colfn3")
+    }
+    assert(e.getMessage.contains("matched no columns"))
+    assertThrows[IllegalArgumentException] {
+      GraftSql.run(spark, "SELECT SUM(COLUMNS('^.*$')) AS t FROM colfn3")
+    }
+    // expansion resolves against the CTE's schema, not an outer table
+    val out = GraftSql.run(spark,
+      """WITH c AS (SELECT id AS k_id, v AS k_v FROM colfn3)
+        |SELECT COLUMNS('^k_.*$') FROM c""".stripMargin)
+    assert(out.columns.toSeq == Seq("k_id", "k_v"))
+  }
+
+  test("GROUP BY ALL and ORDER BY ALL pass through to Spark's native support") {
+    Seq(("a", 1L), ("b", 2L), ("a", 3L)).toDF("g", "n")
+      .createOrReplaceTempView("gball")
+    val out = GraftSql.run(spark,
+      "SELECT g, SUM(n) AS s FROM gball GROUP BY ALL ORDER BY ALL")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a", 4L), ("b", 2L)))
+    // composed with the dialect passes that rewrite nearby tokens
+    val out2 = GraftSql.run(spark,
+      """SELECT g, SUM(n) // 2 AS h FROM gball
+        |WHERE g ~ '^[ab]$' GROUP BY ALL ORDER BY ALL""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out2.toSeq == Seq(("a", 2L), ("b", 1L)))
+    // and with COLUMNS in the select list
+    val out3 = GraftSql.run(spark,
+      "SELECT COLUMNS('g'), SUM(n) AS s FROM gball GROUP BY ALL ORDER BY ALL")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out3.toSeq == Seq(("a", 4L), ("b", 2L)))
+  }
+
   // ---- Polars dialect widening: // floor division ----------------------
 
   test("// floor division: precedence and associativity") {
     def rw(s: String) =
       SqlRewriter.rewriteQuotesAndFunctions(s).replaceAll("\\s+", "")
-    assert(rw("SELECT a // b FROM t") == "SELECTFLOOR((a)/(b))FROMt")
+    assert(rw("SELECT a // b FROM t") == "SELECTGRAFT_FLOORDIV((a),(b))FROMt")
     // left operand is the whole multiplicative chain
-    assert(rw("SELECT a * b // c FROM t") == "SELECTFLOOR((a*b)/(c))FROMt")
+    assert(rw("SELECT a * b // c FROM t") == "SELECTGRAFT_FLOORDIV((a*b),(c))FROMt")
     // right operand is one term only (left associativity)
-    assert(rw("SELECT a // b * c FROM t") == "SELECTFLOOR((a)/(b))*cFROMt")
+    assert(rw("SELECT a // b * c FROM t") == "SELECTGRAFT_FLOORDIV((a),(b))*cFROMt")
     // chains left-associate
-    assert(rw("SELECT a // b // c FROM t") == "SELECTFLOOR((FLOOR((a)/(b)))/(c))FROMt")
+    assert(rw("SELECT a // b // c FROM t")
+      == "SELECTGRAFT_FLOORDIV((GRAFT_FLOORDIV((a),(b))),(c))FROMt")
     // additive boundary stops the left scan
-    assert(rw("SELECT x + a // b FROM t") == "SELECTx+FLOOR((a)/(b))FROMt")
+    assert(rw("SELECT x + a // b FROM t") == "SELECTx+GRAFT_FLOORDIV((a),(b))FROMt")
     // unary minus folds into the floored operand: (-a)//b, not -(a//b)
-    assert(rw("SELECT -a // b FROM t") == "SELECTFLOOR((-a)/(b))FROMt")
+    assert(rw("SELECT -a // b FROM t") == "SELECTGRAFT_FLOORDIV((-a),(b))FROMt")
     // function-call operands survive intact
     assert(rw("SELECT CAST(x AS INT) // 3 FROM t")
-      == "SELECTFLOOR((CAST(xASINT))/(3))FROMt")
+      == "SELECTGRAFT_FLOORDIV((CAST(xASINT)),(3))FROMt")
     // scientific-notation literals are one operand, not a binary minus
-    assert(rw("SELECT x // 1e-3 FROM t") == "SELECTFLOOR((x)/(1e-3))FROMt")
-    assert(rw("SELECT 2.5e-2 // y FROM t") == "SELECTFLOOR((2.5e-2)/(y))FROMt")
+    assert(rw("SELECT x // 1e-3 FROM t") == "SELECTGRAFT_FLOORDIV((x),(1e-3))FROMt")
+    assert(rw("SELECT 2.5e-2 // y FROM t") == "SELECTGRAFT_FLOORDIV((2.5e-2),(y))FROMt")
+  }
+
+  test("CASE … END is an operand for // and the regex operators") {
+    def rw(s: String) =
+      SqlRewriter.rewriteQuotesAndFunctions(s).replaceAll("\\s+", "")
+    // END terminates the left operand: the whole CASE floors, and ~ after
+    // END is the infix regex match, not bitwise NOT
+    assert(rw("SELECT CASE WHEN p THEN a ELSE b END // 2 FROM t")
+      == "SELECTGRAFT_FLOORDIV((CASEWHENpTHENaELSEbEND),(2))FROMt")
+    assert(rw("SELECT CASE WHEN p THEN a ELSE b END ~ 'x' FROM t")
+      == "SELECTCASEWHENpTHENaELSEbENDRLIKE'x'FROMt")
+    // CASE as the RIGHT operand spans to its matching END
+    assert(rw("SELECT 9 // CASE WHEN p THEN a ELSE b END FROM t")
+      == "SELECTGRAFT_FLOORDIV((9),(CASEWHENpTHENaELSEbEND))FROMt")
+    // nested CASEs depth-match
+    assert(rw("SELECT CASE WHEN p THEN CASE WHEN q THEN a END ELSE b END // 2 FROM t")
+      == "SELECTGRAFT_FLOORDIV((CASEWHENpTHENCASEWHENqTHENaENDELSEbEND),(2))FROMt")
+    // and it executes end-to-end
+    Seq((1L, "ax"), (8L, "by")).toDF("n", "s").createOrReplaceTempView("fd_case")
+    val got = GraftSql.run(spark,
+      """SELECT CASE WHEN n < 5 THEN n + 10 ELSE n END // 3 AS q,
+        |       CASE WHEN n < 5 THEN s ELSE 'zz' END ~ '^a' AS m
+        |FROM fd_case ORDER BY n""".stripMargin).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(3L, 2L)) // 11//3, 8//3
+    assert(got.map(_.getBoolean(1)).toSeq == Seq(true, false))
   }
 
   test("// floor division executes with Polars semantics") {
@@ -384,5 +479,28 @@ class SqlRewriterSpec extends AnyFunSuite {
     val rows = GraftSql.run(spark,
       "SELECT a // b AS q FROM fd ORDER BY a").collect().map(_.getLong(0))
     assert(rows.toSeq == Seq(-4L, 3L, 3L)) // floor, not truncate: -7//2 = -4
+
+    // exact over the FULL int64 range — the FLOOR(l/r) double form lost
+    // ulps past 2^53; the native GRAFT_FLOORDIV must not
+    val big = Seq(
+      (Long.MaxValue, 3L), (Long.MaxValue - 1L, 7L),
+      ((1L << 53) + 1L, 2L), (-(1L << 53) - 1L, 2L),
+      (Long.MinValue + 1L, 3L), (Long.MinValue, 2L),
+      (8_000_000_000_000_000_003L, -7L), (-8_000_000_000_000_000_003L, 7L))
+    big.toDF("a", "b").createOrReplaceTempView("fd_big")
+    val gotBig = GraftSql.run(spark,
+      "SELECT a, b, a // b AS q FROM fd_big ORDER BY a").collect()
+    gotBig.foreach { r =>
+      assert(r.getLong(2) == Math.floorDiv(r.getLong(0), r.getLong(1)),
+        s"${r.getLong(0)} // ${r.getLong(1)}")
+    }
+
+    // fractional operands keep the floor(l/r) double semantics (result
+    // is BIGINT, floored toward -inf), bit-identical to the old form
+    Seq((7.5, 2.0), (-7.5, 2.0), (1.0, 3.0)).toDF("x", "y")
+      .createOrReplaceTempView("fd_dbl")
+    val gotDbl = GraftSql.run(spark,
+      "SELECT x // y AS q FROM fd_dbl ORDER BY x").collect().map(_.getLong(0))
+    assert(gotDbl.toSeq == Seq(-4L, 0L, 3L))
   }
 }
