@@ -134,69 +134,193 @@ object EventStreams {
           col(rightTs) < col(leftTs) + expr(s"INTERVAL $within"))
   }
 
+  /** Internal hash-bucket partition column of an [[upsertSink]]
+    * snapshot (a directory-partition column in the on-disk layout; read
+    * it back and `.drop(BucketCol)` for the logical payload). */
+  val BucketCol = "__graft_bucket"
+
+  private def bucketOf(keyCols: Seq[String], numBuckets: Int) =
+    pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong)).cast("int")
+
+  private def bucketDirNames(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(s"$BucketCol=")).toSeq
+
   /** Maintain a parquet SNAPSHOT from an unbounded changeset stream:
     * each micro-batch folds into the on-disk state via
     * [[graft.operators.Merge.applyChangeset]] (latest-wins by
-    * (version, source), tombstones consumed) and the result replaces the
-    * snapshot through a staged write + atomic-ish swap.
+    * (version, source), tombstones consumed).
+    *
+    * PARTITION-PRUNED maintenance: the snapshot is laid out in
+    * `numBuckets` hash-bucket directories on the merge keys
+    * ([[BucketCol]], a directory-partition column). A batch first
+    * computes which buckets its keys land in, reads ONLY those bucket
+    * partitions (partition pruning at the scan), merges, stages the
+    * rewritten buckets, and swaps them in per-bucket by RENAME — the
+    * untouched buckets' files are never read, written, or even moved.
+    * At 100 TB that is the difference between rewriting the corpus
+    * every micro-batch and rewriting `touched/numBuckets` of it; a
+    * batch touching few keys costs a few bucket rewrites.
     *
     * Exactly-once effect without a transactional table format: the
     * merge itself is IDEMPOTENT (MergeSpec/MergeFuzzSpec pin it), so a
     * batch re-delivered after a crash re-applies harmlessly — the
     * at-least-once contract of foreachBatch composes with an idempotent
-    * apply into exactly-once state. The swap preserves the old snapshot
-    * until the new one is fully committed (same point-of-no-return
-    * discipline as the writers in [[graft.sources.Writers]]).
+    * apply into exactly-once state. The per-bucket swap preserves a
+    * complete copy of every bucket under SOME name at every instant
+    * (renames only, retire-then-promote per bucket), and
+    * [[recoverBucketSwap]] restores the live layout from whichever
+    * copies survived a crash — the batch then replays into the restored
+    * state. A pre-bucketed (flat) snapshot directory is migrated to the
+    * bucketed layout on its first batch (one full rewrite, once).
     *
-    * Scale: each batch costs one key-shuffle over (snapshot + batch) —
-    * the same floor as any snapshot-maintenance job; at 100 TB the
-    * snapshot side would come from a bucketed/sorted layout so the
-    * shuffle is one-sided. Returns the started query. */
+    * ONE WRITER PER SNAPSHOT PATH at a time (same single-maintainer
+    * discipline as [[graft.sources.FsSwap]]). Returns the started
+    * query. */
   def upsertSink(changes: DataFrame, snapshotPath: String,
       keyCols: Seq[String], versionCol: String,
       deleteCol: String = "is_deleted",
-      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      numBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     val writer = changes.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val target = new org.apache.hadoop.fs.Path(snapshotPath)
-        val staging = new org.apache.hadoop.fs.Path(
-          snapshotPath + ".__graft-upsert-staging__")
-        val retired = new org.apache.hadoop.fs.Path(
-          snapshotPath + ".__graft-upsert-old__")
-        val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-        // CRASH RECOVERY before reading state — the four-state
-        // rename-only machine lives in FsSwap (shared with
-        // compactParquet). The committed-staging-alone discard is safe
-        // HERE because the source replays the batch and the merge is
-        // idempotent.
-        graft.sources.FsSwap.recover(fs, target, staging, retired, "upsertSink")
-
-        val exists = fs.exists(target)
-        val next =
-          if (!exists)
-            graft.operators.Merge.applyChangeset(
-              // empty snapshot with the batch's schema minus the tombstone
-              batch.sparkSession.createDataFrame(
-                new java.util.ArrayList[org.apache.spark.sql.Row](),
-                org.apache.spark.sql.types.StructType(
-                  batch.schema.filterNot(_.name == deleteCol))),
-              batch.toDF(), keyCols, versionCol, deleteCol)
-          else
-            graft.operators.Merge.applyChangeset(
-              spark.read.parquet(snapshotPath), batch.toDF(),
-              keyCols, versionCol, deleteCol)
-        // stage-and-swap: the snapshot being replaced is also an INPUT of
-        // this plan, so writing in place would read-while-overwrite;
-        // materialize to staging, then swap via RENAMES ONLY (a recursive
-        // delete of the live target could be half-done at a crash, and
-        // no recovery can distinguish a mutilated directory from a
-        // complete one — renames are atomic per directory).
-        next.write.mode("overwrite").parquet(staging.toString)
-        graft.sources.FsSwap.swap(fs, target, staging, retired, "upsertSink")
+        applyUpsertBatch(batch.toDF(), snapshotPath, keyCols, versionCol,
+          deleteCol, numBuckets)
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+  }
+
+  /** One [[upsertSink]] micro-batch against the on-disk snapshot —
+    * exposed for deterministic crash-state tests. */
+  private[graft] def applyUpsertBatch(batchDf: DataFrame, snapshotPath: String,
+      keyCols: Seq[String], versionCol: String, deleteCol: String,
+      numBuckets: Int): Unit = {
+    val spark = batchDf.sparkSession
+    val target = new org.apache.hadoop.fs.Path(snapshotPath)
+    val staging = new org.apache.hadoop.fs.Path(snapshotPath + ".__graft-upsert-staging__")
+    val retired = new org.apache.hadoop.fs.Path(snapshotPath + ".__graft-upsert-old__")
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverBucketSwap(fs, target, staging, retired, "upsertSink")
+
+    // the batch's buckets: a driver-side list of ≤ numBuckets ints
+    val touched: Seq[Int] = batchDf
+      .select(bucketOf(keyCols, numBuckets).as(BucketCol))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return // empty batch
+
+    val liveBuckets = bucketDirNames(fs, target)
+    val legacyFlat = fs.exists(target) && liveBuckets.isEmpty &&
+      fs.listStatus(target).exists(st => st.isFile &&
+        st.getPath.getName.startsWith("part-"))
+    val subset =
+      if (!fs.exists(target) || (liveBuckets.isEmpty && !legacyFlat))
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(
+            batchDf.schema.filterNot(_.name == deleteCol)))
+      else if (legacyFlat)
+        // pre-bucketed snapshot: migrate wholesale this batch
+        spark.read.parquet(snapshotPath)
+      else
+        spark.read.parquet(snapshotPath)
+          .filter(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
+          .drop(BucketCol)
+    val merged = graft.operators.Merge.applyChangeset(
+      subset, batchDf, keyCols, versionCol, deleteCol)
+    merged.withColumn(BucketCol, bucketOf(keyCols, numBuckets))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
+    if (legacyFlat)
+      // the old flat files must go too: whole-directory swap, once
+      graft.sources.FsSwap.swap(fs, target, staging, retired, "upsertSink")
+    else
+      swapBuckets(fs, target, staging, retired, touched, "upsertSink")
+  }
+
+  /** Per-bucket retire-then-promote after the staged write COMMITTED.
+    * Iterates the union of the batch's touched buckets and the staged
+    * bucket dirs: a touched bucket absent from staging lost every row
+    * (all deleted) and is retired without a replacement; a staged
+    * bucket absent from the live layout is brand new and promotes
+    * without a retire. Untouched buckets are never moved — their files
+    * survive by identity. */
+  private def swapBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path, staging: org.apache.hadoop.fs.Path,
+      retired: org.apache.hadoop.fs.Path, touched: Seq[Int], ctx: String): Unit = {
+    if (!fs.exists(target)) fs.mkdirs(target)
+    if (!fs.exists(retired)) fs.mkdirs(retired)
+    val names = (touched.map(b => s"$BucketCol=$b").toSet ++
+      bucketDirNames(fs, staging)).toSeq.sorted
+    names.foreach { d =>
+      val t = new org.apache.hadoop.fs.Path(target, d)
+      val s = new org.apache.hadoop.fs.Path(staging, d)
+      val r = new org.apache.hadoop.fs.Path(retired, d)
+      if (fs.exists(t)) graft.sources.FsSwap.mv(fs, t, r, ctx)
+      if (fs.exists(s)) graft.sources.FsSwap.mv(fs, s, t, ctx)
+    }
+    fs.delete(retired, true)
+    fs.delete(staging, true)
+    ()
+  }
+
+  /** Entry-time crash recovery for the per-bucket swap. Invariant it
+    * relies on: [[swapBuckets]] only runs after the staging write
+    * committed (`_SUCCESS`), retires a bucket before promoting its
+    * replacement, and cleanup deletes retired before staging — so at
+    * every instant each bucket has a complete copy under exactly one of
+    * target/staging/retired. Restoration prefers the PRE-batch state
+    * where the swap state is ambiguous (retired-only buckets): the
+    * source replays the batch into the idempotent merge, which
+    * re-derives the post-batch state either way. Legacy whole-directory
+    * states from the pre-bucketed sink (flat staging/retired with no
+    * bucket dirs) are restored with the same rules. */
+  private[graft] def recoverBucketSwap(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path, staging: org.apache.hadoop.fs.Path,
+      retired: org.apache.hadoop.fs.Path, ctx: String): Unit = {
+    val stagingCommitted = fs.exists(staging) &&
+      graft.sources.FsSwap.committed(fs, staging)
+    if (stagingCommitted) {
+      val names = (bucketDirNames(fs, staging) ++ bucketDirNames(fs, retired))
+        .distinct.sorted
+      if (!fs.exists(target) && names.nonEmpty) fs.mkdirs(target)
+      names.foreach { d =>
+        val t = new org.apache.hadoop.fs.Path(target, d)
+        val s = new org.apache.hadoop.fs.Path(staging, d)
+        val r = new org.apache.hadoop.fs.Path(retired, d)
+        if (fs.exists(s)) {
+          // staged bucket not yet promoted: finish its retire+promote
+          if (fs.exists(t) && fs.exists(r)) { fs.delete(r, true); () }
+          if (fs.exists(t)) graft.sources.FsSwap.mv(fs, t, r, ctx)
+          graft.sources.FsSwap.mv(fs, s, t, ctx)
+        } else if (fs.exists(r) && !fs.exists(t)) {
+          // retired without a staged replacement: restore the pre-batch
+          // copy (a vanished-bucket swap interrupted mid-retire; the
+          // replayed batch re-deletes it)
+          graft.sources.FsSwap.mv(fs, r, t, ctx)
+        }
+      }
+      // no bucket dirs anywhere + target missing: LEGACY whole-directory
+      // staging from the pre-bucketed sink — promote it whole
+      if (names.isEmpty && !fs.exists(target) && fs.exists(staging))
+        graft.sources.FsSwap.mv(fs, staging, target, ctx)
+    } else if (fs.exists(retired) && !fs.exists(target) &&
+        bucketDirNames(fs, retired).isEmpty) {
+      // LEGACY whole-directory retired, no committed staging: restore
+      graft.sources.FsSwap.mv(fs, retired, target, ctx)
+    } else if (fs.exists(retired)) {
+      // defensive: any retired bucket whose live dir is missing is the
+      // only complete copy — restore before cleanup
+      bucketDirNames(fs, retired).foreach { d =>
+        val t = new org.apache.hadoop.fs.Path(target, d)
+        val r = new org.apache.hadoop.fs.Path(retired, d)
+        if (!fs.exists(t)) graft.sources.FsSwap.mv(fs, r, t, ctx)
+      }
+    }
+    if (fs.exists(retired)) { fs.delete(retired, true); () }
+    if (fs.exists(staging)) { fs.delete(staging, true); () }
   }
 
   /** Streaming corpus ingest with duplicate rejection — the ingest
@@ -216,7 +340,26 @@ object EventStreams {
     * batch operator family ([[graft.operators.Dedup.admitNew]] /
     * `minhashExactPairsAgainstSketches`) composed in a custom
     * foreachBatch; this sink's contract is EXACT identity, which keeps
-    * it SQL-oracle-checkable end-to-end. */
+    * it SQL-oracle-checkable end-to-end.
+    *
+    * APPEND-ONLY state: survivors are appended as NEW files into the
+    * corpus directory — existing files are never read-for-rewrite,
+    * moved, or deleted, so per-batch bytes written are proportional to
+    * the BATCH, not the corpus (the pre-round-10 staged rewrite
+    * re-wrote the full snapshot every micro-batch — the scale-killer
+    * at 100 TB). Crash-replay idempotency is the anti-join: a replayed
+    * batch's rows are already in the corpus, survive nothing, and
+    * append zero rows; a write killed MID-job leaves its partials
+    * invisible under `_temporary` (committer discipline), and the
+    * replay re-appends. The commit-marker discipline of
+    * [[graft.operators.Similarity.appendToIvfIndex]] guards external
+    * readers: the marker is dropped before each append and re-written
+    * after it commits, so a reader racing an append (or a torn append)
+    * fails loudly via `FsSwap.requireCommitted` instead of scoring a
+    * half-appended corpus. The sink itself self-heals a missing marker
+    * on the next batch. Only the FIRST batch (corpus creation) goes
+    * through the whole-directory stage-and-swap, so the live path only
+    * ever appears complete. */
   def dedupIngestSink(docs: DataFrame, corpusPath: String,
       idCol: String, textCol: String,
       checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -231,21 +374,27 @@ object EventStreams {
         val retired = new org.apache.hadoop.fs.Path(
           corpusPath + ".__graft-ingest-old__")
         val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+        // recovers creation-time (or legacy full-rewrite) swap states
         graft.sources.FsSwap.recover(fs, target, staging, retired, "dedupIngestSink")
         val withinBatch = graft.operators.Dedup
           .exactByHash(batch.toDF(), textCol, idCol)
           .drop("n_dups")
           .withColumn(HashCol, xxhash64(col(textCol)))
-        val next =
-          if (!fs.exists(target)) withinBatch
-          else {
-            val corpus = spark.read.parquet(corpusPath)
-            val seen = corpus.select(col(HashCol), col(textCol)).distinct()
-            corpus.unionByName(
-              withinBatch.join(seen, Seq(HashCol, textCol), "left_anti"))
-          }
-        next.write.mode("overwrite").parquet(staging.toString)
-        graft.sources.FsSwap.swap(fs, target, staging, retired, "dedupIngestSink")
+        if (!fs.exists(target)) {
+          // corpus creation: stage-and-swap so the live path never
+          // exists half-written
+          withinBatch.write.mode("overwrite").parquet(staging.toString)
+          graft.sources.FsSwap.swap(fs, target, staging, retired, "dedupIngestSink")
+          graft.sources.FsSwap.commitArtifact(fs, target, "dedup ingest corpus")
+        } else {
+          val corpus = spark.read.parquet(corpusPath)
+          val seen = corpus.select(col(HashCol), col(textCol)).distinct()
+          val survivors =
+            withinBatch.join(seen, Seq(HashCol, textCol), "left_anti")
+          graft.sources.FsSwap.beginArtifact(fs, target)
+          survivors.write.mode("append").parquet(corpusPath)
+          graft.sources.FsSwap.commitArtifact(fs, target, "dedup ingest append")
+        }
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }

@@ -108,15 +108,122 @@ class StreamingSpec extends AnyFunSuite {
       (3L, "c", 30.0, 2L, false))
     input.addData(batch2: _*)
     q.processAllAvailable()
-    val state = spark.read.parquet(snap)
+    val state = spark.read.parquet(snap).select("k", "name", "price", "v")
       .as[(Long, String, Double, Long)].collect().toSet
     assert(state == Set((1L, "a2", 11.0, 2L), (3L, "c", 30.0, 2L)), s"got $state")
     // re-delivery of batch 2 (at-least-once replay) must not change state
     input.addData(batch2: _*)
     q.processAllAvailable(); q.stop()
-    val replayed = spark.read.parquet(snap)
+    val replayed = spark.read.parquet(snap).select("k", "name", "price", "v")
       .as[(Long, String, Double, Long)].collect().toSet
     assert(replayed == state, "idempotent merge must absorb the replay")
+  }
+
+  /** (name → size) of every data file under `dir`, recursively — the
+    * identity fingerprint the append-only / bucket-pruned sink asserts
+    * ride on. */
+  private def dataFiles(dir: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val root = new java.io.File(dir)
+    if (!root.exists()) Map.empty
+    else walk(root).filter(f => f.getName.startsWith("part-"))
+      .map(f => f.getAbsolutePath.stripPrefix(root.getAbsolutePath) -> f.length())
+      .toMap
+  }
+
+  test("upsertSink rewrites only the buckets its batch touches — untouched bucket files survive by identity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val snap = java.nio.file.Files.createTempDirectory("graft_upsert_bkt_").toString + "/state"
+    val input = MemoryStream[(Long, String, Double, Long, Boolean)]
+    val q = EventStreams.upsertSink(
+      input.toDF().toDF("k", "name", "price", "v", "is_deleted"),
+      snap, Seq("k"), "v", numBuckets = 16)
+    // batch 1: spread keys over many buckets
+    input.addData((1L to 40L).map(k => (k, s"n$k", k * 1.0, 1L, false)): _*)
+    q.processAllAvailable()
+    val before = dataFiles(snap)
+    val bucketsBefore = before.keys.map(_.split('/')
+      .find(_.startsWith(EventStreams.BucketCol)).get).toSet
+    assert(bucketsBefore.size > 4, s"keys should spread buckets: $bucketsBefore")
+    // batch 2: touch ONE key
+    input.addData((1L, "one!", 99.0, 2L, false))
+    q.processAllAvailable(); q.stop()
+    val after = dataFiles(snap)
+    val changed = before.keySet.filterNot(p => after.get(p).contains(before(p)))
+    // only key 1's bucket may differ; every other file survives by identity
+    val touchedBuckets = changed.map(_.split('/')
+      .find(_.startsWith(EventStreams.BucketCol)).get)
+    assert(touchedBuckets.size <= 1,
+      s"batch of one key must rewrite at most one bucket, rewrote: $touchedBuckets")
+    val untouched = before.filter { case (p, _) =>
+      !touchedBuckets.exists(b => p.contains(b)) }
+    untouched.foreach { case (p, sz) =>
+      assert(after.get(p).contains(sz), s"untouched file $p was rewritten") }
+    // and the state is still correct
+    val state = spark.read.parquet(snap).select("k", "name")
+      .as[(Long, String)].collect().toMap
+    assert(state(1L) == "one!" && state(2L) == "n2" && state.size == 40)
+  }
+
+  test("recoverBucketSwap restores every crash state of the per-bucket swap") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_bkt_rec_").toString
+    val snap = s"$base/state"
+    val hfs = new org.apache.hadoop.fs.Path(snap)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def P(s: String) = new org.apache.hadoop.fs.Path(s)
+    // seed a live snapshot via the batch entry point
+    EventStreams.applyUpsertBatch(
+      Seq((1L, "a", 1L, false), (2L, "b", 1L, false))
+        .toDF("k", "name", "v", "is_deleted"),
+      snap, Seq("k"), "v", "is_deleted", numBuckets = 8)
+    val liveState = spark.read.parquet(snap).select("k", "name")
+      .as[(Long, String)].collect().toSet
+
+    // crash state A: committed staging, swap never started — recovery
+    // promotes the staged bucket (replayed batch then re-merges). The
+    // staged bucket number is one no live key occupies, so the expected
+    // state is exactly liveState + the staged row.
+    val staging = snap + ".__graft-upsert-staging__"
+    val liveDirs = hfs.listStatus(P(snap)).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+    val freeBucket = (0 until 8)
+      .find(b => !liveDirs.contains(s"${EventStreams.BucketCol}=$b")).get
+    Seq((9L, "z", 5L)).toDF("k", "name", "v")
+      .withColumn(EventStreams.BucketCol, lit(freeBucket))
+      .write.partitionBy(EventStreams.BucketCol).parquet(staging)
+    EventStreams.recoverBucketSwap(hfs, P(snap), P(staging),
+      P(snap + ".__graft-upsert-old__"), "test")
+    assert(!hfs.exists(P(staging)), "staging must be consumed")
+    val afterA = spark.read.parquet(snap).select("k", "name")
+      .as[(Long, String)].collect().toSet
+    assert(afterA == liveState + ((9L, "z")), s"staged bucket not promoted: $afterA")
+
+    // crash state B: bucket retired (target dir moved out), staging gone
+    // mid-cleanup — retired-only bucket must be restored, not dropped
+    val retired = snap + ".__graft-upsert-old__"
+    val dirs = hfs.listStatus(P(snap)).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith(EventStreams.BucketCol))
+    val victim = dirs.head
+    hfs.mkdirs(P(retired))
+    assert(hfs.rename(P(s"$snap/$victim"), P(s"$retired/$victim")))
+    EventStreams.recoverBucketSwap(hfs, P(snap), P(staging), P(retired), "test")
+    val afterB = spark.read.parquet(snap).select("k", "name")
+      .as[(Long, String)].collect().toSet
+    assert(afterB == afterA, s"retired bucket lost in recovery: $afterB")
+    assert(!hfs.exists(P(retired)))
+
+    // crash state C: torn staging (no _SUCCESS) — discarded, state intact
+    hfs.mkdirs(P(s"$staging/${EventStreams.BucketCol}=0"))
+    val out = hfs.create(P(s"$staging/${EventStreams.BucketCol}=0/part-garbage.parquet"))
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    EventStreams.recoverBucketSwap(hfs, P(snap), P(staging), P(retired), "test")
+    assert(!hfs.exists(P(staging)), "torn staging must be discarded")
+    val afterC = spark.read.parquet(snap).select("k", "name")
+      .as[(Long, String)].collect().toSet
+    assert(afterC == afterB)
   }
 
   test("dedupIngestSink admits first occurrences only, within and across batches") {
@@ -142,6 +249,47 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
     val s3 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
     assert(s3 == s2, "replayed batch must not re-admit or duplicate")
+  }
+
+  test("dedupIngestSink appends survivor files only — corpus files are never rewritten") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = java.nio.file.Files.createTempDirectory("graft_ingest_app_")
+      .toString + "/corpus"
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.dedupIngestSink(
+      input.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text")
+    input.addData((1L to 2000L).map(i =>
+      (i, s"document number $i with enough body text that the corpus " +
+        s"outweighs a one-row parquet file's fixed footer overhead")): _*)
+    q.processAllAvailable()
+    val before = dataFiles(corpus)
+    assert(before.nonEmpty)
+    // batch 2: one fresh doc + one duplicate → exactly one survivor row
+    input.addData((9100L, "a brand new document"),
+      (9101L, "document number 7 with enough body text that the corpus " +
+        "outweighs a one-row parquet file's fixed footer overhead"))
+    q.processAllAvailable()
+    val after = dataFiles(corpus)
+    // APPEND-ONLY: every pre-batch file survives by identity (same path,
+    // same size); the batch added files, never rewrote the corpus
+    before.foreach { case (p, sz) =>
+      assert(after.get(p).contains(sz), s"corpus file $p was rewritten") }
+    assert(after.size > before.size, "survivors must land in new files")
+    // per-batch bytes ∝ batch: the appended bytes are a sliver of the
+    // corpus, not a second copy of it
+    val appended = (after.keySet -- before.keySet).toSeq.map(after).sum
+    val corpusBytes = before.values.sum
+    assert(appended < corpusBytes / 2,
+      s"appended $appended bytes vs corpus $corpusBytes — smells like a rewrite")
+    // replay-idempotency still holds with the marker discipline in place
+    input.addData((9100L, "a brand new document"))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(ids == (1L to 2000L).toSet + 9100L)
+    // external-reader marker: committed after the last append
+    assert(new java.io.File(corpus,
+      graft.sources.FsSwap.CommitMarker).exists, "commit marker missing")
   }
 
   test("near-dup ingest composition: admitNew inside a custom foreachBatch") {
@@ -194,7 +342,8 @@ class StreamingSpec extends AnyFunSuite {
       snap, Seq("k"), "v")
     input.addData((2L, "b", 2.0, 1L, false))
     q.processAllAvailable(); q.stop()
-    val state = spark.read.parquet(snap).as[(Long, String, Double, Long)].collect().toSet
+    val state = spark.read.parquet(snap).select("k", "name", "price", "v")
+      .as[(Long, String, Double, Long)].collect().toSet
     assert(state == Set((1L, "pre", 1.0, 0L), (2L, "b", 2.0, 1L)),
       s"recovered staging rows must survive into the merged state, got $state")
     assert(!new java.io.File(snap + ".__graft-upsert-old__").exists())
@@ -212,7 +361,8 @@ class StreamingSpec extends AnyFunSuite {
       snap2, Seq("k"), "v")
     input2.addData((7L, "x", 7.0, 1L, false))
     q2.processAllAvailable(); q2.stop()
-    val state2 = spark.read.parquet(snap2).as[(Long, String, Double, Long)].collect().toSet
+    val state2 = spark.read.parquet(snap2).select("k", "name", "price", "v")
+      .as[(Long, String, Double, Long)].collect().toSet
     assert(state2 == Set((7L, "x", 7.0, 1L)), s"torn staging must not poison state, got $state2")
   }
 
