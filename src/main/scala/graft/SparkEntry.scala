@@ -1509,6 +1509,61 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "stream_semantic_ingest" -> ((s, dir) => {
+      // SEMANTIC (MinHash near-dup) streaming admission — the admitNew
+      // composition dedupIngestSink's doc points users to, run FOR REAL
+      // over a 3-batch file-source stream (batch = doc_id % 3, file
+      // mtimes pinned for replay order). Sequential semantics: a doc is
+      // admitted iff it near-dups (exact shingle-Jaccard ≥ 0.5 after
+      // LSH candidate generation, recall ≈ 1 at that threshold with
+      // 128 hashes / 64 bands) NEITHER a previously ADMITTED doc NOR a
+      // smaller-id sibling of its own batch. Chains matter: a doc whose
+      // only near-dup was itself rejected IS admitted — the oracle
+      // unrolls the same three rounds in SQL.
+      val base = s"/tmp/graft_semingest_${math.abs(dir.hashCode)}"
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(basePath, true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/in"))
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      (0 until 3).foreach { b =>
+        val tmp = s"$base/tmp$b"
+        docs.filter(pmod(col("doc_id"), lit(3)) === b)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).filter(_.getName.startsWith("part-")).head
+        val dest = new org.apache.hadoop.fs.Path(s"$base/in/batch$b.parquet")
+        fs.rename(part, dest)
+        fs.setTimes(dest, 60000L * (b + 1), -1)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      val corpusPath = s"$base/corpus"
+      val cfg = graft.operators.Dedup.MinHashConfig(numHashes = 128, bands = 64)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val sp = batch.sparkSession
+          val cp = new org.apache.hadoop.fs.Path(corpusPath)
+          val cfs = cp.getFileSystem(sp.sessionState.newHadoopConf())
+          val exists = cfs.exists(cp)
+          val corpus =
+            if (exists) sp.read.parquet(corpusPath)
+            // empty corpus, batch schema: the FIRST batch still gets the
+            // within-batch smaller-id-sibling rule from admitNew
+            else sp.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
+          val admitted = graft.operators.Dedup.admitNew(batch.toDF(), corpus,
+            "doc_id", "text", cfg, exactThreshold = 0.5)
+          admitted.write.mode(if (exists) "append" else "overwrite")
+            .parquet(corpusPath)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(corpusPath).select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     "stream_upsert_snapshot" -> ((s, dir) => {
       // the streaming snapshot-maintenance sink (EventStreams.upsertSink)
       // run FOR REAL: a 4-batch file-source stream of changes folds into
@@ -2471,6 +2526,47 @@ object SparkEntry {
         |)
         |SELECT min(doc_id) AS doc_id, text FROM all_docs
         |GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "stream_semantic_ingest" ->
+      // the 3-round sequential admission unrolled: round k admits docs
+      // of batch k (doc_id % 3 = k) with no exact-Jaccard-≥0.5 partner
+      // among prior rounds' ADMITTED docs or smaller-id same-batch
+      // siblings. Pairing mirrors the dedup_minhash oracle (distinct
+      // 2-word shingles over lowercased whitespace tokens, ≥3 words);
+      // docs below 3 words never pair and are always admitted.
+      """WITH w AS (
+        |  SELECT doc_id, text, doc_id % 3 AS b,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS words
+        |  FROM documents
+        |), sets AS (
+        |  SELECT doc_id, b, list_distinct(
+        |    list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' '))) AS sh
+        |  FROM w WHERE len(words) >= 3
+        |), pair AS (
+        |  SELECT n.doc_id AS nid, o.doc_id AS oid, o.b AS ob
+        |  FROM sets n, sets o
+        |  WHERE o.doc_id != n.doc_id
+        |    AND len(list_intersect(n.sh, o.sh))::DOUBLE /
+        |        (len(n.sh) + len(o.sh) - len(list_intersect(n.sh, o.sh))) >= 0.5
+        |), adm0 AS (
+        |  SELECT doc_id FROM w x WHERE x.b = 0 AND NOT EXISTS (
+        |    SELECT 1 FROM pair p WHERE p.nid = x.doc_id
+        |      AND p.ob = 0 AND p.oid < x.doc_id)
+        |), adm1 AS (
+        |  SELECT doc_id FROM w x WHERE x.b = 1 AND NOT EXISTS (
+        |    SELECT 1 FROM pair p WHERE p.nid = x.doc_id
+        |      AND (p.oid IN (SELECT doc_id FROM adm0)
+        |           OR (p.ob = 1 AND p.oid < x.doc_id)))
+        |), adm2 AS (
+        |  SELECT doc_id FROM w x WHERE x.b = 2 AND NOT EXISTS (
+        |    SELECT 1 FROM pair p WHERE p.nid = x.doc_id
+        |      AND (p.oid IN (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1)
+        |           OR (p.ob = 2 AND p.oid < x.doc_id)))
+        |)
+        |SELECT d.doc_id, d.text FROM documents d
+        |JOIN (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1
+        |      UNION ALL SELECT doc_id FROM adm2) a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "stream_upsert_snapshot" ->
       // final state of a latest-wins (max version per key) changeset
