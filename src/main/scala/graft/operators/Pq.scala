@@ -392,6 +392,15 @@ object Pq {
     (counts.values.sum, counts)
   }
 
+  /** Compact an [[appendToIvfPqIndex]]-grown index's `codes` cell
+    * partitions in place — the IVF-PQ twin of
+    * [[Similarity.compactIvfIndex]] (same sentinel + marker discipline,
+    * same row-preserving guarantee). Returns (files before, after). */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): (Int, Int) =
+    Similarity.compactIndexCells(spark, path, "codes", "compactIvfPqIndex",
+      targetFileBytes)
+
   /** Query a [[buildIvfPqIndex]] index: probe the `nprobe` nearest
     * cells per query. The probed cell set re-enters the plan as an
     * `isin` literal so the codes scan prunes at PARTITION level —

@@ -428,6 +428,71 @@ object Similarity {
     (counts.values.sum, counts)
   }
 
+  /** Compact an [[appendToIvfIndex]]-grown index's cell partitions in
+    * place: each `cell=N` directory's small append files coalesce to
+    * `targetFileBytes`-sized ones via
+    * [[graft.sources.Writers.compactParquet]]'s rename-only swap.
+    * Row-preserving, so every top-k is identical before and after
+    * (IvfIndexSpec pins it); what changes is the probe scan's file
+    * count — after many small appends the per-file open/footer cost
+    * dominates a probed cell's read, and compaction restores the
+    * as-built scan shape.
+    *
+    * Marker discipline: the commit marker drops for the duration (a
+    * reader racing a mid-swap cell could silently score a briefly
+    * missing directory) and an in-progress sentinel distinguishes
+    * "compaction died midway — rerun me" from a genuinely torn build:
+    * rerunning first finishes any interrupted per-cell swap from the
+    * sentinel run (the cell's complete copy always survives under one
+    * of target/tmp/old), then re-compacts and re-marks. Single
+    * maintainer per index path, as for every FsSwap caller. Returns
+    * (files before, files after) summed over cells. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): (Int, Int) =
+    compactIndexCells(spark, path, "vectors", "compactIvfIndex", targetFileBytes)
+
+  private[operators] def compactIndexCells(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      dataDir: String, ctx: String, targetFileBytes: Long): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val sentinel = new org.apache.hadoop.fs.Path(p, "_graft_compact_inprogress")
+    if (!fs.exists(sentinel)) {
+      graft.sources.FsSwap.requireCommitted(fs, p, ctx)
+      fs.create(sentinel, true).close()
+      graft.sources.FsSwap.beginArtifact(fs, p)
+    }
+    // else: a previous compaction died with the marker down — fall
+    // through, finish its per-cell swaps, re-compact, re-mark
+    val data = new org.apache.hadoop.fs.Path(path + "/" + dataDir)
+    val names =
+      if (fs.exists(data)) fs.listStatus(data).map(_.getPath.getName) else Array.empty[String]
+    // finish any per-cell swap the sentinel run died in BEFORE listing
+    // cells: a cell mid-swap may exist only under its tmp/old name
+    names.filter(n => n.endsWith(".__graft-compact-tmp__") ||
+        n.endsWith(".__graft-compact-old__"))
+      .map(_.replaceAll("\\.__graft-compact-(tmp|old)__$", "")).distinct
+      .foreach { cell =>
+        graft.sources.FsSwap.recover(fs,
+          new org.apache.hadoop.fs.Path(data, cell),
+          new org.apache.hadoop.fs.Path(data, cell + ".__graft-compact-tmp__"),
+          new org.apache.hadoop.fs.Path(data, cell + ".__graft-compact-old__"), ctx)
+      }
+    val cellDirs = (if (fs.exists(data)) fs.listStatus(data) else Array.empty[org.apache.hadoop.fs.FileStatus])
+      .filter(st => st.isDirectory && st.getPath.getName.matches("cell=\\d+"))
+    var before = 0
+    var after = 0
+    cellDirs.foreach { d =>
+      val (b, a) = graft.sources.Writers.compactParquet(
+        spark, d.getPath.toString, targetFileBytes)
+      before += b; after += a
+    }
+    graft.sources.FsSwap.commitArtifact(fs, p,
+      s"$ctx: ${cellDirs.length} cells, $before -> $after files")
+    fs.delete(sentinel, false)
+    (before, after)
+  }
+
   /** IVF-style ANN: cell = hyperplane sign bucket; query probes cells
     * whose bucket differs in ≤ `probeBits` bits (Hamming ball). */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,

@@ -89,6 +89,70 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(res.filter($"id" >= 300).count() > 0, "appended rows never probed")
   }
 
+  test("compact: N appends then compactIvfIndex — identical top-k, fewer files") {
+    val p = Files.createTempDirectory("graft_ivf_cp").toFile.getAbsolutePath
+    val corpus = synthCorpus(500, 8)
+    Similarity.buildIvfIndex(corpus.filter($"vec_id" < 200), "vec_id",
+      "embedding", p, numCentroids = 8, seed = 7L, kmeansIters = 2)
+    // 6 small appends: every cell partition accumulates per-append files
+    (0 until 6).foreach { i =>
+      Similarity.appendToIvfIndex(
+        corpus.filter($"vec_id" >= 200 + i * 50 && $"vec_id" < 250 + i * 50),
+        "vec_id", "embedding", p)
+    }
+    def cellFiles: Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$p/vectors")).count(_.getName.startsWith("part-"))
+    }
+    val q = corpus.filter($"vec_id" < 5)
+    def topk = Similarity.queryIvfIndex(spark, p, q,
+      "vec_id", "embedding", k = 10, nprobe = 4)
+      .select($"query_id", $"id", $"cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+      .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    val filesBefore = cellFiles
+    val rankedBefore = topk
+    val (b, a) = Similarity.compactIvfIndex(spark, p, targetFileBytes = 64L << 20)
+    assert(a < b, s"compaction must shrink file count ($b -> $a)")
+    assert(cellFiles < filesBefore, s"on-disk files must shrink ($filesBefore -> $cellFiles)")
+    // row-preserving: the probe result is identical
+    assert(spark.read.parquet(s"$p/vectors").count() == 500)
+    assert(topk == rankedBefore, "compaction changed a top-k result")
+    // marker restored: readers admitted again (query above proves it),
+    // and a second compaction is a near-no-op
+    val (b2, a2) = Similarity.compactIvfIndex(spark, p, targetFileBytes = 64L << 20)
+    assert(b2 == a2, s"already-compact index must not shrink further ($b2 -> $a2)")
+  }
+
+  test("compact: a compaction died mid-way (sentinel down) is rerunnable; torn build still refused") {
+    val p = Files.createTempDirectory("graft_ivf_cp2").toFile.getAbsolutePath
+    val corpus = synthCorpus(200, 8)
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", p,
+      numCentroids = 4, seed = 7L, kmeansIters = 0)
+    Similarity.appendToIvfIndex(corpus, "vec_id", "embedding", p)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate: sentinel written, marker dropped, then death
+    fs.create(new org.apache.hadoop.fs.Path(hp, "_graft_compact_inprogress"), true).close()
+    graft.sources.FsSwap.beginArtifact(fs, hp)
+    // readers refuse the mid-compaction index
+    assertThrows[java.io.IOException] {
+      Similarity.queryIvfIndex(spark, p, corpus.filter($"vec_id" < 2),
+        "vec_id", "embedding", k = 5, nprobe = 2)
+    }
+    // rerun completes, re-marks, and the index reads again
+    Similarity.compactIvfIndex(spark, p)
+    assert(spark.read.parquet(s"$p/vectors").count() == 400)
+    assert(Similarity.queryIvfIndex(spark, p, corpus.filter($"vec_id" < 2),
+      "vec_id", "embedding", k = 5, nprobe = 2).count() > 0)
+    // but with NO sentinel, a missing marker is a torn build — refused
+    graft.sources.FsSwap.beginArtifact(fs, hp)
+    assertThrows[java.io.IOException] {
+      Similarity.compactIvfIndex(spark, p)
+    }
+  }
+
   test("append: requires a committed index and refuses readers mid-append") {
     val p = Files.createTempDirectory("graft_ivf_ap2").toFile.getAbsolutePath
     val corpus = synthCorpus(100, 8)
