@@ -92,9 +92,27 @@ object Bench {
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          // the root frames, not just the message — a failure buried
+          // under Stream/SparkException wrappers is undiagnosable from
+          // the message alone
+          var root = e
+          while (root.getCause != null) root = root.getCause
+          System.err.println(s"[bench] $name root: $root")
+          root.getStackTrace.take(25).foreach(t =>
+            System.err.println(s"[bench]   at $t"))
           // a failed run records -1 — a fast failure must not masquerade
           // as a fast pass in BENCH_r* diffs
           (-1.0, -1.0)
+      } finally {
+        // between-query hygiene: drop cached frames and pinned
+        // materialize-once RDDs (localCheckpoints persist until
+        // unpersisted — over a 128-query run they accumulate into
+        // enough storage pressure to starve execution memory; a full
+        // sf10 sweep OOM'd split_leakage_safe exactly this way). In
+        // production each query is its own job/JVM, so per-query
+        // isolation is the representative measurement.
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
     }
 

@@ -44,9 +44,31 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
-    .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    // Spark's default 10 MB, stated explicitly because it is a DESIGN
+    // choice here, not an omission: the threshold compares COMPRESSED
+    // sizes (file stats / shuffle bytes), and columnar data routinely
+    // deserializes 20-60x larger — a full sf10 bench sweep at a 64 MB
+    // threshold built a 3.1 GiB broadcast from a 51 MB parquet vector
+    // table and OOM'd the driver broadcasting a bigram LM model whose
+    // shuffle bytes looked small. 10 MB bounds the worst-case
+    // deserialized build on a 1000-executor cluster; genuinely small
+    // dimensions still broadcast, and operators that KNOW a side is
+    // bounded (changes-derived frames, query batches, probe models)
+    // carry explicit broadcast() hints which bypass the threshold.
+    .config("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
+    // keep moderate IN lists as real In predicates at the parquet
+    // reader (default 10 rewrites them to a min..max range — useless
+    // against uniform hash keys); the ingest sink's pruned anti-join
+    // pushes batch-hash membership into the corpus scan and needs the
+    // list to survive to row-group stats/bloom evaluation. CAPPED at
+    // 100: Spark lowers a pushed In to a LEFT-DEEP FilterApi.or chain
+    // whose evaluation recurses once per value — a 1250-value list
+    // overflowed an executor stack mid-scan — and bloom skipping is
+    // only selective for small probe sets anyway (row-group false-hit
+    // probability is 1-(1-fpp)^K)
+    .config("spark.sql.parquet.pushdown.inFilterThreshold", "100")
     .config("spark.sql.warehouse.dir", defaultWarehouse)
     .config("spark.ui.enabled", "false")
 

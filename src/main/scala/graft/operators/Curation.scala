@@ -255,15 +255,19 @@ object Curation {
     * line is boilerplate comes back as the empty string.
     *
     * Scale shape: line doc-frequency is a two-phase count over the
-    * exploded distinct (doc, line) pairs; the boilerplate set — heavy
-    * hitters by construction, so tiny — broadcasts into an anti-join
-    * against the exploded lines, and documents are rebuilt by a
+    * exploded distinct (doc, line) pairs; the boilerplate set feeds an
+    * anti-join against the exploded lines with NO broadcast hint — at
+    * sane thresholds it is heavy-hitters-only (≤ total-lines/minDocFreq
+    * rows) and AQE's runtime stats broadcast it, keeping the corpus
+    * from shuffling for the membership test; but the bound is
+    * caller-controlled (minDocFreq=2 admits half the distinct lines of
+    * a 100 TB corpus), so a forced hint could OOM executors where AQE
+    * degrades gracefully to a shuffle join. Documents are rebuilt by a
     * doc-keyed aggregation whose order is restored via `array_sort`
     * over (pos, line) structs (collect_list order is not deterministic
-    * under retries; the sort makes the rebuild retry-stable). The
+    * under retries; the sort makes the rebuild retry-stable); the
     * rebuild shuffle carries surviving lines once — unavoidable for
-    * reconstruction; the broadcast keeps the corpus from shuffling for
-    * the membership test itself. */
+    * reconstruction. */
   def removeBoilerplateLines(
       docs: DataFrame, idCol: String, textCol: String,
       minDocFreq: Long): DataFrame = {
@@ -274,7 +278,7 @@ object Curation {
       .groupBy("line").agg(count(lit(1)).as("line_df"))
       .filter(col("line_df") >= minDocFreq)
       .select("line")
-    val kept = lines.join(broadcast(common), Seq("line"), "left_anti")
+    val kept = lines.join(common, Seq("line"), "left_anti")
     val rebuilt = kept.groupBy(id).agg(
       array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),

@@ -195,26 +195,42 @@ object Pq {
     * vectors: take the top k·rerankFactor ADC candidates, fetch their
     * vectors from the caller's store, re-score exactly.
     *
-    * An inner join here would silently DROP candidates whose id the
-    * re-rank frame doesn't cover (stale/filtered vector store) and
-    * return quietly degraded neighbors; a coverage gap is a config
-    * error and must fail loudly. The candidate frame is small
-    * (≤ k·rerank rows per query) but COMPUTING it is the full ADC
-    * codes scan + top-k — materialize once so the coverage count
-    * and rerankExact share one scan instead of executing it twice
-    * (same pattern as Similarity.queryIvfIndex). */
+    * A candidate id the re-rank frame doesn't cover (stale/filtered
+    * vector store) must fail loudly, not return quietly degraded
+    * neighbors — coverage is checked by counting candidates against
+    * fetched rows, which lets the store join stay INNER. The join
+    * shape matters at scale: the store is the big side (1B+ rows), so
+    * it must be the STREAMED side of a broadcast join, never built.
+    * A plain `cand.join(vecs, "left")` hands Spark that choice — and
+    * a columnar store whose COMPRESSED size sits under the broadcast
+    * threshold (vectors compress well) gets picked as a multi-GiB
+    * deserialized build side, or, past the threshold, sort-merge
+    * shuffles the whole store per query batch. Instead the store is
+    * probed with a broadcast of only the candidate KEYS (2 longs per
+    * row — slim even for 100k-query batches; the d-dim qv/lut columns
+    * stay out of the broadcast), then the fetched vectors join back
+    * to the full candidate frame, a small×small join. The candidate
+    * frame is small (≤ k·rerank rows per query) but COMPUTING it is
+    * the full ADC codes scan + top-k — materialize once so the
+    * coverage count, the key broadcast, and the re-join share one
+    * scan (same pattern as Similarity.queryIvfIndex). */
   private def rerankFromStore(scored: DataFrame, k: Int, rerankFactor: Int,
       vecs: DataFrame, vidCol: String, vCol: String): DataFrame = {
-    val cand = Similarity.topKPerKey(
+    val cand = graft.Materialize.once(Similarity.topKPerKey(
       scored.select(col("query_id"), col("id"), col("acos").as("cosine"),
         col("vnorm"), col("qv"), col("nq")),
-      Seq("query_id"), col("cosine").desc, k * rerankFactor)
-    val withVec = graft.Materialize.once(cand.join(
-      vecs.select(col(vidCol).as("id"), col(vCol).as("v")), Seq("id"), "left"))
-    val missing = withVec.filter(col("v").isNull).count()
+      Seq("query_id"), col("cosine").desc, k * rerankFactor), eager = true)
+    val fetched = vecs.select(col(vidCol).as("id"), col(vCol).as("v"))
+      .join(broadcast(cand.select("id").distinct()), Seq("id"))
+    val withVec = graft.Materialize.once(cand.join(fetched, Seq("id")))
+    val missing = cand.count() - withVec.count()
     require(missing == 0L,
-      s"PQ re-rank: rerankWith frame is missing $missing candidate ids — " +
-        "it must cover every indexed vector")
+      if (missing > 0)
+        s"PQ re-rank: rerankWith frame is missing $missing candidate ids — " +
+          "it must cover every indexed vector"
+      else
+        s"PQ re-rank: rerankWith frame repeats ${-missing} candidate ids — " +
+          "ids must be unique in the vector store")
     rerankExact(withVec, k)
   }
 

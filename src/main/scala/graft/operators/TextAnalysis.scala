@@ -116,10 +116,14 @@ object TextAnalysis {
     * Shuffle shape at 100 TB: (doc, term, tf) comes from one explode +
     * two-phase count keyed by (doc, term) — combiner-reduced, uniform
     * keys. df is vocab-cardinality (second two-phase count over the
-    * distinct (doc, term) pairs already in hand) and joins back
-    * BROADCAST (a vocabulary is millions of rows — KBs/MBs — vs
-    * billions of docs). The per-doc top-k is a window rank over
-    * (doc, score) — partitioned by doc, never a global sort. */
+    * distinct (doc, term) pairs already in hand) and joins back with
+    * NO broadcast hint: a clean vocabulary is MBs and AQE's runtime
+    * stats will broadcast it, but a raw 100 TB web corpus's vocabulary
+    * (typos, numbers, junk tokens) reaches hundreds of millions of
+    * rows, where a forced broadcast hint would OOM every executor —
+    * same policy as [[bigramLmScore]]'s model joins. The per-doc top-k
+    * is a window rank over (doc, score) — partitioned by doc, never a
+    * global sort. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val id = col(idCol)
@@ -132,7 +136,7 @@ object TextAnalysis {
     // (every other operator stays lazy until the caller executes)
     val nDocs = df.select(countDistinct(id).cast("double").as("n_docs"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), "term")
+    val scored = tf.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         col("tf").cast("double") * log(col("n_docs") / col("df").cast("double")))

@@ -116,6 +116,21 @@ class PqSpec extends AnyFunSuite {
     assert(e.getMessage.contains("missing"))
   }
 
+  test("queryPqIndex fails loudly when the re-rank frame repeats candidate ids") {
+    // a store with duplicate primary ids would silently inflate the
+    // candidate set through the fetch join — the coverage count must
+    // catch the corruption in the other direction too
+    val base = java.nio.file.Files.createTempDirectory("graft_pq_dup_").toString
+    Pq.buildPqIndex(emb, "vec_id", "embedding", base, m = 16, k = 32)
+    val queries = emb.filter(col("vec_id") < 2)
+    val dup = emb.unionByName(emb) // every id twice: all candidates repeat
+    val e = intercept[IllegalArgumentException] {
+      Pq.queryPqIndex(spark, base, queries, "vec_id", "embedding", k = 5,
+        rerankWith = Some((dup, "vec_id", "embedding"))).collect()
+    }
+    assert(e.getMessage.contains("repeats"))
+  }
+
   test("null and NaN vectors drop out of encode; dim mismatch fails loudly") {
     val model = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 32)
     val bad = Seq(
