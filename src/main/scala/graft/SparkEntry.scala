@@ -751,6 +751,32 @@ object SparkEntry {
             rerankFactor = 8)
       }),
 
+    "ann_ivf_index_compact" -> ((s, dir) =>
+      // maintenance path: index built on half the corpus, the other
+      // half appended in TWO batches (so every touched cell carries
+      // multiple small files), then compacted in place. The gate
+      // requires compaction to have actually merged files AND the
+      // compacted index to clear the same recall floor as the append
+      // gate — a row lost or duplicated by a cell swap fails the
+      // floor, not just a unit test. (IVF-PQ compaction shares
+      // compactIndexCells verbatim; IvfPqIndexSpec covers it.)
+      annRecallGate(s, dir, floor = 0.5, label = "compacted IVF index") {
+        (emb, queriesDf) =>
+          val path = s"/tmp/graft_ivfcp_${math.abs(dir.hashCode)}"
+          Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", path,
+            numCentroids = 16, seed = 42L, kmeansIters = 2)
+          Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 4 === 1),
+            "vec_id", "embedding", path)
+          Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 4 === 3),
+            "vec_id", "embedding", path)
+          val (before, after) = Similarity.compactIvfIndex(s, path)
+          require(after < before,
+            s"compaction merged nothing: $before -> $after files")
+          Similarity.queryIvfIndex(s, path, queriesDf,
+            "vec_id", "embedding", k = 10, nprobe = 8)
+      }),
+
     "mm_audio_meta" -> ((s, dir) => {
       // synthesizeWavs builds REAL RIFF/PCM bytes from doc_id with
       // arithmetic-derivable parameters, so the oracle can check the
@@ -1541,24 +1567,13 @@ object SparkEntry {
       val cfg = graft.operators.Dedup.MinHashConfig(numHashes = 128, bands = 64)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
-      val q = stream.writeStream.outputMode("append")
-        .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val sp = batch.sparkSession
-          val cp = new org.apache.hadoop.fs.Path(corpusPath)
-          val cfs = cp.getFileSystem(sp.sessionState.newHadoopConf())
-          val exists = cfs.exists(cp)
-          val corpus =
-            if (exists) sp.read.parquet(corpusPath)
-            // empty corpus, batch schema: the FIRST batch still gets the
-            // within-batch smaller-id-sibling rule from admitNew
-            else sp.createDataFrame(
-              new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
-          val admitted = graft.operators.Dedup.admitNew(batch.toDF(), corpus,
-            "doc_id", "text", cfg, exactThreshold = 0.5)
-          admitted.write.mode(if (exists) "append" else "overwrite")
-            .parquet(corpusPath)
-        }.start()
+      // the library sink maintains a persisted sketch sidecar, so each
+      // batch pairs against stored sketches (~1-2% of corpus bytes)
+      // instead of re-shingling the corpus — same admission semantics,
+      // O(batch + sketches) per batch
+      val q = graft.streaming.EventStreams.semanticIngestSink(stream,
+        corpusPath, s"$base/sketches", "doc_id", "text", cfg,
+        exactThreshold = 0.5, checkpointDir = Some(s"$base/ckpt"))
       try q.processAllAvailable() finally q.stop()
       s.read.parquet(corpusPath).select(col("doc_id"), col("text"))
         .orderBy("doc_id")
@@ -2902,6 +2917,7 @@ object SparkEntry {
     "ann_pq_topk" -> annBruteOracleSql,
     "ann_ivf_index_topk" -> annBruteOracleSql,
     "ann_ivf_index_append" -> annBruteOracleSql,
+    "ann_ivf_index_compact" -> annBruteOracleSql,
     "ann_ivfpq_index_append" -> annBruteOracleSql,
     "ann_ivfpq_topk" -> annBruteOracleSql,
     "ann_ivfpq_index_topk" -> annBruteOracleSql,

@@ -337,6 +337,25 @@ object Dedup {
     newDf.join(doomed, Seq(idCol), "left_anti")
   }
 
+  /** [[admitNew]] with the corpus side given as a PRECOMPUTED
+    * [[dedupSketchColumns]] frame — the ingest-loop shape at scale: the
+    * corpus text is never re-read or re-hashed; each increment costs
+    * one scan of the increment plus bucket joins against the stored
+    * sketches (~1-2% of corpus bytes). Same admission semantics as
+    * [[admitNew]] (sketches are a deterministic function of the text).
+    * The caller maintains the sketch sidecar by appending
+    * `dedupSketchColumns(admitted)` alongside each admitted batch. */
+  def admitNewAgainstSketches(newDf: DataFrame, corpusSketches: DataFrame,
+      idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig(numHashes = 128, bands = 64),
+      exactThreshold: Double = 0.5): DataFrame = {
+    val doomed =
+      minhashExactPairsAgainstSketches(newDf, corpusSketches, idCol, textCol,
+        cfg, exactThreshold)
+        .select(col("id_new").as(idCol)).distinct()
+    newDf.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** Corpus with the near-duplicate groups of `pairs` collapsed to their
     * min-id representative: exact fixpoint connected components over the
     * pair graph ([[Sampling.connectedComponents]] — a chain a-b, b-c

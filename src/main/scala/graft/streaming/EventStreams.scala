@@ -334,9 +334,14 @@ object EventStreams {
     * rename-only swap as [[upsertSink]] (batch replay after a crash is
     * idempotent: replayed rows anti-join away against the corpus).
     *
-    * The admitted corpus persists a `__graft_text_h` column, so the
-    * per-batch against-corpus anti-join scans only (hash, text) —
-    * payload columns prune away. Semantic (MinHash) admission is the
+    * The admitted corpus persists a `__graft_text_h` column and its
+    * files carry a parquet BLOOM FILTER on it, and the per-batch
+    * against-corpus anti-join pushes the batch's (bounded) hash set
+    * into the corpus scan as an In predicate — so the scan skips every
+    * row group holding no batch hash and reads (hash, text) only from
+    * the row groups with actual duplicate hits; payload columns prune
+    * away entirely. Batches beyond the In-pushdown threshold fall back
+    * to the full column-pruned anti-join. Semantic (MinHash) admission is the
     * batch operator family ([[graft.operators.Dedup.admitNew]] /
     * `minhashExactPairsAgainstSketches`) composed in a custom
     * foreachBatch; this sink's contract is EXACT identity, which keeps
@@ -363,7 +368,6 @@ object EventStreams {
   def dedupIngestSink(docs: DataFrame, corpusPath: String,
       idCol: String, textCol: String,
       checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
-    val HashCol = "__graft_text_h"
     val writer = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -383,18 +387,155 @@ object EventStreams {
         if (!fs.exists(target)) {
           // corpus creation: stage-and-swap so the live path never
           // exists half-written
-          withinBatch.write.mode("overwrite").parquet(staging.toString)
+          withinBatch.write.mode("overwrite").options(hashBloomOpts)
+            .parquet(staging.toString)
           graft.sources.FsSwap.swap(fs, target, staging, retired, "dedupIngestSink")
           graft.sources.FsSwap.commitArtifact(fs, target, "dedup ingest corpus")
         } else {
-          val corpus = spark.read.parquet(corpusPath)
-          val seen = corpus.select(col(HashCol), col(textCol)).distinct()
-          val survivors =
-            withinBatch.join(seen, Seq(HashCol, textCol), "left_anti")
+          // batch materialized once: it feeds ingestSurvivors' hash
+          // collect, the anti-join, and the append
+          val batchM = graft.Materialize.once(withinBatch, eager = true)
+          val survivors = ingestSurvivors(batchM, corpusPath, textCol)
           graft.sources.FsSwap.beginArtifact(fs, target)
-          survivors.write.mode("append").parquet(corpusPath)
+          survivors.write.mode("append").options(hashBloomOpts)
+            .parquet(corpusPath)
           graft.sources.FsSwap.commitArtifact(fs, target, "dedup ingest append")
         }
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+  }
+
+  /** Persisted text-hash column of a [[dedupIngestSink]] corpus (the
+    * anti-join key; corpus files carry a parquet bloom filter on it). */
+  val HashCol = "__graft_text_h"
+
+  /** Write options for the corpus bloom filter on [[HashCol]].
+    * ADAPTIVE sizing is essential: the static bloom writer allocates
+    * its bitset for `expected.ndv` (default 1M ≈ a 1 MB bitset) in
+    * EVERY file regardless of row count — a small micro-batch append
+    * would carry a megabyte of bloom. Adaptive mode sizes the bitset
+    * from the observed distinct count, so a 2-row survivor file costs
+    * bytes, and a full row group still gets a properly sized filter. */
+  private val hashBloomOpts = Map(
+    s"parquet.bloom.filter.enabled#$HashCol" -> "true",
+    "parquet.bloom.filter.adaptive.enabled" -> "true",
+    // fpp tightened from the 1% default: the reader probes the bloom
+    // once per batch hash, so per-row-group false-hit probability is
+    // 1-(1-fpp)^K — at 1e-4 a 100-hash batch falsely reads ~1% of
+    // clean row groups instead of ~63%
+    s"parquet.bloom.filter.fpp#$HashCol" -> "0.0001",
+    // adaptive candidates are sized down from max.bytes (smallest =
+    // max/2^4): 256 KB covers a ~100k-NDV row group at fpp 1e-4
+    // (~19 bits/value) while letting a tiny survivor append carry a
+    // 16 KB bloom instead of the 64 KB the 1 MB default would force
+    "parquet.bloom.filter.max.bytes" -> (256 << 10).toString)
+
+  /** Batch-size bound for pushing the batch's hash set into the corpus
+    * scan as an In predicate — mirrors the session's
+    * `spark.sql.parquet.pushdown.inFilterThreshold` so the pushed list
+    * survives to the parquet reader as a real In, not a min..max range
+    * (useless against uniform hashes). Deliberately SMALL, for two
+    * reasons: Spark lowers the pushed In to a left-deep or-chain whose
+    * evaluation recurses once per value (a 1250-value chain overflowed
+    * an executor stack), and bloom-filter row-group skipping is only
+    * selective when the probe set is small relative to 1/fpp — the
+    * false-hit probability per row group is 1-(1-fpp)^K, so at K=100
+    * and fpp=1e-4 ~1% of clean row groups are read, while at K=10000
+    * essentially all are. Trickle batches get the pruned fast path;
+    * bulk batches amortize one column-pruned corpus scan per batch. */
+  private val MaxInHashes = 100
+
+  /** The [[dedupIngestSink]] survivor frame for one deduplicated batch
+    * (must already carry [[HashCol]]): batch rows whose (hash, text)
+    * does not yet exist in the corpus. Exposed for plan tests — the
+    * scale property is that the corpus scan carries the batch's hashes
+    * as a pushed In filter (bloom/stats row-group skipping), falling
+    * back to the full column-pruned anti-join only when the batch has
+    * more distinct hashes than [[MaxInHashes]]. */
+  private[graft] def ingestSurvivors(batchM: DataFrame, corpusPath: String,
+      textCol: String): DataFrame = {
+    val spark = batchM.sparkSession
+    val hashes = batchM.select(col(HashCol)).filter(col(HashCol).isNotNull)
+      .distinct().limit(MaxInHashes + 1).collect().map(_.getLong(0))
+    val corpus = spark.read.parquet(corpusPath)
+    val seenSrc =
+      if (hashes.length <= MaxInHashes)
+        corpus.filter(col(HashCol)
+          .isin(hashes.map(java.lang.Long.valueOf).toSeq: _*))
+      else corpus
+    val seen = seenSrc.select(col(HashCol), col(textCol)).distinct()
+    batchM.join(seen, Seq(HashCol, textCol), "left_anti")
+  }
+
+  /** Streaming SEMANTIC (MinHash near-dup) admission — the scale shape
+    * of the composition [[dedupIngestSink]]'s doc describes: a doc is
+    * admitted iff it near-duplicates (LSH candidates verified at
+    * `exactThreshold` shingle-Jaccard) neither a previously admitted
+    * doc nor a smaller-id sibling of its own batch.
+    *
+    * Corpus TEXT is never re-read: admission pairs each batch against a
+    * persisted SKETCH sidecar at `sketchPath`
+    * ([[graft.operators.Dedup.dedupSketchColumns]] — minhash signature
+    * + sorted shingle hashes, ~1-2% of corpus bytes), and each admitted
+    * batch appends both its docs and its sketches. Per-batch cost is
+    * O(batch + sketch sidecar), not O(re-shingled corpus).
+    *
+    * Crash safety: docs append BEFORE sketches, and every batch opens
+    * with an ids-only tear probe (corpus ids anti-join sketch ids —
+    * column-pruned scans, zero cost when healthy); a torn previous
+    * batch (docs landed, sketch append lost) is healed by re-sketching
+    * exactly the missing rows before pairing. Replayed batches are
+    * rejected by admission itself — a replayed doc is a perfect
+    * (J=1.0) near-dup of its own admitted copy. Residual contract: a
+    * doc too short to shingle has no signature and is admitted
+    * unconditionally (as in every minhash path here), so replay
+    * dedup for such rows needs the exact-identity sink in front. */
+  def semanticIngestSink(docs: DataFrame, corpusPath: String,
+      sketchPath: String, idCol: String, textCol: String,
+      cfg: graft.operators.Dedup.MinHashConfig =
+        graft.operators.Dedup.MinHashConfig(numHashes = 128, bands = 64),
+      exactThreshold: Double = 0.5,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        val cp = new org.apache.hadoop.fs.Path(corpusPath)
+        val cfs = cp.getFileSystem(sp.sessionState.newHadoopConf())
+        val exists = cfs.exists(cp)
+        // empty sketch frame (schema + config metadata) for a fresh
+        // corpus — and for the extreme tear where the ENTIRE sidecar
+        // vanished while the corpus survived (the heal probe below
+        // then rebuilds it wholesale)
+        def emptySketches = graft.operators.Dedup.dedupSketchColumns(
+          sp.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema),
+          idCol, textCol, cfg)
+        val sketches0 =
+          if (exists && cfs.exists(new org.apache.hadoop.fs.Path(sketchPath)))
+            sp.read.parquet(sketchPath)
+          else emptySketches
+        val sketches = if (exists) {
+          val sketchIds = sketches0.select(col("id").as(idCol))
+          val torn = sp.read.parquet(corpusPath).select(col(idCol))
+            .join(sketchIds, Seq(idCol), "left_anti")
+            .limit(1).count() > 0
+          if (torn) {
+            val missing = sp.read.parquet(corpusPath)
+              .join(sketchIds, Seq(idCol), "left_anti")
+              .select(col(idCol), col(textCol))
+            graft.operators.Dedup.dedupSketchColumns(missing, idCol, textCol, cfg)
+              .write.mode("append").parquet(sketchPath)
+            sp.read.parquet(sketchPath)
+          } else sketches0
+        } else sketches0
+        val admitted = graft.Materialize.once(
+          graft.operators.Dedup.admitNewAgainstSketches(batch.toDF(), sketches,
+            idCol, textCol, cfg, exactThreshold), eager = true)
+        admitted.write.mode(if (exists) "append" else "overwrite")
+          .parquet(corpusPath)
+        graft.operators.Dedup.dedupSketchColumns(admitted, idCol, textCol, cfg)
+          .write.mode(if (exists) "append" else "overwrite").parquet(sketchPath)
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }

@@ -292,27 +292,40 @@ class StreamingSpec extends AnyFunSuite {
       graft.sources.FsSwap.CommitMarker).exists, "commit marker missing")
   }
 
-  test("near-dup ingest composition: admitNew inside a custom foreachBatch") {
-    // the composition dedupIngestSink's doc points users to for SEMANTIC
-    // (MinHash) admission: same sink shape, Dedup.admitNew as the gatekeeper
+  test("ingestSurvivors pushes the batch's hash set into the corpus scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_prune_")
+      .toString + "/corpus"
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .withColumn(EventStreams.HashCol,
+        org.apache.spark.sql.functions.xxhash64($"text"))
+      .write.parquet(dir)
+    val batch = Seq((3L, "alpha"), (4L, "gamma")).toDF("doc_id", "text")
+      .withColumn(EventStreams.HashCol,
+        org.apache.spark.sql.functions.xxhash64($"text"))
+    val survivors = EventStreams.ingestSurvivors(batch, dir, "text")
+    // the corpus scan must carry the batch hashes as a PUSHED In filter
+    // (bloom/stats row-group skipping at scale — reads ∝ duplicate
+    // hits, not corpus size), not scan the corpus unfiltered
+    val plan = survivors.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains(s"In(${EventStreams.HashCol}"),
+      s"batch-hash In predicate not pushed to the corpus scan:\n$plan")
+    assert(survivors.select("doc_id").as[Long].collect().toSet == Set(4L),
+      "duplicate of corpus text must not survive; fresh text must")
+  }
+
+  test("semanticIngestSink: near-dup rejection against the persisted sketch sidecar") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val corpus = java.nio.file.Files.createTempDirectory("graft_nd_ingest_")
-      .toString + "/corpus"
+    val base = java.nio.file.Files.createTempDirectory("graft_nd_ingest_").toString
+    val corpus = s"$base/corpus"
+    val sketches = s"$base/sketches"
     val cfg = graft.operators.Dedup.MinHashConfig(numHashes = 64, bands = 32)
     val input = MemoryStream[(Long, String)]
-    val q = input.toDF().toDF("doc_id", "text").writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val exists = new java.io.File(corpus).exists
-        val admitted =
-          if (!exists) batch.toDF()
-          else graft.operators.Dedup.admitNew(batch.toDF(),
-            spark.read.parquet(corpus), "doc_id", "text", cfg,
-            exactThreshold = 0.5)
-        admitted.write.mode(if (exists) "append" else "overwrite").parquet(corpus)
-      }.start()
+    val q = EventStreams.semanticIngestSink(
+      input.toDF().toDF("doc_id", "text"), corpus, sketches,
+      "doc_id", "text", cfg, exactThreshold = 0.5)
     val a = "the quick brown fox jumps over the lazy dog and runs far away home"
     val b = "completely different content about spark shuffles and partition pruning"
     input.addData((1L, a), (2L, b))
@@ -323,6 +336,41 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
     val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
     assert(ids == Set(1L, 2L, 11L), s"near-dup must be rejected, fresh admitted: $ids")
+    // the sidecar tracks the corpus exactly — ids match, and the sketch
+    // bytes are a small fraction of corpus bytes (the at-scale point)
+    val skIds = spark.read.parquet(sketches).select("id").as[Long].collect().toSet
+    assert(skIds == ids, s"sketch sidecar out of sync: $skIds vs $ids")
+  }
+
+  test("semanticIngestSink heals a torn sketch sidecar before pairing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_nd_heal_").toString
+    val corpus = s"$base/corpus"
+    val sketches = s"$base/sketches"
+    val cfg = graft.operators.Dedup.MinHashConfig(numHashes = 64, bands = 32)
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home"
+    def run(data: Seq[(Long, String)]): Unit = {
+      val input = MemoryStream[(Long, String)]
+      val q = EventStreams.semanticIngestSink(
+        input.toDF().toDF("doc_id", "text"), corpus, sketches,
+        "doc_id", "text", cfg, exactThreshold = 0.5)
+      input.addData(data: _*)
+      q.processAllAvailable(); q.stop()
+    }
+    run(Seq((1L, a)))
+    // simulate the crash window: docs landed, sketch append lost
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(); ()
+    }
+    deleteRec(new java.io.File(sketches))
+    // next batch must re-sketch the orphaned corpus rows and still
+    // reject a near-duplicate of the PRE-TEAR doc
+    run(Seq((10L, a + " tonight"), (11L, "fresh unrelated content here")))
+    val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 11L), s"healed sidecar must still reject near-dups: $ids")
+    val skIds = spark.read.parquet(sketches).select("id").as[Long].collect().toSet
+    assert(skIds == ids, s"healed sidecar out of sync: $skIds vs $ids")
   }
 
   test("upsertSink crash recovery: completed staging is promoted, torn staging is discarded") {
