@@ -56,6 +56,15 @@ object GraftSession {
     // bounded (changes-derived frames, query batches, probe models)
     // carry explicit broadcast() hints which bypass the threshold.
     .config("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
+    // AQE's threshold is deliberately HIGHER than the static one: the
+    // static planner sees parquet file stats, where dictionary+RLE
+    // columns deserialize 20-60x (the 3.1 GiB broadcast above was a
+    // 51 MB file), but AQE measures ACTUAL shuffle partition bytes —
+    // row-serialized, lightly compressed, a 2-5x blowup bound — so a
+    // 64 MB runtime-measured build stays a few hundred MB in memory.
+    // Mid-size derived frames (LSH candidate/signature joins) keep
+    // their runtime broadcast without re-opening the file-stat trap.
+    .config("spark.sql.adaptive.autoBroadcastJoinThreshold", (64L << 20).toString)
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
     // keep moderate IN lists as real In predicates at the parquet
