@@ -302,9 +302,17 @@ object Writers {
     * staging or promote a stale retired copy. Concurrent invocation on
     * one path is a caller error, not a supported mode; serialize
     * maintenance per table (at scale: one compaction job per table per
-    * schedule tick, exactly how table-format maintenance is run). */
+    * schedule tick, exactly how table-format maintenance is run).
+    *
+    * `writeOptions` are applied to the compacted rewrite — a layout
+    * whose files carry writer-level metadata the READ side depends on
+    * (e.g. the per-column parquet bloom filters of a
+    * [[graft.streaming.EventStreams.dedupIngestSink]] corpus) must pass
+    * the same options here, or the rewrite silently sheds them and
+    * every downstream pruned read degrades to a full scan. */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
-      targetFileBytes: Long = 128L << 20): (Int, Int) = {
+      targetFileBytes: Long = 128L << 20,
+      writeOptions: Map[String, String] = Map.empty): (Int, Int) = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -332,7 +340,7 @@ object Writers {
 
     try {
       spark.read.parquet(path).coalesce(want)
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        .write.mode(SaveMode.Overwrite).options(writeOptions).parquet(tmp.toString)
     } catch { case e: Throwable =>
       try { fs.delete(tmp, true); () } catch { case _: java.io.IOException => () }
       throw e

@@ -430,6 +430,56 @@ object EventStreams {
     // 16 KB bloom instead of the 64 KB the 1 MB default would force
     "parquet.bloom.filter.max.bytes" -> (256 << 10).toString)
 
+  /** Compact an append-grown [[dedupIngestSink]] corpus in place: each
+    * micro-batch appends its survivors as NEW files (that is the sink's
+    * O(batch) write contract), so a long-lived corpus accumulates one
+    * small file per trickle batch and scan/listing cost degrades — the
+    * same failure mode [[graft.operators.Similarity.compactIvfIndex]]
+    * exists for. This wraps [[graft.sources.Writers.compactParquet]]'s
+    * crash-safe rename-only rewrite with the two pieces of ingest-sink
+    * discipline a generic compaction would silently drop:
+    *
+    *   - the rewrite re-applies the corpus's writer options, so the
+    *     compacted files carry the SAME parquet bloom filter on
+    *     [[HashCol]] — without it the next batch's pruned anti-join
+    *     ([[ingestSurvivors]]'s pushed In + bloom row-group skipping)
+    *     degrades to reading every row group, invisibly: results stay
+    *     right, the 100 TB scan bill does not;
+    *   - the external-reader commit marker is dropped before the
+    *     rewrite and re-written after it, so a reader racing the
+    *     compaction window fails loudly via
+    *     [[graft.sources.FsSwap.requireCommitted]] instead of racing
+    *     the swap (the sink self-heals a missing marker on its next
+    *     batch, so a compaction crash strands nothing).
+    *
+    * SINGLE MAINTAINER PER CORPUS: like the sink itself, never run
+    * concurrently with the stream's foreachBatch — pause the query or
+    * run it from the maintenance schedule between batches. Returns
+    * (filesBefore, filesAfter). A [[semanticIngestSink]] corpus and its
+    * sketch sidecar have no bloom/marker contract and compact with
+    * plain `Writers.compactParquet` directly.
+    *
+    * A MISSING marker at entry is tolerated, not fatal: with no writer
+    * in flight it can only mean a predecessor (an append batch or a
+    * prior compaction) crashed between its begin/commit pair, and every
+    * such window leaves the VISIBLE corpus rows complete — a torn
+    * append's partials sit invisible under `_temporary`, and the
+    * compaction swap is recovered whole by `compactParquet`'s own
+    * entry-time recovery — so compacting and re-committing the marker
+    * is the correct repair, same as the sink's own next-batch
+    * self-heal. */
+  def compactIngestCorpus(spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String, targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    val target = new org.apache.hadoop.fs.Path(corpusPath)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.FsSwap.beginArtifact(fs, target)
+    val counts = graft.sources.Writers.compactParquet(
+      spark, corpusPath, targetFileBytes, hashBloomOpts)
+    graft.sources.FsSwap.commitArtifact(fs, target,
+      s"dedup ingest corpus compact: ${counts._1} -> ${counts._2} files")
+    counts
+  }
+
   /** Batch-size bound for pushing the batch's hash set into the corpus
     * scan as an In predicate — mirrors the session's
     * `spark.sql.parquet.pushdown.inFilterThreshold` so the pushed list

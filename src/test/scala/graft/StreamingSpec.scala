@@ -292,6 +292,69 @@ class StreamingSpec extends AnyFunSuite {
       graft.sources.FsSwap.CommitMarker).exists, "commit marker missing")
   }
 
+  test("compactIngestCorpus merges append-grown files and keeps the bloom filter + marker") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = java.nio.file.Files.createTempDirectory("graft_ingest_cmp_")
+      .toString + "/corpus"
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.dedupIngestSink(
+      input.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text")
+    // several trickle batches → one small survivor file each
+    (0 until 5).foreach { b =>
+      input.addData((b * 10 until b * 10 + 5).map(i =>
+        (i.toLong, s"ingest document $i body")): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val before = dataFiles(corpus)
+    assert(before.size >= 5, s"expected append-grown files, got ${before.size}")
+    val rowsBefore = spark.read.parquet(corpus)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+
+    val (nBefore, nAfter) = EventStreams.compactIngestCorpus(
+      spark, corpus, targetFileBytes = 1L << 30)
+    assert(nBefore == before.size && nAfter < nBefore,
+      s"compaction must shrink the file count: $nBefore -> $nAfter")
+    val rowsAfter = spark.read.parquet(corpus)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(rowsAfter == rowsBefore, "compaction must not change content")
+    // external-reader marker restored after the rewrite
+    assert(new java.io.File(corpus,
+      graft.sources.FsSwap.CommitMarker).exists, "commit marker missing after compact")
+
+    // the compacted files still carry the parquet bloom filter on the
+    // hash column — the property a generic options-less rewrite sheds
+    // (and with it, the pruned anti-join's row-group skipping)
+    val conf = spark.sessionState.newHadoopConf()
+    dataFiles(corpus).keys.foreach { rel =>
+      val p = new org.apache.hadoop.fs.Path(corpus + rel)
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val offsets = rd.getFooter.getBlocks.asScala.map { blk =>
+          blk.getColumns.asScala
+            .find(_.getPath.toDotString == EventStreams.HashCol)
+            .fold(-1L)(_.getBloomFilterOffset)
+        }
+        assert(offsets.nonEmpty && offsets.forall(_ >= 0),
+          s"compacted file $rel lost the ${EventStreams.HashCol} bloom filter")
+      } finally rd.close()
+    }
+
+    // and the sink keeps working against the compacted corpus: a
+    // duplicate is still rejected, a fresh doc admitted
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.dedupIngestSink(
+      input2.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text")
+    input2.addData((900L, "ingest document 0 body"), (901L, "genuinely new text"))
+    q2.processAllAvailable(); q2.stop()
+    val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(ids == rowsBefore.map(_._1) + 901L,
+      s"post-compact ingest must dedup against compacted corpus: $ids")
+  }
+
   test("ingestSurvivors pushes the batch's hash set into the corpus scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_prune_")
