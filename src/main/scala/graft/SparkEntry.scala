@@ -879,6 +879,31 @@ object SparkEntry {
         .drop("text").orderBy("doc_id")
     }),
 
+    "text_repeated_spans" -> ((s, dir) => {
+      // cross-document repeated 8-token windows: every occurrence
+      // located by (doc, token position), with the window's doc count
+      // and keep-first representative. Window identity is positional
+      // hashing Spark-side vs literal window strings in the oracle —
+      // the same hash-for-string substitution every dedup gate pins.
+      Dedup.repeatedWindowMatches(
+        tbl(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", windowTokens = 8, minDocs = 2)
+        .orderBy("doc_id", "pos")
+    }),
+
+    "text_strip_repeated" -> ((s, dir) => {
+      // ExactSubstr-style span excision: tokens covered by any
+      // cross-document repeated 8-token window are removed (all
+      // copies; keepFirst is unit-tested), untouched docs pass through
+      // byte-identical. n_chars recomputed so the gate also checks the
+      // rebuilt text's length arithmetic.
+      Dedup.stripRepeatedWindows(
+        tbl(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", windowTokens = 8, minDocs = 2)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     "text_decontaminate" -> ((s, dir) => {
       // pseudo-benchmark = every 97th doc; flag any training doc sharing
       // a 5-gram with it (GPT-3/PaLM decontamination at n=5 — the tiny
@@ -1442,8 +1467,13 @@ object SparkEntry {
     }),
 
     "q35_range_join" -> ((s, dir) => {
-      // events (as day offsets) joined into 7-day order windows via the
-      // bucketized range join, then counted per order
+      // events (as day offsets) counted into 7-day order windows via the
+      // bucketized range join WITH the eager-aggregation rewrite: the
+      // point side is dense on a fixed 2400-day domain, so the naive
+      // join's output is |events|·|orders|/2400 — quadratic in sf
+      // (measured 412 s at sf10) — while collapsing points to per-day
+      // counts first is value-identical and linear (the oracle is
+      // unchanged: same result, different plan)
       val points = tbl(s, dir, "events").select((col("event_id") % 2400).as("d"))
       val intervals = tbl(s, dir, "orders")
         .filter(col("o_totalprice") > 450000)
@@ -1451,8 +1481,9 @@ object SparkEntry {
           datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
             .cast("long").as("st"))
         .withColumn("en", col("st") + 6)
-      RangeJoin.pointInInterval(points, intervals, "d", "st", "en", bucketWidth = 7L)
-        .groupBy("o_orderkey").agg(count(lit(1)).as("n_events"))
+      RangeJoin.countPointsInInterval(points, intervals, "d", "st", "en",
+        bucketWidth = 7L, countName = "n_events")
+        .select("o_orderkey", "n_events")
         .orderBy("o_orderkey")
     }),
 
@@ -2210,6 +2241,62 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // window identity: literal 8-token window strings here vs positional
+    // 64-bit hashes Spark-side — the hash-for-string substitution every
+    // dedup gate relies on (collisions negligible at gate scale)
+    "text_repeated_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+7], ' ') AS w
+        |  FROM toks, UNNEST(range(1, len(ws) - 6)) AS t(i)
+        |  WHERE len(ws) >= 8),
+        |rep AS (
+        |  SELECT w, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_id
+        |  FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT wins.doc_id, wins.pos, rep.n_docs, rep.first_id
+        |FROM wins JOIN rep USING (w) ORDER BY doc_id, pos""".stripMargin,
+
+    // rebuild contract mirrored from stripRepeatedWindows: only docs
+    // with a flagged span are rebuilt (canonical single-space join of
+    // surviving ORIGINAL-case tokens, '' when fully covered); all other
+    // docs pass through verbatim
+    "text_strip_repeated" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS lws,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS ows
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(lws[i:i+7], ' ') AS w
+        |  FROM toks, UNNEST(range(1, len(lws) - 6)) AS t(i)
+        |  WHERE len(lws) >= 8),
+        |rep AS (SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT m.doc_id, t2.j
+        |  FROM (SELECT wins.doc_id, wins.pos FROM wins JOIN rep USING (w)) m,
+        |       UNNEST(range(m.pos, m.pos + 8)) AS t2(j)),
+        |tokrows AS (
+        |  SELECT doc_id, i - 1 AS idx, ows[i] AS tok
+        |  FROM toks, UNNEST(range(1, len(ows) + 1)) AS t(i)),
+        |touched AS (SELECT DISTINCT doc_id FROM cov),
+        |kept AS (
+        |  SELECT tr.doc_id, tr.idx, tr.tok
+        |  FROM tokrows tr
+        |  JOIN touched USING (doc_id)
+        |  LEFT JOIN cov ON cov.doc_id = tr.doc_id AND cov.j = tr.idx
+        |  WHERE cov.j IS NULL),
+        |rebuilt AS (
+        |  SELECT touched.doc_id, coalesce(agg.new_text, '') AS new_text
+        |  FROM touched LEFT JOIN (
+        |    SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS new_text
+        |    FROM kept GROUP BY doc_id) agg ON agg.doc_id = touched.doc_id)
+        |SELECT d.doc_id, coalesce(r.new_text, d.text) AS text,
+        |       CAST(len(coalesce(r.new_text, d.text)) AS BIGINT) AS n_chars
+        |FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // DuckDB regexp_replace needs the 'g' flag to match Spark's
     // replace-all default; replacement backrefs are \1 (RE2) vs $1 (Java)

@@ -123,6 +123,39 @@ case class TextShingleHashes(child: Expression, n: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** `positional_shingle_hashes(text)` → `array<long>` where element `i`
+  * is the order-sensitive hash of the word window `[i, i+n)` — the
+  * POSITIONAL counterpart of [[TextShingleHashes]] (which collapses to
+  * a distinct sorted set and so cannot say WHERE a shingle occurred).
+  * Texts with fewer than `n` words yield an empty array. Same fused
+  * single-byte-pass tokenizer ([[Tokenize.wordHashes]]) and window
+  * combine ([[Tokenize.shingleHash]]) as every other text-hash
+  * expression here, so position `i` of this array and member
+  * membership in `TextShingleHashes` agree by construction. Feeds
+  * [[graft.operators.Dedup.repeatedWindowMatches]], which needs
+  * (position, hash) to locate cross-document repeated spans, not just
+  * detect them. */
+case class PositionalShingleHashes(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val wh = Tokenize.wordHashes(input.asInstanceOf[UTF8String], seed)
+    if (wh.length < n) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val out = new Array[Long](wh.length - n + 1)
+      var i = 0
+      while (i + n <= wh.length) { out(i) = Tokenize.shingleHash(wh, i, n); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PositionalShingleHashes =
+    copy(child = newChild)
+}
+
 /** `minhash_from_text(text)` → `array<long>` signature, fusing tokenize →
   * shingle-hash → permute-min in a single pass (no shingle strings, no
   * intermediate arrays). */
@@ -506,6 +539,9 @@ object HashFunctions {
 
   def textShingleHashes(text: Column, n: Int, seed: Long = 42L): Column =
     toCol(TextShingleHashes(toExpr(text), n, seed))
+
+  def positionalShingleHashes(text: Column, n: Int, seed: Long = 42L): Column =
+    toCol(PositionalShingleHashes(toExpr(text), n, seed))
 
   def simhash64(tokens: Column, seed: Long = 42L): Column =
     toCol(SimHash64(toExpr(tokens), seed))

@@ -847,4 +847,87 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }
+
+  // ---- cross-document repeated-span dedup (ExactSubstr-style) -----------
+
+  /** Every occurrence of a token window repeated across documents:
+    * (idCol, pos, n_docs, first_id) — one row per (document, token
+    * position) whose `windowTokens`-word window also occurs in at least
+    * `minDocs - 1` OTHER documents. `n_docs` is the window's distinct
+    * document count, `first_id` the smallest id containing it (the
+    * keep-first representative [[stripRepeatedWindows]] uses). Windows
+    * are hashed positionally in one fused byte pass per document
+    * ([[graft.functions.PositionalShingleHashes]]); hash identity
+    * stands in for window identity (64-bit collisions negligible at any
+    * realistic window count).
+    *
+    * This is the span-level complement of the whole-document family
+    * above: whole-doc exact/near dedup leaves boilerplate, licenses,
+    * and templated passages REPEATED VERBATIM across otherwise-distinct
+    * documents — the duplication that measurably degrades LM training
+    * (the ExactSubstr observation; same motivation at window-not-suffix
+    * granularity, which distributes). Within-document repetition is
+    * deliberately NOT flagged (that is [[Curation.dupKgramFrac]]'s
+    * Gopher signal); a window must span `minDocs` distinct documents.
+    *
+    * Scale shape: the exploded (id, pos, hash) frame has one row per
+    * corpus token — the honest cost of exact-substring matching, linear
+    * and map-side until the single hash-keyed shuffle. The frame is
+    * materialized once and consumed by both the occurrence count and
+    * the join-back; the aggregate is two-phase (partial distinct counts
+    * map-side). At 100 TB the repeated-hash side is a small fraction of
+    * windows (boilerplate, not body), and AQE broadcast-sizes the
+    * join-back against it from measured bytes. */
+  def repeatedWindowMatches(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 50, minDocs: Int = 2, seed: Long = 42L): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    require(minDocs >= 2, s"minDocs must be >= 2 (cross-document), got $minDocs")
+    val pos = df
+      .select(col(idCol), posexplode(
+        HashFunctions.positionalShingleHashes(col(textCol), windowTokens, seed)))
+      .toDF(idCol, "pos", "__h")
+      .transform(Materialize.once(_))
+    val repeated = pos.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("n_docs"), min(col(idCol)).as("first_id"))
+      .filter(col("n_docs") >= minDocs)
+    pos.join(repeated, Seq("__h"))
+      .select(col(idCol), col("pos"), col("n_docs"), col("first_id"))
+  }
+
+  /** Corpus with cross-document repeated spans EXCISED from the text:
+    * every token covered by a window [[repeatedWindowMatches]] flags is
+    * removed and the survivors are rejoined with single spaces.
+    * `keepFirst = true` (the ExactSubstr-shaped policy) leaves the
+    * smallest-id document's copy intact and strips the repetitions
+    * elsewhere; `keepFirst = false` removes every copy (the
+    * C4-boilerplate shape — for license walls and navigation chrome
+    * nobody wants even once).
+    *
+    * Text contract: documents with NO flagged span pass through
+    * byte-identical (including null/short texts — they produce no
+    * windows). A stripped document is rebuilt from its whitespace
+    * tokens, so its whitespace is canonicalized — same canonical form
+    * as [[TextAnalysis.fingerprint]]; a fully-covered document becomes
+    * the empty string (drop or keep downstream is policy, so rows are
+    * never silently deleted here). Coverage is computed per document
+    * from its flagged window starts (`sequence`/`array_contains` over
+    * ≤ text-length indices — per-row array work, no extra shuffle
+    * beyond [[repeatedWindowMatches]]' own). */
+  def stripRepeatedWindows(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 50, minDocs: Int = 2, keepFirst: Boolean = false,
+      seed: Long = 42L): DataFrame = {
+    val matches = repeatedWindowMatches(df, idCol, textCol, windowTokens, minDocs, seed)
+    val toStrip = if (keepFirst) matches.filter(col(idCol) =!= col("first_id")) else matches
+    val spans = toStrip.groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("__starts"))
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val covered = array_distinct(flatten(transform(col("__starts"),
+      p => sequence(p, p + lit(windowTokens - 1)))))
+    val rebuilt = concat_ws(" ",
+      filter(toks, (t, i) => !array_contains(covered, i)))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__starts").isNull, col(textCol)).otherwise(rebuilt))
+      .drop("__starts")
+  }
 }

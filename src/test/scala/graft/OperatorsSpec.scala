@@ -198,6 +198,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("repeated window matches: located cross-doc, within-doc repeats never flagged") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta shared one two three tail1"),
+      (2L, "intro shared one two three closing words here"),
+      (3L, "selfrep selfrep selfrep selfrep unique ending of doc"),
+      (4L, "totally unrelated content with no overlap at all"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val m = Dedup.repeatedWindowMatches(d, "doc_id", "text",
+      windowTokens = 4, minDocs = 2)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    // "shared one two three" at pos 4 of doc 1 and pos 1 of doc 2
+    assert(m == Set((1L, 4, 2L, 1L), (2L, 1, 2L, 1L)),
+      s"got $m")
+    // doc 3's within-doc repetition must not appear (minDocs is
+    // cross-document by contract); window size above its text length
+    // yields nothing at all
+    assert(Dedup.repeatedWindowMatches(d.filter($"doc_id" === 3L || $"doc_id" === 4L),
+      "doc_id", "text", windowTokens = 4).count() == 0)
+  }
+
+  test("strip repeated windows: covered tokens excised, keepFirst retains the min-id copy") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta shared one two three tail1"),
+      (2L, "intro shared one two three closing words here"),
+      (3L, "untouched document stays byte  identical"),
+      (4L, "shared one two three"), // fully covered → empty
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedWindows(d, "doc_id", "text",
+      windowTokens = 4, minDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "alpha beta gamma delta tail1")
+    assert(out(2L) == "intro closing words here")
+    // untouched doc keeps its double space — byte identity, not
+    // canonicalized
+    assert(out(3L) == "untouched document stays byte  identical")
+    assert(out(4L) == "")
+    assert(out(5L) == null)
+
+    val kept = Dedup.stripRepeatedWindows(d, "doc_id", "text",
+      windowTokens = 4, minDocs = 2, keepFirst = true)
+      .as[(Long, String)].collect().toMap
+    // doc 1 is the min-id holder of the shared window: its copy survives
+    assert(kept(1L) == "alpha beta gamma delta shared one two three tail1")
+    assert(kept(2L) == "intro closing words here")
+    assert(kept(4L) == "")
+  }
+
   test("embedding near-dup finds planted duplicate vector") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
@@ -1057,6 +1106,22 @@ class OperatorsSpec extends AnyFunSuite {
     val fast = RangeJoin.pointInInterval(points, intervals, "t", "s", "e", bucketWidth = 16L)
       .select("pid", "iid").collect().map(_.toSeq).toSet
     assert(fast == naive && naive.nonEmpty)
+  }
+
+  test("eager-aggregated interval count equals naive join + groupBy count") {
+    // dense points (many per distinct value) — the shape the rewrite
+    // exists for; include an interval with no points (absent from both)
+    val points = (0L until 500L).map(i => (i, i % 40)).toDF("pid", "t")
+    val intervals = Seq((1L, 10L, 30L), (2L, 25L, 26L), (3L, 90L, 120L), (4L, 39L, 39L))
+      .toDF("iid", "s", "e")
+    val naive = RangeJoin.pointInInterval(points, intervals, "t", "s", "e", 16L)
+      .groupBy("iid").agg(count(lit(1)).as("n_points"))
+      .as[(Long, Long)].collect().toMap
+    val eager = RangeJoin.countPointsInInterval(
+      points.select("t"), intervals, "t", "s", "e", 16L)
+      .select("iid", "n_points").as[(Long, Long)].collect().toMap
+    assert(eager == naive && naive.nonEmpty)
+    assert(!eager.contains(3L), "point-free interval must stay absent (inner-join semantics)")
   }
 
   test("asof join: NULL key or ts never matches (SQL semantics); cascaded prefix avoids collisions") {
