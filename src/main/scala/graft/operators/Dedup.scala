@@ -627,10 +627,20 @@ object Dedup {
     * set's (|S| - ⌈t·|S|⌉ + 1) globally-RAREST shingles, so only that
     * prefix is indexed. The inverted-index join then explodes on rare
     * shingles instead of stop-shingles — Σ count(g)² collapses by orders
-    * of magnitude on natural-language corpora. Candidate pairs travel as
-    * bare (id_a, id_b); exact intersection is computed once per candidate
-    * from the two full arrays (array_intersect), not by re-aggregating
-    * the inverted index.
+    * of magnitude on natural-language corpora. PPJoin's POSITIONAL
+    * filter prunes further before the verify join: at a pair's FIRST
+    * shared prefix shingle (in the global rarity order every document's
+    * list shares), all shared shingles sit at or after ranks (r_a, r_b)
+    * — any earlier shared shingle would itself be in both prefixes,
+    * contradicting firstness — so the overlap is bounded by
+    * 1 + min(|A|−r_a, |B|−r_b), and J ≥ t needs overlap ≥
+    * t·(|A|+|B|)/(1+t); candidates whose best (first-match) bound falls
+    * short are dropped with zero loss (the bound is checked per shared
+    * occurrence and is loosest at the first, so "any occurrence passes"
+    * ≡ "the sound first-occurrence bound passes"). Candidate pairs
+    * travel as bare (id_a, id_b); exact intersection is computed once
+    * per candidate from the two full arrays (array_intersect), not by
+    * re-aggregating the inverted index.
     *
     * `shingleKeepFraction < 1` is the EXPLICIT approximate opt-in for
     * corpora where even prefix-filtered exact joins explode (huge docs ×
@@ -678,14 +688,22 @@ object Dedup {
       .withColumn("r", row_number().over(
         Window.partitionBy("id").orderBy(col("gdf"), col("g"))))
       .filter(col("r") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
-      .select("g", "id", "nsh")
+      .select("g", "id", "nsh", "r")
       .transform(Materialize.once(_))
 
-    val candidates = ranked.select(col("g"), col("id").as("id_a"), col("nsh").as("n_a"))
-      .join(ranked.select(col("g"), col("id").as("id_b"), col("nsh").as("n_b")), Seq("g"))
+    // minimum overlap for J ≥ t: I/(n_a+n_b-I) ≥ t ⟺ I ≥ t(n_a+n_b)/(1+t);
+    // the 1e-9 slack keeps double rounding from tightening the integer
+    // bound at exact-threshold edges (a dropped candidate is never
+    // re-verified, so the prune must only ever be loose)
+    val minOverlap = ceil((col("n_a") + col("n_b")) * (threshold / (1 + threshold)) - 1e-9)
+    val candidates = ranked.select(col("g"), col("id").as("id_a"), col("nsh").as("n_a"), col("r").as("r_a"))
+      .join(ranked.select(col("g"), col("id").as("id_b"), col("nsh").as("n_b"), col("r").as("r_b")), Seq("g"))
       .filter(col("id_a") < col("id_b") &&
         // size-ratio pruning: J ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t
-        col("n_a") >= col("n_b") * threshold && col("n_b") >= col("n_a") * threshold)
+        col("n_a") >= col("n_b") * threshold && col("n_b") >= col("n_a") * threshold &&
+        // positional filter: overlap ≤ 1 + min(n−r) at the first shared
+        // prefix shingle (see scaladoc — sound there, loosest there)
+        lit(1) + least(col("n_a") - col("r_a"), col("n_b") - col("r_b")) >= minOverlap)
       .select("id_a", "id_b").distinct()
 
     val joined = candidates
