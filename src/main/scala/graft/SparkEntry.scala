@@ -606,6 +606,39 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup (cluster-then-prune) gate, shaped like the ann_* recall
+      // gates: emits the EXACT all-pairs set (oracle-expressible in
+      // DuckDB) and asserts the k-means-clustered path's pair recall
+      // against it IN-QUERY. Config from graft.tools.SemSweep on the
+      // STRUCTURELESS synthetic embeddings — the method's worst case
+      // (boundary-straddling pairs at cosine 0.35 are common; the
+      // paper's regime is tight dups at >= 0.9 where both members share
+      // a Voronoi cell almost surely): k=8 / nprobe=2 measures recall
+      // 0.768 at sf0.01 and 0.745 at sf0.1, floor 0.6. Precision needs
+      // no assert: verification is exact cosine, so every emitted pair
+      // is genuinely above threshold by construction. Corpus capped to
+      // the 1500 md5-smallest vec_ids (deterministic, engine-portable)
+      // because the ORACLE is quadratic; the operator itself is the
+      // scale path.
+      val emb = tbl(s, dir, "embeddings")
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(1500)
+        .transform(Materialize.once(_))
+      val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.35, signBits = 0)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .transform(Materialize.once(_, eager = true))
+      val clustered = Dedup.semanticDedupPairs(emb, "vec_id", "embedding",
+        threshold = 0.35, numClusters = 8, kmeansIters = 3, nprobe = 2)
+        .select(col("id_a"), col("id_b"))
+      val total = exact.count()
+      val hits = exact.join(clustered, Seq("id_a", "id_b"), "left_semi").count()
+      val recall = if (total > 0) hits.toDouble / total else 1.0
+      require(recall >= 0.6,
+        f"semantic-dedup pair recall regressed: $recall%.3f < 0.6 ($hits/$total)")
+      exact.orderBy("id_a", "id_b")
+    }),
+
     // ---- similarity search ---------------------------------------------
 
     "ann_brute_topk" -> ((s, dir) => {
@@ -3180,6 +3213,22 @@ object SparkEntry {
       """WITH capped AS (
         |  SELECT * FROM embeddings
         |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT 2000)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cosine
+        |FROM capped a, capped b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+        |      (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_semantic" ->
+      """WITH capped AS (
+        |  SELECT * FROM embeddings
+        |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT 1500)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(
         |    list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /

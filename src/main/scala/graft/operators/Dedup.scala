@@ -859,12 +859,123 @@ object Dedup {
         val bucketed = base.withColumn("bucket", Similarity.signBucket(col("v"), planes))
         bucketSelfJoinPairs(bucketed, Seq("bucket"), "id", Seq("v", "nrm"), saltBuckets)
       }
+    verifiedCosinePairs(paired, threshold)
+  }
+
+  /** Shared exact-verification tail of the embedding pair generators:
+    * candidate (id_a, id_b, v_a, v_b, nrm_a, nrm_b) rows → exact cosine,
+    * threshold filter, one-row-per-pair. */
+  private def verifiedCosinePairs(paired: DataFrame, threshold: Double): DataFrame =
     paired
       .select(col("id_a"), col("id_b"),
         (VectorFunctions.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .dropDuplicates("id_a", "id_b")
+
+  // ---- semantic (cluster-then-prune) dedup ------------------------------
+
+  /** [[Auto]] resolution for [[semanticDedupPairs]]' cluster count:
+    * corpora at or under `bruteFloor` take the exact all-pairs path
+    * (clustering a few thousand vectors costs more than it prunes);
+    * larger corpora get occupancy-targeted k = ceil(N / target), capped
+    * at `maxClusters` — the centroid fit is a bounded driver collect and
+    * the fitted array broadcasts to every task, so k must stay
+    * model-params-sized (65536 × 64 dims × 8 B = 32 MB). Past the cap,
+    * occupancy grows linearly with the corpus and within-cluster pair
+    * cost quadratically — at that scale pass an explicit precomputed
+    * cluster column ([[semanticDedupPairsByCluster]]) from a clustering
+    * fit at the scale the corpus needs (e.g. the persisted IVF index's
+    * cell assignment). */
+  def resolveSemanticClusters(corpusCount: Long, targetPerCluster: Long = 1024L,
+      maxClusters: Int = 65536, bruteFloor: Long = 2048L): Int =
+    if (corpusCount <= bruteFloor) 1
+    else math.min(maxClusters.toLong,
+      (corpusCount + targetPerCluster - 1) / targetPerCluster).toInt
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then find
+    * pairs with cosine ≥ `threshold` WITHIN each cluster only — the
+    * clustering prunes the candidate space from all-pairs to
+    * within-Voronoi-cell pairs, which is the paper's entire scale
+    * argument. Complements [[embeddingNearDupPairs]] (random-hyperplane
+    * LSH buckets): centroids adapt to the corpus distribution, so on
+    * clustered real-world embeddings a semantic cell captures near-dup
+    * pairs that fixed random hyperplanes split; on structureless data
+    * the adaptivity buys nothing (the gate's recall floor is measured
+    * on that worst case).
+    *
+    * `nprobe > 1` assigns each vector to its `nprobe` nearest centroids
+    * (overlapping clusters) — recall against the exact pair set rises
+    * because a boundary-straddling pair only needs ONE shared cell, at
+    * the cost of ~nprobe× candidate replication. `nprobe = 1` is the
+    * paper's exact shape.
+    *
+    * Scale shape: the fit is a bounded driver collect
+    * ([[Similarity.fitCentroids]] — sampled, Lloyd-refined, broadcast);
+    * assignment is one map-side native expression against the broadcast
+    * centroids (no shuffle); the only shuffles are the per-cell
+    * self-join (hot cells auto-salted, [[bucketSelfJoinPairs]]) and the
+    * final pair dedup. Verification is exact cosine — clustering only
+    * ever affects RECALL (which pairs are candidates), never precision.
+    *
+    * NOT a pure lazy plan builder: the centroid fit runs at call time;
+    * `numClusters = Auto` additionally counts the corpus. */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, numClusters: Int = Auto, kmeansIters: Int = 3,
+      nprobe: Int = 1, seed: Long = 42L, saltBuckets: Int = Auto): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    val base0 = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFunctions.norm(col(vecCol)).as("nrm"))
+    val (base, k) =
+      if (numClusters == Auto) {
+        val m = base0.transform(Materialize.once(_))
+        (m, resolveSemanticClusters(m.count()))
+      } else (base0, numClusters)
+    val paired =
+      if (k <= 1) {
+        // exact all-pairs (see embeddingNearDupPairs: broadcast nested-
+        // loop, parallel over the left side's partitions)
+        val l = base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
+        val r = base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
+        l.crossJoin(broadcast(r)).filter(col("id_a") < col("id_b"))
+      } else {
+        val cents = Similarity.fitCentroids(base, "id", "v", k, seed, kmeansIters)
+        val clustered = base.withColumn("cluster",
+          explode(HashFunctions.nearestCentroids(col("v"), cents, math.min(nprobe, k))))
+          .filter(col("cluster").isNotNull)
+        bucketSelfJoinPairs(clustered, Seq("cluster"), "id", Seq("v", "nrm"), saltBuckets)
+      }
+    verifiedCosinePairs(paired, threshold)
   }
+
+  /** [[semanticDedupPairs]] with caller-provided cluster assignments —
+    * the unbounded-scale path: when the corpus outgrows the driver-fit
+    * cluster cap, any external clustering (a persisted IVF index's cell
+    * column, a hierarchical k-means, a taxonomy) supplies `clusterCol`
+    * and this is pure lazy plan: one salted per-cell self-join + exact
+    * cosine verify, no fit, no count, no collect. Rows with a null
+    * cluster are excluded (unassignable vectors pair with nothing). */
+  def semanticDedupPairsByCluster(df: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, threshold: Double = 0.95,
+      saltBuckets: Int = Auto): DataFrame = {
+    val entries = df.select(col(clusterCol).as("cluster"), col(idCol).as("id"),
+      col(vecCol).as("v"), VectorFunctions.norm(col(vecCol)).as("nrm"))
+      .filter(col("cluster").isNotNull)
+    verifiedCosinePairs(
+      bucketSelfJoinPairs(entries, Seq("cluster"), "id", Seq("v", "nrm"), saltBuckets),
+      threshold)
+  }
+
+  /** Keep-one semantic dedup: [[semanticDedupPairs]] + min-id survivor
+    * per dup group (the library-wide keep convention; the paper keeps
+    * the member farthest from its centroid — a policy, not a semantics,
+    * difference). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, numClusters: Int = Auto, kmeansIters: Int = 3,
+      nprobe: Int = 1, seed: Long = 42L): DataFrame =
+    dropNearDuplicates(df, idCol,
+      semanticDedupPairs(df, idCol, vecCol, threshold, numClusters, kmeansIters,
+        nprobe, seed))
 
   // ---- cross-document repeated-span dedup (ExactSubstr-style) -----------
 

@@ -259,6 +259,68 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("semantic dedup: tight clusters recover the exact pair set; k=1 is the brute path") {
+    // two tight clusters around orthogonal axes + one lone vector — the
+    // SemDeDup regime (near-dups are MUCH closer to each other than to
+    // the rest), where within-cluster pairing must lose nothing
+    def jitter(base: Array[Float], eps: Float) = base.zipWithIndex.map {
+      case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val ax = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val ay = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val vecs = Seq(
+      (1L, ax), (2L, jitter(ax, 0.02f)), (3L, jitter(ax, 0.04f)),
+      (10L, ay), (11L, jitter(ay, 0.03f)),
+      (99L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.95, signBits = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+    val sem = Dedup.semanticDedupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.95, numClusters = 3, kmeansIters = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sem == exact)
+    // numClusters = 1 degenerates to the exact all-pairs path
+    val one = Dedup.semanticDedupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.95, numClusters = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(one == exact)
+    // keep-one survivor set: min id per dup group
+    val kept = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 0.95, numClusters = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 99L))
+  }
+
+  test("semantic dedup by precomputed cluster column: pairs only within cells, null cluster inert") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), "a"), (2L, Array(0.999f, 0.01f), "a"),
+      (3L, Array(0.999f, 0.02f), "b"),   // near-dup of 1 and 2 but isolated in cell b
+      (4L, Array(0.0f, 1.0f), null.asInstanceOf[String])
+    ).toDF("vec_id", "embedding", "cell")
+    val pairs = Dedup.semanticDedupPairsByCluster(vecs, "vec_id", "embedding",
+      "cell", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("semantic dedup nprobe=2 recovers a boundary-straddling pair nprobe=1 splits") {
+    // vectors hugging the bisector of two far-apart cluster seeds: with
+    // enough forced clusters the pair can land in different Voronoi
+    // cells; probing the 2 nearest centroids must always pair them
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.98f, 0.0f, 0.0f)),
+      (2L, Array(0.98f, 1.0f, 0.0f, 0.0f)),
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (11L, Array(0.95f, 0.05f, 0.0f, 0.0f)),
+      (20L, Array(0.0f, 1.0f, 0.0f, 0.0f)), (21L, Array(0.05f, 0.95f, 0.0f, 0.0f)),
+      (99L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val np2 = Dedup.semanticDedupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.99, numClusters = 4, kmeansIters = 2, nprobe = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(np2.contains((1L, 2L)))
+  }
+
   // ---- similarity ------------------------------------------------------
 
   val corpus = (0 until 50).map { i =>
