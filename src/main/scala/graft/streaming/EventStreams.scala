@@ -566,11 +566,17 @@ object EventStreams {
             sp.read.parquet(sketchPath)
           else emptySketches
         val sketches = if (exists) {
-          val sketchIds = sketches0.select(col("id").as(idCol))
-          val torn = sp.read.parquet(corpusPath).select(col(idCol))
-            .join(sketchIds, Seq(idCol), "left_anti")
-            .limit(1).count() > 0
+          // tear detection by row counts, not by anti-join: sketch ids ⊆
+          // corpus ids by write order (a batch's corpus append commits
+          // BEFORE its sketch append) and both sides are unique (replays
+          // admit nothing — their rows are already sketched or healed
+          // first), so the sidecar is torn IFF the corpus has more rows.
+          // Both counts fold parquet footer metadata — the steady-state
+          // per-batch probe is a file listing, not a corpus scan + join
+          // (which at 100 TB charged every batch a full corpus id read).
+          val torn = sp.read.parquet(corpusPath).count() > sketches0.count()
           if (torn) {
+            val sketchIds = sketches0.select(col("id").as(idCol))
             val missing = sp.read.parquet(corpusPath)
               .join(sketchIds, Seq(idCol), "left_anti")
               .select(col(idCol), col(textCol))

@@ -436,6 +436,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(skIds == ids, s"healed sidecar out of sync: $skIds vs $ids")
   }
 
+  test("semanticIngestSink heals a PARTIAL sidecar tear (row-count probe, not full rebuild)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_nd_ptear_").toString
+    val corpus = s"$base/corpus"
+    val sketches = s"$base/sketches"
+    val cfg = graft.operators.Dedup.MinHashConfig(numHashes = 64, bands = 32)
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val b = "completely different second document with its own words entirely"
+    def run(data: Seq[(Long, String)]): Unit = {
+      val input = MemoryStream[(Long, String)]
+      val q = EventStreams.semanticIngestSink(
+        input.toDF().toDF("doc_id", "text"), corpus, sketches,
+        "doc_id", "text", cfg, exactThreshold = 0.5)
+      input.addData(data: _*)
+      q.processAllAvailable(); q.stop()
+    }
+    run(Seq((1L, a)))
+    // simulate the exact crash window mid-stream: a later batch's corpus
+    // append COMMITTED but its sketch append was lost — doc 2 is in the
+    // corpus with no sketch row, doc 1's sketch survives
+    Seq((2L, b)).toDF("doc_id", "text")
+      .write.mode("append").parquet(corpus)
+    // next batch must detect the tear from row counts alone, re-sketch
+    // ONLY the orphaned row, and reject near-dups of BOTH prior docs
+    run(Seq((10L, a + " tonight"), (11L, b + " again"), (12L, "fresh unrelated content here")))
+    val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 12L), s"partial heal must reject dups of both prior docs: $ids")
+    val skIds = spark.read.parquet(sketches).select("id").as[Long].collect().toSet
+    assert(skIds == ids, s"healed sidecar out of sync: $skIds vs $ids")
+    // the heal appended exactly one sketch row (doc 2), not a rebuild
+    assert(spark.read.parquet(sketches).count() == 3)
+  }
+
   test("upsertSink crash recovery: completed staging is promoted, torn staging is discarded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
