@@ -956,6 +956,25 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("word"))
     }),
 
+    "text_bm25" -> ((s, dir) => {
+      // BM25 top-10 per query over documents. TWO-term queries on
+      // purpose: per-(query, doc) scores are then a sum of at most two
+      // addends, and IEEE addition is COMMUTATIVE (order-independence
+      // a 3+-term sum does not have cross-engine), so with tf/df/dl/N
+      // exact integers, avgdl an exact-int-sum ÷ count division, and
+      // the oracle spelling the identical operation tree, every score
+      // is bit-identical in DuckDB — ranks (full-precision, id
+      // tiebreak) compare exactly, score emitted at 6dp like tfidf.
+      import s.implicits._
+      val qs = Seq((1L, "table scan"), (2L, "window merge"),
+        (3L, "customer vector")).toDF("query_id", "qtext")
+      TextAnalysis.bm25TopK(tbl(s, dir, "documents"), "doc_id", "text",
+        qs, "query_id", "qtext", k = 10)
+        .select(col("query_id"), col("rank"), col("id").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     "text_tfidf" -> ((s, dir) => {
       // tfidf emitted at 6dp: tf/df/N are exact ints, but ln() is
       // transcendental — engines may differ in the last ulp, and the
@@ -2400,6 +2419,43 @@ object SparkEntry {
         |    x -> len(x) > 0)) AS word
         |  FROM documents) t
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
+
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs,
+        |                 (sum(dl)::DOUBLE / count(*)::DOUBLE) AS avgdl FROM dl),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |queries(query_id, qtext) AS (
+        |  VALUES (1::BIGINT, 'table scan'), (2::BIGINT, 'window merge'),
+        |         (3::BIGINT, 'customer vector')),
+        |qterms AS (
+        |  SELECT query_id,
+        |    unnest(list_distinct(list_filter(string_split_regex(lower(trim(qtext)), '\s+'), x -> len(x) > 0))) AS term
+        |  FROM queries),
+        |scored AS (
+        |  SELECT q.query_id, t.doc_id,
+        |    sum(ln(1.0 + (s.n_docs - t2.df::DOUBLE + 0.5) / (t2.df::DOUBLE + 0.5))
+        |        * (t.tf::DOUBLE * (1.2 + 1.0))
+        |        / (t.tf::DOUBLE + 1.2 * (0.25 + 0.75 * d.dl::DOUBLE / s.avgdl))) AS score
+        |  FROM tf t
+        |  JOIN qterms q USING (term)
+        |  JOIN dfreq t2 USING (term)
+        |  JOIN dl d ON d.doc_id = t.doc_id
+        |  CROSS JOIN stats s
+        |  GROUP BY q.query_id, t.doc_id),
+        |ranked AS (
+        |  SELECT query_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        |    doc_id, score
+        |  FROM scored)
+        |SELECT query_id, rank, doc_id, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     "text_tfidf" ->
       """WITH toks AS (

@@ -243,4 +243,86 @@ object TextAnalysis {
       // rotate-left-7 then xor: order-sensitive mixing with no Long
       // overflow (ANSI-safe, unlike multiply-add polynomial hashing)
       (acc, w) => shiftleft(acc, 7).bitwiseOR(shiftrightunsigned(acc, 57)).bitwiseXOR(xxhash64(w)))
+
+  /** BM25 retrieval: top-k documents per query (Okapi BM25,
+    * Robertson/Spärck Jones idf with the +1 smoothing every modern
+    * engine ships) — the retrieval sibling of [[tfidfTopTerms]], and
+    * the lexical half of a training-data stack's search tier (the
+    * embedding half is `Similarity`'s ANN family):
+    *
+    *   score(q, d) = Σ_{t ∈ terms(q)} idf(t) · tf·(k1+1) /
+    *                 (tf + k1·(1 − b + b·dl/avgdl)),
+    *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * with tf = t's count in d, dl = d's token count, avgdl the corpus
+    * mean. Repeated query terms score once (the ubiquitous
+    * qtf-saturated simplification). Output: (query_id, rank, id,
+    * score), ranks 1..k, ties broken by id.
+    *
+    * Shuffle shape at 100 TB — the posting frame NEVER shuffles, and
+    * nothing corpus-sized ever aggregates:
+    *   - the query term set (caller-bounded, like the ANN query
+    *     batches) broadcasts, and postings are FILTERED to query terms
+    *     map-side BEFORE any aggregate — tf, df, and the score join
+    *     all run over query-term postings only (a vanishing fraction
+    *     of the corpus), so their shuffles are query-sized;
+    *   - dl (doc token count) is a per-row column expression computed
+    *     alongside the explode, not a corpus-wide re-aggregate of tf —
+    *     no O(corpus) (doc → length) join;
+    *   - N and avgdl fold map-side into a broadcast 1-row frame (avgdl
+    *     as exact integer sum ÷ count — order-independent, hence
+    *     engine-reproducible; a double-avg's summation order is not);
+    *   - per-(query, doc) partial sums combine map-side and the only
+    *     wide exchange after scoring is the top-k's, carrying ≤ k rows
+    *     per partition per query ([[Similarity.topKPerKey]]).
+    * The trade is one corpus text scan per call (N/avgdl + postings
+    * read the text column twice, both map-side) — the ad-hoc shape.
+    * Repeated query workloads should persist the exploded posting
+    * frame once and reuse it; every step below composes unchanged on
+    * top of a stored (id, term, tf, dl) table. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    def words(text: Column): Column =
+      filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
+    val qterms = queries.select(col(qidCol).as("query_id"), explode(
+      array_distinct(words(col(qtextCol)))).as("term"))
+    val qset = qterms.select("term").distinct()
+    // postings restricted to query terms at the scan: explode + map-side
+    // broadcast semi-filter; dl rides each row as a column expression.
+    // The two-step select evaluates the non-cheap words() array ONCE per
+    // row (CollapseProject keeps multiply-referenced expensive
+    // expressions in their own projection instead of inlining them
+    // twice)
+    val toks = docs.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
+      .select(col("id"), size(col("ws")).as("dl"), explode(col("ws")).as("term"))
+      .join(broadcast(qset), Seq("term"))
+    // dl is functionally dependent on id — grouping by it too keeps the
+    // aggregate single-pass without a first()/max() accessor
+    val tf = toks.groupBy(col("id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .transform(Materialize.once(_)) // consumed twice: df + scores
+    // tf is unique per (id, term): row count per term = doc frequency
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // corpus-level stats over ALL docs with >= 1 token (not just
+    // query-term matches): one map-side-partial agg over the text scan
+    val stats = docs.select(size(words(col(textCol))).as("dl0"))
+      .filter(col("dl0") > 0)
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("dl0")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val scored = tf.join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term")) // ≤ |query terms| rows
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("s", col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    val perDoc = scored.groupBy("query_id", "id").agg(sum("s").as("score"))
+    Similarity.topKPerKey(perDoc, Seq("query_id"), col("score").desc, k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("id"), col("score"))
+  }
 }

@@ -351,6 +351,39 @@ class OperatorsSpec extends AnyFunSuite {
 
   // ---- text analysis ---------------------------------------------------
 
+  test("bm25 top-k: tf and length normalization rank as the formula says") {
+    val docs = Seq(
+      (1L, "a b a"),     // tf(a)=2, dl=3
+      (2L, "a c"),       // tf(a)=1, dl=2
+      (3L, "d d d")      // no 'a'; rare term d
+    ).toDF("doc_id", "text")
+    val qs = Seq((10L, "a"), (20L, "a d"), (30L, "zzz")).toDF("qid", "q")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text", qs, "qid", "q", k = 5)
+      .select("query_id", "rank", "id", "score")
+      .as[(Long, Long, Long, Double)].collect()
+    val byQ = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // query 'a': doc 1 (tf 2) outranks doc 2 (tf 1); doc 3 absent
+    assert(byQ(10L).map(_._3).toSeq == Seq(1L, 2L))
+    // query 'a d': d is rarer (df 1 vs 2) so its idf dominates — doc 3 wins
+    assert(byQ(20L).head._3 == 3L)
+    assert(byQ(20L).map(_._3).toSet == Set(1L, 2L, 3L))
+    // unseen term: no rows at all, not zero-score rows
+    assert(!byQ.contains(30L))
+    // scores strictly positive and non-increasing with rank
+    byQ.values.foreach { rows =>
+      assert(rows.forall(_._4 > 0.0))
+      assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted.reverse)
+    }
+  }
+
+  test("bm25 top-k: identical docs tie, ranks break by id; k caps output") {
+    val docs = Seq((5L, "x y"), (2L, "x y"), (9L, "x y")).toDF("doc_id", "text")
+    val qs = Seq((1L, "x")).toDF("qid", "q")
+    val top2 = TextAnalysis.bm25TopK(docs, "doc_id", "text", qs, "qid", "q", k = 2)
+      .select("rank", "id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(top2.toSeq == Seq((1L, 2L), (2L, 5L)))
+  }
+
   test("token counts: whitespace vs BPE-ish") {
     val df = Seq("Hello world, 42 tokens!").toDF("text")
     val r = df.select(
