@@ -1897,6 +1897,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "mix_weights" -> ((s, dir) => {
+      // data-mixing gate: resample documents to a 0.5/0.3/0.2
+      // en/fr/de language mixture (es/zh dropped — the allowlist
+      // contract), largest downsample-only size. The oracle re-derives
+      // the per-source rates from counts with the identical IEEE
+      // operation tree (no normalization sum anywhere — see
+      // mixToWeights) and replays the md5 fine-bucket threshold, so the
+      // kept row SET compares exactly.
+      Sampling.mixToWeights(tbl(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", Map("en" -> 0.5, "fr" -> 0.3, "de" -> 0.2))
+        .orderBy("doc_id")
+    }),
+
+    "sample_token_budget" -> ((s, dir) => {
+      // deterministic budget prefix in md5-priority order; n_chars
+      // stands in for the token count (exact integers, same cumsum in
+      // any engine). Budget 100k BINDS at every sf (sf0.01 corpus
+      // totals ~149k chars, sf0.1 ~1.49M) so the boundary doc is
+      // genuinely excluded, not vacuously kept.
+      Sampling.tokenBudgetSample(tbl(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars"),
+        "doc_id", "n_chars", budget = 100000L)
+        .orderBy("doc_id")
+    }),
+
     "split_leakage_safe" -> ((s, dir) => {
       // near-dup groups follow their representative into one split.
       // Pairs are the EXACT-verified minhash pairs (J >= 0.5) and the
@@ -3013,6 +3038,46 @@ object SparkEntry {
         |     + ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 2, 1)) * 131
         |     + ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 3, 1))) % 100 <
         |  CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 60 ELSE 100 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "mix_weights" ->
+      """WITH n AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+        |  WHERE lang IN ('de','en','fr') GROUP BY lang),
+        |t AS (SELECT min(n::DOUBLE /
+        |        CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.3 ELSE 0.2 END) AS t FROM n),
+        |cut AS (
+        |  SELECT lang,
+        |    CAST(floor(((CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.3 ELSE 0.2 END * t.t)
+        |                / n::DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS cut
+        |  FROM n CROSS JOIN t),
+        |keyed AS (
+        |  SELECT doc_id, lang,
+        |    md5(CAST(doc_id AS VARCHAR) || '#mix0') AS h
+        |  FROM documents WHERE lang IN ('de','en','fr')),
+        |bucketed AS (
+        |  SELECT doc_id, lang,
+        |    ((((((ascii(substr(h,1,1)) - CASE WHEN ascii(substr(h,1,1)) >= 97 THEN 87 ELSE 48 END) * 16
+        |       + (ascii(substr(h,2,1)) - CASE WHEN ascii(substr(h,2,1)) >= 97 THEN 87 ELSE 48 END)) * 16
+        |       + (ascii(substr(h,3,1)) - CASE WHEN ascii(substr(h,3,1)) >= 97 THEN 87 ELSE 48 END)) * 16
+        |       + (ascii(substr(h,4,1)) - CASE WHEN ascii(substr(h,4,1)) >= 97 THEN 87 ELSE 48 END)) * 16
+        |       + (ascii(substr(h,5,1)) - CASE WHEN ascii(substr(h,5,1)) >= 97 THEN 87 ELSE 48 END)) * 16
+        |       + (ascii(substr(h,6,1)) - CASE WHEN ascii(substr(h,6,1)) >= 97 THEN 87 ELSE 48 END)
+        |    ) % 1048576 AS bucket
+        |  FROM keyed)
+        |SELECT b.doc_id, b.lang, CAST(0 AS BIGINT) AS copy
+        |FROM bucketed b JOIN cut c USING (lang)
+        |WHERE b.bucket < c.cut
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_token_budget" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    sum(n_chars) OVER (
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '#budget'), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM c WHERE cum <= 100000
         |ORDER BY doc_id""".stripMargin,
 
     "split_hash" ->

@@ -165,6 +165,129 @@ object Sampling {
       .drop("rep")
   }
 
+  /** Deterministic fine-grained bucket 0..2^20-1 from a string key: the
+    * first six hex chars of md5(key) parsed as a 24-bit integer, folded
+    * mod 2^20 — PERFECTLY uniform (2^24 / 2^20 = 16 exactly) where a
+    * non-power-of-two fold would bias low buckets, and engine-portable
+    * like [[pctBucket]] (md5 + ascii arithmetic reproduce verbatim in
+    * any SQL engine; rate granularity ~1e-6 where pctBucket's 100
+    * buckets quantize to 1%). */
+  private[operators] def fineBucket(key: Column): Column = {
+    val hex = md5(key)
+    def hv(i: Int): Column = {
+      val a = ascii(substring(hex, i, 1))
+      a - when(a >= 97, lit(87)).otherwise(lit(48))
+    }
+    val v = (1 to 6).map(hv).reduce((acc, h) => acc * 16 + h)
+    pmod(v, lit(1048576)).cast("long")
+  }
+
+  val MixBuckets: Long = 1048576L
+
+  /** Resample a corpus to a TARGET SOURCE MIXTURE — the data-mixing
+    * step of an LLM training pipeline (sample web/code/books/wiki to
+    * chosen proportions; with `targetRows`, express "N epochs of a
+    * small high-quality source" as replication). `weights` are RELATIVE
+    * weights per `sourceCol` value; sources absent from the map are
+    * DROPPED (the mixture is an explicit allowlist), and every weighted
+    * source must be present in the data (a zero-count source would
+    * silently zero the whole mixture instead of failing).
+    *
+    * Default (`targetRows = None`): the largest mixture achievable by
+    * pure downsampling — T = min_s(n_s / w_s) "rows per unit weight",
+    * each source keeps k_s ≈ w_s·T rows, the binding source keeps all.
+    * With `targetRows = Some(N)`: T = N / Σw, and sources whose demand
+    * exceeds their supply are UPSAMPLED by row replication — the output
+    * gains `copy` indices 1.. on the replicated rows (capped at
+    * `maxEpochs` passes over a source, the standard repetition-harm
+    * guard). Rows are chosen by [[fineBucket]] hash thresholds salted
+    * per copy: fully deterministic, reproducible across runs, engines,
+    * and cluster layouts, and INDEPENDENT of [[hashSplit]]'s buckets.
+    * Realized per-source counts are binomial around k_s (exact-k would
+    * need a per-source global rank — a corpus-wide sort for a √n
+    * cosmetic improvement; deviations are O(√n_s) and vanish at scale).
+    *
+    * Scale shape: one combiner-reduced groupBy(source).count() collect
+    * (bounded by source cardinality — mixtures are written over tens of
+    * sources, not millions), then a single map-side filter (+ a ≤
+    * maxEpochs explode on upsampled sources only). Nothing shuffles.
+    * NOT a pure lazy plan: the count job runs at call time. */
+  def mixToWeights(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], targetRows: Option[Long] = None,
+      maxEpochs: Double = 8.0): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    weights.foreach { case (s, w) =>
+      require(w > 0.0 && java.lang.Double.isFinite(w),
+        s"weight for source '$s' must be finite and > 0 (got $w)") }
+    val inMix = df.filter(col(sourceCol).isin(weights.keySet.toSeq: _*))
+    val counts = inMix.groupBy(col(sourceCol).as("__s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = weights.keySet -- counts.keySet
+    require(missing.isEmpty,
+      s"weighted sources absent from the data: ${missing.toSeq.sorted.mkString(", ")}")
+    // rows-per-unit-weight: every arithmetic step below is a single
+    // IEEE op over exact integers and the caller's literal weights —
+    // no normalization sum whose ORDER could differ between engines
+    // re-deriving the rates (the oracle-parity discipline)
+    val tUnits = targetRows match {
+      case None => weights.map { case (s, w) => counts(s).toDouble / w }.min
+      case Some(n) =>
+        require(n > 0, s"targetRows must be > 0 (got $n)")
+        // Σw summed in sorted-key order — deterministic for any replica
+        n.toDouble / weights.toSeq.sortBy(_._1).map(_._2).sum
+    }
+    val rate: Map[String, Double] = weights.map { case (s, w) =>
+      val r = (w * tUnits) / counts(s).toDouble
+      require(targetRows.isEmpty || r <= maxEpochs,
+        f"source '$s' would need $r%.2f epochs (> maxEpochs=$maxEpochs) to meet the target " +
+          "mixture — raise maxEpochs explicitly or lower its weight")
+      s -> r
+    }
+    def chain(f: Double => Double, default: Column): Column =
+      rate.toSeq.sortBy(_._1).foldLeft(default) { case (acc, (s, r)) =>
+        when(col(sourceCol) === s, lit(f(r))).otherwise(acc) }
+    val copies = chain(r => math.max(1L, math.ceil(r).toLong).toDouble, lit(1.0))
+      .cast("long")
+    val rCol = chain(identity, lit(0.0))
+    val out = inMix
+      .withColumn("copy", explode(sequence(lit(0L), copies - 1)))
+      // copy c of a row survives with probability clamp(r - c, 0, 1):
+      // full passes keep everything, the fractional last pass hash-
+      // filters, salted per copy so passes sample independently
+      .withColumn("__cut",
+        floor(least(lit(1.0), greatest(lit(0.0), rCol - col("copy").cast("double"))) *
+          lit(MixBuckets.toDouble) + lit(0.5)).cast("long"))
+      .filter(fineBucket(concat(col(idCol).cast("string"), lit("#mix"),
+        col("copy").cast("string"))) < col("__cut"))
+      .drop("__cut")
+    if (targetRows.isEmpty) out.withColumn("copy", col("copy") * 0L) else out
+  }
+
+  /** Deterministic TOKEN-BUDGET corpus selection: take documents in
+    * hash-priority order (uniform-random but reproducible) until the
+    * running `countCol` total fills `budget` — "give me ~10B tokens of
+    * this corpus, the same 10B every run". Keeps rows whose cumulative
+    * total (inclusive) stays ≤ budget, so the budget is a hard ceiling;
+    * the boundary-straddling document is excluded ([[nextFitPackExact]]'s
+    * convention, not [[nextFitPack]]'s overshoot).
+    *
+    * `shardCol`: the greedy prefix is inherently sequential, so the
+    * global form moves all rows through one ordered window task — pass a
+    * shard column on large frames and the budget applies PER SHARD
+    * (divide the global budget across shards caller-side; shards are
+    * the parallel unit, exactly the packing contract). */
+  def tokenBudgetSample(df: DataFrame, idCol: String, countCol: String,
+      budget: Long, shardCol: Option[String] = None): DataFrame = {
+    require(budget > 0, s"budget must be > 0 (got $budget)")
+    val prio = md5(concat(col(idCol).cast("string"), lit("#budget")))
+    val w = shardCol.map(s => Window.partitionBy(s)).getOrElse(Window.partitionBy())
+      .orderBy(prio, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(countCol)).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Cumulative budget packing: stream documents in `orderCol` order;
     * `pack_id` = whole budgets the running token total has filled.
     * APPROXIMATION: a document straddling a budget boundary lets the next

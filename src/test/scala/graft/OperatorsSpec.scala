@@ -675,6 +675,61 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Sampling.hashSplit(df, "id", 80).collect().toSet == out.collect().toSet)
   }
 
+  test("mixToWeights: downsample-only mixture hits target proportions, binding source keeps all") {
+    val df = (0L until 3000L).map { i =>
+      (i, if (i < 2000) "web" else if (i < 2800) "code" else "books")
+    }.toDF("id", "src")   // 2000 / 800 / 200
+    // weights 1:1:1 → books (200 rows, rate 1.0) binds; web/code keep ~200
+    val out = Sampling.mixToWeights(df, "id", "src", Map("web" -> 1.0, "code" -> 1.0, "books" -> 1.0))
+    val by = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(by("books") == 200L)                      // binding source: keeps everything
+    assert(by("web") > 150L && by("web") < 250L)     // ~200 ± binomial noise
+    assert(by("code") > 150L && by("code") < 250L)
+    assert(out.columns.contains("copy") && out.filter($"copy" =!= 0L).count() == 0)
+    // deterministic: rerun identical
+    assert(Sampling.mixToWeights(df, "id", "src",
+      Map("web" -> 1.0, "code" -> 1.0, "books" -> 1.0))
+      .select("id", "copy").as[(Long, Long)].collect().toSet ==
+      out.select("id", "copy").as[(Long, Long)].collect().toSet)
+    // unweighted sources are dropped entirely
+    val df2 = df.union(Seq((9000L, "junk")).toDF("id", "src"))
+    assert(!Sampling.mixToWeights(df2, "id", "src", Map("web" -> 1.0, "books" -> 1.0))
+      .select("src").as[String].collect().contains("junk"))
+  }
+
+  test("mixToWeights: targetRows upsamples small sources by replication, caps at maxEpochs") {
+    val df = (0L until 1100L).map { i => (i, if (i < 1000) "web" else "wiki") }
+      .toDF("id", "src")   // 1000 web / 100 wiki
+    // 50/50 mixture at 1000 rows → wiki needs 500 from 100 → 5 epochs
+    val out = Sampling.mixToWeights(df, "id", "src",
+      Map("web" -> 1.0, "wiki" -> 1.0), targetRows = Some(1000L))
+    val wiki = out.filter($"src" === "wiki")
+    val n = wiki.count()
+    assert(n > 400L && n < 600L, s"wiki should be ~500, got $n")
+    // full passes present: every wiki row appears with copies 0..3 at least
+    assert(wiki.filter($"copy" >= 4L).count() > 0L || n >= 400L)
+    assert(wiki.groupBy("id").count().filter($"count" > 1).count() > 0L, "no replication happened")
+    // a mixture demanding > maxEpochs fails loudly
+    intercept[IllegalArgumentException] {
+      Sampling.mixToWeights(df, "id", "src",
+        Map("web" -> 1.0, "wiki" -> 1.0), targetRows = Some(10000L))
+    }
+  }
+
+  test("tokenBudgetSample: hard ceiling, deterministic prefix, per-shard budgets") {
+    val df = (0L until 100L).map(i => (i, "s" + (i % 2), 10L)).toDF("id", "shard", "toks")
+    val out = Sampling.tokenBudgetSample(df, "id", "toks", budget = 105L)
+    val kept = out.select("id").as[Long].collect().toSet
+    assert(kept.size == 10)   // 10 × 10 toks = 100 ≤ 105; an 11th would hit 110
+    // rerun picks the same prefix
+    assert(Sampling.tokenBudgetSample(df, "id", "toks", 105L)
+      .select("id").as[Long].collect().toSet == kept)
+    // sharded: each shard fills its own budget
+    val sh = Sampling.tokenBudgetSample(df, "id", "toks", 50L, Some("shard"))
+      .groupBy("shard").count().as[(String, Long)].collect().toMap
+    assert(sh == Map("s0" -> 5L, "s1" -> 5L))
+  }
+
   test("leakageSafeSplit keeps near-dup chains in one split") {
     val df = Seq(1L, 2L, 3L, 10L, 11L, 50L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
