@@ -1897,6 +1897,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_quantile_buckets" -> ((s, dir) => {
+      // CCNet-style per-group terciles (head/middle/tail), exercised on
+      // an exactly-reproducible score (n_chars: exact ints, and the
+      // corpus_quantiles gate already proves Spark percentile ≡ DuckDB
+      // quantile_cont on this very column+grouping). exact = true is
+      // the oracle-parity mode; production default is the mergeable GK
+      // sketch. The canonical perplexity-tercile composition
+      // (bigramLmScore → buckets) is semantics-identical but its score
+      // is an avg whose last-ulp drifts cross-engine — a gate on it
+      // would flake at threshold boundaries, so the gate pins the
+      // operator on the drift-free score instead.
+      Curation.quantileBuckets(tbl(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars"),
+        "lang", "n_chars", exact = true)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
     "mix_weights" -> ((s, dir) => {
       // data-mixing gate: resample documents to a 0.5/0.3/0.2
       // en/fr/de language mixture (es/zh dropped — the allowlist
@@ -3039,6 +3057,19 @@ object SparkEntry {
         |     + ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 3, 1))) % 100 <
         |  CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 60 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
+
+    "text_quantile_buckets" ->
+      """WITH th AS (
+        |  SELECT lang,
+        |    quantile_cont(n_chars, 1.0/3) AS q1,
+        |    quantile_cont(n_chars, 2.0/3) AS q2
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  CASE WHEN d.n_chars <= t.q1 THEN 'head'
+        |       WHEN d.n_chars <= t.q2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM documents d JOIN th t USING (lang)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "mix_weights" ->
       """WITH n AS (

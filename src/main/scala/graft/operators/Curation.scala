@@ -334,4 +334,56 @@ object Curation {
       regexp_replace(regexp_replace(auth, "^.*@", ""), ":[0-9]*$", ""),
       "^www\\.", "")
   }
+
+  /** Per-group quantile bucketing — the CCNet shape: label each row
+    * head/middle/tail (or any label list) by where its score falls in
+    * its GROUP's score distribution. The canonical use is perplexity
+    * terciles per language (compose with
+    * [[TextAnalysis.bigramLmScore]]: bucket on avg_logp per lang, keep
+    * "head" for the highest-quality third, route "middle" to a
+    * classifier, drop "tail"); the operator is score-generic.
+    *
+    * Rows land in `labels(i)` when score ≤ the group's `probs(i)`
+    * quantile (interpolated, quantile_cont semantics), `labels.last`
+    * above every threshold. Null scores get a null bucket; rows with a
+    * NULL group are dropped (join keys never match null — same
+    * contract as every keyed operator here). Only the label column
+    * (`bucketCol`) is added.
+    *
+    * Scale shape: one combiner-mergeable aggregate keyed by group
+    * computes every threshold (the DEFAULT is `percentile_approx` — a
+    * mergeable Greenwald-Khanna sketch, so a 100 TB group folds
+    * map-side and no reducer ever sees raw values; `exact = true`
+    * switches to exact interpolated percentile for oracle parity and
+    * small frames — exact percentile buffers each group's values on
+    * one reducer, which is precisely what does NOT survive a billion-
+    * row language), then the thresholds frame (|groups| rows)
+    * broadcast-joins back and labeling is a map-side when-chain. */
+  def quantileBuckets(df: DataFrame, groupCol: String, scoreCol: String,
+      probs: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      bucketCol: String = "bucket",
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(labels.length == probs.length + 1,
+      s"need one label per bucket: ${probs.length} probs -> ${probs.length + 1} labels " +
+        s"(got ${labels.length})")
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p < 1.0) &&
+      probs.sliding(2).forall(s => s.length < 2 || s(0) < s(1)),
+      s"probs must be strictly increasing within (0, 1): $probs")
+    val probsSql = probs.map(p => java.lang.Double.toString(p)).mkString("array(", ", ", ")")
+    val agg =
+      if (exact) expr(s"percentile(`$scoreCol`, $probsSql)")
+      else expr(s"percentile_approx(`$scoreCol`, $probsSql, $accuracy)")
+    val th = df.groupBy(col(groupCol)).agg(agg.as("__qs"))
+    val bucket = probs.indices.foldRight(
+      when(col(scoreCol).isNull, lit(null).cast("string")).otherwise(lit(labels.last))) {
+      (i, acc) =>
+        when(col(scoreCol).isNotNull &&
+          col(scoreCol).cast("double") <= element_at(col("__qs"), i + 1), lit(labels(i)))
+          .otherwise(acc)
+    }
+    df.join(broadcast(th), Seq(groupCol))
+      .withColumn(bucketCol, bucket)
+      .drop("__qs")
+  }
 }

@@ -398,4 +398,36 @@ class CurationSpec extends AnyFunSuite {
       .as[String].collect().toSeq
     assert(hosts == Seq("sub.example.com", "", "evil.com", "a.com", "b.com"))
   }
+
+  test("quantileBuckets: terciles per group, exact ≡ approx on small frames, nulls handled") {
+    // group a: scores 1..9 → terciles at q(1/3)=3.67, q(2/3)=6.33
+    // (quantile_cont interpolation): head {1,2,3}, middle {4,5,6}, tail {7,8,9}
+    // group b: constant scores → every threshold equals the score → all head
+    val rows = (1 to 9).map(i => ("a", i.toDouble, i.toLong)) ++
+      (1 to 3).map(i => ("b", 5.0, 100L + i))
+    val df = rows.toDF("g", "score", "id")
+    def buckets(exact: Boolean) =
+      Curation.quantileBuckets(df, "g", "score", exact = exact)
+        .select("id", "bucket").as[(Long, String)].collect().toMap
+    val ex = buckets(exact = true)
+    assert((1L to 3L).forall(ex(_) == "head") && (4L to 6L).forall(ex(_) == "middle") &&
+      (7L to 9L).forall(ex(_) == "tail"), s"unexpected: $ex")
+    assert((101L to 103L).forall(ex(_) == "head"))
+    // GK with default accuracy is exact at this size
+    assert(buckets(exact = false) == ex)
+    // null score → null bucket; null group dropped by the key join
+    val withNulls = Seq(("a", Some(1.0), 1L), ("a", Some(9.0), 2L),
+      ("a", None, 999L), (null.asInstanceOf[String], Some(5.0), 998L))
+      .toDF("g", "score", "id")
+    val nb = Curation.quantileBuckets(withNulls, "g", "score", exact = true)
+      .select("id", "bucket").as[(Long, Option[String])].collect().toMap
+    assert(nb(999L).isEmpty, "null score must bucket to null")
+    assert(!nb.contains(998L), "null group must be dropped")
+    val custom = Curation.quantileBuckets(df, "g", "score",
+      probs = Seq(0.5), labels = Seq("keep", "drop"), bucketCol = "verdict")
+    assert(custom.columns.contains("verdict"))
+    intercept[IllegalArgumentException] {
+      Curation.quantileBuckets(df, "g", "score", probs = Seq(0.5), labels = Seq("only"))
+    }
+  }
 }
