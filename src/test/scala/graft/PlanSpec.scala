@@ -175,4 +175,87 @@ class PlanSpec extends AnyFunSuite {
     // global sort would add a range-partitioning exchange
     assert(!p.contains("rangepartitioning"), s"global sort crept in:\n$p")
   }
+
+  test("bm25TopK: the corpus posting frame never shuffles on term — every term exchange is query-sized") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val qs = Seq((1L, "table scan"), (2L, "window merge")).toDF("qid", "q")
+    val out = graft.operators.TextAnalysis.bm25TopK(
+      docs, "doc_id", "text", qs, "qid", "q", 10)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the query term set must broadcast into the posting scan (the
+    // map-side semi-filter BEFORE any aggregate) — every join in this
+    // plan is broadcast, nothing corpus-sized sort-merges
+    assert(p.contains("BroadcastHashJoin"), s"query-term broadcast missing:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"a corpus-sized join crept in:\n$p")
+    // the tf aggregate runs inside Materialize.once at call time (the
+    // plan here consumes its checkpoint); what remains downstream must
+    // key only on query-sized attributes: the per-(query, doc) sum …
+    assert(p.contains("hashpartitioning(query_id"),
+      s"per-(query, doc) partial sum missing:\n$p")
+    // … and any term-keyed exchange is the tiny query-side distinct —
+    // whose subtree is a LocalTableScan, never the corpus checkpoint
+    val termEx = "hashpartitioning\\(term".r.findAllIn(p).length
+    assert(termEx <= 2, s"unexpected term-keyed exchanges ($termEx):\n$p")
+    assert(p.contains("LocalTableScan"), s"query side should be a local relation:\n$p")
+    // partial aggregation everywhere that aggregates (map-side combine)
+    assert("HashAggregate".r.findAllIn(p).length >= 4, "no partial aggregation")
+  }
+
+  test("mixToWeights default path: map-side filter only — zero exchanges before the caller's action") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "src")
+    val out = graft.operators.Sampling.mixToWeights(df, "id", "src",
+      Map("a" -> 1.0, "b" -> 1.0))
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the plan the caller composes on is filter + explode(1) + project —
+    // the count job already ran at call time; NOTHING here shuffles
+    assert(!p.contains("Exchange"), s"mixToWeights output plan must be narrow:\n$p")
+  }
+
+  test("tokenBudgetSample sharded: single shard exchange, window is not a global sort") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"s${i % 4}", 10L)).toDF("id", "shard", "toks")
+    val out = graft.operators.Sampling.tokenBudgetSample(df, "id", "toks", 100L, Some("shard"))
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("hashpartitioning(shard"), s"window not partitioned by shard:\n$p")
+    assert(!p.contains("SinglePartition"), s"sharded form must not funnel to one task:\n$p")
+  }
+
+  test("quantileBuckets approx path: mergeable sketch aggregate, thresholds broadcast back") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, s"g${i % 3}", (i % 97).toDouble)).toDF("id", "g", "score")
+    val out = graft.operators.Curation.quantileBuckets(df, "g", "score")
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // percentile_approx is a typed-imperative aggregate → ObjectHashAggregate,
+    // and it MUST run partial-then-final (two nodes) so a 100 TB group
+    // folds map-side instead of shipping raw values
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"approx percentile must be a two-phase object aggregate:\n$p")
+    assert(p.contains("BroadcastExchange"), s"thresholds must broadcast back:\n$p")
+  }
+
+  test("semanticDedupPairsByCluster: pure lazy plan — no count job, no fit, cluster-keyed self-join only") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (0L until 100L).map(i =>
+      (i, Array.tabulate(4)(d => (i * 4 + d).toFloat), s"c${i % 5}"))
+      .toDF("id", "vec", "cell")
+    val out = graft.operators.Dedup.semanticDedupPairsByCluster(
+      df, "id", "vec", "cell", threshold = 0.9, saltBuckets = 1)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // with salt pinned to 1 there is no occupancy probe; the join keys
+    // on the cluster column and nothing else corpus-sized moves
+    assert(p.contains("cluster"), s"cluster key missing from plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept into the cell join:\n$p")
+  }
 }
