@@ -1897,6 +1897,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_unicode_nfc" -> ((s, dir) => {
+      // the corpus is pure ASCII (the fast path returns it untouched),
+      // so a decomposed suffix is appended to make normalization
+      // genuinely fire: NFC must compose e+U+0301 → é and A+U+030A →
+      // Å, and the code-point counts prove it (each combining pair
+      // collapses by one). DuckDB's nfc_normalize is the oracle.
+      import graft.functions.TextFunctions
+      val raw = concat(col("text"), lit(" cafe\u0301 A\u030a"))
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.normalizeUnicode(raw).as("norm_text"),
+        length(TextFunctions.normalizeUnicode(raw)).cast("long").as("n_chars_norm"),
+        length(raw).cast("long").as("n_chars_raw"))
+        .orderBy("doc_id")
+    }),
+
     "text_quantile_buckets" -> ((s, dir) => {
       // CCNet-style per-group terciles (head/middle/tail), exercised on
       // an exactly-reproducible score (n_chars: exact ints, and the
@@ -3057,6 +3073,13 @@ object SparkEntry {
         |     + ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 3, 1))) % 100 <
         |  CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 60 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
+
+    "text_unicode_nfc" ->
+      """SELECT doc_id,
+        |  nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778)) AS norm_text,
+        |  CAST(length(nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778))) AS BIGINT) AS n_chars_norm,
+        |  CAST(length(text || ' cafe' || chr(769) || ' A' || chr(778)) AS BIGINT) AS n_chars_raw
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quantile_buckets" ->
       """WITH th AS (

@@ -323,6 +323,64 @@ case class WordChunks(child: Expression, chunkLen: Int, stride: Int)
     copy(child = newChild)
 }
 
+/** `unicode_normalize(text, form)` — Unicode normalization (NFC / NFD /
+  * NFKC / NFKD via `java.text.Normalizer`), the canonicalization step
+  * a multilingual corpus needs before dedup and fingerprinting:
+  * "café" spelled e+COMBINING ACUTE and as the precomposed é are
+  * DIFFERENT byte strings (different hashes, different shingles,
+  * different exact-dedup keys) until normalized.
+  *
+  * Scale shape: pure per-row expression — one map stage, no shuffle.
+  * The hot path never leaves the UTF8String: a byte scan detects pure
+  * ASCII (always normalized in every form) and returns the INPUT
+  * object, so the String round-trip + Normalizer call is paid only by
+  * rows that can actually change — on mostly-ASCII web corpora the
+  * common case is a read-only scan. Codegen'd via a static helper so a
+  * projection over it stays one WholeStageCodegen span.
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  require(UnicodeNormalize.Forms.contains(form),
+    s"form must be one of ${UnicodeNormalize.Forms.mkString(", ")} (got '$form')")
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeNormalize.normalize(input.asInstanceOf[UTF8String],
+      java.text.Normalizer.Form.valueOf(form))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = UnicodeNormalize.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $cls.normalize($c, java.text.Normalizer.Form.$form);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}
+
+object UnicodeNormalize {
+  val Forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
+
+  /** ASCII fast path + Normalizer slow path; returns the input object
+    * unchanged (no copy) when no byte ≥ 0x80. */
+  def normalize(s: UTF8String, form: java.text.Normalizer.Form): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0x80) != 0) {
+        return UTF8String.fromString(
+          java.text.Normalizer.normalize(s.toString, form))
+      }
+      i += 1
+    }
+    s
+  }
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
 
@@ -333,4 +391,8 @@ object TextFunctions {
 
   def wordChunks(text: Column, chunkLen: Int, stride: Int): Column =
     toCol(WordChunks(toExpr(text), chunkLen, stride))
+
+  /** Unicode-normalize a string column (default NFC). */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    toCol(UnicodeNormalize(toExpr(text), form))
 }

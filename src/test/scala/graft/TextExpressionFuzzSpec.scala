@@ -100,4 +100,33 @@ class TextExpressionFuzzSpec extends AnyFunSuite {
         s"WordChunks mismatch on ${docs(i).map(c => f"\\u${c.toInt}%04x").mkString}: got ${got(i)} exp ${exp(i)}")
     }
   }
+
+  test("UnicodeNormalize agrees with java.text.Normalizer over the adversarial alphabet + combining marks") {
+    import graft.functions.TextFunctions
+    // extend the corpus with decomposed sequences the base alphabet
+    // lacks: combining acute/ring/tilde after letters, NFKC-relevant
+    // compatibility chars (ﬁ ligature, ℕ, ½, full-width A)
+    val extra = Seq("café", "Å", "ño", "ﬁn", "ℕ½", "Ａscii",
+      "é̂stack", "", "plain ascii only")
+    val docs = sample(150) ++ extra
+    for (form <- Seq("NFC", "NFD", "NFKC", "NFKD")) {
+      val jf = java.text.Normalizer.Form.valueOf(form)
+      val got = docs.toDF("t")
+        .select(TextFunctions.normalizeUnicode(col("t"), form).as("n"))
+        .as[String].collect().toSeq
+      docs.indices.foreach { i =>
+        val exp = java.text.Normalizer.normalize(docs(i), jf)
+        assert(got(i) == exp,
+          s"$form mismatch on ${docs(i).map(c => f"\\u${c.toInt}%04x").mkString}: got ${got(i)} exp $exp")
+      }
+    }
+    // null passthrough and invalid-form rejection
+    val nulls = Seq[String](null).toDF("t")
+      .select(TextFunctions.normalizeUnicode(col("t")).as("n")).collect()
+    assert(nulls.head.isNullAt(0))
+    intercept[IllegalArgumentException] {
+      graft.functions.UnicodeNormalize(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("t")), "NFX")
+    }
+  }
 }
