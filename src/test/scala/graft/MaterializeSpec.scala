@@ -90,4 +90,22 @@ class MaterializeSpec extends AnyFunSuite {
     assert(lp == rp && lp.contains((1L, 2L)))
     assert(li == ri && li.map(_._1) == Seq(1L, 2L, 3L))
   }
+
+  test("bm25 and ngram-jaccard (round-10 materialize sites) identical in both modes") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "alpha beta alpha gamma"), (2L, "alpha delta"),
+      (3L, "beta beta gamma"), (4L, "epsilon zeta")).toDF("doc_id", "text")
+    def runBm25(): Seq[(Long, Long, Long)] = {
+      val qs = Seq((1L, "alpha beta")).toDF("qid", "q")
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", qs, "qid", "q", 3)
+        .select("query_id", "rank", "id").as[(Long, Long, Long)].collect().toSeq.sorted
+    }
+    def runNgram(): Set[(Long, Long)] =
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.2)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val (lb, ln) = (runBm25(), runNgram())
+    val (rb, rn) = withCheckpointDir(_ => (runBm25(), runNgram()))
+    assert(lb == rb && lb.nonEmpty)
+    assert(ln == rn)
+  }
 }
