@@ -243,23 +243,40 @@ object Sampling {
           "mixture — raise maxEpochs explicitly or lower its weight")
       s -> r
     }
-    def chain(f: Double => Double, default: Column): Column =
-      rate.toSeq.sortBy(_._1).foldLeft(default) { case (acc, (s, r)) =>
-        when(col(sourceCol) === s, lit(f(r))).otherwise(acc) }
-    val copies = chain(r => math.max(1L, math.ceil(r).toLong).toDouble, lit(1.0))
-      .cast("long")
-    val rCol = chain(identity, lit(0.0))
-    val out = inMix
-      .withColumn("copy", explode(sequence(lit(0L), copies - 1)))
+    // rate attach: a literal when-chain keeps the plan narrow (zero
+    // exchanges) but is a per-source-deep expression tree — fine for
+    // the tens of sources mixtures are written over, pathological for
+    // thousands (codegen blowup). Past 64 sources the rates ride a
+    // broadcast-joined frame instead: one BroadcastExchange, flat
+    // expressions, any cardinality.
+    val withRates: DataFrame =
+      if (rate.size <= 64) {
+        def chain(f: Double => Double, default: Column): Column =
+          rate.toSeq.sortBy(_._1).foldLeft(default) { case (acc, (s, r)) =>
+            when(col(sourceCol) === s, lit(f(r))).otherwise(acc) }
+        inMix
+          .withColumn("__rate", chain(identity, lit(0.0)))
+          .withColumn("__copies",
+            chain(r => math.max(1L, math.ceil(r).toLong).toDouble, lit(1.0)).cast("long"))
+      } else {
+        val sess = df.sparkSession
+        import sess.implicits._
+        val rateDf = rate.toSeq.sortBy(_._1)
+          .map { case (s, r) => (s, r, math.max(1L, math.ceil(r).toLong)) }
+          .toDF(sourceCol, "__rate", "__copies")
+        inMix.join(broadcast(rateDf), Seq(sourceCol))
+      }
+    val out = withRates
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))
       // copy c of a row survives with probability clamp(r - c, 0, 1):
       // full passes keep everything, the fractional last pass hash-
       // filters, salted per copy so passes sample independently
       .withColumn("__cut",
-        floor(least(lit(1.0), greatest(lit(0.0), rCol - col("copy").cast("double"))) *
+        floor(least(lit(1.0), greatest(lit(0.0), col("__rate") - col("copy").cast("double"))) *
           lit(MixBuckets.toDouble) + lit(0.5)).cast("long"))
       .filter(fineBucket(concat(col(idCol).cast("string"), lit("#mix"),
         col("copy").cast("string"))) < col("__cut"))
-      .drop("__cut")
+      .drop("__cut", "__rate", "__copies")
     if (targetRows.isEmpty) out.withColumn("copy", col("copy") * 0L) else out
   }
 

@@ -107,4 +107,25 @@ class MixFuzzSpec extends AnyFunSuite {
         s"total ${out.length} vs target $target")
     }
   }
+
+  test("high source cardinality takes the broadcast-rates path with identical semantics") {
+    // 100 sources of 30 rows, uniform weights → every source is
+    // binding (rate 1.0) → the ENTIRE corpus survives — an exact
+    // invariant that holds only if the join-branch rate attach is
+    // value-identical to the when-chain's
+    val counts = (0 until 100).map(i => f"s$i%03d" -> 30).toMap
+    val df = corpus(counts)
+    val weights = counts.keys.map(_ -> 1.0).toMap
+    val out = Sampling.mixToWeights(df, "id", "src", weights)
+    assert(out.count() == 3000L, "uniform mixture over equal sources must keep everything")
+    // and a skewed weight still downsamples only the over-weighted rest
+    val skew = counts.keys.map(k => k -> (if (k == "s000") 2.0 else 1.0)).toMap
+    val kept = Sampling.mixToWeights(df, "id", "src", skew)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(kept("s000") == 30L, "the binding (most-demanded) source keeps all rows")
+    val others = kept.filter(_._1 != "s000").values
+    // expected 15 each (rate 0.5), binomial noise; sum is tighter
+    assert(math.abs(others.sum - 99 * 15.0) < 5.0 * math.sqrt(99 * 30 * 0.25) + 10,
+      s"sum of downsampled sources off: ${others.sum}")
+  }
 }
