@@ -730,6 +730,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sh == Map("s0" -> 5L, "s1" -> 5L))
   }
 
+  test("sampling/semantic edge cases: nprobe past k caps, oversized first doc, absent weighted source") {
+    // nprobe larger than the cluster count must cap, not throw
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.1f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticDedupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.9, numClusters = 2, kmeansIters = 1, nprobe = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // a budget smaller than every document selects nothing (hard ceiling,
+    // no "always take the first" overshoot)
+    val docs = Seq((1L, 100L), (2L, 90L)).toDF("id", "toks")
+    assert(Sampling.tokenBudgetSample(docs, "id", "toks", budget = 50L).count() == 0L)
+    // a weighted source absent from the data fails loudly instead of
+    // silently zeroing the whole mixture
+    val mix = Seq((1L, "web")).toDF("id", "src")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixToWeights(mix, "id", "src", Map("web" -> 1.0, "books" -> 1.0))
+    }
+    assert(e.getMessage.contains("books"))
+  }
+
   test("leakageSafeSplit keeps near-dup chains in one split") {
     val df = Seq(1L, 2L, 3L, 10L, 11L, 50L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
