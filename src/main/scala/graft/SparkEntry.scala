@@ -615,9 +615,17 @@ object SparkEntry {
       // (boundary-straddling pairs at cosine 0.35 are common; the
       // paper's regime is tight dups at >= 0.9 where both members share
       // a Voronoi cell almost surely): k=8 / nprobe=2 measures recall
-      // 0.768 at sf0.01 and 0.745 at sf0.1, floor 0.6. Precision needs
-      // no assert: verification is exact cosine, so every emitted pair
-      // is genuinely above threshold by construction. Corpus capped to
+      // 0.768 at sf0.01 and 0.745 at sf0.1, floor 0.6. The ~0.15
+      // margin is deliberate headroom for the fit's one residual
+      // nondeterminism: Lloyd's per-cell centroid means are distributed
+      // double SUMS, and float addition order varies with partition
+      // layout / reduce fetch order (no repartition pins it — shuffle
+      // block arrival order is nondeterministic), so centroids can
+      // differ in trailing ulps across environments and, in principle,
+      // flip a boundary-straddling assignment. Seeds, sampling, and
+      // assignment are otherwise fully hash-deterministic. Precision
+      // needs no assert: verification is exact cosine, so every emitted
+      // pair is genuinely above threshold by construction. Corpus capped to
       // the 1500 md5-smallest vec_ids (deterministic, engine-portable)
       // because the ORACLE is quadratic; the operator itself is the
       // scale path.
@@ -961,15 +969,18 @@ object SparkEntry {
       // purpose: per-(query, doc) scores are then a sum of at most two
       // addends, and IEEE addition is COMMUTATIVE (order-independence
       // a 3+-term sum does not have cross-engine), so with tf/df/dl/N
-      // exact integers, avgdl an exact-int-sum ÷ count division, and
-      // the oracle spelling the identical operation tree, every score
-      // is bit-identical in DuckDB — ranks (full-precision, id
-      // tiebreak) compare exactly, score emitted at 6dp like tfidf.
+      // exact integers and avgdl an exact-int-sum ÷ count division,
+      // scores agree to the last ulp UP TO ln() parity — java Math.log
+      // vs DuckDB ln may differ in the final ulp (the tfidf comment's
+      // concession). Ranks therefore compare on the 6dp-ROUNDED score
+      // (id tiebreak) in BOTH engines: rank flips would need a true
+      // score within ~1 ulp of a 0.5e-6 boundary, not merely two
+      // near-equal scores.
       import s.implicits._
       val qs = Seq((1L, "table scan"), (2L, "window merge"),
         (3L, "customer vector")).toDF("query_id", "qtext")
       TextAnalysis.bm25TopK(tbl(s, dir, "documents"), "doc_id", "text",
-        qs, "query_id", "qtext", k = 10)
+        qs, "query_id", "qtext", k = 10, rankRoundDp = 6)
         .select(col("query_id"), col("rank"), col("id").as("doc_id"),
           round(col("score"), 6).as("score"))
         .orderBy("query_id", "rank")
@@ -2509,7 +2520,7 @@ object SparkEntry {
         |  GROUP BY q.query_id, t.doc_id),
         |ranked AS (
         |  SELECT query_id,
-        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS BIGINT) AS rank,
         |    doc_id, score
         |  FROM scored)
         |SELECT query_id, rank, doc_id, round(score, 6) AS score

@@ -370,16 +370,22 @@ object Curation {
     require(probs.nonEmpty && probs.forall(p => p > 0.0 && p < 1.0) &&
       probs.sliding(2).forall(s => s.length < 2 || s(0) < s(1)),
       s"probs must be strictly increasing within (0, 1): $probs")
-    val probsSql = probs.map(p => java.lang.Double.toString(p)).mkString("array(", ", ", ")")
+    // typed Column API (not string-interpolated expr), with the names
+    // quote-escaped for col()'s multi-part parser: a scoreCol carrying a
+    // backtick / dot / quote resolves as the literal column name instead
+    // of breaking the parser (or silently splitting on the dot)
+    def exactCol(name: String): Column = col("`" + name.replace("`", "``") + "`")
+    val score = exactCol(scoreCol)
+    val probsArr = typedlit(probs)
     val agg =
-      if (exact) expr(s"percentile(`$scoreCol`, $probsSql)")
-      else expr(s"percentile_approx(`$scoreCol`, $probsSql, $accuracy)")
-    val th = df.groupBy(col(groupCol)).agg(agg.as("__qs"))
+      if (exact) percentile(score, probsArr)
+      else percentile_approx(score, probsArr, lit(accuracy))
+    val th = df.groupBy(exactCol(groupCol)).agg(agg.as("__qs"))
     val bucket = probs.indices.foldRight(
-      when(col(scoreCol).isNull, lit(null).cast("string")).otherwise(lit(labels.last))) {
+      when(score.isNull, lit(null).cast("string")).otherwise(lit(labels.last))) {
       (i, acc) =>
-        when(col(scoreCol).isNotNull &&
-          col(scoreCol).cast("double") <= element_at(col("__qs"), i + 1), lit(labels(i)))
+        when(score.isNotNull &&
+          score.cast("double") <= element_at(col("__qs"), i + 1), lit(labels(i)))
           .otherwise(acc)
     }
     df.join(broadcast(th), Seq(groupCol))

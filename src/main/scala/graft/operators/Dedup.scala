@@ -692,10 +692,16 @@ object Dedup {
       .transform(Materialize.once(_))
 
     // minimum overlap for J ≥ t: I/(n_a+n_b-I) ≥ t ⟺ I ≥ t(n_a+n_b)/(1+t);
-    // the 1e-9 slack keeps double rounding from tightening the integer
-    // bound at exact-threshold edges (a dropped candidate is never
-    // re-verified, so the prune must only ever be loose)
-    val minOverlap = ceil((col("n_a") + col("n_b")) * (threshold / (1 + threshold)) - 1e-9)
+    // the slack keeps double rounding from tightening the integer bound
+    // at exact-threshold edges (a dropped candidate is never re-verified,
+    // so the prune must only ever be loose). Rounding error of the
+    // product SCALES with (n_a+n_b) (~ulps of the sum — ≥ 1e-9 absolute
+    // already at a few million shingles), so the slack carries a
+    // relative term alongside the absolute one: (n_a+n_b)·1e-12 is
+    // ~4,000× the worst-case 2-ulp error yet loosens the bound by < 1
+    // until sets reach 10^12 shingles.
+    val minOverlap = ceil((col("n_a") + col("n_b")) * (threshold / (1 + threshold))
+      - lit(1e-9) - (col("n_a") + col("n_b")) * lit(1e-12))
     val candidates = ranked.select(col("g"), col("id").as("id_a"), col("nsh").as("n_a"), col("r").as("r_a"))
       .join(ranked.select(col("g"), col("id").as("id_b"), col("nsh").as("n_b"), col("r").as("r_b")), Seq("g"))
       .filter(col("id_a") < col("id_b") &&

@@ -219,8 +219,12 @@ object Sampling {
     weights.foreach { case (s, w) =>
       require(w > 0.0 && java.lang.Double.isFinite(w),
         s"weight for source '$s' must be finite and > 0 (got $w)") }
-    val inMix = df.filter(col(sourceCol).isin(weights.keySet.toSeq: _*))
-    val counts = inMix.groupBy(col(sourceCol).as("__s")).count()
+    val inMix = df.filter(col(sourceCol).cast("string").isin(weights.keySet.toSeq: _*))
+    // cast to string BOTH here and in the filter/rate-attach below: the
+    // weights map is keyed by strings, so a non-string sourceCol (an int
+    // source id, say) must compare under the same cast everywhere —
+    // and the collect must not ClassCastException on a non-string row
+    val counts = inMix.groupBy(col(sourceCol).cast("string").as("__s")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val missing = weights.keySet -- counts.keySet
     require(missing.isEmpty,
@@ -253,7 +257,7 @@ object Sampling {
       if (rate.size <= 64) {
         def chain(f: Double => Double, default: Column): Column =
           rate.toSeq.sortBy(_._1).foldLeft(default) { case (acc, (s, r)) =>
-            when(col(sourceCol) === s, lit(f(r))).otherwise(acc) }
+            when(col(sourceCol).cast("string") === s, lit(f(r))).otherwise(acc) }
         inMix
           .withColumn("__rate", chain(identity, lit(0.0)))
           .withColumn("__copies",
@@ -261,10 +265,14 @@ object Sampling {
       } else {
         val sess = df.sparkSession
         import sess.implicits._
+        // join on a temp STRING key so a non-string sourceCol keeps its
+        // original type in the output (a using-join on mismatched types
+        // would coerce the caller's column)
         val rateDf = rate.toSeq.sortBy(_._1)
           .map { case (s, r) => (s, r, math.max(1L, math.ceil(r).toLong)) }
-          .toDF(sourceCol, "__rate", "__copies")
-        inMix.join(broadcast(rateDf), Seq(sourceCol))
+          .toDF("__s", "__rate", "__copies")
+        inMix.withColumn("__s", col(sourceCol).cast("string"))
+          .join(broadcast(rateDf), Seq("__s")).drop("__s")
       }
     val out = withRates
       .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))

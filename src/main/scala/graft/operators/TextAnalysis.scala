@@ -282,7 +282,7 @@ object TextAnalysis {
     * top of a stored (id, term, tf, dl) table. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, rankRoundDp: Int = -1): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     def words(text: Column): Column =
       filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
@@ -321,7 +321,16 @@ object TextAnalysis {
         (col("tf").cast("double") +
           lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
     val perDoc = scored.groupBy("query_id", "id").agg(sum("s").as("score"))
-    Similarity.topKPerKey(perDoc, Seq("query_id"), col("score").desc, k)
+    // rankRoundDp >= 0: rank on the ROUNDED score (id tiebreak) — a
+    // drift-free rank key for cross-engine comparison. Full-precision
+    // ranking leaves two near-equal scores free to rank-flip when the
+    // other engine's ln() differs in the last ulp; ranking on the same
+    // 10^-dp grid both engines emit removes that freedom (a true score
+    // would have to sit within ~1 ulp of a rounding boundary to differ,
+    // and rounded ties resolve by id deterministically).
+    val rankKey = if (rankRoundDp >= 0) round(col("score"), rankRoundDp)
+                  else col("score")
+    Similarity.topKPerKey(perDoc, Seq("query_id"), rankKey.desc, k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("id"), col("score"))
   }

@@ -430,4 +430,17 @@ class CurationSpec extends AnyFunSuite {
       Curation.quantileBuckets(df, "g", "score", probs = Seq(0.5), labels = Seq("only"))
     }
   }
+
+  test("quantileBuckets: metacharacter column names resolve via the typed API") {
+    // the aggregate is built from Columns, not interpolated SQL — a
+    // score column whose name carries a backtick (or spaces/quotes)
+    // must bucket identically to a plain name, not break the parser
+    val rows = (1 to 9).map(i => ("a", i.toDouble, i.toLong))
+    val weird = "sc`ore it\"self"
+    val df = rows.toDF("g", weird, "id")
+    val out = Curation.quantileBuckets(df, "g", weird, exact = true)
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    assert((1L to 3L).forall(out(_) == "head") &&
+      (7L to 9L).forall(out(_) == "tail"), s"unexpected: $out")
+  }
 }

@@ -697,6 +697,23 @@ class OperatorsSpec extends AnyFunSuite {
       .select("src").as[String].collect().contains("junk"))
   }
 
+  test("mixToWeights: non-string source column (int ids) works and keeps its type") {
+    // weights are keyed by strings; an int sourceCol must compare under
+    // a string cast everywhere (no ClassCastException on the counts
+    // collect) and keep its original type in the output
+    val df = (0L until 300L).map(i => (i, (i % 3).toInt)).toDF("id", "src")
+    val out = Sampling.mixToWeights(df, "id", "src", Map("0" -> 1.0, "1" -> 1.0))
+    assert(out.schema("src").dataType == org.apache.spark.sql.types.IntegerType)
+    val srcs = out.select("src").distinct().as[Int].collect().toSet
+    assert(srcs == Set(0, 1), s"unweighted int source must drop: $srcs")
+    // the >64-source broadcast-rate path under the same cast discipline
+    val manyW = (0 until 70).map(i => i.toString -> 1.0).toMap
+    val dfMany = (0L until 700L).map(i => (i, (i % 70).toInt)).toDF("id", "src")
+    val outMany = Sampling.mixToWeights(dfMany, "id", "src", manyW)
+    assert(outMany.schema("src").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(outMany.select("src").distinct().count() == 70L)
+  }
+
   test("mixToWeights: targetRows upsamples small sources by replication, caps at maxEpochs") {
     val df = (0L until 1100L).map { i => (i, if (i < 1000) "web" else "wiki") }
       .toDF("id", "src")   // 1000 web / 100 wiki
