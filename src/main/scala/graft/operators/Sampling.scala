@@ -296,21 +296,115 @@ object Sampling {
     * the boundary-straddling document is excluded ([[nextFitPackExact]]'s
     * convention, not [[nextFitPack]]'s overshoot).
     *
-    * `shardCol`: the greedy prefix is inherently sequential, so the
-    * global form moves all rows through one ordered window task — pass a
-    * shard column on large frames and the budget applies PER SHARD
-    * (divide the global budget across shards caller-side; shards are
-    * the parallel unit, exactly the packing contract). */
+    * `shardCol = Some(s)`: the budget applies PER SHARD (divide the
+    * global budget across shards caller-side) via one ordered window
+    * per shard — shards are the parallel unit, exactly the packing
+    * contract.
+    *
+    * `shardCol = None` (global): the cumulative prefix is NOT computed
+    * by a single-partition window (the corpus through one task — the
+    * 100 TB killer). Instead the [[graft.operators.AddRowIndex]]
+    * two-pass shape: range-partition by (priority, id) so partition p's
+    * rows all precede partition p+1's in selection order, one
+    * combiner-reduced per-partition token-sum job (numPartitions longs
+    * collected), then driver-side prefix offsets classify every
+    * partition — all partitions strictly inside the budget keep every
+    * row with NO per-row cumsum at all, partitions past it are
+    * filtered out map-side, and only the single boundary-straddling
+    * partition runs an ordered cumsum (a hash-exchange of that
+    * partition alone, ~1/numPartitions of the data, spill-safe
+    * WindowExec). Value-identical to the one-window form: exact prefix
+    * sums make partition-boundary placement irrelevant. NOT a pure
+    * lazy plan in global mode — the counts job runs at call time and
+    * the range-partitioned frame is materialized once to pin the
+    * partition space ([[AddRowIndex.withRowIndex]]'s counts/output
+    * divergence hazard). */
   def tokenBudgetSample(df: DataFrame, idCol: String, countCol: String,
       budget: Long, shardCol: Option[String] = None): DataFrame = {
     require(budget > 0, s"budget must be > 0 (got $budget)")
     val prio = md5(concat(col(idCol).cast("string"), lit("#budget")))
-    val w = shardCol.map(s => Window.partitionBy(s)).getOrElse(Window.partitionBy())
-      .orderBy(prio, col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(countCol)).over(w))
-      .filter(col("__cum") <= budget)
-      .drop("__cum")
+    shardCol match {
+      case Some(s) =>
+        val w = Window.partitionBy(s)
+          .orderBy(prio, col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn("__cum", sum(col(countCol)).over(w))
+          .filter(col("__cum") <= budget)
+          .drop("__cum")
+      case None =>
+        val cols = df.columns.toSeq
+        val prioCol = AddRowIndex.resolveUniqueName("__prio", cols)
+        val pidCol = AddRowIndex.resolveUniqueName("__pid", cols :+ prioCol)
+        val cumCol = AddRowIndex.resolveUniqueName("__cum", cols :+ prioCol :+ pidCol)
+        // integral counts (the token-count reality) do the driver-side
+        // prefix arithmetic in exact Long; fractional columns fall back
+        // to Double — no worse than the one-window form, whose single
+        // float cumsum was already order-rounded
+        val integral = df.schema(countCol).dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }
+        val snap = df.withColumn(prioCol, prio)
+          .repartitionByRange(col(prioCol), col(idCol))
+          .withColumn(pidCol, spark_partition_id())
+          .transform(Materialize.once(_))
+        val raw = snap.groupBy(col(pidCol)).agg(sum(col(countCol)).as(cumCol))
+          .collect().map(r => r.getInt(0) -> r.get(1)).toMap
+        def asL(a: Any): Long = a match {
+          case null => 0L
+          case n: java.lang.Number => n.longValue()
+        }
+        def asD(a: Any): Double = a match {
+          case null => 0.0
+          case d: java.math.BigDecimal => d.doubleValue()
+          case n: java.lang.Number => n.doubleValue()
+        }
+        val sumsL: Map[Int, Long] =
+          if (integral) raw.map { case (k, v) => k -> asL(v) } else Map.empty
+        val sums: Map[Int, Double] =
+          if (integral) Map.empty else raw.map { case (k, v) => k -> asD(v) }
+        val maxPid = if (raw.isEmpty) -1 else raw.keys.max
+        // prefix(p) = tokens before partition p; empty pids contribute 0.
+        // cut = first pid whose rows can overflow the budget
+        var cut = -1
+        if (integral) {
+          var acc = 0L; var p = 0
+          while (p <= maxPid && cut < 0) {
+            val s = sumsL.getOrElse(p, 0L)
+            if (acc + s > budget) cut = p else acc += s
+            p += 1
+          }
+        } else {
+          var acc = 0.0; var p = 0
+          while (p <= maxPid && cut < 0) {
+            val s = sums.getOrElse(p, 0.0)
+            if (acc + s > budget.toDouble) cut = p else acc += s
+            p += 1
+          }
+        }
+        val out =
+          if (cut < 0) snap // total <= budget: every row survives, no cumsum anywhere
+          else {
+            val cutPrefix: Column =
+              if (integral) lit((0 until cut).map(sumsL.getOrElse(_, 0L)).sum)
+              else lit((0 until cut).map(sums.getOrElse(_, 0.0)).sum)
+            val keepAll = snap.filter(col(pidCol) < cut)
+            // ordered cumsum over the ONE boundary partition (window
+            // keyed by pid — never an empty partitionBy)
+            val w = Window.partitionBy(col(pidCol))
+              .orderBy(col(prioCol), col(idCol))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            val boundary = snap.filter(col(pidCol) === cut)
+              .withColumn(cumCol, sum(col(countCol)).over(w))
+              .filter(col(cumCol) + cutPrefix <= budget)
+              .drop(cumCol)
+            keepAll.union(boundary)
+          }
+        out.select(cols.map(col): _*)
+    }
   }
 
   /** Cumulative budget packing: stream documents in `orderCol` order;
@@ -320,18 +414,81 @@ object Sampling {
     * budget is a hard ceiling. The upside is a pure windowed expression
     * (SQL-expressible, oracle-checkable).
     *
-    * Scale note: pass `shardCol` on large frames — without it the ordered
-    * window has no partitioning and Spark moves ALL rows through one task
-    * (global sequential packing is inherently so; shards are the parallel
-    * unit). */
+    * Scale shape: with `shardCol` the window partitions by shard (the
+    * parallel unit). WITHOUT it the global cumulative sum is computed
+    * by the same two-pass range-partition machinery as global
+    * [[tokenBudgetSample]] — range-partition by `orderCol`, one
+    * per-partition sum job, broadcast prefix offsets re-entering the
+    * plan as an array literal, and a per-PARTITION ordered window (pid
+    * key — every partition cumsums in parallel; global cum = partition
+    * prefix + local cum). No single-partition window anywhere.
+    * Value-identical: prefix sums are exact, so partition boundaries
+    * don't move pack edges. NOT a pure lazy plan in global mode (the
+    * counts job runs at call time; the range-partitioned frame is
+    * materialized once to pin the partition space). */
   def nextFitPack(df: DataFrame, countCol: String, orderCol: String,
       budget: Long, shardCol: Option[String] = None): DataFrame = {
-    val w = shardCol.map(s => Window.partitionBy(s)).getOrElse(Window.partitionBy())
-      .orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(countCol)).over(w))
-      .withColumn("pack_id", ceil(col("__cum") / lit(budget.toDouble)).cast("long") - 1)
-      .drop("__cum")
+    shardCol match {
+      case Some(s) =>
+        val w = Window.partitionBy(s)
+          .orderBy(col(orderCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn("__cum", sum(col(countCol)).over(w))
+          .withColumn("pack_id", ceil(col("__cum") / lit(budget.toDouble)).cast("long") - 1)
+          .drop("__cum")
+      case None =>
+        val cols = df.columns.toSeq
+        val pidCol = AddRowIndex.resolveUniqueName("__pid", cols)
+        val cumCol = AddRowIndex.resolveUniqueName("__cum", cols :+ pidCol)
+        val integral = df.schema(countCol).dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }
+        // equal orderCol keys always land in ONE range partition, so
+        // tie order stays exactly as (non)deterministic as the
+        // one-window form
+        val snap = df.repartitionByRange(col(orderCol))
+          .withColumn(pidCol, spark_partition_id())
+          .transform(Materialize.once(_))
+        val raw = snap.groupBy(col(pidCol)).agg(sum(col(countCol)).as(cumCol))
+          .collect().map(r => r.getInt(0) -> r.get(1)).toMap
+        def asL(a: Any): Long = a match {
+          case null => 0L
+          case n: java.lang.Number => n.longValue()
+        }
+        def asD(a: Any): Double = a match {
+          case null => 0.0
+          case d: java.math.BigDecimal => d.doubleValue()
+          case n: java.lang.Number => n.doubleValue()
+        }
+        val maxPid = if (raw.isEmpty) -1 else raw.keys.max
+        val w = Window.partitionBy(col(pidCol))
+          .orderBy(col(orderCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // prefix(p) = tokens before partition p, an exact driver-side
+        // scan re-entering the plan as one array literal (the
+        // AddRowIndex shape — numPartitions scalars in the task binary)
+        val globalCum: Column =
+          if (integral) {
+            val prefix = new Array[Long](maxPid + 1)
+            var acc = 0L
+            for (p <- 0 to maxPid) { prefix(p) = acc; acc += asL(raw.getOrElse(p, null)) }
+            sum(col(countCol)).over(w) +
+              element_at(typedlit(prefix.toSeq), col(pidCol) + 1)
+          } else {
+            val prefix = new Array[Double](maxPid + 1)
+            var acc = 0.0
+            for (p <- 0 to maxPid) { prefix(p) = acc; acc += asD(raw.getOrElse(p, null)) }
+            sum(col(countCol)).over(w) +
+              element_at(typedlit(prefix.toSeq), col(pidCol) + 1)
+          }
+        snap.withColumn(cumCol, globalCum)
+          .withColumn("pack_id", ceil(col(cumCol) / lit(budget.toDouble)).cast("long") - 1)
+          .select((cols :+ "pack_id").map(col): _*)
+    }
   }
 
   /** TRUE next-fit packing: a new pack opens exactly when adding the next

@@ -747,6 +747,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sh == Map("s0" -> 5L, "s1" -> 5L))
   }
 
+  test("tokenBudgetSample global: two-pass prefix form ≡ one-window reference, incl. fractional counts") {
+    import org.apache.spark.sql.expressions.Window
+    // irregular counts so the boundary straddles mid-partition
+    val df = (0L until 500L).map(i => (i, 1L + (i * 7919L) % 37L)).toDF("id", "toks")
+    def reference(budget: Long): Set[Long] = {
+      val prio = md5(concat($"id".cast("string"), lit("#budget")))
+      val w = Window.partitionBy().orderBy(prio, $"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("c", sum($"toks").over(w)).filter($"c" <= budget)
+        .select("id").as[Long].collect().toSet
+    }
+    for (budget <- Seq(1L, 100L, 3000L, 1000000L)) {
+      val got = Sampling.tokenBudgetSample(df, "id", "toks", budget)
+        .select("id").as[Long].collect().toSet
+      assert(got == reference(budget), s"budget=$budget: ${got.size} vs ${reference(budget).size}")
+    }
+    // fractional counts take the double prefix path, same semantics
+    val fdf = (0L until 200L).map(i => (i, 0.5 + (i % 7) * 0.25)).toDF("id", "toks")
+    val fGot = Sampling.tokenBudgetSample(fdf, "id", "toks", 50L)
+      .select("id").as[Long].collect().toSet
+    val fprio = md5(concat($"id".cast("string"), lit("#budget")))
+    val fw = Window.partitionBy().orderBy(fprio, $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fRef = fdf.withColumn("c", sum($"toks").over(fw)).filter($"c" <= 50.0)
+      .select("id").as[Long].collect().toSet
+    assert(fGot == fRef)
+  }
+
+  test("nextFitPack global: two-pass prefix form ≡ one-window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 500L).map(i => (i, 1L + (i * 104729L) % 700L)).toDF("id", "toks")
+    val got = Sampling.nextFitPack(df, "toks", "id", 2048L)
+      .select("id", "pack_id").as[(Long, Long)].collect().toMap
+    val w = Window.partitionBy().orderBy($"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = df.withColumn("c", sum($"toks").over(w))
+      .withColumn("p", ceil($"c" / lit(2048.0)).cast("long") - 1)
+      .select("id", "p").as[(Long, Long)].collect().toMap
+    assert(got == ref)
+    assert(got.values.max > 10L, "test data must span many packs")
+  }
+
   test("sampling/semantic edge cases: nprobe past k caps, oversized first doc, absent weighted source") {
     // nprobe larger than the cluster count must cap, not throw
     val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.1f)),

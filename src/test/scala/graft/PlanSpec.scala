@@ -228,6 +228,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), s"sharded form must not funnel to one task:\n$p")
   }
 
+  test("tokenBudgetSample global: no single-partition window — boundary cumsum keyed by pid") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // budget straddles mid-corpus so the boundary-partition branch (the
+    // only windowed one) is IN the plan being asserted
+    val df = (0L until 400L).map(i => (i, 10L)).toDF("id", "toks")
+    val out = graft.operators.Sampling.tokenBudgetSample(df, "id", "toks", 2000L)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("Window"), s"boundary branch must be present:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"global token budget must never funnel the corpus through one task:\n$p")
+    assert(p.contains("hashpartitioning(__pid"),
+      s"boundary cumsum must be keyed by the stamped partition id:\n$p")
+  }
+
+  test("nextFitPack global: windows keyed by pid, no single-partition exchange") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, 100L)).toDF("id", "toks")
+    val out = graft.operators.Sampling.nextFitPack(df, "toks", "id", 2048L)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("SinglePartition"),
+      s"global packing must never funnel the corpus through one task:\n$p")
+    assert(p.contains("hashpartitioning(__pid"),
+      s"per-partition cumsum must be keyed by the stamped partition id:\n$p")
+  }
+
   test("quantileBuckets approx path: mergeable sketch aggregate, thresholds broadcast back") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
