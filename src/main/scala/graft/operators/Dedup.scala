@@ -75,14 +75,14 @@ object Dedup {
   /** Materialized (id, sig) frame: fused signatures with token-free docs
     * (all-MaxValue signature) excluded. Shared by every LSH path so the
     * filter can never diverge between batch and incremental dedup. */
-  private def sigFrame(df: DataFrame, idCol: String, textCol: String,
+  private[operators] def sigFrame(df: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig): DataFrame =
     minhashSignatures(df, idCol, textCol, cfg)
       .filter(col("sig").getItem(0) =!= Long.MaxValue)
       .transform(Materialize.once(_))
 
   /** Materialized (id, sh) shingle-set frame (empty sets excluded). */
-  private def setFrame(df: DataFrame, idCol: String, textCol: String,
+  private[operators] def setFrame(df: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig): DataFrame =
     df.select(col(idCol).as("id"),
       HashFunctions.textShingleHashes(col(textCol), cfg.shingleSize).as("sh"))
@@ -92,7 +92,7 @@ object Dedup {
   /** (band, band_hash, id) LSH bucket rows of a signature frame — THE
     * banding definition; batch and incremental candidate joins both use
     * it, so the band hash can never silently drift between them. */
-  private def bandedSigs(sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
+  private[operators] def bandedSigs(sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
     val r = cfg.numHashes / cfg.bands
     sigs.select(
       col("id"),
@@ -246,29 +246,20 @@ object Dedup {
   private[graft] val SketchMetaNumHashes = "graft.minhash.numHashes"
   private[graft] val SketchMetaSeed = "graft.minhash.seed"
 
-  /** [[minhashExactPairsAgainst]] with the corpus side PRECOMPUTED as a
-    * [[dedupSketchColumns]] frame (typically read back from parquet):
-    * the per-increment cost is one scan of the increment plus bucket
-    * joins against the stored sketches — corpus text is never re-read,
-    * re-tokenized, or re-hashed. The sketch must have been produced
-    * with the SAME MinHashConfig (seed/hashes/bands/shingle size). */
-  def minhashExactPairsAgainstSketches(newDf: DataFrame, corpusSketches: DataFrame,
-      idCol: String, textCol: String,
-      cfg: MinHashConfig = MinHashConfig(numHashes = 128, bands = 64),
-      exactThreshold: Double = 0.5): DataFrame = {
-    // fail fast on a config/sketch mismatch: a sketch written with a
-    // different numHashes would make bandedSigs slice past the stored
-    // signature, and seed/shingleSize drift silently loses recall
-    // (missed duplicates admitted to the corpus). Sketches written by
-    // dedupSketchColumns carry the FULL config as column metadata
-    // (survives parquet) — validate every field schema-side, zero Spark
-    // jobs. A metadata-less sketch (foreign writer / metadata stripped)
-    // falls back to the one-row signature-length probe, which can only
-    // see numHashes.
+  /** Fail fast on a config/sketch mismatch: a sketch written with a
+    * different numHashes would make bandedSigs slice past the stored
+    * signature, and seed/shingleSize drift silently loses recall
+    * (missed duplicates admitted to the corpus). Sketches written by
+    * [[dedupSketchColumns]] carry the FULL config as column metadata
+    * (survives parquet) — validate every field schema-side, zero Spark
+    * jobs. A metadata-less sketch (foreign writer / metadata stripped)
+    * falls back to the one-row signature-length probe, which can only
+    * see numHashes. The metadata branch needs ALL config keys — a
+    * partially-stripped sketch carrying only one key must fall back to
+    * the probe, not crash on the missing getLong. */
+  private[operators] def validateSketchConfig(corpusSketches: DataFrame,
+      cfg: MinHashConfig): Unit = {
     val sigMeta = corpusSketches.schema.find(_.name == "sig").map(_.metadata)
-    // the metadata branch needs ALL config keys — a partially-stripped /
-    // foreign sketch carrying only one key must fall back to the probe,
-    // not crash on the missing getLong
     val hasMeta = sigMeta.exists(m => m.contains(SketchMetaNumHashes) &&
       m.contains(SketchMetaShingleSize) && m.contains(SketchMetaSeed))
     if (hasMeta) {
@@ -288,6 +279,19 @@ object Dedup {
               "sketches must be produced with the SAME MinHashConfig")
         }
     }
+  }
+
+  /** [[minhashExactPairsAgainst]] with the corpus side PRECOMPUTED as a
+    * [[dedupSketchColumns]] frame (typically read back from parquet):
+    * the per-increment cost is one scan of the increment plus bucket
+    * joins against the stored sketches — corpus text is never re-read,
+    * re-tokenized, or re-hashed. The sketch must have been produced
+    * with the SAME MinHashConfig (seed/hashes/bands/shingle size). */
+  def minhashExactPairsAgainstSketches(newDf: DataFrame, corpusSketches: DataFrame,
+      idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig(numHashes = 128, bands = 64),
+      exactThreshold: Double = 0.5): DataFrame = {
+    validateSketchConfig(corpusSketches, cfg)
     val newSigs = sigFrame(newDf, idCol, textCol, cfg)
     val corpusSigs = corpusSketches.select(col("id"), col("sig"))
       .filter(col("sig").getItem(0) =!= Long.MaxValue)

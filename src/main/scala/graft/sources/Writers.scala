@@ -312,7 +312,8 @@ object Writers {
     * every downstream pruned read degrades to a full scan. */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileBytes: Long = 128L << 20,
-      writeOptions: Map[String, String] = Map.empty): (Int, Int) = {
+      writeOptions: Map[String, String] = Map.empty,
+      sortCols: Seq[String] = Nil): (Int, Int) = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -339,7 +340,14 @@ object Writers {
     if (want >= before) return (before, before)
 
     try {
-      spark.read.parquet(path).coalesce(want)
+      // optional in-file re-sort: append-grown stores whose readers
+      // rely on row-group stats (a pushed In on a sort key) would
+      // otherwise lose that pruning to the compaction's row interleave
+      val compacted0 = spark.read.parquet(path).coalesce(want)
+      val compacted =
+        if (sortCols.isEmpty) compacted0
+        else compacted0.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      compacted
         .write.mode(SaveMode.Overwrite).options(writeOptions).parquet(tmp.toString)
     } catch { case e: Throwable =>
       try { fs.delete(tmp, true); () } catch { case _: java.io.IOException => () }

@@ -455,9 +455,11 @@ object EventStreams {
     * SINGLE MAINTAINER PER CORPUS: like the sink itself, never run
     * concurrently with the stream's foreachBatch — pause the query or
     * run it from the maintenance schedule between batches. Returns
-    * (filesBefore, filesAfter). A [[semanticIngestSink]] corpus and its
-    * sketch sidecar have no bloom/marker contract and compact with
-    * plain `Writers.compactParquet` directly.
+    * (filesBefore, filesAfter). A [[semanticIngestSink]] corpus has no
+    * bloom/marker contract and compacts with plain
+    * `Writers.compactParquet` directly; its band-partitioned sketch
+    * sidecar compacts per bucket via
+    * [[graft.operators.SketchSidecar.compact]].
     *
     * A MISSING marker at entry is tolerated, not fatal: with no writer
     * in flight it can only mean a predecessor (an append batch or a
@@ -524,28 +526,42 @@ object EventStreams {
     * doc nor a smaller-id sibling of its own batch.
     *
     * Corpus TEXT is never re-read: admission pairs each batch against a
-    * persisted SKETCH sidecar at `sketchPath`
-    * ([[graft.operators.Dedup.dedupSketchColumns]] — minhash signature
-    * + sorted shingle hashes, ~1-2% of corpus bytes), and each admitted
-    * batch appends both its docs and its sketches. Per-batch cost is
-    * O(batch + sketch sidecar), not O(re-shingled corpus).
+    * persisted SKETCH sidecar at `sketchPath` in
+    * [[graft.operators.SketchSidecar]]'s band-partitioned layout
+    * (minhash signature + sorted shingle hashes, ~1-2% of corpus
+    * bytes, hive-partitioned by LSH band bucket and id bucket). The
+    * admission probe reads ONLY the batch's candidate buckets —
+    * partition pruning on the band-bucket key, plus a pushed-In on
+    * band_hash for trickle batches — so per-batch sidecar bytes-read
+    * scale with the BATCH's candidates, not the sidecar (the flat
+    * layout re-read the whole sidecar every batch: ~1-2 TB per
+    * trickle batch at a 100 TB corpus). Each admitted batch appends
+    * its docs and its sketches (band rows + set rows).
     *
-    * Crash safety: docs append BEFORE sketches, and every batch opens
-    * with an ids-only tear probe (corpus ids anti-join sketch ids —
-    * column-pruned scans, zero cost when healthy); a torn previous
-    * batch (docs landed, sketch append lost) is healed by re-sketching
-    * exactly the missing rows before pairing. Replayed batches are
-    * rejected by admission itself — a replayed doc is a perfect
-    * (J=1.0) near-dup of its own admitted copy. Residual contract: a
-    * doc too short to shingle has no signature and is admitted
-    * unconditionally (as in every minhash path here), so replay
-    * dedup for such rows needs the exact-identity sink in front. */
+    * Crash safety: docs append FIRST, then band rows, then set rows —
+    * the sets row count is the commit point, and every batch opens
+    * with a footer-count tear probe (corpus rows vs sets rows, a file
+    * listing when healthy); a torn previous batch is healed by
+    * re-sketching exactly the missing rows before pairing. A tear
+    * BETWEEN the bands and sets appends can leave duplicate band rows
+    * after the heal — harmless, the candidate join distincts. A
+    * pre-v2 FLAT sidecar is migrated in place on the first batch
+    * ([[graft.operators.SketchSidecar.migrateV1IfNeeded]]). Replayed
+    * batches are rejected by admission itself — a replayed doc is a
+    * perfect (J=1.0) near-dup of its own admitted copy. Residual
+    * contract: a doc too short to shingle has no signature and is
+    * admitted unconditionally (as in every minhash path here), so
+    * replay dedup for such rows needs the exact-identity sink in
+    * front. */
   def semanticIngestSink(docs: DataFrame, corpusPath: String,
       sketchPath: String, idCol: String, textCol: String,
       cfg: graft.operators.Dedup.MinHashConfig =
         graft.operators.Dedup.MinHashConfig(numHashes = 128, bands = 64),
       exactThreshold: Double = 0.5,
-      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      layout: graft.operators.SketchSidecar.Layout =
+        graft.operators.SketchSidecar.Layout()): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Dedup, SketchSidecar}
     val writer = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -553,45 +569,48 @@ object EventStreams {
         val cp = new org.apache.hadoop.fs.Path(corpusPath)
         val cfs = cp.getFileSystem(sp.sessionState.newHadoopConf())
         val exists = cfs.exists(cp)
-        // empty sketch frame (schema + config metadata) for a fresh
-        // corpus — and for the extreme tear where the ENTIRE sidecar
-        // vanished while the corpus survived (the heal probe below
-        // then rebuilds it wholesale)
-        def emptySketches = graft.operators.Dedup.dedupSketchColumns(
-          sp.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema),
-          idCol, textCol, cfg)
-        val sketches0 =
-          if (exists && cfs.exists(new org.apache.hadoop.fs.Path(sketchPath)))
-            sp.read.parquet(sketchPath)
-          else emptySketches
-        val sketches = if (exists) {
-          // tear detection by row counts, not by anti-join: sketch ids ⊆
-          // corpus ids by write order (a batch's corpus append commits
-          // BEFORE its sketch append) and both sides are unique (replays
-          // admit nothing — their rows are already sketched or healed
-          // first), so the sidecar is torn IFF the corpus has more rows.
-          // Both counts fold parquet footer metadata — the steady-state
-          // per-batch probe is a file listing, not a corpus scan + join
-          // (which at 100 TB charged every batch a full corpus id read).
-          val torn = sp.read.parquet(corpusPath).count() > sketches0.count()
+        if (!exists) {
+          // fresh corpus: the corpus is truth, so any sidecar content
+          // without one (crash before the first corpus write became
+          // visible) is reset wholesale
+          SketchSidecar.create(sp, sketchPath, layout)
+        } else {
+          // a flat pre-v2 sidecar migrates once, in place
+          SketchSidecar.migrateV1IfNeeded(sp, sketchPath, cfg, layout)
+          if (!SketchSidecar.exists(sp, sketchPath))
+            // extreme tear: the ENTIRE sidecar vanished while the
+            // corpus survived — recreate; the heal below rebuilds it
+            SketchSidecar.create(sp, sketchPath, layout)
+          // tear detection by row counts, not by anti-join: set rows ⊆
+          // corpus rows by write order (a batch's corpus append commits
+          // BEFORE its sidecar appends) and both sides are unique
+          // (replays admit nothing — their rows are already sketched or
+          // healed first), so the sidecar is torn IFF the corpus has
+          // more rows. Both counts fold parquet footer metadata — the
+          // steady-state per-batch probe is a file listing, not a
+          // corpus scan + join (which at 100 TB charged every batch a
+          // full corpus id read).
+          val torn = sp.read.parquet(corpusPath).count() >
+            SketchSidecar.setsCount(sp, sketchPath)
           if (torn) {
-            val sketchIds = sketches0.select(col("id").as(idCol))
+            val sketchIds = SketchSidecar.sketchedIds(sp, sketchPath)
+              .select(col("id").as(idCol))
             val missing = sp.read.parquet(corpusPath)
               .join(sketchIds, Seq(idCol), "left_anti")
               .select(col(idCol), col(textCol))
-            graft.operators.Dedup.dedupSketchColumns(missing, idCol, textCol, cfg)
-              .write.mode("append").parquet(sketchPath)
-            sp.read.parquet(sketchPath)
-          } else sketches0
-        } else sketches0
+            SketchSidecar.append(
+              Dedup.dedupSketchColumns(missing, idCol, textCol, cfg),
+              sketchPath, cfg, layout)
+          }
+        }
         val admitted = graft.Materialize.once(
-          graft.operators.Dedup.admitNewAgainstSketches(batch.toDF(), sketches,
-            idCol, textCol, cfg, exactThreshold), eager = true)
+          SketchSidecar.admitNew(batch.toDF(), sketchPath, idCol, textCol,
+            cfg, exactThreshold), eager = true)
         admitted.write.mode(if (exists) "append" else "overwrite")
           .parquet(corpusPath)
-        graft.operators.Dedup.dedupSketchColumns(admitted, idCol, textCol, cfg)
-          .write.mode(if (exists) "append" else "overwrite").parquet(sketchPath)
+        SketchSidecar.append(
+          Dedup.dedupSketchColumns(admitted, idCol, textCol, cfg),
+          sketchPath, cfg, layout)
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }

@@ -401,7 +401,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == Set(1L, 2L, 11L), s"near-dup must be rejected, fresh admitted: $ids")
     // the sidecar tracks the corpus exactly — ids match, and the sketch
     // bytes are a small fraction of corpus bytes (the at-scale point)
-    val skIds = spark.read.parquet(sketches).select("id").as[Long].collect().toSet
+    val skIds = graft.operators.SketchSidecar.sketchedIds(spark, sketches).select("id").as[Long].collect().toSet
     assert(skIds == ids, s"sketch sidecar out of sync: $skIds vs $ids")
   }
 
@@ -432,7 +432,7 @@ class StreamingSpec extends AnyFunSuite {
     run(Seq((10L, a + " tonight"), (11L, "fresh unrelated content here")))
     val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
     assert(ids == Set(1L, 11L), s"healed sidecar must still reject near-dups: $ids")
-    val skIds = spark.read.parquet(sketches).select("id").as[Long].collect().toSet
+    val skIds = graft.operators.SketchSidecar.sketchedIds(spark, sketches).select("id").as[Long].collect().toSet
     assert(skIds == ids, s"healed sidecar out of sync: $skIds vs $ids")
   }
 
@@ -464,10 +464,10 @@ class StreamingSpec extends AnyFunSuite {
     run(Seq((10L, a + " tonight"), (11L, b + " again"), (12L, "fresh unrelated content here")))
     val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
     assert(ids == Set(1L, 2L, 12L), s"partial heal must reject dups of both prior docs: $ids")
-    val skIds = spark.read.parquet(sketches).select("id").as[Long].collect().toSet
+    val skIds = graft.operators.SketchSidecar.sketchedIds(spark, sketches).select("id").as[Long].collect().toSet
     assert(skIds == ids, s"healed sidecar out of sync: $skIds vs $ids")
     // the heal appended exactly one sketch row (doc 2), not a rebuild
-    assert(spark.read.parquet(sketches).count() == 3)
+    assert(graft.operators.SketchSidecar.setsCount(spark, sketches) == 3)
   }
 
   test("upsertSink crash recovery: completed staging is promoted, torn staging is discarded") {
