@@ -626,6 +626,26 @@ object Dedup {
   /** Exact Jaccard similarity over word n-gram shingle SETS for all pairs
     * with similarity ≥ threshold.
     *
+    * `candidateGen` routes CANDIDATE GENERATION (verification is exact
+    * shingle Jaccard either way, so precision is always 1.0):
+    * "prefix" — the sound PPJoin index below — is the default ("auto"
+    * resolves to it at every threshold); "lsh" replaces it with
+    * single-hash-band MinHash bucketing whose per-pair miss bound
+    * (1−J)^b is sized ≤ 1e-12 at the requested threshold. MEASURED
+    * (round 11, synthetic docs, t=0.2, same box): the LSH route is
+    * SLOWER at every scale — sf0.1 5.9 s vs 2.8 s, sf1.0 18.3 s vs
+    * 8.5 s, sf10 247 s vs 125 s — because recall 1−1e-12 at J ≥ 0.2
+    * forces single-hash bands that also catch the corpus's J ≈ 0.005
+    * background (1−(1−J)^128 ≈ 0.5): 7.5M candidates at sf1.0 vs the
+    * rarity-ranked prefix index's far fewer (common-shingle overlap
+    * never enters a rare prefix). r=2 banding cuts candidates 10× but
+    * its 5× band-row volume costs more than the verify it saves. The
+    * "lsh" opt-in remains for corpora whose background overlap is
+    * genuinely near zero (disjoint vocabularies), where its candidate
+    * count collapses to true pairs. For low-threshold NEAR-DUP intent
+    * (not exact-J output), [[minhashDedup]]'s estimated-threshold
+    * contract stays the at-scale answer.
+    *
     * Scale shape (PPJoin-style prefix filtering, lossless for J ≥ t):
     * two shingle sets with Jaccard ≥ t must share at least one of each
     * set's (|S| - ⌈t·|S|⌉ + 1) globally-RAREST shingles, so only that
@@ -659,10 +679,13 @@ object Dedup {
     * default. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
-      shingleKeepFraction: Double = 1.0): DataFrame = {
+      shingleKeepFraction: Double = 1.0,
+      candidateGen: String = "auto"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shingleKeepFraction > 0.0 && shingleKeepFraction <= 1.0,
       s"shingleKeepFraction must be in (0, 1] (got $shingleKeepFraction)")
+    require(Set("auto", "prefix", "lsh").contains(candidateGen),
+      s"candidateGen must be auto|prefix|lsh (got $candidateGen)")
     // 64-bit shingle hashes stand in for shingle strings: distinct/
     // intersect/frequency semantics are preserved (collisions negligible),
     // and the fused native expression computes each document's set in one
@@ -685,36 +708,56 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .transform(Materialize.once(_))
 
-    val inv = sets.select(col("id"), size(col("sh")).as("nsh"), explode(col("sh")).as("g"))
-    // global shingle document-frequency; rare-first ordering
-    val freq = inv.groupBy("g").agg(count(lit(1)).as("gdf"))
-    val ranked = inv.join(freq, Seq("g"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy("id").orderBy(col("gdf"), col("g"))))
-      .filter(col("r") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
-      .select("g", "id", "nsh", "r")
-      .transform(Materialize.once(_))
+    // ---- candidate generation: two routes with the same exact verify.
+    //
+    // PREFIX (the exact PPJoin index) is sound at any threshold; LSH
+    // (single-hash bands, r=1) bounds candidates by bucket collisions
+    // instead: a true pair at J ≥ t is missed with probability (1−J)^b,
+    // and b is sized so that bound is ≤ 1e-12 at the requested
+    // threshold (b = −ln(1e-12) / −ln(1−t), clamped to [128, 1024] —
+    // 128 covers t ≥ 0.194; below t ≈ 0.024 the clamp binds and the
+    // miss bound loosens, printed in the bound formula, never
+    // silently). AUTO resolves to prefix — measured slower for LSH at
+    // every scale on corpora with normal background vocabulary overlap
+    // (see scaladoc); "lsh" is the explicit opt-in.
+    val useLsh = candidateGen == "lsh"
+    val candidates: DataFrame = if (useLsh) {
+      val b = math.min(1024, math.max(128,
+        math.ceil(-math.log(1e-12) / -math.log1p(-threshold)).toInt))
+      val sigCfg = MinHashConfig(shingleSize = n, numHashes = b, bands = b)
+      lshCandidates(sigFrame(df, idCol, textCol, sigCfg), sigCfg)
+    } else {
+      val inv = sets.select(col("id"), size(col("sh")).as("nsh"), explode(col("sh")).as("g"))
+      // global shingle document-frequency; rare-first ordering
+      val freq = inv.groupBy("g").agg(count(lit(1)).as("gdf"))
+      val ranked = inv.join(freq, Seq("g"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("id").orderBy(col("gdf"), col("g"))))
+        .filter(col("r") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
+        .select("g", "id", "nsh", "r")
+        .transform(Materialize.once(_))
 
-    // minimum overlap for J ≥ t: I/(n_a+n_b-I) ≥ t ⟺ I ≥ t(n_a+n_b)/(1+t);
-    // the slack keeps double rounding from tightening the integer bound
-    // at exact-threshold edges (a dropped candidate is never re-verified,
-    // so the prune must only ever be loose). Rounding error of the
-    // product SCALES with (n_a+n_b) (~ulps of the sum — ≥ 1e-9 absolute
-    // already at a few million shingles), so the slack carries a
-    // relative term alongside the absolute one: (n_a+n_b)·1e-12 is
-    // ~4,000× the worst-case 2-ulp error yet loosens the bound by < 1
-    // until sets reach 10^12 shingles.
-    val minOverlap = ceil((col("n_a") + col("n_b")) * (threshold / (1 + threshold))
-      - lit(1e-9) - (col("n_a") + col("n_b")) * lit(1e-12))
-    val candidates = ranked.select(col("g"), col("id").as("id_a"), col("nsh").as("n_a"), col("r").as("r_a"))
-      .join(ranked.select(col("g"), col("id").as("id_b"), col("nsh").as("n_b"), col("r").as("r_b")), Seq("g"))
-      .filter(col("id_a") < col("id_b") &&
-        // size-ratio pruning: J ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t
-        col("n_a") >= col("n_b") * threshold && col("n_b") >= col("n_a") * threshold &&
-        // positional filter: overlap ≤ 1 + min(n−r) at the first shared
-        // prefix shingle (see scaladoc — sound there, loosest there)
-        lit(1) + least(col("n_a") - col("r_a"), col("n_b") - col("r_b")) >= minOverlap)
-      .select("id_a", "id_b").distinct()
+      // minimum overlap for J ≥ t: I/(n_a+n_b-I) ≥ t ⟺ I ≥ t(n_a+n_b)/(1+t);
+      // the slack keeps double rounding from tightening the integer bound
+      // at exact-threshold edges (a dropped candidate is never re-verified,
+      // so the prune must only ever be loose). Rounding error of the
+      // product SCALES with (n_a+n_b) (~ulps of the sum — ≥ 1e-9 absolute
+      // already at a few million shingles), so the slack carries a
+      // relative term alongside the absolute one: (n_a+n_b)·1e-12 is
+      // ~4,000× the worst-case 2-ulp error yet loosens the bound by < 1
+      // until sets reach 10^12 shingles.
+      val minOverlap = ceil((col("n_a") + col("n_b")) * (threshold / (1 + threshold))
+        - lit(1e-9) - (col("n_a") + col("n_b")) * lit(1e-12))
+      ranked.select(col("g"), col("id").as("id_a"), col("nsh").as("n_a"), col("r").as("r_a"))
+        .join(ranked.select(col("g"), col("id").as("id_b"), col("nsh").as("n_b"), col("r").as("r_b")), Seq("g"))
+        .filter(col("id_a") < col("id_b") &&
+          // size-ratio pruning: J ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t
+          col("n_a") >= col("n_b") * threshold && col("n_b") >= col("n_a") * threshold &&
+          // positional filter: overlap ≤ 1 + min(n−r) at the first shared
+          // prefix shingle (see scaladoc — sound there, loosest there)
+          lit(1) + least(col("n_a") - col("r_a"), col("n_b") - col("r_b")) >= minOverlap)
+        .select("id_a", "id_b").distinct()
+    }
 
     val joined = candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))

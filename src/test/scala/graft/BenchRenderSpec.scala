@@ -127,6 +127,32 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(a == Map("q1_agg" -> 1.50))
   }
 
+  test("parseAnchorsJson: sf-labeled records; wrong-scale entries excluded") {
+    val json =
+      """{
+        |  "q1_agg": {"sf": "0.1", "sec": 1.03, "date": "2026-08-14"},
+        |  "dedup_minhash": {"sf": "0.1", "sec": 2.94, "date": "2026-08-14"},
+        |  "q35_range_join": {"sf": "10", "sec": 5.2, "date": "2026-08-14"}
+        |}""".stripMargin
+    // the sf10-labeled anchor must NOT reach the sf0.1 gate — the exact
+    // poisoning the markdown convention allowed in round 9
+    assert(Bench.parseAnchorsJson(json, "0.1") ==
+      Map("q1_agg" -> 1.03, "dedup_minhash" -> 2.94))
+    assert(Bench.parseAnchorsJson(json, "10") == Map("q35_range_join" -> 5.2))
+  }
+
+  test("the real ANCHORS.json loads, covers the bench set, names only real queries") {
+    val p = java.nio.file.Paths.get("ANCHORS.json")
+    assume(java.nio.file.Files.isReadable(p))
+    val a = Bench.parseAnchorsJson(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), "0.1")
+    val unknown = a.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"anchors for non-queries: $unknown")
+    assert(a.size >= 90, s"expected >=90 anchors, parsed ${a.size}")
+    // and loadAnchors prefers the JSON over the markdown fallback
+    assert(Bench.loadAnchors("0.1") == a)
+  }
+
   test("the real BASELINE.md parses to anchors covering the bench set") {
     val p = java.nio.file.Paths.get("BASELINE.md")
     assume(java.nio.file.Files.isReadable(p))

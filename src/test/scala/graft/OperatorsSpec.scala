@@ -1209,6 +1209,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exact.size >= 50, s"exact found only ${exact.size}")
   }
 
+  test("ngramJaccard LSH route: pair-identical to the prefix index at low thresholds") {
+    // low-overlap structure: bases with variants at several Jaccard
+    // levels straddling t=0.2 — exactly the regime auto routes to LSH
+    val rows = (0 until 30).flatMap { b =>
+      val base = (0 until 50).map(j => s"w${b * 100 + j}")
+      def mutated(k: Int, tag: String) = base.zipWithIndex.map { case (w, j) =>
+        if (j % 50 < k) s"$tag${b * 100 + j}" else w }
+      Seq((b * 10L, base.mkString(" ")),
+        (b * 10L + 1, mutated(10, "x").mkString(" ")),  // high overlap
+        (b * 10L + 2, mutated(30, "y").mkString(" ")),  // ~threshold overlap
+        (b * 10L + 3, mutated(45, "z").mkString(" ")))  // low overlap
+    }
+    val corpus = rows.toDF("doc_id", "text")
+    def pairsOf(gen: String): Set[(Long, Long, Double)] =
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.2,
+        candidateGen = gen)
+        .select($"id_a", $"id_b", round($"jaccard", 9).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+    val prefix = pairsOf("prefix")
+    val lsh = pairsOf("lsh")
+    assert(lsh == prefix,
+      s"routed path must be pair-identical: lsh=${lsh.size} prefix=${prefix.size} " +
+        s"diff=${(prefix -- lsh).take(3)} ${(lsh -- prefix).take(3)}")
+    assert(prefix.nonEmpty, "low-threshold corpus must produce pairs")
+    // auto resolves to prefix (measured faster at every scale — see
+    // the operator scaladoc) and matches by construction
+    assert(pairsOf("auto") == prefix)
+    // auto at t=0.5 (prefix route) still exact on the same corpus
+    val hi = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val hiLsh = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3,
+      threshold = 0.5, candidateGen = "lsh")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(hi == hiLsh)
+  }
+
   test("simhashPairs excludes token-free documents (no degenerate all-zero bucket)") {
     val short = Seq((1L, "hello world again"), (2L, "hello world again"),
       (3L, ""), (4L, " \t\n"), (5L, "  ")).toDF("doc_id", "text")
