@@ -1513,6 +1513,27 @@ object SparkEntry {
           |FROM AllData GROUP BY ALL ORDER BY ALL""".stripMargin)
     }),
 
+    "q44_union_by_name" -> ((s, dir) => {
+      // round-11 dialect closures through the SQL front end: UNION ALL
+      // BY NAME (branches aligned by NAME with reordered columns; the
+      // right branch lacks asum/amean/aget entirely → NULL-filled,
+      // diagonal-concat semantics; trailing ORDER BY applies to the
+      // whole union) + the templated array fns (array_sum/array_mean →
+      // AGGREGATE fold in DOUBLE, array_get → 0-based GET). All
+      // arithmetic is small-int-exact in double, so the oracle's
+      // spelled-out equivalent hashes identically.
+      sql(tbl(s, dir, "nation"),
+        """SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS a,
+          |  ARRAY_SUM(ARRAY(n_nationkey, n_regionkey)) AS asum,
+          |  ARRAY_MEAN(ARRAY(n_nationkey, n_regionkey, 4)) AS amean,
+          |  CAST(ARRAY_GET(ARRAY(n_nationkey, n_regionkey), 1) AS BIGINT) AS aget
+          |FROM AllData
+          |UNION ALL BY NAME
+          |SELECT n_name AS a, CAST(n_nationkey + 100 AS BIGINT) AS k
+          |FROM AllData WHERE n_regionkey = 0
+          |ORDER BY k, a""".stripMargin)
+    }),
+
     "q32_asof_join" -> ((s, dir) => {
       // enrich synthetic event timeline with the most recent order of the
       // same customer (right side deduped per (key, ts) for determinism)
@@ -2938,6 +2959,21 @@ object SparkEntry {
         |  ROUND(SUM(l_extendedprice), 2) AS l_extendedprice,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin,
+
+    "q44_union_by_name" ->
+      // DuckDB spells the by-name alignment and the array templates
+      // out explicitly; small-int double arithmetic is exact in both
+      """SELECT * FROM (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS a,
+        |    CAST(n_nationkey + n_regionkey AS DOUBLE) AS asum,
+        |    (CAST(n_nationkey AS DOUBLE) + n_regionkey + 4) / 3 AS amean,
+        |    CAST(n_regionkey AS BIGINT) AS aget
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 100 AS BIGINT) AS k, n_name AS a,
+        |    NULL AS asum, NULL AS amean, NULL AS aget
+        |  FROM nation WHERE n_regionkey = 0
+        |) ORDER BY k, a""".stripMargin,
 
     "q32_asof_join" ->
       """WITH r AS (

@@ -67,7 +67,10 @@ object GraftSql {
     // never sees an unexpanded modifier. GROUP BY ALL / ORDER BY ALL
     // need no rewrite: Spark supports both natively and every pass
     // leaves the bare ALL keyword untouched.
-    SqlRewriter.expandColumnsFn(pass2, probe)
+    val pass3 = SqlRewriter.expandColumnsFn(pass2, probe)
+    // UNION BY NAME runs LAST: its branch probes must see fully
+    // Spark-parsable text (no unexpanded star modifiers / COLUMNS())
+    SqlRewriter.expandUnionByName(pass3, probe)
   }
 
   def run(spark: SparkSession, sql: String): DataFrame = {

@@ -74,6 +74,10 @@ object SqlRewriter {
     "array_upper" -> "ARRAY_MAX",
     "array_lower" -> "ARRAY_MIN",
     "array_reverse" -> "REVERSE",
+    // Spark's GET is 0-based with null-on-out-of-bounds — Polars'
+    // list.get contract (negative indexes differ: Polars wraps from the
+    // end, Spark nulls; the sweep spec documents it)
+    "array_get" -> "GET",
     "unnest" -> "EXPLODE",
     // Spark's `percentile` is the exact linearly-interpolated quantile —
     // the same definition as SQL QUANTILE_CONT — and takes (col, q) in
@@ -519,6 +523,27 @@ object SqlRewriter {
             out += Punct(")")
             i = close + 1
           } else { out += w; i += 1 }
+        case w: Word if (w.text.equalsIgnoreCase("array_sum") ||
+            w.text.equalsIgnoreCase("array_mean")) && {
+            val open = nextNonWs(toks, i + 1)
+            open < toks.length && toks(open) == Punct("(") &&
+              matchParen(toks, open) >= 0
+          } =>
+          // no 1:1 Spark builtin — template onto the higher-order
+          // AGGREGATE fold (codegen-friendly, null array → null).
+          // Sum of an empty list is 0.0 (Polars' convention); mean of
+          // an empty list TRY_DIVIDEs by SIZE()=0 → NULL — Polars'
+          // null-mean convention, ANSI-mode-safe. Result type is
+          // DOUBLE regardless of element type (documented widening).
+          val open = nextNonWs(toks, i + 1)
+          val close = matchParen(toks, open)
+          val arg = render(rewriteToks(toks.slice(open + 1, close)))
+          val sum = s"AGGREGATE(($arg), CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"
+          val expr =
+            if (w.text.equalsIgnoreCase("array_sum")) sum
+            else s"TRY_DIVIDE($sum, SIZE(($arg)))"
+          out ++= lex(expr)
+          i = close + 1
         case w: Word if fnRenames.contains(w.text.toLowerCase) && {
             val open = nextNonWs(toks, i + 1)
             open < toks.length && toks(open) == Punct("(")
@@ -547,7 +572,8 @@ object SqlRewriter {
   // ---- star-modifier expansion ------------------------------------------
 
   final case class StarModifiers(
-      except: Seq[String], replace: Seq[(String, String)], rename: Seq[(String, String)])
+      except: Seq[String], replace: Seq[(String, String)], rename: Seq[(String, String)],
+      ilike: Option[String] = None)
 
   /** One `* EXCEPT(..) REPLACE(..) RENAME(..)` occurrence: token span
     * [starIdx, endIdx) covering the star and all modifier groups. */
@@ -606,6 +632,7 @@ object SqlRewriter {
         var except = Seq.empty[String]
         var repl = Seq.empty[(String, String)]
         var ren = Seq.empty[(String, String)]
+        var ilike = Option.empty[String]
         var any = false
         var continue = true
         while (continue && j < toks.length) {
@@ -614,9 +641,22 @@ object SqlRewriter {
             case w: Word if w.text.equalsIgnoreCase("exclude") => "except"
             case w: Word if w.text.equalsIgnoreCase("replace") => "replace"
             case w: Word if w.text.equalsIgnoreCase("rename")  => "rename"
+            case w: Word if w.text.equalsIgnoreCase("ilike")   => "ilike"
             case _ => ""
           }
-          if (kw.isEmpty) continue = false
+          if (kw == "ilike") {
+            // Polars `SELECT * ILIKE 'pat%'` — parenless, one string
+            // literal: select only columns whose NAME matches the
+            // case-insensitive LIKE pattern. (A bare `*` can never be
+            // an ILIKE operand, so this position is unambiguous.)
+            val lit = nextNonWs(toks, j + 1)
+            if (lit < toks.length && toks(lit).isInstanceOf[SStr]) {
+              val s = toks(lit).text
+              ilike = Some(s.substring(1, s.length - 1).replace("''", "'"))
+              any = true
+              j = nextNonWs(toks, lit + 1)
+            } else continue = false
+          } else if (kw.isEmpty) continue = false
           else {
             val open = nextNonWs(toks, j + 1)
             if (open >= toks.length || toks(open) != Punct("(") ||
@@ -646,7 +686,7 @@ object SqlRewriter {
             }
           }
         }
-        if (any) { sites += StarSite(i, j, StarModifiers(except, repl, ren)); i = j }
+        if (any) { sites += StarSite(i, j, StarModifiers(except, repl, ren, ilike)); i = j }
         else i += 1
       } else i += 1
     }
@@ -661,7 +701,22 @@ object SqlRewriter {
     val exceptSet = m.except.toSet
     val replMap = m.replace.toMap
     val renMap = m.rename.toMap
-    columns.filterNot(exceptSet).map { c =>
+    // ILIKE pattern → case-insensitive regex over the column NAME
+    // (% → .*, _ → ., everything else literal)
+    val ilikeRe = m.ilike.map { pat =>
+      val sb = new StringBuilder("(?i)")
+      pat.foreach {
+        case '%' => sb.append(".*")
+        case '_' => sb.append('.')
+        case c   => sb.append(java.util.regex.Pattern.quote(c.toString))
+      }
+      sb.toString.r
+    }
+    val selected = ilikeRe.fold(columns)(re =>
+      columns.filter(c => re.pattern.matcher(c).matches()))
+    require(m.ilike.isEmpty || selected.nonEmpty,
+      s"`* ILIKE '${m.ilike.get}'` matches no columns of ${columns.mkString("(", ", ", ")")}")
+    selected.filterNot(exceptSet).map { c =>
       (replMap.get(c), renMap.get(c)) match {
         case (Some(e), Some(nn)) => s"$e AS ${bq(nn)}"
         case (Some(e), None)     => s"$e AS ${bq(c)}"
@@ -1053,5 +1108,130 @@ object SqlRewriter {
       } else t
     }
     render(rewritten)
+  }
+
+  // ---- UNION BY NAME ----------------------------------------------------
+
+  /** Rewrite Polars' `A UNION [ALL] BY NAME B` — which Spark SQL does
+    * not parse — into a column-aligned plain UNION: every branch is
+    * wrapped in a SELECT projecting the union of all branches' columns
+    * in first-seen order, with `NULL AS c` filling columns a branch
+    * lacks (DuckDB/Polars diagonal-concat semantics; a branch's own
+    * order never matters again). `probeSchema` resolves each branch's
+    * columns analysis-only, with the query's WITH prefix attached so
+    * CTE references stay in scope.
+    *
+    * Scope: the TOP-LEVEL set-op chain (parenthesized subqueries keep
+    * their content intact — a nested BY NAME inside a subquery is
+    * rewritten when that text passes through the front end on its
+    * own). A chain mixing BY NAME with positional set ops
+    * (INTERSECT / EXCEPT / plain UNION) is rejected loudly: silently
+    * aligning the positional branches by name would change their
+    * meaning. A trailing top-level ORDER BY / LIMIT / OFFSET applies
+    * to the whole union and stays outside the wrapping. */
+  def expandUnionByName(sql: String, probeSchema: String => Seq[String]): String = {
+    val toks = lex(sql)
+    // body starts after the WITH prefix (at the first depth-0 SELECT)
+    val prefix = withPrefix(toks)
+    var bodyStart = 0
+    if (prefix.nonEmpty) {
+      var depth = 0
+      var k = 0
+      var found = -1
+      while (k < toks.length && found < 0) {
+        toks(k) match {
+          case Punct("(") => depth += 1
+          case Punct(")") => depth -= 1
+          case w: Word if depth == 0 && w.text.equalsIgnoreCase("select") => found = k
+          case _ =>
+        }
+        k += 1
+      }
+      if (found < 0) return sql
+      bodyStart = found
+    }
+    // top-level set-op boundaries: (index of op start, index after op,
+    // byName, unionAll)
+    final case class Op(start: Int, end: Int, byName: Boolean, all: Boolean, kind: String)
+    val ops = ArrayBuffer.empty[Op]
+    var depth = 0
+    var k = bodyStart
+    while (k < toks.length) {
+      toks(k) match {
+        case Punct("(") => depth += 1
+        case Punct(")") => depth -= 1
+        case w: Word if depth == 0 &&
+            Seq("union", "intersect", "except").exists(w.text.equalsIgnoreCase) =>
+          val kind = w.text.toLowerCase
+          var e = k + 1
+          var all = false
+          var byName = false
+          val afterKw = nextNonWs(toks, e)
+          var cursor = afterKw
+          if (cursor < toks.length && (isWord(toks(cursor), "all") ||
+              isWord(toks(cursor), "distinct"))) {
+            all = isWord(toks(cursor), "all")
+            cursor = nextNonWs(toks, cursor + 1)
+          }
+          if (kind == "union" && cursor < toks.length && isWord(toks(cursor), "by")) {
+            val nameIdx = nextNonWs(toks, cursor + 1)
+            if (nameIdx < toks.length && isWord(toks(nameIdx), "name")) {
+              byName = true
+              cursor = nameIdx + 1
+            }
+          }
+          e = if (byName) cursor else {
+            // end of the op tokens actually consumed (kw [+ALL/DISTINCT])
+            var c = k + 1
+            val a = nextNonWs(toks, c)
+            if (a < toks.length && (isWord(toks(a), "all") || isWord(toks(a), "distinct")))
+              c = a + 1
+            c
+          }
+          ops += Op(k, e, byName, all, kind)
+          k = e - 1
+        case _ =>
+      }
+      k += 1
+    }
+    if (!ops.exists(_.byName)) return sql
+    require(ops.forall(o => o.byName),
+      "a set-operator chain mixing UNION BY NAME with positional set ops " +
+        "(UNION/INTERSECT/EXCEPT) is unsupported — positional branches cannot " +
+        "be silently re-aligned by name; parenthesize the BY NAME pair")
+    // split off a trailing top-level ORDER BY / LIMIT / OFFSET from the
+    // last branch — it applies to the WHOLE union
+    var tailStart = toks.length
+    depth = 0
+    var m = ops.last.end
+    while (m < toks.length) {
+      toks(m) match {
+        case Punct("(") => depth += 1
+        case Punct(")") => depth -= 1
+        case w: Word if depth == 0 && tailStart == toks.length &&
+          Seq("order", "limit", "offset").exists(w.text.equalsIgnoreCase) => tailStart = m
+        case _ =>
+      }
+      m += 1
+    }
+    val blockRanges =
+      (Seq(bodyStart) ++ ops.map(_.end)).zip(ops.map(_.start) :+ tailStart)
+    val blocks = blockRanges.map { case (s, e) => render(toks.slice(s, e)).trim }
+    val branchCols = blocks.map(b => probeSchema(prefix + b))
+    val target = branchCols.foldLeft(Vector.empty[String]) { (acc, cols) =>
+      acc ++ cols.filterNot(acc.contains)
+    }
+    val wrapped = blocks.zip(branchCols).zipWithIndex.map { case ((b, cols), bi) =>
+      val proj = target.map(c =>
+        if (cols.contains(c)) bq(c) else s"NULL AS ${bq(c)}").mkString(", ")
+      s"SELECT $proj FROM ($b) AS __graft_ubn_$bi"
+    }
+    val glued = wrapped.zipWithIndex.map { case (w, bi) =>
+      if (bi == 0) w
+      else (if (ops(bi - 1).all) " UNION ALL " else " UNION ") + w
+    }.mkString
+    val tail = render(toks.slice(tailStart, toks.length))
+    render(toks.slice(0, bodyStart)) + glued +
+      (if (tail.nonEmpty && !tail.startsWith(" ")) " " + tail else tail)
   }
 }

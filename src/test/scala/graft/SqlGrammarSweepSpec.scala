@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Systematic sweep of the public Polars SQL grammar surface against
+  * the shim (round-10 verdict item 5): every construct is classified
+  *   - NATIVE     — Spark parses/executes it unchanged,
+  *   - REWRITTEN  — a shim pass translates it (value-checked here and,
+  *                  for UNION BY NAME + the array fns, oracle-gated in
+  *                  `q44_union_by_name`),
+  *   - REJECTED   — no translation exists; the front end fails LOUDLY
+  *                  (parse error), never silently misevaluates.
+  * The reference's own corpus (`sqls.rs`, testes-sqls.txt) uses none
+  * of the REWRITTEN/REJECTED tail — this sweep is dialect-completeness
+  * evidence, not app-behavior parity. */
+class SqlGrammarSweepSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def setup(): Unit = {
+    import spark.implicits._
+    Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5)).toDF("id", "k", "v")
+      .createOrReplaceTempView("t")
+    Seq((1L, "x"), (4L, "y")).toDF("id", "s").createOrReplaceTempView("u")
+  }
+
+  private def run(sql: String) = graft.sql.GraftSql.run(spark, sql)
+
+  /** (construct, query, expected row count) — NATIVE Spark surface. */
+  private val native: Seq[(String, String, Long)] = Seq(
+    ("postgres :: cast", "SELECT id::STRING AS s FROM t", 3L),
+    ("TRY_CAST", "SELECT TRY_CAST(k AS INT) AS n FROM t", 3L),
+    ("LIMIT + OFFSET", "SELECT id FROM t ORDER BY id LIMIT 1 OFFSET 1", 1L),
+    ("IS DISTINCT FROM", "SELECT id IS DISTINCT FROM 1 AS d FROM t", 3L),
+    ("NATURAL JOIN", "SELECT * FROM t NATURAL JOIN u", 1L),
+    ("SEMI JOIN", "SELECT * FROM t SEMI JOIN u ON t.id = u.id", 1L),
+    ("LEFT SEMI JOIN", "SELECT * FROM t LEFT SEMI JOIN u ON t.id = u.id", 1L),
+    ("ANTI JOIN", "SELECT * FROM t ANTI JOIN u ON t.id = u.id", 2L),
+    ("INTERSECT", "SELECT id FROM t INTERSECT SELECT id FROM u", 1L),
+    ("EXCEPT set op", "SELECT id FROM t EXCEPT SELECT id FROM u", 2L),
+    ("positional GROUP BY", "SELECT k, count(*) AS n FROM t GROUP BY 1", 2L),
+    ("positional ORDER BY", "SELECT id, k FROM t ORDER BY 2, 1", 3L),
+    ("VALUES clause", "SELECT * FROM (VALUES (1, 'a'), (2, 'b')) AS v(a, b)", 2L),
+    ("EXISTS subquery", "SELECT id FROM t WHERE EXISTS (SELECT 1 FROM u WHERE u.id = t.id)", 1L),
+    ("INITCAP/LEFT/RIGHT", "SELECT INITCAP(k), LEFT(k, 1), RIGHT(k, 1) FROM t", 3L),
+    ("BIT/OCTET_LENGTH", "SELECT BIT_LENGTH(k), OCTET_LENGTH(k) FROM t", 3L),
+    ("REGEXP_LIKE", "SELECT REGEXP_LIKE(k, 'a') FROM t", 3L),
+    ("SPLIT_PART", "SELECT SPLIT_PART(k, 'x', 1) FROM t", 3L),
+    ("TIMESTAMP literal + INTERVAL", "SELECT TIMESTAMP '2024-01-01' + INTERVAL '1' DAY AS ts", 1L),
+    ("NULLIF/IFNULL/IF", "SELECT NULLIF(id, 1), IFNULL(NULL, 1), IF(id > 1, 'b', 's') FROM t", 3L),
+    ("GREATEST/LEAST", "SELECT GREATEST(id, 2), LEAST(id, 2) FROM t", 3L),
+    ("ARRAY_AGG", "SELECT ARRAY_AGG(id) FROM t", 1L),
+    ("ARRAY_CONTAINS", "SELECT ARRAY_CONTAINS(ARRAY(1,2), id) FROM t", 3L),
+    ("VARIANCE/STDDEV", "SELECT VARIANCE(v), STDDEV(v) FROM t", 1L),
+    ("COVAR_SAMP/CORR", "SELECT COVAR_SAMP(id, v), CORR(id, v) FROM t", 1L),
+    ("bitwise & |", "SELECT id & 1, id | 2 FROM t", 3L),
+    // -1 sentinel: at-least-one rows (SHOW TABLES sees every temp view
+    // other suites registered in the shared test session)
+    ("SHOW TABLES", "SHOW TABLES", -1L),
+    ("DESCRIBE", "DESCRIBE t", 3L))
+
+  test("NATIVE surface: Spark executes each construct unchanged") {
+    setup()
+    native.foreach { case (name, sql, rows) =>
+      val got = run(sql).count()
+      if (rows < 0) assert(got >= 1, s"$name: expected rows, got $got — $sql")
+      else assert(got == rows, s"$name: expected $rows rows, got $got — $sql")
+    }
+  }
+
+  test("REWRITTEN: UNION [ALL] BY NAME aligns by name, fills missing with NULL") {
+    setup()
+    import spark.implicits._
+    // reordered columns align by NAME, not position
+    val basic = run("SELECT id, k FROM t UNION ALL BY NAME SELECT 'z' AS k, 9::BIGINT AS id")
+      .select("id", "k").as[(Long, String)].collect().toSet
+    assert(basic == Set((1L, "a"), (2L, "b"), (3L, "a"), (9L, "z")))
+    // a column present on only one side NULL-fills on the other
+    // (diagonal-concat); trailing ORDER BY applies to the whole union
+    val fill = run("SELECT id, k FROM t UNION BY NAME SELECT 9::BIGINT AS id, 'e' AS extra ORDER BY id")
+      .select("id", "k", "extra").as[(Long, Option[String], Option[String])].collect().toList
+    assert(fill == List((1L, Some("a"), None), (2L, Some("b"), None),
+      (3L, Some("a"), None), (9L, None, Some("e"))))
+    // CTEs stay in scope for the right branch
+    val cte = run("WITH c AS (SELECT id FROM t) " +
+      "SELECT id, k FROM t UNION ALL BY NAME SELECT 'q' AS k, id FROM c ORDER BY id LIMIT 3")
+      .count()
+    assert(cte == 3L)
+    // mixing BY NAME with positional set ops in one chain rejects loudly
+    val e = intercept[IllegalArgumentException] {
+      run("SELECT id FROM t UNION BY NAME SELECT id FROM u INTERSECT SELECT id FROM t")
+    }
+    assert(e.getMessage.contains("positional"))
+  }
+
+  test("REWRITTEN: SELECT * ILIKE selects columns by case-insensitive name pattern") {
+    setup()
+    assert(run("SELECT * ILIKE '%K%' FROM t").columns.toSeq == Seq("k"))
+    assert(run("SELECT * ILIKE 'i_' FROM t").columns.toSeq == Seq("id"))
+    // composes with EXCLUDE, and zero matches fail loudly
+    assert(run("SELECT * ILIKE '%' EXCLUDE (v) FROM t").columns.toSeq == Seq("id", "k"))
+    val e = intercept[IllegalArgumentException] {
+      run("SELECT * ILIKE 'nope%' FROM t").collect()
+    }
+    assert(e.getMessage.contains("matches no columns"))
+  }
+
+  test("REWRITTEN: array_get / array_sum / array_mean") {
+    setup()
+    import spark.implicits._
+    // array_get is 0-based with null on out-of-bounds (Polars list.get;
+    // negative indexes differ — Polars wraps, Spark GET nulls)
+    assert(run("SELECT ARRAY_GET(ARRAY(10, 20), 1) AS x").as[Int].head() == 20)
+    assert(run("SELECT ARRAY_GET(ARRAY(10, 20), 5) AS x").select($"x".isNull).as[Boolean].head())
+    // sum/mean template onto AGGREGATE: double result, empty sums to
+    // 0.0, empty mean is NULL (0/0), null array propagates NULL
+    assert(run("SELECT ARRAY_SUM(ARRAY(1, 2, 4)) AS x").as[Double].head() == 7.0)
+    assert(run("SELECT ARRAY_MEAN(ARRAY(1.0, 2.0, 6.0)) AS x").as[Double].head() == 3.0)
+    assert(run("SELECT ARRAY_SUM(ARRAY()) AS x").as[Double].head() == 0.0)
+    assert(run("SELECT ARRAY_MEAN(ARRAY()) AS x").select(org.apache.spark.sql.functions.isnull(
+      org.apache.spark.sql.functions.col("x"))).as[Boolean].head())
+    assert(run("SELECT ARRAY_SUM(CAST(NULL AS ARRAY<INT>)) AS x").select(
+      org.apache.spark.sql.functions.isnull(org.apache.spark.sql.functions.col("x")))
+      .as[Boolean].head())
+  }
+
+  test("REJECTED tail fails loudly, never silently") {
+    setup()
+    // SIMILAR TO: no Spark equivalent wired — parse error, not wrong rows
+    intercept[Throwable] { run("SELECT k SIMILAR TO 'a' FROM t").collect() }
+    // `#` is not an operator in either dialect — parse error
+    intercept[Throwable] { run("SELECT id # 4 FROM t").collect() }
+    ()
+  }
+
+  test("dialect note: ^ is Spark XOR (sqlparser GenericDialect semantics), not POWER") {
+    // polars-sql parses with sqlparser's GenericDialect, where `^` is
+    // bitwise XOR (PGExp's power-^ is PostgreSqlDialect-only), so Spark
+    // agrees: 2 ^ 3 = 1. POWER/POW spell exponentiation in both.
+    setup()
+    import spark.implicits._
+    assert(run("SELECT 2 ^ 3 AS p").as[Int].head() == 1)
+    assert(run("SELECT POWER(2, 3) AS p").as[Double].head() == 8.0)
+  }
+}
