@@ -336,6 +336,12 @@ object Similarity {
         element_at(nearestCentroids(col(vecCol), cents, 1), 1).as("cell"))
       .filter(col("cell").isNotNull) // non-finite vectors are unindexable
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    // as-built occupancy snapshot — the drift baseline the rebuild
+    // advisor compares live occupancy against (footer-count scan, no
+    // vector bytes read). Written before the marker, like every part.
+    spark.read.parquet(s"$path/vectors").groupBy("cell")
+      .count().withColumnRenamed("count", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_build_stats")
     graft.sources.FsSwap.commitArtifact(fs, new org.apache.hadoop.fs.Path(path),
       s"ivf numCentroids=$numCentroids seed=$seed")
   }
@@ -450,6 +456,95 @@ object Similarity {
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileBytes: Long = 128L << 20): (Int, Int) =
     compactIndexCells(spark, path, "vectors", "compactIvfIndex", targetFileBytes)
+
+  /** [[shouldRebuildIvfIndex]]'s verdict: the measured drift signals
+    * plus the boolean they imply. `appendedFraction` is rows added
+    * since build over current rows (−1 when the index predates
+    * `_build_stats` and the baseline is unknown); `skewRatio` is the
+    * current max-cell occupancy over the current mean; `reason` is a
+    * human-readable account of which signal(s) fired. */
+  final case class RebuildAdvice(shouldRebuild: Boolean,
+      appendedFraction: Double, skewRatio: Double, reason: String)
+
+  /** Rebuild advisor for an [[appendToIvfIndex]]-grown index — the
+    * piece that ACTS on the "frozen centroids degrade through
+    * observable occupancy skew" contract. Centroids never retrain on
+    * append, so under distribution drift new vectors pile into the few
+    * cells nearest the drifted mass: probe cost for those cells grows
+    * and recall at fixed nprobe decays. Two bounded footer-count scans
+    * (no vector bytes) derive the signals:
+    *
+    *   - appended fraction: current rows vs the `_build_stats`
+    *     baseline — past `maxAppendedFraction` the index serves a
+    *     mostly different corpus than its centroids were fit on;
+    *   - occupancy skew: max cell over mean cell occupancy — past
+    *     `maxSkewRatio` the hottest cell dominates probe cost
+    *     (uniform-ish fits sit near 1–3; drifted appends push it up).
+    *
+    * Either signal alone advises rebuild. Indexes built before
+    * `_build_stats` existed report appendedFraction = −1 and advise on
+    * skew alone. The retrain path is [[rebuildIvfIndex]] (in place,
+    * crash-safe) or [[buildIvfIndex]] to a fresh path. */
+  def shouldRebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxAppendedFraction: Double = 0.5,
+      maxSkewRatio: Double = 4.0): RebuildAdvice = {
+    graft.sources.FsSwap.requireCommitted(
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(path), "shouldRebuildIvfIndex")
+    val cur = spark.read.parquet(s"$path/vectors")
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val curTotal = cur.values.sum
+    require(curTotal > 0, s"empty index at $path")
+    val nCells = loadCentroids(spark, path).length
+    val mean = curTotal.toDouble / nCells
+    val skew = cur.values.max / mean
+    val fs = new org.apache.hadoop.fs.Path(s"$path/_build_stats")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val appended =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_build_stats"))) -1.0
+      else {
+        val buildTotal = spark.read.parquet(s"$path/_build_stats")
+          .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+        math.max(0.0, (curTotal - buildTotal).toDouble / curTotal)
+      }
+    val reasons = Seq(
+      if (appended > maxAppendedFraction)
+        Some(f"appended fraction $appended%.2f > $maxAppendedFraction%.2f") else None,
+      if (skew > maxSkewRatio)
+        Some(f"occupancy skew $skew%.1f× > $maxSkewRatio%.1f×") else None).flatten
+    RebuildAdvice(reasons.nonEmpty, appended, skew,
+      if (reasons.nonEmpty) reasons.mkString("; ")
+      else f"healthy: appended=$appended%.2f skew=$skew%.1f×")
+  }
+
+  /** Retrain an index IN PLACE from its own stored vectors: a fresh
+    * [[buildIvfIndex]] (new centroid fit over the CURRENT corpus,
+    * fresh `_build_stats` baseline) runs into a staging directory and
+    * swaps in via the FsSwap rename state machine — the live path
+    * always holds a complete committed index, and a crash at any point
+    * is recovered at the next call's entry. Single maintainer per
+    * path, as for every writer here. */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      numCentroids: Int = 64, seed: Long = 42L, kmeansIters: Int = 0): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__graft-rebuild-tmp__")
+    val old = new org.apache.hadoop.fs.Path(path + ".__graft-rebuild-old__")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.FsSwap.recover(fs, p, tmp, old, "rebuildIvfIndex")
+    graft.sources.FsSwap.requireCommitted(fs, p, "rebuildIvfIndex")
+    // the staging build READS the live index while writing the new one;
+    // both parts complete (and commit their marker) before the swap
+    val corpus = spark.read.parquet(s"$path/vectors").select(col("id"), col("v"))
+    buildIvfIndex(corpus, "id", "v", tmp.toString, numCentroids, seed, kmeansIters)
+    // root _SUCCESS makes the staging recognizable to FsSwap.recover's
+    // staging-committed branch: a crash BETWEEN the two swap renames
+    // promotes the finished new index instead of falling back to the old
+    val ok = fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true)
+    ok.close()
+    graft.sources.FsSwap.swap(fs, p, tmp, old, "rebuildIvfIndex")
+  }
 
   private[operators] def compactIndexCells(
       spark: org.apache.spark.sql.SparkSession, path: String,

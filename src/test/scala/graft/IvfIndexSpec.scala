@@ -153,6 +153,60 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("rebuild advisor: healthy after build, flips on skewed appends, rebuild restores") {
+    val p = Files.createTempDirectory("graft_ivf_adv").toFile.getAbsolutePath
+    Similarity.buildIvfIndex(synthCorpus(400, 8), "vec_id", "embedding", p,
+      numCentroids = 8, seed = 7L, kmeansIters = 2)
+    val healthy = Similarity.shouldRebuildIvfIndex(spark, p)
+    assert(!healthy.shouldRebuild, s"fresh index must be healthy: $healthy")
+    assert(healthy.appendedFraction == 0.0)
+    // drifted ingest: every appended vector sits in ONE blob, so the
+    // frozen centroids funnel them into few cells — occupancy skew AND
+    // appended fraction both fire
+    val drift = (0 until 1200).map { i =>
+      (10000L + i, (0 until 8).map(d =>
+        (1.0 + 0.001 * ((i * 17 + d) % 7)).toFloat))
+    }.toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(drift, "vec_id", "embedding", p)
+    val drifted = Similarity.shouldRebuildIvfIndex(spark, p)
+    assert(drifted.shouldRebuild, s"skewed appends must advise rebuild: $drifted")
+    assert(drifted.appendedFraction > 0.5 && drifted.skewRatio > 4.0, drifted.toString)
+    assert(drifted.reason.contains("appended") && drifted.reason.contains("skew"))
+    // retrain in place: fresh centroids over the CURRENT corpus reset
+    // both signals, nothing is lost, and recall still clears the floor
+    Similarity.rebuildIvfIndex(spark, p, numCentroids = 8, seed = 7L, kmeansIters = 2)
+    val rebuilt = Similarity.shouldRebuildIvfIndex(spark, p)
+    assert(!rebuilt.shouldRebuild, s"rebuild must restore health: $rebuilt")
+    assert(rebuilt.appendedFraction == 0.0)
+    val all = spark.read.parquet(s"$p/vectors")
+    assert(all.count() == 1600L, "rebuild must preserve every row")
+    // recall floor vs brute force on the rebuilt index
+    val corpus = all.select($"id".as("vec_id"), $"v".as("embedding"))
+    val queries = corpus.filter($"vec_id" < 6)
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+      .select($"query_id", $"id".as("n"))
+    val ivf = Similarity.queryIvfIndex(spark, p, queries, "vec_id", "embedding",
+      k = 10, nprobe = 4).select($"query_id", $"id".as("n"))
+    val recall = ivf.join(brute, Seq("query_id", "n"), "left_semi").count().toDouble /
+      brute.count()
+    assert(recall >= 0.9, f"recall after rebuild $recall%.2f < 0.9")
+  }
+
+  test("rebuild advisor: pre-_build_stats index advises on skew alone") {
+    val p = Files.createTempDirectory("graft_ivf_adv_legacy").toFile.getAbsolutePath
+    Similarity.buildIvfIndex(synthCorpus(200, 8), "vec_id", "embedding", p,
+      numCentroids = 4, seed = 7L, kmeansIters = 1)
+    // simulate a legacy index: drop the stats part (marker survives —
+    // stats are advisory, not index structure)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/_build_stats"), true)
+    val a = Similarity.shouldRebuildIvfIndex(spark, p)
+    assert(a.appendedFraction == -1.0, "unknown baseline must report -1")
+    assert(!a.shouldRebuild, s"balanced legacy index stays healthy: $a")
+  }
+
   test("append: requires a committed index and refuses readers mid-append") {
     val p = Files.createTempDirectory("graft_ivf_ap2").toFile.getAbsolutePath
     val corpus = synthCorpus(100, 8)
