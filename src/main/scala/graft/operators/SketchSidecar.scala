@@ -6,35 +6,39 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Band-partitioned on-disk layout for a MinHash dedup-sketch sidecar —
-  * the state store behind
+/** Two-store on-disk layout for a MinHash dedup-sketch sidecar — the
+  * state store behind
   * [[graft.streaming.EventStreams.semanticIngestSink]].
   *
-  * The flat layout ([[Dedup.dedupSketchColumns]] rows appended to one
-  * parquet directory) forces every micro-batch admission to SCAN THE
-  * WHOLE SIDECAR: correct, and only ~1–2 % of corpus bytes, but at a
-  * 100 TB corpus that is still 1–2 TB read per trickle batch. The LSH
-  * band keys the admission join computes anyway are a natural partition
-  * key, so this layout splits the sketch into two hive-partitioned
-  * stores, each pruned by exactly the values a batch probes — the same
-  * discipline as [[Similarity.queryIvfIndex]]'s cell pruning:
+  * The round-10 flat layout ([[Dedup.dedupSketchColumns]] rows in one
+  * parquet directory) forced every micro-batch admission to SCAN THE
+  * WHOLE SIDECAR — correct, but 1–2 TB read per trickle batch at a
+  * 100 TB corpus. This layout splits the sketch by ACCESS PATTERN and
+  * prunes each store with the discipline
+  * [[graft.streaming.EventStreams.dedupIngestSink]] already uses for
+  * its corpus (parquet bloom filters on the probe key + a pushed In
+  * for trickle batches):
   *
   * {{{
-  * <path>/_graft_sidecar_v2.json           layout marker {bandBuckets, setBuckets}
-  * <path>/bands/bucket=<k>/part-….parquet  (band int, band_hash long, id long)
-  * <path>/sets/sbucket=<k>/part-….parquet  (id long, sig arr<long> [cfg metadata], sh arr<long>)
+  * <path>/_graft_sidecar_v2.json   version marker
+  * <path>/bands/part-….parquet     (band int, band_hash long, id long)  bloom(band_hash)
+  * <path>/sets/part-….parquet      (id long, sig arr<long> [cfg meta], sh arr<long>)  bloom(id)
   * }}}
   *
-  * `bands` holds the exploded LSH bucket rows, partitioned by
-  * `bucket = pmod(xxhash64(band_hash, band), bandBuckets)` — a batch
-  * doc with B bands probes ≤ B bucket directories, so candidate-scan
-  * bytes scale with BATCH band rows, not sidecar size. Rows are written
-  * sorted by `band_hash` within each file so the probe's pushed-In
-  * predicate (trickle batches) also skips row groups via parquet
-  * column stats. `sets` holds one row per admitted doc (signature +
-  * sorted shingle hashes — the verify payload), partitioned by
-  * `sbucket = pmod(xxhash64(id, salt), setBuckets)` and pruned to the
-  * candidate ids' buckets at verify time.
+  * `bands` holds the exploded LSH bucket rows — the candidate-join
+  * key store. Each append lands as ONE file (micro-batches; bulk
+  * loads split by size), sorted by `band_hash`, every file carrying
+  * an adaptive parquet bloom on `band_hash` at fpp 1e-5. A batch
+  * probing ≤ [[MaxInValues]] distinct band hashes pushes the hash
+  * list into the scan: row groups holding none of the batch's hashes
+  * are skipped by the bloom (uniform hashes make min/max useless —
+  * the bloom IS the pruning), so candidate-scan bytes track the
+  * batch's true collisions, not sidecar size. Larger batches fall
+  * back to one column-pruned full scan of the (skinny) band store,
+  * amortized over the batch — the same trickle/bulk split as the
+  * exact ingest sink. `sets` holds one row per admitted doc (the
+  * verify payload), pruned identically by an `id` bloom + the
+  * candidate-id In list.
   *
   * Write protocol (one maintainer, the ingest sink): corpus docs
   * append FIRST, then `bands`, then `sets` — the `sets` row count is
@@ -42,45 +46,43 @@ import org.apache.spark.sql.types._
   * both counts fold parquet footer metadata, no data scan). A crash
   * between the bands and sets appends can leave duplicate band rows
   * after the heal re-appends them — harmless: the candidate join is
-  * `.distinct()`ed, and compaction rewrites buckets wholesale.
-  *
-  * Sizing the layout: each batch append writes ≤ min(bandBuckets,
-  * batchBands) band files, so more buckets = better probe pruning but
-  * faster small-file accumulation (run [[compact]] on the maintenance
-  * schedule, between batches). The 256-bucket default keeps a
-  * 1000-batch-day at ~256k small files pre-compaction while pruning a
-  * 64-band single-doc probe to ≤ 25 % of band bytes — and the
-  * band_hash row-group pushdown inside surviving buckets does the
-  * rest. Buckets are FROZEN at creation (the marker file); changing
-  * them requires a rebuild.
+  * `.distinct()`ed, and compaction rewrites the store wholesale.
+  * File counts grow one per batch per store; run [[compact]] on the
+  * maintenance schedule (crash-safe rename swap, re-sorts and
+  * re-blooms).
   */
 object SketchSidecar {
   val MetaFile = "_graft_sidecar_v2.json"
   val BandsDir = "bands"
   val SetsDir = "sets"
 
-  /** Decorrelates the sets partitioner from xxhash64(id) uses elsewhere. */
-  private val SetBucketSalt = 0x5ca1ab1eL
-
-  /** Bucket counts, frozen into the marker file at creation. */
-  final case class Layout(bandBuckets: Int = 256, setBuckets: Int = 256) {
-    require(bandBuckets >= 1 && setBuckets >= 1,
-      s"bucket counts must be >= 1 (got $bandBuckets, $setBuckets)")
-  }
-
   /** Trickle-batch fast path: when the batch probes ≤ this many
-    * distinct band hashes (resp. candidate ids), the values are ALSO
-    * pushed into the scan as an In predicate for parquet row-group
-    * skipping inside surviving buckets — same bound discipline as
-    * [[graft.streaming.EventStreams]]'s MaxInHashes (Spark lowers
-    * pushed Ins to a per-value or-chain; keep it small). */
+    * distinct band hashes (resp. candidate ids), the values are
+    * pushed into the scan as an In predicate for bloom/stats
+    * row-group skipping — mirrors the session's
+    * `spark.sql.parquet.pushdown.inFilterThreshold` (Spark lowers a
+    * pushed In to a per-value or-chain; a 1250-value chain overflowed
+    * an executor stack, and bloom selectivity decays as
+    * 1-(1-fpp)^K anyway). */
   private[graft] val MaxInValues = 100
 
-  def bandBucket(band: Column, bandHash: Column, buckets: Int): Column =
-    pmod(xxhash64(bandHash, band), lit(buckets.toLong))
+  /** Write options for the band store's bloom on `band_hash` and the
+    * set store's bloom on `id` — adaptive sizing (a 2-row trickle
+    * file costs bytes, a full row group gets a properly sized
+    * filter), fpp 1e-5 so a [[MaxInValues]]-hash probe falsely reads
+    * ~0.1 % of clean row groups. */
+  private def bloomOpts(col: String) = Map(
+    s"parquet.bloom.filter.enabled#$col" -> "true",
+    "parquet.bloom.filter.adaptive.enabled" -> "true",
+    s"parquet.bloom.filter.fpp#$col" -> "0.00001",
+    "parquet.bloom.filter.max.bytes" -> (256 << 10).toString)
 
-  def setBucket(id: Column, buckets: Int): Column =
-    pmod(xxhash64(id, lit(SetBucketSalt)), lit(buckets.toLong))
+  private[graft] def bandBloomOpts: Map[String, String] = bloomOpts("band_hash")
+  private[graft] def setBloomOpts: Map[String, String] = bloomOpts("id")
+
+  /** Docs-per-append above which the store writes split into
+    * size-targeted files instead of the micro-batch single file. */
+  val BulkAppendDocs: Long = 16000L
 
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -88,56 +90,43 @@ object SketchSidecar {
   def exists(spark: SparkSession, path: String): Boolean =
     fsOf(spark, path).exists(new Path(path, MetaFile))
 
-  /** Create (or reset) the sidecar directory with a frozen layout. */
-  def create(spark: SparkSession, path: String, layout: Layout): Unit = {
+  /** Create (or reset) the sidecar directory. */
+  def create(spark: SparkSession, path: String): Unit = {
     val fs = fsOf(spark, path)
     val dir = new Path(path)
     fs.delete(dir, true)
     fs.mkdirs(dir)
-    val meta = new Path(dir, MetaFile)
-    val out = fs.create(meta, true)
-    try out.write(
-      s"""{"bandBuckets": ${layout.bandBuckets}, "setBuckets": ${layout.setBuckets}}"""
-        .getBytes("UTF-8"))
-    finally out.close()
+    writeMeta(spark, path)
   }
 
-  def readLayout(spark: SparkSession, path: String): Layout = {
+  private def writeMeta(spark: SparkSession, path: String): Unit = {
     val fs = fsOf(spark, path)
-    val meta = new Path(path, MetaFile)
-    require(fs.exists(meta), s"no sketch sidecar at $path (missing $MetaFile)")
-    val in = fs.open(meta)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-               finally in.close()
-    def field(name: String): Int = {
-      val m = ("\"" + name + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(text)
-      require(m.isDefined, s"malformed $MetaFile at $path: $text")
-      m.get.group(1).toInt
-    }
-    Layout(field("bandBuckets"), field("setBuckets"))
+    val out = fs.create(new Path(path, MetaFile), true)
+    try out.write("""{"version": 2}""".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Append one batch of [[Dedup.dedupSketchColumns]] rows (id, sig,
     * sh). Bands first, sets second — sets is the commit point (see
-    * object doc). The `repartition(bucket)` before each partitioned
-    * write keeps file counts at one per TOUCHED bucket per batch
-    * instead of tasks × buckets, and the in-file `band_hash` sort
-    * gives the probe's pushed-In tight row-group stats. */
-  def append(sketches: DataFrame, path: String, cfg: Dedup.MinHashConfig,
-      layout: Layout): Unit = {
+    * object doc). Micro-batches (≤ [[BulkAppendDocs]] docs) write ONE
+    * file per store via coalesce(1) — no shuffle, no per-bucket
+    * file-count blowup; bulk loads range-split by the sort key. Files
+    * are sorted by their probe key so row groups stay bloom-prunable
+    * and dictionary-tight. */
+  def append(sketches: DataFrame, path: String, cfg: Dedup.MinHashConfig): Unit = {
     val skM = Materialize.once(sketches, eager = true) // consumed twice
+    val bulk = skM.count() > BulkAppendDocs // cheap: counts the materialized blocks
+    def shaped(df: DataFrame, sortCol: String): DataFrame =
+      if (bulk) df.repartitionByRange(col(sortCol)).sortWithinPartitions(col(sortCol))
+      else df.coalesce(1).sortWithinPartitions(col(sortCol))
     val bands = Dedup.bandedSigs(
-        skM.select(col("id"), col("sig"))
-          .filter(col("sig").getItem(0) =!= Long.MaxValue), cfg)
-      .withColumn("bucket", bandBucket(col("band"), col("band_hash"), layout.bandBuckets))
-    bands.repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("band_hash"))
-      .write.partitionBy("bucket").mode("append")
+      skM.select(col("id"), col("sig"))
+        .filter(col("sig").getItem(0) =!= Long.MaxValue), cfg)
+    shaped(bands, "band_hash")
+      .write.mode("append").options(bandBloomOpts)
       .parquet(new Path(path, BandsDir).toString)
-    skM.withColumn("sbucket", setBucket(col("id"), layout.setBuckets))
-      .repartition(col("sbucket"))
-      .sortWithinPartitions(col("sbucket"), col("id"))
-      .write.partitionBy("sbucket").mode("append")
+    shaped(skM, "id")
+      .write.mode("append").options(setBloomOpts)
       .parquet(new Path(path, SetsDir).toString)
   }
 
@@ -170,55 +159,33 @@ object SketchSidecar {
       StructType(Seq(StructField("id", LongType),
         StructField("sh", ArrayType(LongType)))))
 
-  /** A batch's band-store probe keys: its distinct bucket values (≤
-    * bandBuckets — the partition-pruning IN list) and, when
-    * trickle-sized, its distinct band hashes (≤ [[MaxInValues]] — the
-    * row-group pushdown list; None past the cap). Two bounded driver
-    * collects. Exposed for the pruning plan tests. */
-  private[graft] def probeKeys(newBanded: DataFrame): (Seq[Long], Option[Seq[Long]]) = {
-    val buckets = newBanded.select(col("bucket")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val batchHashes = newBanded.select(col("band_hash")).distinct()
-      .limit(MaxInValues + 1).collect().map(_.getLong(0)).toSeq
-    (buckets, if (batchHashes.length <= MaxInValues) Some(batchHashes) else None)
-  }
-
-  /** The exploded, bucket-stamped LSH band rows of a batch — the probe
-    * side of the candidate join (exposed with [[probeKeys]] for plan
-    * tests). */
-  private[graft] def bandedBatch(newDf: DataFrame, idCol: String, textCol: String,
-      cfg: Dedup.MinHashConfig, layout: Layout): DataFrame =
-    Dedup.bandedSigs(Dedup.sigFrame(newDf, idCol, textCol, cfg), cfg)
-      .withColumn("bucket", bandBucket(col("band"), col("band_hash"), layout.bandBuckets))
-
-  /** The pruned corpus-side band scan for a batch probing `buckets`
-    * (exposed for plan/metrics tests): partition pruning on the hive
-    * `bucket` column cuts the read to the batch's candidate buckets,
-    * and when the batch's distinct band hashes are ≤ [[MaxInValues]]
-    * the hash list is ALSO pushed into the scan for row-group skipping
-    * inside surviving buckets. */
+  /** The pruned corpus-side band scan for a batch probing
+    * `bandHashes` (exposed for plan/metrics tests): a defined hash
+    * list (trickle batch, ≤ [[MaxInValues]]) is pushed into the scan
+    * — parquet skips every row group whose `band_hash` bloom holds
+    * none of them; None (bulk batch) reads the full skinny store
+    * once, amortized over the batch. */
   private[graft] def corpusBandScan(spark: SparkSession, path: String,
-      buckets: Seq[Long], bandHashes: Option[Seq[Long]]): DataFrame = {
+      bandHashes: Option[Seq[Long]]): DataFrame = {
     val bands = new Path(path, BandsDir)
-    if (buckets.isEmpty || !fsOf(spark, path).exists(bands)) emptyBands(spark)
+    if (!fsOf(spark, path).exists(bands)) emptyBands(spark)
     else {
       val base = spark.read.parquet(bands.toString)
-        .filter(col("bucket").isin(buckets: _*))
       bandHashes.fold(base)(hs =>
           base.filter(col("band_hash").isin(hs.map(java.lang.Long.valueOf): _*)))
         .select(col("band"), col("band_hash"), col("id"))
     }
   }
 
-  /** The pruned corpus-side shingle-set scan for candidate ids hashed
-    * into `sbuckets` (exposed for plan/metrics tests). */
+  /** The pruned corpus-side shingle-set scan for candidate `ids`
+    * (exposed for plan/metrics tests) — same trickle/bulk split keyed
+    * on the set store's `id` bloom. */
   private[graft] def corpusSetScan(spark: SparkSession, path: String,
-      sbuckets: Seq[Long], ids: Option[Seq[Long]]): DataFrame = {
+      ids: Option[Seq[Long]]): DataFrame = {
     val sets = new Path(path, SetsDir)
-    if (sbuckets.isEmpty || !fsOf(spark, path).exists(sets)) emptySets(spark)
+    if (!fsOf(spark, path).exists(sets)) emptySets(spark)
     else {
       val base = spark.read.parquet(sets.toString)
-        .filter(col("sbucket").isin(sbuckets: _*))
       ids.fold(base)(is =>
           base.filter(col("id").isin(is.map(java.lang.Long.valueOf): _*)))
         .filter(size(col("sh")) > 0)
@@ -237,26 +204,23 @@ object SketchSidecar {
   }
 
   /** [[Dedup.minhashExactPairsAgainstSketches]] with the corpus side
-    * read from a partitioned sidecar: identical output — (id_new,
-    * id_other, other_in_corpus, jaccard ≥ exactThreshold) — but the
-    * sidecar reads are PRUNED to the batch's candidate buckets, so
-    * per-batch sidecar bytes-read scale with the batch, not the
-    * corpus. Two bounded driver collects size the pruning (≤
-    * bandBuckets band-bucket keys, ≤ setBuckets set-bucket keys — the
-    * same bounded-model shape as the IVF probes). */
+    * read from the sidecar's stores: identical output — (id_new,
+    * id_other, other_in_corpus, jaccard ≥ exactThreshold) — but for
+    * trickle batches the sidecar reads are bloom-pruned to the
+    * batch's candidate row groups, so per-batch sidecar bytes-read
+    * track the batch, not the corpus. The two bounded driver collects
+    * (≤ [[MaxInValues]]+1 rows each) size the pruning. */
   def minhashExactPairsAgainstSidecar(newDf: DataFrame, path: String,
       idCol: String, textCol: String,
       cfg: Dedup.MinHashConfig = Dedup.MinHashConfig(numHashes = 128, bands = 64),
       exactThreshold: Double = 0.5): DataFrame = {
     val spark = newDf.sparkSession
-    val layout = readLayout(spark, path)
+    require(exists(spark, path), s"no sketch sidecar at $path (missing $MetaFile)")
     validateConfig(spark, path, cfg)
     val newSigs = Dedup.sigFrame(newDf, idCol, textCol, cfg)
-    val newBanded = Materialize.once(
-      Dedup.bandedSigs(newSigs, cfg)
-        .withColumn("bucket", bandBucket(col("band"), col("band_hash"), layout.bandBuckets)))
-    val (buckets, hashesIn) = probeKeys(newBanded)
-    val corpusBands = corpusBandScan(spark, path, buckets, hashesIn)
+    val newBanded = Materialize.once(Dedup.bandedSigs(newSigs, cfg))
+    val hashesIn = probeHashes(newBanded)
+    val corpusBands = corpusBandScan(spark, path, hashesIn)
     val l = newBanded.select(col("band"), col("band_hash"), col("id").as("id_new"))
     val rt = corpusBands.withColumn("other_in_corpus", lit(true))
       .select(col("band"), col("band_hash"), col("id").as("id_other"), col("other_in_corpus"))
@@ -271,16 +235,14 @@ object SketchSidecar {
       l.join(rt, Seq("band", "band_hash"))
         .filter(col("other_in_corpus") || col("id_other") < col("id_new"))
         .select("id_new", "id_other", "other_in_corpus").distinct(),
-      eager = true) // consumed twice: sbucket probe collect + verify join
-    // verify-side pruning: candidate corpus ids → their set buckets
-    val sbuckets = candidates.filter(col("other_in_corpus"))
-      .select(setBucket(col("id_other"), layout.setBuckets).as("b")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+      eager = true) // consumed twice: id-probe collect + verify join
+    // verify-side pruning: the candidate corpus ids, when they fit
+    // the In cap (one bounded job); else the full set store
     val candIds = candidates.filter(col("other_in_corpus"))
       .select(col("id_other")).distinct()
       .limit(MaxInValues + 1).collect().map(_.getLong(0)).toSeq
     val idsIn = if (candIds.length <= MaxInValues) Some(candIds) else None
-    val corpusSets = corpusSetScan(spark, path, sbuckets, idsIn)
+    val corpusSets = corpusSetScan(spark, path, idsIn)
     val newSets = Dedup.setFrame(newDf, idCol, textCol, cfg)
     val allSets = corpusSets.union(newSets)
     val joined = candidates
@@ -294,9 +256,24 @@ object SketchSidecar {
       .filter(col("jaccard") >= exactThreshold)
   }
 
-  /** [[Dedup.admitNewAgainstSketches]] against a partitioned sidecar:
-    * batch rows that near-duplicate neither a sketched corpus doc nor
-    * a smaller-id sibling of their own batch. */
+  /** The exploded LSH band rows of a batch — the probe side of the
+    * candidate join (exposed with [[probeHashes]] for plan tests). */
+  private[graft] def bandedBatch(newDf: DataFrame, idCol: String, textCol: String,
+      cfg: Dedup.MinHashConfig): DataFrame =
+    Dedup.bandedSigs(Dedup.sigFrame(newDf, idCol, textCol, cfg), cfg)
+
+  /** A batch's distinct band hashes when they fit the In cap (one
+    * bounded job; None for bulk batches). Exposed for the pruning
+    * tests. */
+  private[graft] def probeHashes(newBanded: DataFrame): Option[Seq[Long]] = {
+    val hs = newBanded.select(col("band_hash")).distinct()
+      .limit(MaxInValues + 1).collect().map(_.getLong(0)).toSeq
+    if (hs.length <= MaxInValues) Some(hs) else None
+  }
+
+  /** [[Dedup.admitNewAgainstSketches]] against the sidecar: batch
+    * rows that near-duplicate neither a sketched corpus doc nor a
+    * smaller-id sibling of their own batch. */
   def admitNew(newDf: DataFrame, path: String, idCol: String, textCol: String,
       cfg: Dedup.MinHashConfig = Dedup.MinHashConfig(numHashes = 128, bands = 64),
       exactThreshold: Double = 0.5): DataFrame = {
@@ -306,16 +283,17 @@ object SketchSidecar {
     newDf.join(doomed, Seq(idCol), "left_anti")
   }
 
-  /** One-time in-place migration of a FLAT (pre-v2) sidecar directory
-    * — [[Dedup.dedupSketchColumns]] rows as loose parquet files at the
-    * root — into the partitioned layout. No-op when the marker already
-    * exists or the directory is absent/empty. The root part-files are
-    * deleted only after both partitioned stores are fully written; a
-    * crash mid-migration is re-entrant (the marker is written LAST, so
-    * a torn migration re-runs wholesale — appends before the marker
-    * are clobbered by the fresh [[create]]). */
+  /** One-time in-place migration of a FLAT (round-10) sidecar
+    * directory — [[Dedup.dedupSketchColumns]] rows as loose parquet
+    * files at the root — into the two-store layout: the root rows
+    * become the set store (rewritten sorted + bloomed) and the band
+    * store is derived from their signatures. No-op when the marker
+    * already exists or the directory is absent/empty. Root files are
+    * deleted only after both stores are fully written; the marker is
+    * written LAST, so a crash mid-migration re-runs wholesale (the
+    * fresh run clears partial stores first). */
   def migrateV1IfNeeded(spark: SparkSession, path: String,
-      cfg: Dedup.MinHashConfig, layout: Layout): Unit = {
+      cfg: Dedup.MinHashConfig): Unit = {
     val fs = fsOf(spark, path)
     val dir = new Path(path)
     if (!fs.exists(dir) || fs.exists(new Path(dir, MetaFile))) return
@@ -325,45 +303,36 @@ object SketchSidecar {
     val flat = spark.read.parquet(rootParts.map(_.getPath.toString).toIndexedSeq: _*)
     Dedup.validateSketchConfig(flat, cfg)
     val staged = Materialize.once(flat, eager = true)
-    // clear any torn previous migration's partitioned remnants, then
-    // write stores, then root cleanup, then the marker (commit point)
     fs.delete(new Path(dir, BandsDir), true)
     fs.delete(new Path(dir, SetsDir), true)
-    append(staged, path, cfg, layout)
+    append(staged, path, cfg)
     rootParts.foreach(st => fs.delete(st.getPath, false))
     fs.delete(new Path(dir, "_SUCCESS"), false)
-    val out = fs.create(new Path(dir, MetaFile), true)
-    try out.write(
-      s"""{"bandBuckets": ${layout.bandBuckets}, "setBuckets": ${layout.setBuckets}}"""
-        .getBytes("UTF-8"))
-    finally out.close()
+    writeMeta(spark, path)
   }
 
-  /** Compact both partitioned stores, one crash-safe rename-only swap
-    * per bucket directory ([[graft.sources.Writers.compactParquet]]'s
-    * FsSwap state machine), re-sorting band files by `band_hash` so
-    * row-group stats stay tight for the probe's pushed-In. Single
-    * maintainer: run between batches, never concurrently with the
-    * ingest sink. Returns (filesBefore, filesAfter) summed over
-    * buckets. */
+  /** Compact both stores ([[graft.sources.Writers.compactParquet]]'s
+    * crash-safe rename swap), re-sorting by the probe key and
+    * re-applying the blooms — a generic compaction would silently
+    * shed both and the trickle fast path would quietly read every row
+    * group. Single maintainer: run between batches, never
+    * concurrently with the ingest sink. Returns (filesBefore,
+    * filesAfter) summed over stores. */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20): (Int, Int) = {
     val fs = fsOf(spark, path)
     var before = 0
     var after = 0
-    def compactStore(store: String, sortCols: Seq[String]): Unit = {
-      val storePath = new Path(path, store)
-      if (fs.exists(storePath)) {
-        fs.listStatus(storePath).filter(_.isDirectory).foreach { bucketDir =>
-          val (b, a) = graft.sources.Writers.compactParquet(
-            spark, bucketDir.getPath.toString, targetFileBytes,
-            sortCols = sortCols)
-          before += b; after += a
-        }
+    def one(store: String, sortCol: String, opts: Map[String, String]): Unit = {
+      val p = new Path(path, store)
+      if (fs.exists(p)) {
+        val (b, a) = graft.sources.Writers.compactParquet(
+          spark, p.toString, targetFileBytes, opts, sortCols = Seq(sortCol))
+        before += b; after += a
       }
     }
-    compactStore(BandsDir, Seq("band_hash"))
-    compactStore(SetsDir, Seq("id"))
+    one(BandsDir, "band_hash", bandBloomOpts)
+    one(SetsDir, "id", setBloomOpts)
     (before, after)
   }
 }

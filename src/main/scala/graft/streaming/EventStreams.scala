@@ -527,16 +527,17 @@ object EventStreams {
     *
     * Corpus TEXT is never re-read: admission pairs each batch against a
     * persisted SKETCH sidecar at `sketchPath` in
-    * [[graft.operators.SketchSidecar]]'s band-partitioned layout
-    * (minhash signature + sorted shingle hashes, ~1-2% of corpus
-    * bytes, hive-partitioned by LSH band bucket and id bucket). The
-    * admission probe reads ONLY the batch's candidate buckets —
-    * partition pruning on the band-bucket key, plus a pushed-In on
-    * band_hash for trickle batches — so per-batch sidecar bytes-read
-    * scale with the BATCH's candidates, not the sidecar (the flat
-    * layout re-read the whole sidecar every batch: ~1-2 TB per
-    * trickle batch at a 100 TB corpus). Each admitted batch appends
-    * its docs and its sketches (band rows + set rows).
+    * [[graft.operators.SketchSidecar]]'s two-store layout (band rows
+    * bloom-keyed by band_hash + set rows bloom-keyed by id). TRICKLE
+    * batches push their band-hash list into the band-store scan and
+    * their candidate-id list into the set-store scan — parquet bloom
+    * row-group skipping (the [[dedupIngestSink]] discipline) makes
+    * per-batch sidecar bytes-read track the batch's true candidates,
+    * not sidecar size; bulk batches amortize one column-pruned store
+    * scan each. (The round-10 flat layout re-read the whole sidecar
+    * every batch: ~1-2 TB per trickle batch at a 100 TB corpus.)
+    * Each admitted batch appends its docs and its sketches (one file
+    * per store).
     *
     * Crash safety: docs append FIRST, then band rows, then set rows —
     * the sets row count is the commit point, and every batch opens
@@ -545,7 +546,7 @@ object EventStreams {
     * re-sketching exactly the missing rows before pairing. A tear
     * BETWEEN the bands and sets appends can leave duplicate band rows
     * after the heal — harmless, the candidate join distincts. A
-    * pre-v2 FLAT sidecar is migrated in place on the first batch
+    * round-10 FLAT sidecar is migrated in place on the first batch
     * ([[graft.operators.SketchSidecar.migrateV1IfNeeded]]). Replayed
     * batches are rejected by admission itself — a replayed doc is a
     * perfect (J=1.0) near-dup of its own admitted copy. Residual
@@ -558,9 +559,7 @@ object EventStreams {
       cfg: graft.operators.Dedup.MinHashConfig =
         graft.operators.Dedup.MinHashConfig(numHashes = 128, bands = 64),
       exactThreshold: Double = 0.5,
-      checkpointDir: Option[String] = None,
-      layout: graft.operators.SketchSidecar.Layout =
-        graft.operators.SketchSidecar.Layout()): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Dedup, SketchSidecar}
     val writer = docs.writeStream
       .outputMode("append")
@@ -573,14 +572,14 @@ object EventStreams {
           // fresh corpus: the corpus is truth, so any sidecar content
           // without one (crash before the first corpus write became
           // visible) is reset wholesale
-          SketchSidecar.create(sp, sketchPath, layout)
+          SketchSidecar.create(sp, sketchPath)
         } else {
           // a flat pre-v2 sidecar migrates once, in place
-          SketchSidecar.migrateV1IfNeeded(sp, sketchPath, cfg, layout)
+          SketchSidecar.migrateV1IfNeeded(sp, sketchPath, cfg)
           if (!SketchSidecar.exists(sp, sketchPath))
             // extreme tear: the ENTIRE sidecar vanished while the
             // corpus survived — recreate; the heal below rebuilds it
-            SketchSidecar.create(sp, sketchPath, layout)
+            SketchSidecar.create(sp, sketchPath)
           // tear detection by row counts, not by anti-join: set rows ⊆
           // corpus rows by write order (a batch's corpus append commits
           // BEFORE its sidecar appends) and both sides are unique
@@ -600,7 +599,7 @@ object EventStreams {
               .select(col(idCol), col(textCol))
             SketchSidecar.append(
               Dedup.dedupSketchColumns(missing, idCol, textCol, cfg),
-              sketchPath, cfg, layout)
+              sketchPath, cfg)
           }
         }
         val admitted = graft.Materialize.once(
@@ -610,7 +609,7 @@ object EventStreams {
           .parquet(corpusPath)
         SketchSidecar.append(
           Dedup.dedupSketchColumns(admitted, idCol, textCol, cfg),
-          sketchPath, cfg, layout)
+          sketchPath, cfg)
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }
