@@ -288,6 +288,28 @@ object Sampling {
     if (targetRows.isEmpty) out.withColumn("copy", col("copy") * 0L) else out
   }
 
+  /** EXPLICIT partition count for the two-pass global samplers' range
+    * exchange — an unspecified count lets AQE coalesce, and two AQE
+    * plannings of the counts pass and the output pass could coalesce
+    * DIFFERENTLY, silently corrupting the per-partition prefix sums. */
+  private def numRangeParts(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** Pin the partition space between the two-pass samplers' counts job
+    * and output job. The range exchange is deterministic GIVEN
+    * identical input partitions (RangePartitioner's sampler is seeded
+    * per partition; the explicit partition count above keeps AQE out),
+    * so when the upstream re-executes identically
+    * ([[AddRowIndex.rescanSafe]]: deterministic narrow ops over a
+    * pinned leaf — file scans only on a local master, where split
+    * planning is a JVM constant) the exchange re-runs bit-identically
+    * and no materialization is needed. Anything else is materialized
+    * once — the cluster-correctness default. */
+  private def pinPartitionSpace(upstream: DataFrame, shaped: DataFrame): DataFrame =
+    if (AddRowIndex.rescanSafe(upstream.queryExecution.optimizedPlan,
+        upstream.sparkSession.sparkContext.isLocal)) shaped
+    else shaped.transform(Materialize.once(_))
+
   /** Deterministic TOKEN-BUDGET corpus selection: take documents in
     * hash-priority order (uniform-random but reproducible) until the
     * running `countCol` total fills `budget` — "give me ~10B tokens of
@@ -347,10 +369,10 @@ object Sampling {
                org.apache.spark.sql.types.LongType => true
           case _ => false
         }
-        val snap = df.withColumn(prioCol, prio)
-          .repartitionByRange(col(prioCol), col(idCol))
-          .withColumn(pidCol, spark_partition_id())
-          .transform(Materialize.once(_))
+        val snap = pinPartitionSpace(df,
+          df.withColumn(prioCol, prio)
+            .repartitionByRange(numRangeParts(df), col(prioCol), col(idCol))
+            .withColumn(pidCol, spark_partition_id()))
         val raw = snap.groupBy(col(pidCol)).agg(sum(col(countCol)).as(cumCol))
           .collect().map(r => r.getInt(0) -> r.get(1)).toMap
         def asL(a: Any): Long = a match {
@@ -450,9 +472,9 @@ object Sampling {
         // equal orderCol keys always land in ONE range partition, so
         // tie order stays exactly as (non)deterministic as the
         // one-window form
-        val snap = df.repartitionByRange(col(orderCol))
-          .withColumn(pidCol, spark_partition_id())
-          .transform(Materialize.once(_))
+        val snap = pinPartitionSpace(df,
+          df.repartitionByRange(numRangeParts(df), col(orderCol))
+            .withColumn(pidCol, spark_partition_id()))
         val raw = snap.groupBy(col(pidCol)).agg(sum(col(countCol)).as(cumCol))
           .collect().map(r => r.getInt(0) -> r.get(1)).toMap
         def asL(a: Any): Long = a match {
