@@ -457,8 +457,8 @@ object EventStreams {
     * run it from the maintenance schedule between batches. Returns
     * (filesBefore, filesAfter). A [[semanticIngestSink]] corpus has no
     * bloom/marker contract and compacts with plain
-    * `Writers.compactParquet` directly; its band-partitioned sketch
-    * sidecar compacts per bucket via
+    * `Writers.compactParquet` directly; its bloom-keyed sketch
+    * sidecar compacts per store (re-sorted, re-bloomed) via
     * [[graft.operators.SketchSidecar.compact]].
     *
     * A MISSING marker at entry is tolerated, not fatal: with no writer
