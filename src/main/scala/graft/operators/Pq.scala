@@ -368,6 +368,11 @@ object Pq {
       .filter(col("cell").isNotNull) // non-finite vectors are unindexable
       .drop("v")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    // as-built occupancy snapshot for [[Similarity.shouldRebuildIvfIndex]]
+    // (footer-count scan; written before the marker like every part)
+    corpus.sparkSession.read.parquet(s"$path/codes").groupBy("cell")
+      .count().withColumnRenamed("count", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_build_stats")
     graft.sources.FsSwap.commitArtifact(fs, new org.apache.hadoop.fs.Path(path),
       s"ivfpq numCentroids=$numCentroids m=$m k=$k seed=$seed")
     model

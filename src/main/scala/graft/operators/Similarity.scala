@@ -466,13 +466,14 @@ object Similarity {
   final case class RebuildAdvice(shouldRebuild: Boolean,
       appendedFraction: Double, skewRatio: Double, reason: String)
 
-  /** Rebuild advisor for an [[appendToIvfIndex]]-grown index — the
-    * piece that ACTS on the "frozen centroids degrade through
-    * observable occupancy skew" contract. Centroids never retrain on
-    * append, so under distribution drift new vectors pile into the few
-    * cells nearest the drifted mass: probe cost for those cells grows
-    * and recall at fixed nprobe decays. Two bounded footer-count scans
-    * (no vector bytes) derive the signals:
+  /** Rebuild advisor for an [[appendToIvfIndex]]- or
+    * [[Pq.appendToIvfPqIndex]]-grown index — the piece that ACTS on
+    * the "frozen centroids degrade through observable occupancy skew"
+    * contract. Centroids never retrain on append, so under
+    * distribution drift new vectors pile into the few cells nearest
+    * the drifted mass: probe cost for those cells grows and recall at
+    * fixed nprobe decays. Two bounded footer-count scans (no vector
+    * bytes) derive the signals:
     *
     *   - appended fraction: current rows vs the `_build_stats`
     *     baseline — past `maxAppendedFraction` the index serves a
@@ -483,16 +484,22 @@ object Similarity {
     *
     * Either signal alone advises rebuild. Indexes built before
     * `_build_stats` existed report appendedFraction = −1 and advise on
-    * skew alone. The retrain path is [[rebuildIvfIndex]] (in place,
-    * crash-safe) or [[buildIvfIndex]] to a fresh path. */
+    * skew alone. The data store is auto-located (`vectors` for IVF,
+    * `codes` for IVF-PQ). The retrain path is [[rebuildIvfIndex]] for
+    * IVF (in place, crash-safe — the store holds the raw vectors); an
+    * IVF-PQ index stores CODES only, so its retrain is
+    * [[Pq.buildIvfPqIndex]] from the source corpus. */
   def shouldRebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, maxAppendedFraction: Double = 0.5,
       maxSkewRatio: Double = 4.0): RebuildAdvice = {
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
     graft.sources.FsSwap.requireCommitted(
-      new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sessionState.newHadoopConf()),
-      new org.apache.hadoop.fs.Path(path), "shouldRebuildIvfIndex")
-    val cur = spark.read.parquet(s"$path/vectors")
+      hfs, new org.apache.hadoop.fs.Path(path), "shouldRebuildIvfIndex")
+    val dataDir =
+      if (hfs.exists(new org.apache.hadoop.fs.Path(s"$path/vectors"))) "vectors"
+      else "codes"
+    val cur = spark.read.parquet(s"$path/$dataDir")
       .groupBy("cell").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val curTotal = cur.values.sum

@@ -163,4 +163,22 @@ class IvfPqIndexSpec extends AnyFunSuite {
         Files.createTempDirectory("graft_ivfpq_ap2").toFile.getAbsolutePath)
     }
   }
+
+  test("rebuild advisor auto-locates the codes store; skewed appends flip it") {
+    val p = Files.createTempDirectory("graft_ivfpq_adv").toFile.getAbsolutePath
+    Pq.buildIvfPqIndex(synthCorpus(400, 8), "vec_id", "embedding",
+      p, numCentroids = 8, m = 4, k = 16, seed = 7L, kmeansIters = 2)
+    val healthy = graft.operators.Similarity.shouldRebuildIvfIndex(spark, p)
+    assert(!healthy.shouldRebuild, s"fresh ivfpq index must be healthy: $healthy")
+    assert(healthy.appendedFraction == 0.0, "codes _build_stats baseline must exist")
+    // one-blob drift: frozen coarse centroids funnel every appended
+    // vector into few cells
+    val drift = (0 until 1200).map { i =>
+      (20000L + i, (0 until 8).map(d =>
+        (1.0 + 0.001 * ((i * 17 + d) % 7)).toFloat))
+    }.toDF("vec_id", "embedding")
+    Pq.appendToIvfPqIndex(drift, "vec_id", "embedding", p)
+    val drifted = graft.operators.Similarity.shouldRebuildIvfIndex(spark, p)
+    assert(drifted.shouldRebuild && drifted.appendedFraction > 0.5, drifted.toString)
+  }
 }
