@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   *
   * {{{
   * <path>/_graft_sidecar_v2.json   version marker
-  * <path>/bands/part-….parquet     (band int, band_hash long, id long)  bloom(band_hash)
+  * <path>/bands/part-….parquet     (band_hash long, id long)  bloom(band_hash)
   * <path>/sets/part-….parquet      (id long, sig arr<long> [cfg meta], sh arr<long>)  bloom(id)
   * }}}
   *
@@ -119,9 +119,14 @@ object SketchSidecar {
     def shaped(df: DataFrame, sortCol: String): DataFrame =
       if (bulk) df.repartitionByRange(col(sortCol)).sortWithinPartitions(col(sortCol))
       else df.coalesce(1).sortWithinPartitions(col(sortCol))
+    // the band INDEX is already folded into band_hash (bandedSigs
+    // seeds the xxhash with it), so the store keeps only
+    // (band_hash, id): cross-band equality needs a real 64-bit
+    // collision, which the exact verify absorbs as one extra candidate
     val bands = Dedup.bandedSigs(
       skM.select(col("id"), col("sig"))
         .filter(col("sig").getItem(0) =!= Long.MaxValue), cfg)
+      .select(col("band_hash"), col("id"))
     shaped(bands, "band_hash")
       .write.mode("append").options(bandBloomOpts)
       .parquet(new Path(path, BandsDir).toString)
@@ -151,8 +156,7 @@ object SketchSidecar {
 
   private def emptyBands(spark: SparkSession): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-      StructType(Seq(StructField("band", IntegerType),
-        StructField("band_hash", LongType), StructField("id", LongType))))
+      StructType(Seq(StructField("band_hash", LongType), StructField("id", LongType))))
 
   private def emptySets(spark: SparkSession): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -173,7 +177,7 @@ object SketchSidecar {
       val base = spark.read.parquet(bands.toString)
       bandHashes.fold(base)(hs =>
           base.filter(col("band_hash").isin(hs.map(java.lang.Long.valueOf): _*)))
-        .select(col("band"), col("band_hash"), col("id"))
+        .select(col("band_hash"), col("id"))
     }
   }
 
@@ -220,28 +224,54 @@ object SketchSidecar {
     val newSigs = Dedup.sigFrame(newDf, idCol, textCol, cfg)
     val newBanded = Materialize.once(Dedup.bandedSigs(newSigs, cfg))
     val hashesIn = probeHashes(newBanded)
-    val corpusBands = corpusBandScan(spark, path, hashesIn)
-    val l = newBanded.select(col("band"), col("band_hash"), col("id").as("id_new"))
+    val corpusBands = hashesIn match {
+      case Some(_) =>
+        // trickle: bloom-pruned band-store read — bytes track the
+        // batch's true collisions
+        corpusBandScan(spark, path, hashesIn)
+      case None =>
+        // bulk: band from the SET store's signature column in one
+        // column-pruned scan — the pre-exploded band store stores
+        // strictly more bytes than the sig column it derives from, so
+        // a full scan of it would only cost more (the band store
+        // exists for the trickle path's bloom granularity)
+        val sets = new Path(path, SetsDir)
+        if (!fsOf(spark, path).exists(sets)) emptyBands(spark)
+        else Dedup.bandedSigs(
+          spark.read.parquet(sets.toString).select(col("id"), col("sig"))
+            .filter(col("sig").getItem(0) =!= Long.MaxValue), cfg)
+          .select(col("band_hash"), col("id"))
+    }
+    val l = newBanded.select(col("band_hash"), col("id").as("id_new"))
     val rt = corpusBands.withColumn("other_in_corpus", lit(true))
-      .select(col("band"), col("band_hash"), col("id").as("id_other"), col("other_in_corpus"))
+      .select(col("band_hash"), col("id").as("id_other"), col("other_in_corpus"))
       .union(newBanded
-        .select(col("band"), col("band_hash"), col("id").as("id_other"))
+        .select(col("band_hash"), col("id").as("id_other"))
         .withColumn("other_in_corpus", lit(false)))
     // corpus partner: any id; new partner: only SMALLER new ids, so
     // each new-vs-new pair is emitted once and never as a self-pair.
     // distinct() also absorbs duplicate band rows from a torn-append
     // heal (object doc)
-    val candidates = Materialize.once(
-      l.join(rt, Seq("band", "band_hash"))
-        .filter(col("other_in_corpus") || col("id_other") < col("id_new"))
-        .select("id_new", "id_other", "other_in_corpus").distinct(),
-      eager = true) // consumed twice: id-probe collect + verify join
-    // verify-side pruning: the candidate corpus ids, when they fit
-    // the In cap (one bounded job); else the full set store
-    val candIds = candidates.filter(col("other_in_corpus"))
-      .select(col("id_other")).distinct()
-      .limit(MaxInValues + 1).collect().map(_.getLong(0)).toSeq
-    val idsIn = if (candIds.length <= MaxInValues) Some(candIds) else None
+    val candidates0 = l.join(rt, Seq("band_hash"))
+      .filter(col("other_in_corpus") || col("id_other") < col("id_new"))
+      .select("id_new", "id_other", "other_in_corpus").distinct()
+    // verify-side pruning applies on the TRICKLE path only: the
+    // candidate DAG is materialized once (it then feeds the bounded
+    // id-probe collect AND the verify join) and the candidate corpus
+    // ids push into the set-store scan when they fit the In cap. A
+    // bulk batch skips both — its candidates won't fit any In list,
+    // so the lazy DAG flows straight into the verify join (single
+    // consumer, no materialization write) against the full
+    // column-pruned set store.
+    val (candidates, idsIn) = hashesIn match {
+      case None => (candidates0, None)
+      case Some(_) =>
+        val c = Materialize.once(candidates0, eager = true)
+        val candIds = c.filter(col("other_in_corpus"))
+          .select(col("id_other")).distinct()
+          .limit(MaxInValues + 1).collect().map(_.getLong(0)).toSeq
+        (c, if (candIds.length <= MaxInValues) Some(candIds) else None)
+    }
     val corpusSets = corpusSetScan(spark, path, idsIn)
     val newSets = Dedup.setFrame(newDf, idCol, textCol, cfg)
     val allSets = corpusSets.union(newSets)
