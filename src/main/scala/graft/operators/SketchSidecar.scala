@@ -116,8 +116,14 @@ object SketchSidecar {
   def append(sketches: DataFrame, path: String, cfg: Dedup.MinHashConfig): Unit = {
     val skM = Materialize.once(sketches, eager = true) // consumed twice
     val bulk = skM.count() > BulkAppendDocs // cheap: counts the materialized blocks
+    // micro-batches coalesce to ONE sorted file per store (the sort
+    // keeps trickle-read row groups dictionary-tight); bulk loads
+    // write with their existing partitioning — NO shuffle, no sort:
+    // the bloom prunes per row group regardless of order, and a
+    // full range-sort of millions of exploded band rows per bulk
+    // batch bought nothing the bloom doesn't already provide
     def shaped(df: DataFrame, sortCol: String): DataFrame =
-      if (bulk) df.repartitionByRange(col(sortCol)).sortWithinPartitions(col(sortCol))
+      if (bulk) df
       else df.coalesce(1).sortWithinPartitions(col(sortCol))
     // the band INDEX is already folded into band_hash (bandedSigs
     // seeds the xxhash with it), so the store keeps only
