@@ -85,6 +85,14 @@ class SqlGrammarSweepSpec extends AnyFunSuite {
       "SELECT id, k FROM t UNION ALL BY NAME SELECT 'q' AS k, id FROM c ORDER BY id LIMIT 3")
       .count()
     assert(cte == 3L)
+    // three-branch chain with mixed ALL/DISTINCT ops: each operator
+    // keeps its own semantics, columns accumulate first-seen
+    val chain = run(
+      "SELECT id FROM t UNION ALL BY NAME SELECT id FROM t " +
+        "UNION BY NAME SELECT 7.5 AS w, id FROM u ORDER BY id")
+    assert(chain.columns.toSeq == Seq("id", "w"))
+    // final UNION (distinct) collapses the doubled t-rows; u adds 2
+    assert(chain.count() == 5L, chain.collect().mkString(","))
     // mixing BY NAME with positional set ops in one chain rejects loudly
     val e = intercept[IllegalArgumentException] {
       run("SELECT id FROM t UNION BY NAME SELECT id FROM u INTERSECT SELECT id FROM t")
