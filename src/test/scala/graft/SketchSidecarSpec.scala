@@ -169,6 +169,40 @@ class SketchSidecarSpec extends AnyFunSuite {
     assert(hasBloom, "compacted band file lost its band_hash bloom filter")
   }
 
+  test("duplicate band rows (torn-append heal residue) change no probe result") {
+    // the write protocol admits one benign inconsistency: a crash
+    // between the bands and sets appends leaves band rows the heal
+    // re-appends — the candidate join's distinct() must absorb them
+    val path = freshPath("dupbands")
+    val corpus = synthDocs(120)
+    SketchSidecar.create(spark, path)
+    SketchSidecar.append(
+      Dedup.dedupSketchColumns(corpus, "doc_id", "text", cfg), path, cfg)
+    val batch = synthDocs(10, start = 3000L)
+      .union(corpus.filter($"doc_id" < 4).select(($"doc_id" + 8000L).as("doc_id"), $"text"))
+    val before = SketchSidecar.minhashExactPairsAgainstSidecar(
+      batch, path, "doc_id", "text", cfg, exactThreshold = 0.3)
+      .select($"id_new", $"id_other").as[(Long, Long)].collect().toSet
+    // duplicate the ENTIRE band store (every band row twice)
+    val bandsDir = new java.io.File(new java.net.URI("file:" + path + "/bands"))
+    bandsDir.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(f.getParentFile, "dup-" + f.getName).toPath)
+    }
+    val after = SketchSidecar.minhashExactPairsAgainstSidecar(
+      batch, path, "doc_id", "text", cfg, exactThreshold = 0.3)
+      .select($"id_new", $"id_other").as[(Long, Long)].collect().toSet
+    assert(after == before, "duplicated band rows must not change pairs")
+    assert(before.nonEmpty, "test must exercise real candidates")
+    // and compaction rewrites the duplicates away without touching sets
+    SketchSidecar.compact(spark, path)
+    assert(SketchSidecar.setsCount(spark, path) == 120L)
+    val compacted = SketchSidecar.minhashExactPairsAgainstSidecar(
+      batch, path, "doc_id", "text", cfg, exactThreshold = 0.3)
+      .select($"id_new", $"id_other").as[(Long, Long)].collect().toSet
+    assert(compacted == before)
+  }
+
   test("config drift against the sidecar fails fast") {
     val path = freshPath("cfgdrift")
     SketchSidecar.create(spark, path)
