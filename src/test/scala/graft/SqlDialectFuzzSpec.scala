@@ -107,4 +107,48 @@ class SqlDialectFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("UNION BY NAME fuzz: random column subsets align by name with NULL fill") {
+    // reference model: rows are (colName -> value) maps; the rewrite's
+    // output must equal the union of each branch's rows extended with
+    // NULLs for columns it lacks, aligned to first-seen column order
+    val universe = Vector("c0", "c1", "c2", "c3", "c4")
+    val rnd = new scala.util.Random(411)
+    (0 until 25).foreach { trial =>
+      val nBranches = 2 + rnd.nextInt(2)
+      // each branch: a nonempty random subset in random order, with
+      // branch-distinct values so rows never collide across branches
+      val branches = (0 until nBranches).map { bi =>
+        val cols = rnd.shuffle(universe).take(1 + rnd.nextInt(universe.size))
+        val rows = 1 + rnd.nextInt(3)
+        (bi, cols, rows)
+      }
+      val sql = branches.map { case (bi, cols, rows) =>
+        val selects = (0 until rows).map { ri =>
+          cols.map(c => s"${(bi + 1) * 1000 + ri * 10 + c.drop(1).toInt}::BIGINT AS $c")
+            .mkString("SELECT ", ", ", "")
+        }
+        // rows within a branch via UNION ALL inside parens (a
+        // parenthesized subquery — its own chain, not the top-level one)
+        if (rows == 1) selects.head
+        else s"SELECT * FROM (${selects.mkString(" UNION ALL ")}) AS b$bi"
+      }.mkString(" UNION ALL BY NAME ")
+      val got = GraftSql.run(spark, sql)
+      val expectedCols = branches.foldLeft(Vector.empty[String]) { case (acc, (_, cols, _)) =>
+        acc ++ cols.filterNot(acc.contains)
+      }
+      assert(got.columns.toSeq == expectedCols,
+        s"trial $trial: cols ${got.columns.toSeq} vs $expectedCols\n$sql")
+      val gotRows = got.collect().map(r =>
+        expectedCols.map(c => Option(r.getAs[Any](c)).map(_.toString).getOrElse("null"))).toSet
+      val expRows = branches.flatMap { case (bi, cols, rows) =>
+        (0 until rows).map { ri =>
+          expectedCols.map(c =>
+            if (cols.contains(c)) ((bi + 1) * 1000 + ri * 10 + c.drop(1).toInt).toString
+            else "null")
+        }
+      }.toSet
+      assert(gotRows == expRows, s"trial $trial rows mismatch\n$sql")
+    }
+  }
 }
