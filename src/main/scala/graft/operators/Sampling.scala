@@ -288,27 +288,37 @@ object Sampling {
     if (targetRows.isEmpty) out.withColumn("copy", col("copy") * 0L) else out
   }
 
-  /** EXPLICIT partition count for the two-pass global samplers' range
-    * exchange — an unspecified count lets AQE coalesce, and two AQE
-    * plannings of the counts pass and the output pass could coalesce
-    * DIFFERENTLY, silently corrupting the per-partition prefix sums. */
+  /** EXPLICIT partition count for the two-pass global samplers — an
+    * unspecified count would let AQE coalesce the counts pass and the
+    * output pass DIFFERENTLY, silently corrupting prefix sums. */
   private def numRangeParts(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
 
-  /** Pin the partition space between the two-pass samplers' counts job
-    * and output job. The range exchange is deterministic GIVEN
-    * identical input partitions (RangePartitioner's sampler is seeded
-    * per partition; the explicit partition count above keeps AQE out),
-    * so when the upstream re-executes identically
-    * ([[AddRowIndex.rescanSafe]]: deterministic narrow ops over a
-    * pinned leaf — file scans only on a local master, where split
-    * planning is a JVM constant) the exchange re-runs bit-identically
-    * and no materialization is needed. Anything else is materialized
-    * once — the cluster-correctness default. */
-  private def pinPartitionSpace(upstream: DataFrame, shaped: DataFrame): DataFrame =
-    if (AddRowIndex.rescanSafe(upstream.queryExecution.optimizedPlan,
-        upstream.sparkSession.sparkContext.isLocal)) shaped
-    else shaped.transform(Materialize.once(_))
+  /** Every expression in the optimized plan is deterministic, so any
+    * re-execution reproduces the same row VALUES (if not the same row
+    * PLACEMENT). That is all a row-value bucket function needs —
+    * exchanges are value-preserving even though their physical
+    * distribution is not reproducible (RangePartitioner's reservoir
+    * seed folds in `rdd.id`, which differs between the counts job and
+    * the output job). */
+  private def valueStable(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect { case p => p }
+      .forall(_.expressions.forall(_.deterministic))
+
+  /** Pin the partition space between [[nextFitPack]]'s counts job and
+    * output job by MATERIALIZING the range-partitioned, pid-stamped
+    * frame once. There is no sound fast path: even a bit-identical
+    * upstream re-scan does not make the range EXCHANGE re-execute
+    * identically, because RangePartitioner seeds its reservoir sampler
+    * with `byteswap32(idx ^ (rdd.id << 16))` and the counts job and
+    * the output job plan separate RDD DAGs with different `rdd.id`s —
+    * range bounds (hence `spark_partition_id` assignment) can diverge
+    * once partitions exceed the reservoir, silently corrupting the
+    * driver-side prefix offsets. Small-data tests cannot catch it (the
+    * reservoir holds whole partitions), so the materialization is
+    * unconditional. */
+  private def pinPartitionSpace(shaped: DataFrame): DataFrame =
+    shaped.transform(Materialize.once(_))
 
   /** Deterministic TOKEN-BUDGET corpus selection: take documents in
     * hash-priority order (uniform-random but reproducible) until the
@@ -325,22 +335,27 @@ object Sampling {
     *
     * `shardCol = None` (global): the cumulative prefix is NOT computed
     * by a single-partition window (the corpus through one task — the
-    * 100 TB killer). Instead the [[graft.operators.AddRowIndex]]
-    * two-pass shape: range-partition by (priority, id) so partition p's
-    * rows all precede partition p+1's in selection order, one
-    * combiner-reduced per-partition token-sum job (numPartitions longs
-    * collected), then driver-side prefix offsets classify every
-    * partition — all partitions strictly inside the budget keep every
-    * row with NO per-row cumsum at all, partitions past it are
-    * filtered out map-side, and only the single boundary-straddling
-    * partition runs an ordered cumsum (a hash-exchange of that
-    * partition alone, ~1/numPartitions of the data, spill-safe
-    * WindowExec). Value-identical to the one-window form: exact prefix
-    * sums make partition-boundary placement irrelevant. NOT a pure
-    * lazy plan in global mode — the counts job runs at call time and
-    * the range-partitioned frame is materialized once to pin the
-    * partition space ([[AddRowIndex.withRowIndex]]'s counts/output
-    * divergence hazard). */
+    * 100 TB killer). Two-pass shape with a DETERMINISTIC selection-order
+    * bucket: pid = the first 8 hex chars of the md5 priority scaled to
+    * [0, numShufflePartitions) — a pure ROW-VALUE function, so bucket p's
+    * rows all precede bucket p+1's in (prio, id) order (md5 hex is
+    * fixed-width lowercase: numeric prefix order == lexicographic
+    * order) and the buckets are uniform by construction with no
+    * sampling pass. One combiner-reduced per-bucket token-sum job
+    * (numPartitions longs collected), then driver-side prefix offsets
+    * classify every bucket — buckets strictly inside the budget keep
+    * every row with NO per-row cumsum and NO shuffle at all, buckets
+    * past it are filtered out map-side, and only the single
+    * boundary-straddling bucket runs an ordered cumsum (a
+    * hash-exchange of that bucket alone, ~1/numPartitions of the data,
+    * spill-safe WindowExec). Value-identical to the one-window form:
+    * exact prefix sums make bucket-boundary placement irrelevant.
+    * Because pid is a row-value function, NO exchange determinism is
+    * assumed and NOTHING is materialized — re-executions of any
+    * value-stable upstream reproduce the buckets exactly (a
+    * nondeterministic upstream is value-pinned by materializing once).
+    * NOT a pure lazy plan in global mode — the counts job runs at call
+    * time. */
   def tokenBudgetSample(df: DataFrame, idCol: String, countCol: String,
       budget: Long, shardCol: Option[String] = None): DataFrame = {
     require(budget > 0, s"budget must be > 0 (got $budget)")
@@ -369,10 +384,15 @@ object Sampling {
                org.apache.spark.sql.types.LongType => true
           case _ => false
         }
-        val snap = pinPartitionSpace(df,
-          df.withColumn(prioCol, prio)
-            .repartitionByRange(numRangeParts(df), col(prioCol), col(idCol))
-            .withColumn(pidCol, spark_partition_id()))
+        val nParts = numRangeParts(df).toLong
+        // null idCol → null prio, which the (prio, id) window order
+        // places FIRST (asc nulls-first) — bucket 0 keeps that contract
+        val base = if (valueStable(df)) df else Materialize.once(df)
+        val snap = base.withColumn(prioCol, prio)
+          .withColumn(pidCol, coalesce(
+            shiftright(conv(substring(col(prioCol), 1, 8), 16, 10)
+              .cast("long") * nParts, 32).cast("int"),
+            lit(0)))
         val raw = snap.groupBy(col(pidCol)).agg(sum(col(countCol)).as(cumCol))
           .collect().map(r => r.getInt(0) -> r.get(1)).toMap
         def asL(a: Any): Long = a match {
@@ -447,7 +467,10 @@ object Sampling {
     * Value-identical: prefix sums are exact, so partition boundaries
     * don't move pack edges. NOT a pure lazy plan in global mode (the
     * counts job runs at call time; the range-partitioned frame is
-    * materialized once to pin the partition space). */
+    * ALWAYS materialized once to pin the partition space — unlike
+    * [[tokenBudgetSample]], `orderCol` is an arbitrary user column
+    * with no analytic bucketing, and the range exchange itself is not
+    * re-execution-deterministic: see [[pinPartitionSpace]]). */
   def nextFitPack(df: DataFrame, countCol: String, orderCol: String,
       budget: Long, shardCol: Option[String] = None): DataFrame = {
     shardCol match {
@@ -472,7 +495,7 @@ object Sampling {
         // equal orderCol keys always land in ONE range partition, so
         // tie order stays exactly as (non)deterministic as the
         // one-window form
-        val snap = pinPartitionSpace(df,
+        val snap = pinPartitionSpace(
           df.repartitionByRange(numRangeParts(df), col(orderCol))
             .withColumn(pidCol, spark_partition_id()))
         val raw = snap.groupBy(col(pidCol)).agg(sum(col(countCol)).as(cumCol))

@@ -747,6 +747,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sh == Map("s0" -> 5L, "s1" -> 5L))
   }
 
+  test("tokenBudgetSample global: exchange-bearing upstream — value-exact without materialization") {
+    import org.apache.spark.sql.expressions.Window
+    // an upstream whose physical partitioning is NOT re-execution-stable
+    // (hash exchange + aggregate): the deterministic md5-prefix bucket
+    // must classify rows by VALUE, so the counts job and the output job
+    // agree regardless of where the exchange places rows
+    val df = (0L until 500L).map(i => (i, i % 50L)).toDF("id", "k")
+      .repartition(7, $"k")
+      .groupBy("id").agg((max($"k") + 1L).as("toks"))
+    val got = Sampling.tokenBudgetSample(df, "id", "toks", 3000L)
+      .select("id").as[Long].collect().toSet
+    val prio = md5(concat($"id".cast("string"), lit("#budget")))
+    val w = Window.partitionBy().orderBy(prio, $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = df.withColumn("c", sum($"toks").over(w)).filter($"c" <= 3000L)
+      .select("id").as[Long].collect().toSet
+    assert(got == ref)
+    // rerun of the SAME call is stable (bucket is a row-value function)
+    assert(Sampling.tokenBudgetSample(df, "id", "toks", 3000L)
+      .select("id").as[Long].collect().toSet == got)
+  }
+
+  test("tokenBudgetSample global: nondeterministic upstream is value-pinned by materialization") {
+    // rand() upstream: without pinning, the counts job and output job
+    // would see DIFFERENT token counts; the materialize guard makes the
+    // two passes consistent — kept total must respect the budget against
+    // the values the OUTPUT actually carries
+    val df = (0L until 300L).map(i => i).toDF("id")
+      .withColumn("toks", (rand(seed = 0) * 0 + 10L).cast("long") + (rand() * 5).cast("long"))
+    val out = Sampling.tokenBudgetSample(df, "id", "toks", 1000L)
+    val rows = out.select("id", "toks").as[(Long, Long)].collect()
+    assert(rows.map(_._2).sum <= 1000L, "hard ceiling must hold on the pinned values")
+    assert(rows.nonEmpty)
+  }
+
   test("tokenBudgetSample global: two-pass prefix form ≡ one-window reference, incl. fractional counts") {
     import org.apache.spark.sql.expressions.Window
     // irregular counts so the boundary straddles mid-partition

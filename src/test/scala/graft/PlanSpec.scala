@@ -242,6 +242,12 @@ class PlanSpec extends AnyFunSuite {
       s"global token budget must never funnel the corpus through one task:\n$p")
     assert(p.contains("hashpartitioning(__pid"),
       s"boundary cumsum must be keyed by the stamped partition id:\n$p")
+    // the selection-order bucket is a row-value md5-prefix function, NOT
+    // a range exchange — RangePartitioner's reservoir seed folds in
+    // rdd.id, so two jobs over a live range exchange can disagree on
+    // bounds; a range partitioning in this plan would reintroduce that
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      s"global token budget must not depend on a range exchange:\n$p")
   }
 
   test("nextFitPack global: windows keyed by pid, no single-partition exchange") {
