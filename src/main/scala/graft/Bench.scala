@@ -175,15 +175,29 @@ object Bench {
           Some(new String(java.nio.file.Files.readAllBytes(path), "UTF-8"))
         else None
       } catch { case _: Throwable => None }
-    val jsonCandidates = sys.env.get("SPARK_GRAFT_ANCHORS").toSeq ++
-      Seq("ANCHORS.json", "/root/repo/ANCHORS.json")
-    val fromJson = jsonCandidates.iterator
-      .flatMap(p => read(p).map(parseAnchorsJson(_, sf)))
-      .find(_.nonEmpty)
-    fromJson.getOrElse {
-      Seq("BASELINE.md", "/root/repo/BASELINE.md").iterator
-        .flatMap(p => read(p).map(parseAnchors))
-        .find(_.nonEmpty).getOrElse(Map.empty)
+    // the env override is tried BOTH ways (JSON record, then markdown
+    // table) before any repo fallback: an operator pointing
+    // SPARK_GRAFT_ANCHORS at a markdown baseline must win over the
+    // repo's ANCHORS.json, not be silently ignored because the file
+    // didn't parse as JSON
+    // markdown tables carry NO sf label — by convention they are sf0.1
+    // anchors, so they are consulted only for the sf0.1 gate (this is
+    // exactly the round-9 poisoning class: an sf10 table parsing as
+    // sf0.1 anchors); any other scale factor is JSON-only
+    def fromMd(txt: String): Option[Map[String, Double]] =
+      if (sf == "0.1") Some(parseAnchors(txt)).filter(_.nonEmpty) else None
+    val fromEnv = sys.env.get("SPARK_GRAFT_ANCHORS").flatMap(read).flatMap { txt =>
+      Some(parseAnchorsJson(txt, sf)).filter(_.nonEmpty).orElse(fromMd(txt))
+    }
+    fromEnv.getOrElse {
+      Seq("ANCHORS.json", "/root/repo/ANCHORS.json").iterator
+        .flatMap(p => read(p).map(parseAnchorsJson(_, sf)))
+        .find(_.nonEmpty)
+        .getOrElse {
+          Seq("BASELINE.md", "/root/repo/BASELINE.md").iterator
+            .flatMap(p => read(p).flatMap(fromMd))
+            .find(_.nonEmpty).getOrElse(Map.empty)
+        }
     }
   }
 

@@ -686,6 +686,17 @@ object Dedup {
       s"shingleKeepFraction must be in (0, 1] (got $shingleKeepFraction)")
     require(Set("auto", "prefix", "lsh").contains(candidateGen),
       s"candidateGen must be auto|prefix|lsh (got $candidateGen)")
+    // the LSH route's ≤1e-12 miss bound is stated against FULL-shingle
+    // Jaccard (signatures hash the full stream), but the verify Jaccard
+    // under shingleKeepFraction < 1 is over the SAMPLED sets — the two
+    // quantities differ by sampling noise, so no sound bound would
+    // apply to the output. Refuse the combination loudly rather than
+    // ship an unbounded "bounded" mode; the prefix index composes with
+    // sampling soundly (it indexes the sampled sets themselves).
+    require(candidateGen != "lsh" || shingleKeepFraction == 1.0,
+      "candidateGen=lsh requires shingleKeepFraction=1.0: its recall " +
+        "bound is against full-shingle Jaccard and does not transfer " +
+        "to sampled-set Jaccard (use prefix with sampling instead)")
     // 64-bit shingle hashes stand in for shingle strings: distinct/
     // intersect/frequency semantics are preserved (collisions negligible),
     // and the fused native expression computes each document's set in one

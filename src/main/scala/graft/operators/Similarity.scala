@@ -532,19 +532,29 @@ object Similarity {
     * swaps in via the FsSwap rename state machine — the live path
     * always holds a complete committed index, and a crash at any point
     * is recovered at the next call's entry. Single maintainer per
-    * path, as for every writer here. */
+    * path, as for every writer here.
+    *
+    * `numCentroids <= 0` (the default) keeps the live index's AS-BUILT
+    * geometry (`loadCentroids(path).length`) — the natural
+    * advisor-driven call `rebuildIvfIndex(spark, path)` refreshes
+    * centroid placement without silently shrinking a 256-centroid
+    * index to some fixed constant and changing its recall
+    * characteristics; pass an explicit positive count to re-size. */
   def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      numCentroids: Int = 64, seed: Long = 42L, kmeansIters: Int = 0): Unit = {
+      numCentroids: Int = 0, seed: Long = 42L, kmeansIters: Int = 0): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".__graft-rebuild-tmp__")
     val old = new org.apache.hadoop.fs.Path(path + ".__graft-rebuild-old__")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     graft.sources.FsSwap.recover(fs, p, tmp, old, "rebuildIvfIndex")
     graft.sources.FsSwap.requireCommitted(fs, p, "rebuildIvfIndex")
+    val nCentroids =
+      if (numCentroids > 0) numCentroids
+      else loadCentroids(spark, path).length
     // the staging build READS the live index while writing the new one;
     // both parts complete (and commit their marker) before the swap
     val corpus = spark.read.parquet(s"$path/vectors").select(col("id"), col("v"))
-    buildIvfIndex(corpus, "id", "v", tmp.toString, numCentroids, seed, kmeansIters)
+    buildIvfIndex(corpus, "id", "v", tmp.toString, nCentroids, seed, kmeansIters)
     // root _SUCCESS makes the staging recognizable to FsSwap.recover's
     // staging-committed branch: a crash BETWEEN the two swap renames
     // promotes the finished new index instead of falling back to the old

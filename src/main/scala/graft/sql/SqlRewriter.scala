@@ -532,16 +532,23 @@ object SqlRewriter {
           // no 1:1 Spark builtin — template onto the higher-order
           // AGGREGATE fold (codegen-friendly, null array → null).
           // Sum of an empty list is 0.0 (Polars' convention); mean of
-          // an empty list TRY_DIVIDEs by SIZE()=0 → NULL — Polars'
+          // an empty list TRY_DIVIDEs by count 0 → NULL — Polars'
           // null-mean convention, ANSI-mode-safe. Result type is
           // DOUBLE regardless of element type (documented widening).
+          // The argument is templated exactly ONCE: mean folds a
+          // (sum, count) struct accumulator in a single AGGREGATE, so
+          // a nondeterministic or expensive argument is never
+          // evaluated twice with potentially diverging values.
           val open = nextNonWs(toks, i + 1)
           val close = matchParen(toks, open)
           val arg = render(rewriteToks(toks.slice(open + 1, close)))
-          val sum = s"AGGREGATE(($arg), CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"
           val expr =
-            if (w.text.equalsIgnoreCase("array_sum")) sum
-            else s"TRY_DIVIDE($sum, SIZE(($arg)))"
+            if (w.text.equalsIgnoreCase("array_sum"))
+              s"AGGREGATE(($arg), CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"
+            else
+              s"AGGREGATE(($arg), NAMED_STRUCT('s', CAST(0.0 AS DOUBLE), 'n', CAST(0 AS BIGINT)), " +
+                "(acc, x) -> NAMED_STRUCT('s', acc.s + CAST(x AS DOUBLE), 'n', acc.n + 1L), " +
+                "acc -> TRY_DIVIDE(acc.s, acc.n))"
           out ++= lex(expr)
           i = close + 1
         case w: Word if fnRenames.contains(w.text.toLowerCase) && {

@@ -191,6 +191,12 @@ class IvfIndexSpec extends AnyFunSuite {
     val recall = ivf.join(brute, Seq("query_id", "n"), "left_semi").count().toDouble /
       brute.count()
     assert(recall >= 0.9, f"recall after rebuild $recall%.2f < 0.9")
+    // the advisor-driven default call keeps the AS-BUILT geometry —
+    // it must never silently resize the index to a fixed constant
+    Similarity.rebuildIvfIndex(spark, p)
+    assert(spark.read.parquet(s"$p/_centroids").count() == 8L,
+      "default rebuild must preserve the live centroid count")
+    assert(spark.read.parquet(s"$p/vectors").count() == 1600L)
   }
 
   test("rebuild advisor: pre-_build_stats index advises on skew alone") {

@@ -1278,6 +1278,13 @@ class OperatorsSpec extends AnyFunSuite {
       threshold = 0.5, candidateGen = "lsh")
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(hi == hiLsh)
+    // lsh's miss bound is stated against FULL-shingle Jaccard; combined
+    // with shingle sampling no bound applies to the output — refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.2,
+        shingleKeepFraction = 0.5, candidateGen = "lsh")
+    }
+    assert(e.getMessage.contains("shingleKeepFraction"))
   }
 
   test("simhashPairs excludes token-free documents (no degenerate all-zero bucket)") {

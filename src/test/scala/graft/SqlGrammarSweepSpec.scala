@@ -129,6 +129,17 @@ class SqlGrammarSweepSpec extends AnyFunSuite {
     assert(run("SELECT ARRAY_SUM(CAST(NULL AS ARRAY<INT>)) AS x").select(
       org.apache.spark.sql.functions.isnull(org.apache.spark.sql.functions.col("x")))
       .as[Boolean].head())
+    // single-evaluation contract: the argument is templated exactly ONCE
+    // (mean folds a (sum, count) struct), so a nondeterministic or
+    // expensive argument can never diverge between a sum pass and a
+    // size pass
+    val rewritten = graft.sql.SqlRewriter.rewriteQuotesAndFunctions(
+      "SELECT ARRAY_MEAN(SHUFFLE(ARRAY(1, 2, 6))) AS x")
+    assert("SHUFFLE".r.findAllIn(rewritten.toUpperCase).length == 1,
+      s"array_mean must evaluate its argument once: $rewritten")
+    // and the fold itself is value-correct regardless of element order
+    assert(run("SELECT ARRAY_MEAN(SHUFFLE(ARRAY(1.0, 2.0, 6.0))) AS x")
+      .as[Double].head() == 3.0)
   }
 
   test("REJECTED tail fails loudly, never silently") {
