@@ -139,8 +139,93 @@ object EventStreams {
     * it back and `.drop(BucketCol)` for the logical payload). */
   val BucketCol = "__graft_bucket"
 
+  /** Bucket-count metadata file at the snapshot root (underscore prefix
+    * — invisible to parquet readers). THE LAYOUT OWNS ITS BUCKET COUNT:
+    * once a snapshot exists, every batch buckets with the PERSISTED
+    * count, not the sink parameter — otherwise a sink (re)started with
+    * a different `numBuckets` would prune to the wrong directories,
+    * miss a key's live row, and emerge with duplicate keys. The
+    * parameter only sizes brand-new snapshots (and stamps
+    * pre-metadata legacy layouts, which were created under the
+    * documented same-parameter-every-restart discipline). */
+  private[graft] val BucketCountFile = "_graft_buckets"
+
   private def bucketOf(keyCols: Seq[String], numBuckets: Int) =
     pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong)).cast("int")
+
+  private def readBucketCount(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[Int] = {
+    val f = new org.apache.hadoop.fs.Path(p, BucketCountFile)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeBucketCount(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, n: Int): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, BucketCountFile), true)
+    try out.write(s"$n\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def rebucketTmp(path: String) =
+    new org.apache.hadoop.fs.Path(path + ".__graft-rebucket-tmp__")
+  private def rebucketOld(path: String) =
+    new org.apache.hadoop.fs.Path(path + ".__graft-rebucket-old__")
+
+  /** Re-bucket a live [[upsertSink]] snapshot to `newNumBuckets` —
+    * the MAINTENANCE op that lets the layout track snapshot growth.
+    * Per-batch cost is O(touched buckets) but bucket SIZE grows with
+    * the snapshot: a snapshot that grew 100× under a fixed count pays
+    * a 100×-larger rewrite per touched bucket, degrading toward
+    * full-rewrite behavior — re-bucketing 64 → 4096 restores the
+    * per-batch economics. One full read + one full bucketed write
+    * (`repartition` on the new bucket id — one task and one file per
+    * bucket), then a whole-directory [[graft.sources.FsSwap]] rename
+    * swap: content-preserving, and crash-safe at every instant (a
+    * crash between the renames promotes the COMMITTED new layout at
+    * the next batch's entry recovery; a crash before the swap discards
+    * the staging). The new count is persisted into the staging BEFORE
+    * the swap, so any promoted copy carries its own
+    * [[BucketCountFile]] and subsequent micro-batches prune to the new
+    * layout regardless of their sink parameter.
+    *
+    * Also accepts a legacy FLAT (pre-bucketed) snapshot — the same
+    * pass migrates it to the bucketed layout.
+    *
+    * SINGLE MAINTAINER: run between batches of the one writer (pause
+    * the sink or call from its maintenance window) — the same
+    * one-writer-per-path discipline as the sink itself. */
+  def rebucket(spark: org.apache.spark.sql.SparkSession, snapshotPath: String,
+      keyCols: Seq[String], newNumBuckets: Int): Unit = {
+    require(newNumBuckets > 0, s"newNumBuckets must be positive, got $newNumBuckets")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val target = new org.apache.hadoop.fs.Path(snapshotPath)
+    val tmp = rebucketTmp(snapshotPath)
+    val old = rebucketOld(snapshotPath)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    // heal a torn micro-batch swap, then a torn previous rebucket —
+    // disjoint states under the single-maintainer discipline
+    recoverBucketSwap(fs, target,
+      new org.apache.hadoop.fs.Path(snapshotPath + ".__graft-upsert-staging__"),
+      new org.apache.hadoop.fs.Path(snapshotPath + ".__graft-upsert-old__"),
+      "rebucket")
+    graft.sources.FsSwap.recover(fs, target, tmp, old, "rebucket")
+    require(fs.exists(target), s"rebucket: no snapshot at $snapshotPath")
+    val liveRaw = spark.read.parquet(snapshotPath)
+    val live =
+      if (liveRaw.columns.contains(BucketCol)) liveRaw.drop(BucketCol) else liveRaw
+    live.withColumn(BucketCol, bucketOf(keyCols, newNumBuckets))
+      .repartition(col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
+    // count rides INSIDE the staging so every complete copy is
+    // self-describing — a swap interrupted between its two renames
+    // still promotes a layout that carries its own count
+    writeBucketCount(fs, tmp, newNumBuckets)
+    graft.sources.FsSwap.swap(fs, target, tmp, old, "rebucket")
+  }
 
   private def bucketDirNames(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Seq[String] =
@@ -163,6 +248,13 @@ object EventStreams {
     * At 100 TB that is the difference between rewriting the corpus
     * every micro-batch and rewriting `touched/numBuckets` of it; a
     * batch touching few keys costs a few bucket rewrites.
+    *
+    * `numBuckets` sizes NEW snapshots only — an existing layout owns
+    * its persisted count ([[BucketCountFile]]) and every batch buckets
+    * with that, so restarting the sink with a different parameter can
+    * never mis-prune. As the snapshot grows, evolve the layout with
+    * [[rebucket]] (crash-safe, content-preserving); batches pick the
+    * new count up automatically.
     *
     * Exactly-once effect without a transactional table format: the
     * merge itself is IDEMPOTENT (MergeSpec/MergeFuzzSpec pin it), so a
@@ -204,11 +296,19 @@ object EventStreams {
     val staging = new org.apache.hadoop.fs.Path(snapshotPath + ".__graft-upsert-staging__")
     val retired = new org.apache.hadoop.fs.Path(snapshotPath + ".__graft-upsert-old__")
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    // a rebucket killed mid-swap heals here (promote its committed
+    // staging / restore the retired copy), BEFORE the layout is read
+    graft.sources.FsSwap.recover(fs, target,
+      rebucketTmp(snapshotPath), rebucketOld(snapshotPath), "upsertSink")
     recoverBucketSwap(fs, target, staging, retired, "upsertSink")
 
-    // the batch's buckets: a driver-side list of ≤ numBuckets ints
+    // the layout owns its bucket count (see [[BucketCountFile]]); the
+    // parameter sizes new snapshots and stamps pre-metadata layouts
+    val effBuckets = readBucketCount(fs, target).getOrElse(numBuckets)
+
+    // the batch's buckets: a driver-side list of ≤ effBuckets ints
     val touched: Seq[Int] = batchDf
-      .select(bucketOf(keyCols, numBuckets).as(BucketCol))
+      .select(bucketOf(keyCols, effBuckets).as(BucketCol))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return // empty batch
 
@@ -231,13 +331,20 @@ object EventStreams {
           .drop(BucketCol)
     val merged = graft.operators.Merge.applyChangeset(
       subset, batchDf, keyCols, versionCol, deleteCol)
-    merged.withColumn(BucketCol, bucketOf(keyCols, numBuckets))
+    merged.withColumn(BucketCol, bucketOf(keyCols, effBuckets))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
     if (legacyFlat)
       // the old flat files must go too: whole-directory swap, once
       graft.sources.FsSwap.swap(fs, target, staging, retired, "upsertSink")
     else
       swapBuckets(fs, target, staging, retired, touched, "upsertSink")
+    // stamp the layout's count once it exists; from here on the layout
+    // owns it and restart parameters can never re-bucket implicitly. A
+    // crash before the stamp just falls back to the parameter again —
+    // consistent as long as restarts honor the documented
+    // same-parameter discipline that pre-metadata layouts relied on.
+    if (readBucketCount(fs, target).isEmpty)
+      writeBucketCount(fs, target, effBuckets)
   }
 
   /** Per-bucket retire-then-promote after the staged write COMMITTED.

@@ -167,6 +167,106 @@ class StreamingSpec extends AnyFunSuite {
     assert(state(1L) == "one!" && state(2L) == "n2" && state.size == 40)
   }
 
+  test("rebucket 16→64: content preserved, later batches prune to the NEW layout under the OLD parameter") {
+    import spark.implicits._
+    val snap = java.nio.file.Files.createTempDirectory("graft_rebkt_").toString + "/state"
+    val hfs = new org.apache.hadoop.fs.Path(snap)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // seed 200 keys at 16 buckets via the batch entry point
+    EventStreams.applyUpsertBatch(
+      (1L to 200L).map(k => (k, s"n$k", 1L, false)).toDF("k", "name", "v", "is_deleted"),
+      snap, Seq("k"), "v", "is_deleted", numBuckets = 16)
+    val before = spark.read.parquet(snap)
+      .select("k", "name", "v").as[(Long, String, Long)].collect().toSet
+    def bucketDirs(): Set[String] =
+      hfs.listStatus(new org.apache.hadoop.fs.Path(snap)).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith(EventStreams.BucketCol)).toSet
+    assert(bucketDirs().forall(_.split('=')(1).toInt < 16))
+
+    EventStreams.rebucket(spark, snap, Seq("k"), 64)
+    // content byte-exact (same rows, same values)
+    val after = spark.read.parquet(snap)
+      .select("k", "name", "v").as[(Long, String, Long)].collect().toSet
+    assert(after == before, "rebucket must preserve snapshot content")
+    // layout actually moved to 64 buckets (200 keys occupy > 16 of them)
+    val dirs64 = bucketDirs()
+    assert(dirs64.exists(_.split('=')(1).toInt >= 16),
+      s"no bucket above the old count — layout did not change: $dirs64")
+
+    // a later batch arriving with the OLD parameter (16) must bucket by
+    // the PERSISTED count: the updated key's live row is found (no
+    // duplicate), and only its new-layout bucket is rewritten
+    val filesBefore = dataFiles(snap)
+    EventStreams.applyUpsertBatch(
+      Seq((7L, "seven!", 2L, false)).toDF("k", "name", "v", "is_deleted"),
+      snap, Seq("k"), "v", "is_deleted", numBuckets = 16)
+    val state = spark.read.parquet(snap).select("k", "name")
+      .as[(Long, String)].collect()
+    assert(state.length == 200, s"duplicate or lost keys: ${state.length}")
+    assert(state.toMap.apply(7L) == "seven!")
+    val filesAfter = dataFiles(snap)
+    val changed = filesBefore.keySet.filterNot(p =>
+      filesAfter.get(p).contains(filesBefore(p)))
+    val touchedBuckets = changed.map(_.split('/')
+      .find(_.startsWith(EventStreams.BucketCol)).get)
+    assert(touchedBuckets.size <= 1,
+      s"one-key batch must rewrite at most one NEW-layout bucket: $touchedBuckets")
+
+    // a restart with a DIFFERENT parameter still cannot mis-prune
+    EventStreams.applyUpsertBatch(
+      Seq((8L, "eight!", 2L, false)).toDF("k", "name", "v", "is_deleted"),
+      snap, Seq("k"), "v", "is_deleted", numBuckets = 7)
+    val s2 = spark.read.parquet(snap).select("k", "name").as[(Long, String)].collect()
+    assert(s2.length == 200 && s2.toMap.apply(8L) == "eight!")
+  }
+
+  test("rebucket crash states: mid-swap promotes the committed new layout; pre-swap staging is discarded") {
+    import spark.implicits._
+    val snap = java.nio.file.Files.createTempDirectory("graft_rebkt_cr_").toString + "/state"
+    def P(s: String) = new org.apache.hadoop.fs.Path(s)
+    val hfs = P(snap).getFileSystem(spark.sessionState.newHadoopConf())
+    EventStreams.applyUpsertBatch(
+      (1L to 50L).map(k => (k, s"n$k", 1L, false)).toDF("k", "name", "v", "is_deleted"),
+      snap, Seq("k"), "v", "is_deleted", numBuckets = 8)
+    val before = spark.read.parquet(snap)
+      .select("k", "name").as[(Long, String)].collect().toSet
+
+    // crash BETWEEN the two swap renames: live retired to old, committed
+    // staging not yet promoted — the next batch's entry recovery must
+    // promote the NEW layout (which carries its own bucket count)
+    val tmp = snap + ".__graft-rebucket-tmp__"
+    val old = snap + ".__graft-rebucket-old__"
+    EventStreams.rebucket(spark, snap, Seq("k"), 32) // a full successful rebucket...
+    assert(spark.read.parquet(snap).count() == 50)
+    // ...then rewind to the torn state by hand: stage another rebucket
+    // (to 16) and stop between the renames
+    val live = spark.read.parquet(snap).drop(EventStreams.BucketCol)
+    live.withColumn(EventStreams.BucketCol,
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64($"k"),
+          org.apache.spark.sql.functions.lit(16L)).cast("int"))
+      .write.partitionBy(EventStreams.BucketCol).parquet(tmp)
+    val out = hfs.create(P(s"$tmp/${EventStreams.BucketCountFile}"), true)
+    out.write("16\n".getBytes("UTF-8")); out.close()
+    assert(hfs.rename(P(snap), P(old))) // first rename done, second never ran
+    EventStreams.applyUpsertBatch(
+      Seq((51L, "new", 1L, false)).toDF("k", "name", "v", "is_deleted"),
+      snap, Seq("k"), "v", "is_deleted", numBuckets = 8)
+    val healed = spark.read.parquet(snap).select("k", "name")
+      .as[(Long, String)].collect().toSet
+    assert(healed == before + ((51L, "new")), s"mid-swap heal lost rows: ${healed.size}")
+    assert(!hfs.exists(P(tmp)) && !hfs.exists(P(old)))
+
+    // crash BEFORE the swap (committed staging alone): discarded, old
+    // layout intact
+    spark.read.parquet(snap).write.parquet(tmp) // any committed dir
+    EventStreams.applyUpsertBatch(
+      Seq((52L, "newer", 1L, false)).toDF("k", "name", "v", "is_deleted"),
+      snap, Seq("k"), "v", "is_deleted", numBuckets = 8)
+    assert(!hfs.exists(P(tmp)))
+    assert(spark.read.parquet(snap).count() == 52)
+  }
+
   test("recoverBucketSwap restores every crash state of the per-bucket swap") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_bkt_rec_").toString
