@@ -387,9 +387,11 @@ object Pq {
     * last) and the same drift contract: both models are frozen, so a
     * shifting distribution shows up as occupancy skew in the returned
     * per-cell counts (and growing quantization error), the signals to
-    * rebuild on. Returns (appended row count, appended rows per cell). */
+    * rebuild on. Every append runs [[Similarity.shouldRebuildIvfIndex]]
+    * post-append and returns its verdict in the
+    * [[Similarity.AppendResult]]. */
   def appendToIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
-      path: String): (Long, Map[Int, Long]) = {
+      path: String): Similarity.AppendResult = {
     import graft.functions.HashFunctions.nearestCentroids
     val spark = batch.sparkSession
     val p = new org.apache.hadoop.fs.Path(path)
@@ -410,7 +412,7 @@ object Pq {
       "ivfpq append (frozen centroids + codebooks)")
     val counts = assigned.groupBy("cell").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    (counts.values.sum, counts)
+    Similarity.finishAppend("appendToIvfPqIndex", spark, path, counts)
   }
 
   /** Compact an [[appendToIvfPqIndex]]-grown index's `codes` cell

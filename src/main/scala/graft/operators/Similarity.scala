@@ -406,11 +406,13 @@ object Similarity {
     *
     * Centroids are FROZEN by design: appended vectors land in their
     * nearest existing cell, so recall under distribution drift degrades
-    * through observable occupancy skew, never silently — the returned
-    * per-cell counts are the rebuild trigger. Returns
-    * (appended row count, appended rows per cell). */
+    * through observable occupancy skew, never silently. Every append
+    * runs [[shouldRebuildIvfIndex]] post-append and returns its verdict
+    * in [[AppendResult]] (logging when it fires) — an operator who
+    * never calls the advisor separately still sees the drift signal on
+    * the ingest path itself, not only in the per-batch cell counts. */
   def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
-      path: String): (Long, Map[Int, Long]) = {
+      path: String): AppendResult = {
     import graft.functions.HashFunctions.nearestCentroids
     val spark = batch.sparkSession
     val p = new org.apache.hadoop.fs.Path(path)
@@ -431,7 +433,25 @@ object Similarity {
     graft.sources.FsSwap.commitArtifact(fs, p, "ivf append (frozen centroids)")
     val counts = assigned.groupBy("cell").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    (counts.values.sum, counts)
+    finishAppend("appendToIvfIndex", spark, path, counts)
+  }
+
+  /** Result of an index append: batch size, per-cell batch occupancy,
+    * and the post-append [[shouldRebuildIvfIndex]] verdict. */
+  final case class AppendResult(appended: Long, perCell: Map[Int, Long],
+      advice: RebuildAdvice)
+
+  /** Shared append epilogue: evaluate the rebuild advisor against the
+    * post-append index (a footer-count scan — no data pages read) and
+    * surface its verdict both in the return value and, when it fires,
+    * on stderr — silent recall drift requires ignoring BOTH. */
+  private[operators] def finishAppend(ctx: String,
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      counts: Map[Int, Long]): AppendResult = {
+    val advice = shouldRebuildIvfIndex(spark, path)
+    if (advice.shouldRebuild)
+      System.err.println(s"[graft] $ctx: $path advises rebuild — ${advice.reason}")
+    AppendResult(counts.values.sum, counts, advice)
   }
 
   /** Compact an [[appendToIvfIndex]]-grown index's cell partitions in

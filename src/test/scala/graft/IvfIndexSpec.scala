@@ -73,9 +73,11 @@ class IvfIndexSpec extends AnyFunSuite {
     val corpus = synthCorpus(500, 8)
     Similarity.buildIvfIndex(corpus.filter($"vec_id" < 300), "vec_id",
       "embedding", p, numCentroids = 8, seed = 7L, kmeansIters = 2)
-    val (n, perCell) = Similarity.appendToIvfIndex(
+    val res0 = Similarity.appendToIvfIndex(
       corpus.filter($"vec_id" >= 300), "vec_id", "embedding", p)
-    assert(n == 200 && perCell.values.sum == 200)
+    assert(res0.appended == 200 && res0.perCell.values.sum == 200)
+    // same-distribution append: the inline advisor stays quiet
+    assert(!res0.advice.shouldRebuild, res0.advice.toString)
     // nothing lost, nothing double-counted across build + append
     assert(spark.read.parquet(s"$p/vectors").count() == 500)
     // a query whose true neighbors are appended rows must surface them.
@@ -167,7 +169,10 @@ class IvfIndexSpec extends AnyFunSuite {
       (10000L + i, (0 until 8).map(d =>
         (1.0 + 0.001 * ((i * 17 + d) % 7)).toFloat))
     }.toDF("vec_id", "embedding")
-    Similarity.appendToIvfIndex(drift, "vec_id", "embedding", p)
+    val driftRes = Similarity.appendToIvfIndex(drift, "vec_id", "embedding", p)
+    // the APPEND ITSELF surfaces the verdict — no separate advisor call
+    assert(driftRes.advice.shouldRebuild,
+      s"skew-inducing append must advise rebuild inline: ${driftRes.advice}")
     val drifted = Similarity.shouldRebuildIvfIndex(spark, p)
     assert(drifted.shouldRebuild, s"skewed appends must advise rebuild: $drifted")
     assert(drifted.appendedFraction > 0.5 && drifted.skewRatio > 4.0, drifted.toString)

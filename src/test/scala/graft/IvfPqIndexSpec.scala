@@ -142,9 +142,10 @@ class IvfPqIndexSpec extends AnyFunSuite {
     val corpus = synthCorpus(500, 8)
     Pq.buildIvfPqIndex(corpus.filter($"vec_id" < 300), "vec_id", "embedding",
       p, numCentroids = 8, m = 4, k = 16, seed = 7L, kmeansIters = 2)
-    val (n, perCell) = Pq.appendToIvfPqIndex(
+    val res0 = Pq.appendToIvfPqIndex(
       corpus.filter($"vec_id" >= 300), "vec_id", "embedding", p)
-    assert(n == 200 && perCell.values.sum == 200)
+    assert(res0.appended == 200 && res0.perCell.values.sum == 200)
+    assert(!res0.advice.shouldRebuild, res0.advice.toString)
     val codes = spark.read.parquet(s"$p/codes")
     assert(codes.count() == 500)
     // appended rows carry codes of the SAME width (frozen model applied)
@@ -177,7 +178,9 @@ class IvfPqIndexSpec extends AnyFunSuite {
       (20000L + i, (0 until 8).map(d =>
         (1.0 + 0.001 * ((i * 17 + d) % 7)).toFloat))
     }.toDF("vec_id", "embedding")
-    Pq.appendToIvfPqIndex(drift, "vec_id", "embedding", p)
+    val driftRes = Pq.appendToIvfPqIndex(drift, "vec_id", "embedding", p)
+    assert(driftRes.advice.shouldRebuild,
+      s"skew-inducing append must advise rebuild inline: ${driftRes.advice}")
     val drifted = graft.operators.Similarity.shouldRebuildIvfIndex(spark, p)
     assert(drifted.shouldRebuild && drifted.appendedFraction > 0.5, drifted.toString)
   }
