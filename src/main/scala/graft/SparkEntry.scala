@@ -1534,6 +1534,19 @@ object SparkEntry {
           |ORDER BY k, a""".stripMargin)
     }),
 
+    "q45_similar_to" -> ((s, dir) => {
+      // round-12 dialect promotion: [NOT] SIMILAR TO → anchored RLIKE.
+      // Whole-string semantics (unlike the `~` substring operators),
+      // `%`/`_` SQL wildcards, POSIX alternation kept, `.` literal —
+      // the oracle spells the same predicate as DuckDB regex full
+      // matches over the hand-translated patterns.
+      sql(tbl(s, dir, "part"),
+        """SELECT p_partkey, p_name FROM AllData
+          |WHERE p_name SIMILAR TO '%(green|blue|red)%'
+          |  AND p_name NOT SIMILAR TO '%w_dget'
+          |ORDER BY p_partkey""".stripMargin)
+    }),
+
     "q32_asof_join" -> ((s, dir) => {
       // enrich synthetic event timeline with the most recent order of the
       // same customer (right side deduped per (key, ts) for determinism)
@@ -2974,6 +2987,16 @@ object SparkEntry {
         |    NULL AS asum, NULL AS amean, NULL AS aget
         |  FROM nation WHERE n_regionkey = 0
         |) ORDER BY k, a""".stripMargin,
+
+    "q45_similar_to" ->
+      // the SIMILAR TO patterns hand-translated to the same anchored
+      // regexes the rewriter emits (DuckDB's own SIMILAR TO is raw-regex
+      // full-match, NOT SQL-wildcard — spelling the translation out keeps
+      // the oracle independent of that deviation)
+      """SELECT p_partkey, p_name FROM part
+        |WHERE regexp_full_match(p_name, '.*(green|blue|red).*')
+        |  AND NOT regexp_full_match(p_name, '.*w.dget')
+        |ORDER BY p_partkey""".stripMargin,
 
     "q32_asof_join" ->
       """WITH r AS (

@@ -370,9 +370,63 @@ object SqlRewriter {
 
   /** Pass 1: double-quoted identifiers → backticks; `//` floor division;
     * Polars function renames; STRFTIME/STRPTIME pattern translation;
-    * QUANTILE_DISC → WITHIN GROUP form; `~ !~ ~* !~*` regex operators. */
+    * QUANTILE_DISC → WITHIN GROUP form; `~ !~ ~* !~*` regex operators;
+    * `[NOT] SIMILAR TO` → anchored RLIKE. */
   def rewriteQuotesAndFunctions(sql: String): String =
     render(rewriteToks(rewriteFloorDiv(lex(sql))))
+
+  /** Translate a SQL-standard `SIMILAR TO` pattern into an anchored Java
+    * regex (the RLIKE operand). Per the standard (and PostgreSQL's
+    * documented semantics): `%` → `.*`, `_` → `.`; the POSIX-borrowed
+    * metacharacters `| * + ? ( ) [ ] { }` keep their regex meaning;
+    * everything else — notably `.` `^` `$` `\` — is LITERAL and gets
+    * regex-escaped. Bracket expressions pass through verbatim (their
+    * grammar is already POSIX). `escapeChar` (default `\`) makes the
+    * next character literal; a pattern may not end on it. The result is
+    * wrapped `^(?:…)$` — SIMILAR TO matches the WHOLE string, unlike
+    * the `~` operators' substring search. */
+  def translateSimilarTo(pat: String, escapeChar: Option[Char] = Some('\\')): String = {
+    val out = new StringBuilder
+    // regex-special chars that SIMILAR TO treats as LITERAL (the
+    // POSIX-borrowed `| * + ? ( ) [ ] { }` keep their regex meaning)
+    val literalSpecial = "\\^$."
+    // everything regex-special — an ESCAPED char is always literal
+    val regexSpecial = "\\^$.|?*+()[]{}"
+    def emitLiteral(c: Char): Unit = {
+      if (regexSpecial.indexOf(c.toInt) >= 0) out.append('\\')
+      out.append(c)
+    }
+    var inClass = false
+    var i = 0
+    while (i < pat.length) {
+      val c = pat.charAt(i)
+      if (escapeChar.contains(c)) {
+        if (i + 1 >= pat.length)
+          throw new IllegalArgumentException(
+            s"SIMILAR TO pattern must not end with its escape character: $pat")
+        emitLiteral(pat.charAt(i + 1)); i += 2
+      } else if (inClass) {
+        if (c == ']') inClass = false
+        out.append(c); i += 1
+      } else {
+        c match {
+          case '%' => out.append(".*")
+          case '_' => out.append('.')
+          case '[' => inClass = true; out.append(c)
+          case ch if literalSpecial.indexOf(ch.toInt) >= 0 => out.append('\\').append(ch)
+          case ch  => out.append(ch)
+        }
+        i += 1
+      }
+    }
+    "^(?:" + out.toString + ")$"
+  }
+
+  /** A Java-regex string as a Spark SQL single-quoted literal (Spark's
+    * default lexer processes C-style backslash escapes, so regex
+    * backslashes double and embedded quotes backslash-escape). */
+  private def regexAsSparkLiteral(regex: String): String =
+    "'" + regex.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
   /** Recursive token rewrite. STRFTIME/STRPTIME handling is
     * argument-aware: only the FORMAT argument (2nd) has its string
@@ -557,6 +611,55 @@ object SqlRewriter {
           } =>
           out += Word(fnRenames(w.text.toLowerCase))
           i += 1
+        case w: Word if w.text.equalsIgnoreCase("similar") && {
+            // operand (plain form) or NOT (negated form) must precede —
+            // a column literally named `similar` can't be followed by TO
+            val ok = lastIsOperandEnd || {
+              var j = out.length - 1
+              while (j >= 0 && out(j).isInstanceOf[Ws]) j -= 1
+              j >= 0 && isWord(out(j), "not")
+            }
+            val to = nextNonWs(toks, i + 1)
+            ok && to < toks.length && isWord(toks(to), "to")
+          } =>
+          // `x [NOT] SIMILAR TO 'pat' [ESCAPE 'c']` → `x [NOT] RLIKE
+          // '^(?:regex)$'` — whole-string match per the SQL standard
+          // (polars-sql itself rejects the construct, so this is a
+          // strict dialect extension, oracle-gated in q45_similar_to).
+          // The translation happens at rewrite time, so only a string
+          // LITERAL pattern is expressible; anything else fails loudly
+          // rather than mis-matching.
+          val to = nextNonWs(toks, i + 1)
+          val pIdx = nextNonWs(toks, to + 1)
+          val patTok = if (pIdx < toks.length) toks(pIdx) else Punct("")
+          patTok match {
+            case s: SStr =>
+              val body = s.text.substring(1, s.text.length - 1).replace("''", "'")
+              // optional ESCAPE 'c': single char overrides the default
+              // backslash; empty string selects NO escape character
+              var resume = pIdx + 1
+              var esc: Option[Char] = Some('\\')
+              val eIdx = nextNonWs(toks, pIdx + 1)
+              if (eIdx < toks.length && isWord(toks(eIdx), "escape")) {
+                val lIdx = nextNonWs(toks, eIdx + 1)
+                toks(lIdx) match {
+                  case l: SStr =>
+                    val e = l.text.substring(1, l.text.length - 1).replace("''", "'")
+                    if (e.length > 1) throw new IllegalArgumentException(
+                      s"SIMILAR TO ESCAPE must be a single character, got '$e'")
+                    esc = e.headOption
+                    resume = lIdx + 1
+                  case other => throw new IllegalArgumentException(
+                    s"SIMILAR TO ESCAPE requires a string literal, got ${other.text}")
+                }
+              }
+              out += Word("RLIKE"); out += Ws(" ")
+              out += SStr(regexAsSparkLiteral(translateSimilarTo(body, esc)))
+              i = resume
+            case other => throw new IllegalArgumentException(
+              "SIMILAR TO requires a string-literal pattern (translated at " +
+                s"rewrite time); got ${other.text}")
+          }
         case Punct("!") if i + 1 < toks.length && toks(i + 1) == Punct("~") &&
             lastIsOperandEnd =>
           // `a !~ p` / `a !~* p` — negated (case-insensitive) regex match

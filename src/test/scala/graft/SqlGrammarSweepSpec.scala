@@ -142,11 +142,44 @@ class SqlGrammarSweepSpec extends AnyFunSuite {
       .as[Double].head() == 3.0)
   }
 
+  test("REWRITTEN: [NOT] SIMILAR TO translates to anchored RLIKE (r12 promotion)") {
+    setup()
+    import spark.implicits._
+    // whole-string semantics: 'a' alone only matches the exact string
+    // "a"; '%a%' is the substring form. SQL wildcards translate
+    // (% → .*, _ → .), POSIX-borrowed metachars keep regex meaning.
+    assert(run("SELECT id FROM t WHERE k SIMILAR TO 'a'").count() == 2L)
+    assert(run("SELECT id FROM t WHERE k SIMILAR TO '(a|b)'").count() == 3L)
+    assert(run("SELECT id FROM t WHERE k SIMILAR TO '_'").count() == 3L)
+    assert(run("SELECT id FROM t WHERE k NOT SIMILAR TO 'a%'").count() == 1L)
+    // `.` is LITERAL in SIMILAR TO (unlike regex): 'a.' matches nothing
+    assert(run("SELECT id FROM t WHERE k SIMILAR TO 'a.'").count() == 0L)
+    // escape: `\%` is a literal percent; ESCAPE 'x' overrides; ESCAPE ''
+    // disables escaping entirely (backslash becomes a literal)
+    assert(run("SELECT 1 AS r WHERE '5%' SIMILAR TO '_\\%'").count() == 1L)
+    assert(run("SELECT 1 AS r WHERE '5%' SIMILAR TO '_x%' ESCAPE 'x'").count() == 1L)
+    // LHS builds "a\b" via CHR(92): a literal '\b' would be Spark's
+    // backspace escape, which is exactly the convention mismatch the
+    // rewriter-side literal escaping exists to avoid
+    assert(run("SELECT 1 AS r WHERE CONCAT('a', CHR(92), 'b') SIMILAR TO '_\\_' ESCAPE ''")
+      .count() == 1L)
+    // translation unit contract, spelled out
+    assert(graft.sql.SqlRewriter.translateSimilarTo("%(ab|c)_[0-9]%") ==
+      "^(?:.*(ab|c).[0-9].*)$")
+    assert(graft.sql.SqlRewriter.translateSimilarTo("a.b^c$d") ==
+      "^(?:a\\.b\\^c\\$d)$")
+    // non-literal patterns and dangling escapes fail LOUDLY
+    intercept[IllegalArgumentException] { run("SELECT k SIMILAR TO k FROM t") }
+    intercept[IllegalArgumentException] {
+      graft.sql.SqlRewriter.translateSimilarTo("abc\\")
+    }
+    ()
+  }
+
   test("REJECTED tail fails loudly, never silently") {
     setup()
-    // SIMILAR TO: no Spark equivalent wired — parse error, not wrong rows
-    intercept[Throwable] { run("SELECT k SIMILAR TO 'a' FROM t").collect() }
-    // `#` is not an operator in either dialect — parse error
+    // `#` is not an operator in either dialect — parse error (COVERAGE.md
+    // records why it stays rejected)
     intercept[Throwable] { run("SELECT id # 4 FROM t").collect() }
     ()
   }
