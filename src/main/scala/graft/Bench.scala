@@ -66,12 +66,15 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
     }
-    // anchors are sf0.1 medians (BASELINE.md) — flagging a deliberate
-    // sf1.0/sf10 scale run against them would mark every query "slow",
-    // so anchor logic engages only at the anchors' own scale factor
-    val anchors =
-      if (sfDir.stripSuffix("/").endsWith("sf0.1")) loadAnchors()
-      else Map.empty[String, Double]
+    // anchors are matched to the run's OWN scale factor, derived from
+    // the data dir's `sf<label>` basename: an sf0.1 run gates against
+    // sf0.1 anchors, an sf10 run against the `"sf": "10"` records
+    // ANCHORS.json carries (round-12 verdict item 2 — without them a
+    // real scale regression was indistinguishable from box noise).
+    // Queries without an anchor at the run's scale simply aren't
+    // flagged; a dir that doesn't spell its scale gets no anchors at
+    // all rather than wrong-scale ones.
+    val anchors = sfLabelOf(sfDir).map(loadAnchors(_)).getOrElse(Map.empty[String, Double])
     // SPARK_GRAFT_ADAPTIVE=0 disables the over-anchor re-measure (for
     // timing the raw single-shot behavior); default ON — the driver's
     // artifact is the official record and must self-adjudicate noise.
@@ -167,6 +170,15 @@ object Bench {
     * BenchSpec case pins this), so a future sf10 anchor table can
     * never poison the sf0.1 gate again. The markdown parse survives
     * only as a fallback for trees without the JSON. */
+  /** Scale label of a testdata dir: the `X` of a final `sfX` path
+    * segment (`/tmp/sf10` → "10", `/root/testdata/sf0.1` → "0.1"),
+    * None when the dir doesn't spell its scale — no anchors at all
+    * beats wrong-scale anchors. */
+  private[graft] def sfLabelOf(sfDir: String): Option[String] = {
+    val name = sfDir.stripSuffix("/").split('/').last
+    if (name.startsWith("sf") && name.length > 2) Some(name.drop(2)) else None
+  }
+
   private[graft] def loadAnchors(sf: String = "0.1"): Map[String, Double] = {
     def read(p: String): Option[String] =
       try {

@@ -1,10 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -14,8 +13,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * row, and keep null semantics Catalyst-native. They evaluate directly
   * over `UTF8String` bytes — no String allocation per shingle.
   *
-  * CodegenFallback is deliberate: the per-row work is a tight JVM loop
-  * over the array already; codegen would only inline the loop head.
+  * Each expression implements `doGenCode` as a static call into
+  * [[HashEval]] (the same helpers `nullSafeEval` delegates to — one
+  * code path for both modes), so the containing stage stays inside
+  * whole-stage codegen instead of detouring through the interpreted
+  * `eval` fallback per row, and array results are built with
+  * `UnsafeArrayData.fromPrimitiveArray` — no per-element boxing the way
+  * `GenericArrayData(Array[Long])` boxes. Round-12 sf10 measurement of
+  * the switch is recorded in BASELINE.md.
   */
 object Hashing {
   /** 64-bit FNV-1a over UTF-8 bytes — deterministic across JVMs and
@@ -104,69 +109,32 @@ object Tokenize {
   }
 }
 
-/** `text_shingle_hashes(text)` → distinct sorted `array<long>` of word
-  * n-gram shingle hashes. Fused tokenize+shingle+hash in one byte pass —
-  * replaces a split/transform/slice/concat_ws higher-order pipeline that
-  * profiled ~30× slower (per-element array allocs). Hash identity stands
-  * in for string identity; 64-bit collisions are negligible at any
-  * per-document shingle count. */
-case class TextShingleHashes(child: Expression, n: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+/** Shared evaluation bodies for the expressions in this file — plain
+  * methods on a plain object so the Scala compiler emits STATIC
+  * FORWARDERS, letting generated (Janino) code call them directly:
+  * `graft.functions.HashEval.m(...)`. Every expression's
+  * `nullSafeEval` delegates to the same method its `doGenCode` emits a
+  * call to, so interpreted and codegen modes cannot diverge. Array
+  * results are `UnsafeArrayData.fromPrimitiveArray` — one flat byte
+  * buffer, no per-element boxing, and downstream unsafe writers copy
+  * it bytewise. */
+object HashEval {
+  def shingleArray(s: UTF8String, n: Int, seed: Long): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(Tokenize.shingleHashes(s, n, seed))
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = child.nullable
-
-  override protected def nullSafeEval(input: Any): Any =
-    new GenericArrayData(Tokenize.shingleHashes(input.asInstanceOf[UTF8String], n, seed))
-
-  override protected def withNewChildInternal(newChild: Expression): TextShingleHashes =
-    copy(child = newChild)
-}
-
-/** `positional_shingle_hashes(text)` → `array<long>` where element `i`
-  * is the order-sensitive hash of the word window `[i, i+n)` — the
-  * POSITIONAL counterpart of [[TextShingleHashes]] (which collapses to
-  * a distinct sorted set and so cannot say WHERE a shingle occurred).
-  * Texts with fewer than `n` words yield an empty array. Same fused
-  * single-byte-pass tokenizer ([[Tokenize.wordHashes]]) and window
-  * combine ([[Tokenize.shingleHash]]) as every other text-hash
-  * expression here, so position `i` of this array and member
-  * membership in `TextShingleHashes` agree by construction. Feeds
-  * [[graft.operators.Dedup.repeatedWindowMatches]], which needs
-  * (position, hash) to locate cross-document repeated spans, not just
-  * detect them. */
-case class PositionalShingleHashes(child: Expression, n: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = child.nullable
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val wh = Tokenize.wordHashes(input.asInstanceOf[UTF8String], seed)
-    if (wh.length < n) new GenericArrayData(Array.emptyLongArray)
+  def positionalShingleArray(s: UTF8String, n: Int, seed: Long): ArrayData = {
+    val wh = Tokenize.wordHashes(s, seed)
+    if (wh.length < n) UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     else {
       val out = new Array[Long](wh.length - n + 1)
       var i = 0
       while (i + n <= wh.length) { out(i) = Tokenize.shingleHash(wh, i, n); i += 1 }
-      new GenericArrayData(out)
+      UnsafeArrayData.fromPrimitiveArray(out)
     }
   }
 
-  override protected def withNewChildInternal(newChild: Expression): PositionalShingleHashes =
-    copy(child = newChild)
-}
-
-/** `minhash_from_text(text)` → `array<long>` signature, fusing tokenize →
-  * shingle-hash → permute-min in a single pass (no shingle strings, no
-  * intermediate arrays). */
-case class MinHashFromText(child: Expression, n: Int, numHashes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = child.nullable
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val wh = Tokenize.wordHashes(input.asInstanceOf[UTF8String], seed)
+  def minhashFromText(s: UTF8String, n: Int, numHashes: Int, seed: Long): ArrayData = {
+    val wh = Tokenize.wordHashes(s, seed)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     @inline def absorb(base: Long): Unit = {
       var k = 0
@@ -177,11 +145,8 @@ case class MinHashFromText(child: Expression, n: Int, numHashes: Int, seed: Long
       }
     }
     if (wh.length > 0 && wh.length < n) {
-      // short-document fallback: one shingle spanning all words, so
-      // IDENTICAL short docs still collide (est_jaccard 1.0) while
-      // different short docs get unrelated signatures — without this,
-      // either every short-doc pair scores a spurious 1.0 (all-MaxValue
-      // signatures) or exact short duplicates go undetected
+      // short-document fallback: one shingle spanning all words (see
+      // MinHashFromText doc)
       absorb(Tokenize.shingleHash(wh, 0, wh.length))
     } else {
       var i = 0
@@ -190,23 +155,11 @@ case class MinHashFromText(child: Expression, n: Int, numHashes: Int, seed: Long
         i += 1
       }
     }
-    new GenericArrayData(sig)
+    UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): MinHashFromText =
-    copy(child = newChild)
-}
-
-/** `simhash_from_text(text)` → 64-bit SimHash, fused with tokenization
-  * (single byte pass; same token hashing as [[Tokenize.wordHashes]]). */
-case class SimHashFromText(child: Expression, seed: Long)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def nullable: Boolean = child.nullable
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val wh = Tokenize.wordHashes(input.asInstanceOf[UTF8String], seed)
+  def simhashFromText(s: UTF8String, seed: Long): Long = {
+    val wh = Tokenize.wordHashes(s, seed)
     val votes = new Array[Int](64)
     var j = 0
     while (j < wh.length) {
@@ -221,39 +174,13 @@ case class SimHashFromText(child: Expression, seed: Long)
     var out = 0L
     var b = 0
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-    java.lang.Long.valueOf(out)
+    out
   }
 
-  override protected def withNewChildInternal(newChild: Expression): SimHashFromText =
-    copy(child = newChild)
-}
-
-/** `simhash_md5_from_text(text)` → ENGINE-PORTABLE 60-bit SimHash, fused
-  * into one pass per document: tokens are the non-whitespace runs of
-  * `lower(text)` (byte-level walk — UTF-8 continuation bytes are ≥ 0x80,
-  * so splitting on ASCII `\s` bytes is exactly the regex `\s+` split),
-  * each token's hash is the first 15 hex chars of md5(token) parsed
-  * base-16 (60 bits, big-endian nibbles — bit-for-bit what DuckDB's
-  * `('0x' || substr(md5(w),1,15))::BIGINT` computes), per-bit ±1 majority
-  * vote over bits 0..59, sign → bit.
-  *
-  * Returns NULL for documents with zero tokens — the explode-based
-  * formulation drops such docs (no rows to aggregate), so callers filter
-  * `isNotNull` to keep identical semantics (and empty docs must be
-  * excluded from pairing anyway: they'd all collide at hamming 0).
-  *
-  * Replaces the gate query's explode + 60-column vote aggregate, which
-  * cost a full shuffle on id plus a wide-agg plan (~5-6 s at sf0.1 and a
-  * "plan too large" warning) for what is one map-side byte pass. */
-case class SimHashMd5FromText(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  // null input OR zero-token input → null
-  override def nullable: Boolean = true
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].toLowerCase.getBytes
+  /** null (boxed) when the document has zero tokens — see
+    * [[SimHashMd5FromText]]. */
+  def simhashMd5(input: UTF8String): java.lang.Long = {
+    val bytes = input.toLowerCase.getBytes
     val md = SimHashMd5FromText.digests.get()
     val votes = new Array[Int](60)
     var any = false
@@ -289,32 +216,7 @@ case class SimHashMd5FromText(child: Expression)
     }
   }
 
-  override protected def withNewChildInternal(newChild: Expression): SimHashMd5FromText =
-    copy(child = newChild)
-}
-
-object SimHashMd5FromText {
-  // MessageDigest is stateful and not thread-safe; local-mode tasks share
-  // the JVM, so keep one instance per thread
-  private val digests = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-}
-
-/** `sorted_intersect_count(a, b)` → int: size of the intersection of two
-  * SORTED long arrays via a two-pointer merge — O(n+m) with zero
-  * allocation, vs array_intersect's per-row hash-set build. Inputs must
-  * be sorted ascending and duplicate-free (TextShingleHashes guarantees
-  * both). */
-case class SortedLongIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-
-  override def dataType: DataType = IntegerType
-
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  def sortedIntersectCount(x: ArrayData, y: ArrayData): Int = {
     var i = 0; var j = 0; var n = 0
     val nx = x.numElements(); val ny = y.numElements()
     while (i < nx && j < ny) {
@@ -323,46 +225,19 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
       else if (xv < yv) i += 1
       else j += 1
     }
-    java.lang.Integer.valueOf(n)
+    n
   }
 
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongIntersectCount =
-    copy(left = l, right = r)
-}
-
-/** `dot_product(a, b)` → double: strict left-to-right double-precision
-  * accumulation — bit-identical to `aggregate(zip_with(a,b,*),0d,+)` but
-  * a plain loop instead of per-element lambda machinery (~10× faster in
-  * the ANN scan). Accepts float or double arrays. */
-case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-
-  override def dataType: DataType = DoubleType
-  // also null on array-dimension mismatch, independent of child nullability
-  override def nullable: Boolean = true
-
-  private lazy val leftFloat =
-    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  private lazy val rightFloat =
-    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  private lazy val leftMayHoldNull =
-    left.dataType.asInstanceOf[ArrayType].containsNull
-  private lazy val rightMayHoldNull =
-    right.dataType.asInstanceOf[ArrayType].containsNull
-
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  /** null (boxed) on dimension mismatch or a null element — see
+    * [[DotProduct]]. */
+  def dotProduct(x: ArrayData, y: ArrayData, leftFloat: Boolean,
+      rightFloat: Boolean, leftMayHoldNull: Boolean,
+      rightMayHoldNull: Boolean): java.lang.Double = {
     val n = x.numElements()
-    // dimension mismatch → null (matching zip_with's null-padding
-    // semantics) rather than a silently-truncated wrong dot product
     if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
-      // a null element → null result, matching the documented-equivalent
-      // aggregate(zip_with(a,b,*),0d,+) null propagation (reading the
-      // slot uninspected would yield an arbitrary value)
       if ((leftMayHoldNull && x.isNullAt(i)) ||
           (rightMayHoldNull && y.isNullAt(i))) return null
       val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
@@ -373,42 +248,12 @@ case class DotProduct(left: Expression, right: Expression)
     java.lang.Double.valueOf(acc)
   }
 
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
-    copy(left = l, right = r)
-}
-
-/** `nearest_centroids(vec)` → `array<int>` of the `n` centroid indices
-  * with the highest dot product against the (unit-normalized) centroid
-  * set — the cell-assignment / probe-selection primitive for true
-  * (centroid-based) IVF. With unit centroids, argmax dot == argmax
-  * cosine, so the query vector's own norm never needs computing here.
-  * One tight loop per row; `n` is tiny (1 for assignment, nprobe for
-  * probing) so selection is insertion into a fixed-size top list. */
-case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], n: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(n >= 1, s"NearestCentroids needs n >= 1 (got $n)")
-  require(centroids.nonEmpty, "NearestCentroids needs a non-empty centroid set")
-
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  // null input OR null array element → null (same propagation as
-  // DotProduct: reading a null slot uninspected would silently assign
-  // the vector to a garbage cell)
-  override def nullable: Boolean = true
-
-  private lazy val childFloat =
-    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  private lazy val childMayHoldNull =
-    child.dataType.asInstanceOf[ArrayType].containsNull
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  /** null when an element is null or a dot comes out NaN — see
+    * [[NearestCentroids]]. */
+  def nearestCentroids(v: ArrayData, centroids: Array[Array[Double]], n: Int,
+      childFloat: Boolean, childMayHoldNull: Boolean): ArrayData = {
     val dim = v.numElements()
     val m = math.min(n, centroids.length)
-    // pre-seed with DISTINCT indices: if no dot ever wins (e.g. -Inf
-    // products from infinite elements; NaN inputs return null below),
-    // the result is still n distinct cells rather than n copies of
-    // cell 0 (which would break the caller's each-pair-at-most-once
-    // invariant via explode)
     val bestIdx = Array.tabulate(m)(identity)
     val bestDot = new Array[Double](m)
     java.util.Arrays.fill(bestDot, Double.NegativeInfinity)
@@ -424,12 +269,7 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
         acc += xv * cent(i)
         i += 1
       }
-      // NaN elements propagate to null like null elements do: NaN
-      // comparisons are all false, so without this the seed/fixup path
-      // would silently assign the vector to arbitrary cells 0..m-1 —
-      // a garbage corpus cell, or meaningless probe cells for a query
       if (acc != acc) return null
-      // insertion into the descending top-m list
       if (acc > bestDot(m - 1)) {
         var p = m - 1
         while (p > 0 && bestDot(p - 1) < acc) {
@@ -439,10 +279,7 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
       }
       c += 1
     }
-    // distinctness fixup: with fewer than m real (non-NaN) dots, shifted
-    // seed slots can duplicate an inserted index — remap duplicates to
-    // the smallest unused indices (m <= centroids.length guarantees
-    // enough exist)
+    // distinctness fixup (see NearestCentroids doc)
     val seen = new java.util.HashSet[Integer]()
     var q = 0
     var nextFree = 0
@@ -454,24 +291,10 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
       }
       q += 1
     }
-    new GenericArrayData(bestIdx)
+    UnsafeArrayData.fromPrimitiveArray(bestIdx)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
-    copy(child = newChild)
-}
-
-/** `minhash_signature(shingles)` → `array<long>` of length `numHashes`.
-  * Empty/null arrays → array of Long.MaxValue (no shingle evidence).
-  */
-case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = child.nullable
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def minhashSignature(arr: ArrayData, numHashes: Int, seed: Long): ArrayData = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var j = 0
     while (j < arr.numElements()) {
@@ -487,23 +310,10 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
       }
       j += 1
     }
-    new GenericArrayData(sig)
+    UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
-    copy(child = newChild)
-}
-
-/** `simhash64(tokens)` → 64-bit SimHash of an `array<string>` token
-  * column: per-token FNV hash, per-bit ±1 vote, sign → bit. */
-case class SimHash64(child: Expression, seed: Long)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def nullable: Boolean = child.nullable
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def simhash64(arr: ArrayData, seed: Long): Long = {
     val votes = new Array[Int](64)
     var j = 0
     while (j < arr.numElements()) {
@@ -520,8 +330,308 @@ case class SimHash64(child: Expression, seed: Long)
     var out = 0L
     var b = 0
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-    java.lang.Long.valueOf(out)
+    out
   }
+}
+
+/** `text_shingle_hashes(text)` → distinct sorted `array<long>` of word
+  * n-gram shingle hashes. Fused tokenize+shingle+hash in one byte pass —
+  * replaces a split/transform/slice/concat_ws higher-order pipeline that
+  * profiled ~30× slower (per-element array allocs). Hash identity stands
+  * in for string identity; 64-bit collisions are negligible at any
+  * per-document shingle count. */
+case class TextShingleHashes(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashEval.shingleArray(input.asInstanceOf[UTF8String], n, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashEval.shingleArray($c, $n, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextShingleHashes =
+    copy(child = newChild)
+}
+
+/** `positional_shingle_hashes(text)` → `array<long>` where element `i`
+  * is the order-sensitive hash of the word window `[i, i+n)` — the
+  * POSITIONAL counterpart of [[TextShingleHashes]] (which collapses to
+  * a distinct sorted set and so cannot say WHERE a shingle occurred).
+  * Texts with fewer than `n` words yield an empty array. Same fused
+  * single-byte-pass tokenizer ([[Tokenize.wordHashes]]) and window
+  * combine ([[Tokenize.shingleHash]]) as every other text-hash
+  * expression here, so position `i` of this array and member
+  * membership in `TextShingleHashes` agree by construction. Feeds
+  * [[graft.operators.Dedup.repeatedWindowMatches]], which needs
+  * (position, hash) to locate cross-document repeated spans, not just
+  * detect them. */
+case class PositionalShingleHashes(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashEval.positionalShingleArray(input.asInstanceOf[UTF8String], n, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashEval.positionalShingleArray($c, $n, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): PositionalShingleHashes =
+    copy(child = newChild)
+}
+
+/** `minhash_from_text(text)` → `array<long>` signature, fusing tokenize →
+  * shingle-hash → permute-min in a single pass (no shingle strings, no
+  * intermediate arrays). */
+case class MinHashFromText(child: Expression, n: Int, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  // short documents (0 < words < n) absorb ONE shingle spanning all
+  // words, so IDENTICAL short docs still collide (est_jaccard 1.0)
+  // while different short docs get unrelated signatures — without
+  // this, either every short-doc pair scores a spurious 1.0
+  // (all-MaxValue signatures) or exact short duplicates go undetected
+  override protected def nullSafeEval(input: Any): Any =
+    HashEval.minhashFromText(input.asInstanceOf[UTF8String], n, numHashes, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashEval.minhashFromText($c, $n, $numHashes, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromText =
+    copy(child = newChild)
+}
+
+/** `simhash_from_text(text)` → 64-bit SimHash, fused with tokenization
+  * (single byte pass; same token hashing as [[Tokenize.wordHashes]]). */
+case class SimHashFromText(child: Expression, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      HashEval.simhashFromText(input.asInstanceOf[UTF8String], seed))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashEval.simhashFromText($c, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashFromText =
+    copy(child = newChild)
+}
+
+/** `simhash_md5_from_text(text)` → ENGINE-PORTABLE 60-bit SimHash, fused
+  * into one pass per document: tokens are the non-whitespace runs of
+  * `lower(text)` (byte-level walk — UTF-8 continuation bytes are ≥ 0x80,
+  * so splitting on ASCII `\s` bytes is exactly the regex `\s+` split),
+  * each token's hash is the first 15 hex chars of md5(token) parsed
+  * base-16 (60 bits, big-endian nibbles — bit-for-bit what DuckDB's
+  * `('0x' || substr(md5(w),1,15))::BIGINT` computes), per-bit ±1 majority
+  * vote over bits 0..59, sign → bit.
+  *
+  * Returns NULL for documents with zero tokens — the explode-based
+  * formulation drops such docs (no rows to aggregate), so callers filter
+  * `isNotNull` to keep identical semantics (and empty docs must be
+  * excluded from pairing anyway: they'd all collide at hamming 0).
+  *
+  * Replaces the gate query's explode + 60-column vote aggregate, which
+  * cost a full shuffle on id plus a wide-agg plan (~5-6 s at sf0.1 and a
+  * "plan too large" warning) for what is one map-side byte pass. */
+case class SimHashMd5FromText(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  // null input OR zero-token input → null
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashEval.simhashMd5(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("simhashMd5")
+      s"""
+         |java.lang.Long $r = graft.functions.HashEval.simhashMd5($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5FromText =
+    copy(child = newChild)
+}
+
+object SimHashMd5FromText {
+  // MessageDigest is stateful and not thread-safe; local-mode tasks share
+  // the JVM, so keep one instance per thread
+  private[functions] val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
+/** `sorted_intersect_count(a, b)` → int: size of the intersection of two
+  * SORTED long arrays via a two-pointer merge — O(n+m) with zero
+  * allocation, vs array_intersect's per-row hash-set build. Inputs must
+  * be sorted ascending and duplicate-free (TextShingleHashes guarantees
+  * both). */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Integer.valueOf(HashEval.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashEval.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongIntersectCount =
+    copy(left = l, right = r)
+}
+
+/** `dot_product(a, b)` → double: strict left-to-right double-precision
+  * accumulation — bit-identical to `aggregate(zip_with(a,b,*),0d,+)` but
+  * a plain loop instead of per-element lambda machinery (~10× faster in
+  * the ANN scan). Accepts float or double arrays. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  // also null on array-dimension mismatch (matching zip_with's
+  // null-padding semantics) or a null ELEMENT (matching the
+  // documented-equivalent aggregate(zip_with(a,b,*),0d,+) null
+  // propagation), independent of child nullability
+  override def nullable: Boolean = true
+
+  private lazy val leftFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val rightFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val leftMayHoldNull =
+    left.dataType.asInstanceOf[ArrayType].containsNull
+  private lazy val rightMayHoldNull =
+    right.dataType.asInstanceOf[ArrayType].containsNull
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashEval.dotProduct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftFloat, rightFloat, leftMayHoldNull, rightMayHoldNull)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotProduct")
+      s"""
+         |java.lang.Double $r = graft.functions.HashEval.dotProduct(
+         |  $a, $b, $leftFloat, $rightFloat, $leftMayHoldNull, $rightMayHoldNull);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** `nearest_centroids(vec)` → `array<int>` of the `n` centroid indices
+  * with the highest dot product against the (unit-normalized) centroid
+  * set — the cell-assignment / probe-selection primitive for true
+  * (centroid-based) IVF. With unit centroids, argmax dot == argmax
+  * cosine, so the query vector's own norm never needs computing here.
+  * One tight loop per row; `n` is tiny (1 for assignment, nprobe for
+  * probing) so selection is insertion into a fixed-size top list. */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"NearestCentroids needs n >= 1 (got $n)")
+  require(centroids.nonEmpty, "NearestCentroids needs a non-empty centroid set")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // null input OR null array element OR NaN dot → null (same
+  // propagation as DotProduct: reading a null slot uninspected would
+  // silently assign the vector to a garbage cell; NaN comparisons are
+  // all false, so without the NaN check the seed/fixup path would
+  // silently assign arbitrary cells 0..m-1). The top-m list is
+  // pre-seeded with DISTINCT indices and duplicate-fixed after, so the
+  // result is always n distinct cells — the caller's
+  // each-pair-at-most-once invariant via explode depends on it.
+  override def nullable: Boolean = true
+
+  private lazy val childFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val childMayHoldNull =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashEval.nearestCentroids(input.asInstanceOf[ArrayData], centroids, n,
+      childFloat, childMayHoldNull)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the centroid model rides along as a referenced object — codegen
+    // closes over the same array the interpreted path uses
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("nearestCells")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.HashEval.nearestCentroids(
+         |    $c, $cents, $n, $childFloat, $childMayHoldNull);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
+/** `minhash_signature(shingles)` → `array<long>` of length `numHashes`.
+  * Empty/null arrays → array of Long.MaxValue (no shingle evidence).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashEval.minhashSignature(input.asInstanceOf[ArrayData], numHashes, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashEval.minhashSignature($c, $numHashes, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** `simhash64(tokens)` → 64-bit SimHash of an `array<string>` token
+  * column: per-token FNV hash, per-bit ±1 vote, sign → bit. */
+case class SimHash64(child: Expression, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      HashEval.simhash64(input.asInstanceOf[ArrayData], seed))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashEval.simhash64($c, ${seed}L)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)

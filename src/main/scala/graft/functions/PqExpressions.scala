@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions for product quantization (PQ) — the
@@ -17,8 +17,12 @@ import org.apache.spark.sql.types._
   * Expressions, not UDFs, for the same reasons as [[Hashing]]: they
   * serialize into the plan with the codebooks as literals (broadcast
   * with the task binary — model-params-sized), avoid per-row closure
-  * SerDe, and keep null propagation Catalyst-native. CodegenFallback:
-  * the per-row work is already a tight primitive loop.
+  * SerDe, and keep null propagation Catalyst-native. Like
+  * [[HashEval]]'s expressions, each implements `doGenCode` as a static
+  * call into the same helper `nullSafeEval` uses (codebooks ride along
+  * via `addReferenceObj`), so the ADC scan stays inside whole-stage
+  * codegen; array results are `UnsafeArrayData.fromPrimitiveArray` —
+  * no per-element boxing.
   *
   * Shared conventions (match [[NearestCentroids]]): null vector or null
   * element → null; any NaN element → null (a NaN subvector would
@@ -48,30 +52,15 @@ private[graft] object PqShared {
     e.dataType.asInstanceOf[ArrayType].containsNull
 }
 
-/** `pq_encode(vec)` → `array<int>` of `m` codebook indices: per
-  * subspace, the centroid minimizing squared L2 distance (argmin over
-  * ‖x−c‖² = argmax over dot(x,c) − ‖c‖²/2 — centroid norms are
-  * precomputed once). */
-case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
-    extends UnaryExpression with CodegenFallback {
-  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
-    "PqEncode needs non-empty codebooks")
-  private val m = codebooks.length
-  private val subDim = codebooks(0)(0).length
-  require(codebooks.forall(_.forall(_.length == subDim)),
-    "all codebook centroids must share one subspace dimension")
-
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def nullable: Boolean = true
-
-  // −‖c‖²/2 per (subspace, centroid), folded into the argmax
-  private lazy val halfNormSq: Array[Array[Double]] =
-    codebooks.map(_.map(c => -0.5 * c.map(x => x * x).sum))
-  private lazy val isFloat = PqShared.elemIsFloat(child)
-  private lazy val mayNull = PqShared.elemMayBeNull(child)
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = PqShared.readVec(input.asInstanceOf[ArrayData], isFloat, mayNull)
+/** Static-forwarder eval bodies for the PQ expressions — the
+  * interpreted and generated paths share them (see [[HashEval]]). */
+object PqEval {
+  /** null when the vector has a null/NaN element. */
+  def pqEncode(input: ArrayData, codebooks: Array[Array[Array[Double]]],
+      halfNormSq: Array[Array[Double]], subDim: Int,
+      isFloat: Boolean, mayNull: Boolean): ArrayData = {
+    val m = codebooks.length
+    val v = PqShared.readVec(input, isFloat, mayNull)
     if (v == null) return null
     if (v.length != m * subDim)
       throw new IllegalArgumentException(
@@ -96,35 +85,14 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
       codes(mi) = best
       mi += 1
     }
-    new GenericArrayData(codes)
+    UnsafeArrayData.fromPrimitiveArray(codes)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): PqEncode =
-    copy(child = newChild)
-}
-
-/** `pq_lut(query_vec)` → `array<double>` of length m·k: entry
-  * `mi·k + j` is dot(query_sub(mi), codebook(mi)(j)) — the per-query ADC
-  * table. Built ONCE per query row; every corpus row then scores with m
-  * lookups via [[PqAdcDot]]. */
-case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
-    extends UnaryExpression with CodegenFallback {
-  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
-    "PqLut needs non-empty codebooks")
-  private val m = codebooks.length
-  private val k = codebooks(0).length
-  private val subDim = codebooks(0)(0).length
-  require(codebooks.forall(cb => cb.length == k && cb.forall(_.length == subDim)),
-    "PqLut needs a rectangular m×k×subDim codebook")
-
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def nullable: Boolean = true
-
-  private lazy val isFloat = PqShared.elemIsFloat(child)
-  private lazy val mayNull = PqShared.elemMayBeNull(child)
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = PqShared.readVec(input.asInstanceOf[ArrayData], isFloat, mayNull)
+  /** null when the vector has a null/NaN element. */
+  def pqLut(input: ArrayData, codebooks: Array[Array[Array[Double]]],
+      k: Int, subDim: Int, isFloat: Boolean, mayNull: Boolean): ArrayData = {
+    val m = codebooks.length
+    val v = PqShared.readVec(input, isFloat, mayNull)
     if (v == null) return null
     if (v.length != m * subDim)
       throw new IllegalArgumentException(
@@ -145,25 +113,10 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
       }
       mi += 1
     }
-    new GenericArrayData(lut)
+    UnsafeArrayData.fromPrimitiveArray(lut)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): PqLut =
-    copy(child = newChild)
-}
-
-/** `pq_adc_dot(codes, lut)` → double: Σ_mi lut[mi·k + codes[mi]] — the
-  * approximate dot product of the encoded corpus vector with the query
-  * whose table this is. */
-case class PqAdcDot(left: Expression, right: Expression, k: Int)
-    extends BinaryExpression with CodegenFallback {
-  require(k >= 1, s"PqAdcDot needs k >= 1 (got $k)")
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
-
-  override protected def nullSafeEval(codesAny: Any, lutAny: Any): Any = {
-    val codes = codesAny.asInstanceOf[ArrayData]
-    val lut = lutAny.asInstanceOf[ArrayData]
+  def pqAdcDot(codes: ArrayData, lut: ArrayData, k: Int): Double = {
     val m = codes.numElements()
     if (lut.numElements() != m * k)
       throw new IllegalArgumentException(
@@ -176,6 +129,109 @@ case class PqAdcDot(left: Expression, right: Expression, k: Int)
     }
     s
   }
+}
+
+/** `pq_encode(vec)` → `array<int>` of `m` codebook indices: per
+  * subspace, the centroid minimizing squared L2 distance (argmin over
+  * ‖x−c‖² = argmax over dot(x,c) − ‖c‖²/2 — centroid norms are
+  * precomputed once). */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "PqEncode needs non-empty codebooks")
+  private val m = codebooks.length
+  private val subDim = codebooks(0)(0).length
+  require(codebooks.forall(_.forall(_.length == subDim)),
+    "all codebook centroids must share one subspace dimension")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  // −‖c‖²/2 per (subspace, centroid), folded into the argmax
+  private lazy val halfNormSq: Array[Array[Double]] =
+    codebooks.map(_.map(c => -0.5 * c.map(x => x * x).sum))
+  private lazy val isFloat = PqShared.elemIsFloat(child)
+  private lazy val mayNull = PqShared.elemMayBeNull(child)
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqEval.pqEncode(input.asInstanceOf[ArrayData], codebooks, halfNormSq,
+      subDim, isFloat, mayNull)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    val hn = ctx.addReferenceObj("halfNormSq", halfNormSq, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("pqCodes")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.PqEval.pqEncode($c, $cb, $hn, $subDim, $isFloat, $mayNull);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** `pq_lut(query_vec)` → `array<double>` of length m·k: entry
+  * `mi·k + j` is dot(query_sub(mi), codebook(mi)(j)) — the per-query ADC
+  * table. Built ONCE per query row; every corpus row then scores with m
+  * lookups via [[PqAdcDot]]. */
+case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "PqLut needs non-empty codebooks")
+  private val m = codebooks.length
+  private val k = codebooks(0).length
+  private val subDim = codebooks(0)(0).length
+  require(codebooks.forall(cb => cb.length == k && cb.forall(_.length == subDim)),
+    "PqLut needs a rectangular m×k×subDim codebook")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private lazy val isFloat = PqShared.elemIsFloat(child)
+  private lazy val mayNull = PqShared.elemMayBeNull(child)
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqEval.pqLut(input.asInstanceOf[ArrayData], codebooks, k, subDim,
+      isFloat, mayNull)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("pqLut")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.PqEval.pqLut($c, $cb, $k, $subDim, $isFloat, $mayNull);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+/** `pq_adc_dot(codes, lut)` → double: Σ_mi lut[mi·k + codes[mi]] — the
+  * approximate dot product of the encoded corpus vector with the query
+  * whose table this is. */
+case class PqAdcDot(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k >= 1, s"PqAdcDot needs k >= 1 (got $k)")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(codesAny: Any, lutAny: Any): Any =
+    java.lang.Double.valueOf(PqEval.pqAdcDot(
+      codesAny.asInstanceOf[ArrayData], lutAny.asInstanceOf[ArrayData], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.PqEval.pqAdcDot($a, $b, $k)")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdcDot =
     copy(left = newLeft, right = newRight)

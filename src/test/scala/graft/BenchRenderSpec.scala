@@ -141,6 +141,17 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(Bench.parseAnchorsJson(json, "10") == Map("q35_range_join" -> 5.2))
   }
 
+  test("sfLabelOf: anchors follow the run's own scale factor (r12)") {
+    assert(Bench.sfLabelOf("/root/testdata/sf0.1") == Some("0.1"))
+    assert(Bench.sfLabelOf("/root/testdata/sf0.1/") == Some("0.1"))
+    assert(Bench.sfLabelOf("/tmp/sf10") == Some("10"))
+    assert(Bench.sfLabelOf("/tmp/sf1.0") == Some("1.0"))
+    // a dir that doesn't spell its scale gets NO anchors, never
+    // wrong-scale ones
+    assert(Bench.sfLabelOf("/tmp/mydata") == None)
+    assert(Bench.sfLabelOf("/tmp/sf") == None)
+  }
+
   test("the real ANCHORS.json loads, covers the bench set, names only real queries") {
     val p = java.nio.file.Paths.get("ANCHORS.json")
     assume(java.nio.file.Files.isReadable(p))

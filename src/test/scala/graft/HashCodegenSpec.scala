@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12: the hash/ANN expressions dropped CodegenFallback for real
+  * `doGenCode` (static calls into HashEval/PqEval — the same bodies
+  * `nullSafeEval` delegates to). This spec pins both halves of that
+  * contract:
+  *   - the generated code COMPILES and evaluates under CODEGEN_ONLY
+  *     (factoryMode makes a Janino failure a hard error, not a silent
+  *     interpreted fallback);
+  *   - CODEGEN_ONLY and NO_CODEGEN produce IDENTICAL results row for
+  *     row, including the null conventions (zero-token md5 simhash,
+  *     dimension-mismatch / null-element dots, NaN vectors).
+  */
+class HashCodegenSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def bothModes(f: => Seq[Row]): (Seq[Row], Seq[Row]) = {
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "CODEGEN_ONLY")
+      val gen = f
+      spark.conf.set(key, "NO_CODEGEN")
+      val interp = f
+      (gen, interp)
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("text-hash expressions: codegen compiles; results match interpreted exactly") {
+    import graft.functions.HashFunctions._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "THE QUICK brown\tfox", "one", "", "  \t \n ",
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+      "répété répété répété unicode wörds").toDF("text")
+    def q = docs.select(
+        textShingleHashes($"text", 3).as("sh"),
+        positionalShingleHashes($"text", 3).as("psh"),
+        minhashFromText($"text", 3, 16, 42L).as("mh"),
+        simhashFromText($"text").as("simh"),
+        simhashMd5FromText($"text").as("md5h"))
+      .collect().toSeq
+    val (gen, interp) = bothModes(q)
+    assert(gen == interp)
+    // the zero-token null convention survives codegen
+    assert(gen.count(_.isNullAt(4)) == 2, "empty + whitespace docs → null md5 simhash")
+  }
+
+  test("array-input hash expressions: signature/simhash64/intersect/dot under both modes") {
+    import graft.functions.HashFunctions._
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq(1L, 3L, 9L), Seq(3L, 9L, 11L), Seq(1.0f, 2.0f), Seq(0.5f, 0.25f)),
+      (Seq.empty[String], Seq.empty[Long], Seq(1L), Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 1.0f, 1.0f)))
+      .toDF("toks", "sa", "sb", "va", "vb")
+    def q = df.select(
+        minhashSignature($"toks", 8).as("sig"),
+        simhash64($"toks").as("sh64"),
+        sortedIntersectCount($"sa", $"sb").as("inter"),
+        dotProduct($"va", $"vb").as("dot"))
+      .collect().toSeq
+    val (gen, interp) = bothModes(q)
+    assert(gen == interp)
+    assert(gen.head.getInt(2) == 2 && gen.head.getDouble(3) == 1.0)
+    // dimension mismatch → null, under codegen too
+    def mism = Seq((Seq(1.0f, 2.0f), Seq(1.0f)))
+      .toDF("a", "b").select(dotProduct($"a", $"b")).collect().toSeq
+    val (g2, i2) = bothModes(mism)
+    assert(g2 == i2 && g2.head.isNullAt(0))
+  }
+
+  test("nearest_centroids: reference-object model rides into generated code; NaN → null") {
+    import graft.functions.HashFunctions._
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0))
+    val df = Seq(Seq(0.9f, 0.1f), Seq(0.1f, 0.9f), Seq(Float.NaN, 1.0f))
+      .toDF("v")
+    def q = df.select(nearestCentroids($"v", cents, 2).as("cells")).collect().toSeq
+    val (gen, interp) = bothModes(q)
+    assert(gen == interp)
+    assert(gen(0).getSeq[Int](0).head == 0 && gen(1).getSeq[Int](0).head == 1)
+    assert(gen(2).isNullAt(0), "NaN vector must null, not mis-assign")
+  }
+
+  test("pq expressions: encode/lut/adc under both modes; ADC equals explicit sum") {
+    import graft.functions.PqFunctions._
+    // m=2 subspaces, k=2 centroids each, subDim=2 → 4-dim vectors
+    val cb = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(1.0, 1.0), Array(-1.0, -1.0)))
+    val df = Seq(
+      Seq(0.9f, 0.1f, 0.7f, 0.7f),
+      Seq(0.0f, 1.0f, -0.5f, -0.5f),
+      Seq(Float.NaN, 0f, 0f, 0f)).toDF("v")
+    def q = df.select(
+        pqEncode($"v", cb).as("codes"),
+        pqLut($"v", cb).as("lut"),
+        pqAdcDot(pqEncode($"v", cb), pqLut($"v", cb), 2).as("adc"))
+      .collect().toSeq
+    val (gen, interp) = bothModes(q)
+    assert(gen == interp)
+    assert(gen(0).getSeq[Int](0) == Seq(0, 0) && gen(1).getSeq[Int](0) == Seq(1, 1))
+    assert(gen(2).isNullAt(0) && gen(2).isNullAt(1) && gen(2).isNullAt(2))
+    // ADC of a row with itself-as-query: lut[mi*k+code] summed
+    val r = gen(0)
+    val codes = r.getSeq[Int](0); val lut = r.getSeq[Double](1)
+    assert(r.getDouble(2) == lut(0 * 2 + codes(0)) + lut(1 * 2 + codes(1)))
+  }
+}
