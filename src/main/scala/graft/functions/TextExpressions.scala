@@ -141,9 +141,11 @@ case class TextStats(child: Expression) extends UnaryExpression {
   /** Real `doGenCode` (not CodegenFallback): the byte loop is emitted as
     * a generated-class method, so a projection over TextStats stays one
     * WholeStageCodegen span with no interpreted-eval call per row. The
-    * other native expressions keep CodegenFallback because their inner
-    * loops dominate; here short strings are common enough (titles,
-    * labels) that the per-row fallback overhead is measurable. */
+    * hash/ANN expressions got the same treatment in round 12 (static
+    * calls into HashEval/PqEval — BASELINE.md carries the sf10
+    * measurements); [[StopwordLangId]] and [[WordChunks]] keep
+    * CodegenFallback because their gates cost <2 s even at sf10 —
+    * conversion would be unmeasurable. */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val rowCls = classOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow].getName

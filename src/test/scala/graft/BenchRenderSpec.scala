@@ -162,6 +162,16 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(a.size >= 90, s"expected >=90 anchors, parsed ${a.size}")
     // and loadAnchors prefers the JSON over the markdown fallback
     assert(Bench.loadAnchors("0.1") == a)
+    // round-12: the file also carries sf10 records for the
+    // scale-sensitive gates; they resolve at sf "10" and never bleed
+    // into the sf0.1 gate
+    val sf10 = Bench.parseAnchorsJson(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), "10")
+    assert(sf10.size >= 20, s"expected >=20 sf10 anchors, parsed ${sf10.size}")
+    assert((sf10.keySet -- SparkEntry.queries.keySet).isEmpty)
+    assert((a.keySet & sf10.keySet).forall(k => a(k) != sf10(k) || a(k) == 0.0),
+      "sf10 records must be distinct measurements, not copies of sf0.1")
+    assert(Bench.loadAnchors("10") == sf10)
   }
 
   test("the real BASELINE.md parses to anchors covering the bench set") {
