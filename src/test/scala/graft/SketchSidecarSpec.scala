@@ -51,7 +51,7 @@ class SketchSidecarSpec extends AnyFunSuite {
     assert(viaFlat.exists(_._3), "test corpus must produce corpus-side pairs")
   }
 
-  test("probe prunes: trickle-batch bytes-read track candidates, not sidecar size") {
+  test("probe prunes: trickle-batch rows decoded track candidates, not sidecar size") {
     val path = freshPath("prune")
     SketchSidecar.create(spark, path)
     // 25 appends → 25 files per store, each its own row group(s): the
@@ -80,33 +80,33 @@ class SketchSidecarSpec extends AnyFunSuite {
         s"band_hash In must push to the parquet reader:\n${f.toString.take(600)}")
     }
 
-    // ---- behavioral: ACTUAL bytes read by the full 1-doc probe (all
-    // jobs, incl. eager materializations) stay a small fraction of the
-    // sidecar — the batch is in-memory, so every input byte below is a
-    // sidecar file byte; bloom row-group skipping does the work
-    def dirBytes(sub: String) = {
-      val d = new java.io.File(new java.net.URI("file:" + path + "/" + sub))
-      d.listFiles.filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // ---- behavioral: rows MATERIALIZED from the band store under the
+    // pushed In. The scan node's numOutputRows counts rows decoded from
+    // non-skipped row groups (before any post-scan Filter), so it IS
+    // the row-group-pruning measurement. (Round 11 asserted
+    // taskMetrics.inputMetrics.bytesRead here — VACUOUS on this
+    // Spark/Hadoop pairing: parquet scan bytes never reach
+    // inputMetrics, only cached-block reads do; measured round 12 — an
+    // 11 MB parquet read reports 0.02 MB. Rows scanned are reported
+    // correctly and are the honest metric.)
+    val totalBandRows = spark.read.parquet(s"$path/bands").count() // 25×80×8
+    val rowsScanned = scans.map(_.metrics("numOutputRows").value).sum
+    assert(totalBandRows == 25L * 80 * 8, s"store layout changed: $totalBandRows")
+    assert(rowsScanned < totalBandRows / 10,
+      s"1-doc probe decoded $rowsScanned of $totalBandRows band rows — blooms not pruning")
+
+    // same discipline on the sets store: a small candidate-id list
+    // pushes as In and decodes a small fraction of set rows
+    val setScan = SketchSidecar.corpusSetScan(spark, path, Some(Seq(1L, 2L, 3L)))
+    setScan.count()
+    val setScans = setScan.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
     }
-    val totalSidecarBytes = dirBytes("bands") + dirBytes("sets")
-    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null)
-          bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      SketchSidecar.minhashExactPairsAgainstSidecar(
-        batch, path, "doc_id", "text", cfg, exactThreshold = 0.3).count()
-      var last = -1L
-      var spins = 0
-      while (bytesRead.get != last && spins < 50) {
-        last = bytesRead.get; Thread.sleep(100); spins += 1
-      }
-    } finally spark.sparkContext.removeSparkListener(listener)
-    assert(bytesRead.get < totalSidecarBytes / 2,
-      s"1-doc probe read ${bytesRead.get} of $totalSidecarBytes sidecar bytes — not pruned")
+    assert(setScans.nonEmpty, "set scan missing")
+    val totalSetRows = 25L * 80
+    val setRowsScanned = setScans.map(_.metrics("numOutputRows").value).sum
+    assert(setRowsScanned < totalSetRows / 10,
+      s"3-id probe decoded $setRowsScanned of $totalSetRows set rows — blooms not pruning")
   }
 
   test("flat round-10 sidecar migrates in place; admission identical after migration") {

@@ -14,12 +14,15 @@ import org.apache.spark.sql.functions._
   *
   * Replicates the gate exactly (3 file batches = doc_id % 3, pinned
   * mtimes, semanticIngestSink) with a task-metrics listener; per-batch
-  * deltas are snapshotted at each StreamingQueryProgress. Reported per
-  * batch: total input bytes read, the batch input file's own size, and
-  * the on-disk sidecar/corpus sizes at the batch boundary — the
-  * sidecar read share is (total − batch file − corpus-probe share).
-  * Findings go to BASELINE.md, not an assert: this is a measurement
-  * harness, the keep/change decision is recorded prose. */
+  * deltas are snapshotted at each StreamingQueryProgress. CAVEAT
+  * (measured round 12): on this Spark/Hadoop pairing
+  * `inputMetrics.bytesRead` never receives parquet scan bytes — only
+  * cached-block (Materialize.once) reads — so `batchBytesRead` is the
+  * BATCH-SIDE materialization traffic, and sidecar scan growth shows
+  * up in the per-batch WALL time against the printed on-disk store
+  * sizes instead. Findings go to BASELINE.md, not an assert: this is
+  * a measurement harness, the keep/change decision is recorded
+  * prose. */
 object SidecarBytesProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf10")
