@@ -176,6 +176,44 @@ class SqlGrammarSweepSpec extends AnyFunSuite {
     ()
   }
 
+  test("SIMILAR TO fuzz: on wildcard-only patterns it IS LIKE (independent oracle)") {
+    // for patterns built from literals + % + _ (no POSIX metachars, no
+    // escapes), the SQL standard defines SIMILAR TO and LIKE
+    // identically — Spark's native LIKE is therefore an independent
+    // oracle for the translator on that subgrammar. Deterministic
+    // splitmix sampling over a 3-letter alphabet keeps collision
+    // (match) rates high enough to exercise both outcomes.
+    def mix(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val sym = "ab%_c"
+    val cases = (0 until 200).map { i =>
+      val s = (0 until (math.floorMod(mix(i * 7L), 6L).toInt))
+        .map(j => "abc".charAt(math.floorMod(mix(i * 131L + j), 3L).toInt)).mkString
+      val p = (0 until (math.floorMod(mix(i * 13L + 1), 5L).toInt + 1))
+        .map(j => sym.charAt(math.floorMod(mix(i * 257L + j), sym.length.toLong).toInt)).mkString
+      (s, p)
+    }
+    // one VALUES frame per predicate pair: both predicates evaluate
+    // over the same rows in one query, so a translator bug surfaces as
+    // a row where the two columns disagree
+    import spark.implicits._
+    cases.grouped(40).foreach { chunk =>
+      chunk.groupBy(_._2).foreach { case (p, group) =>
+        val values = group.map { case (s, _) => s"('$s')" }.mkString(", ")
+        val bad = run(
+          s"SELECT s, s SIMILAR TO '$p' AS sim, s LIKE '$p' AS lik " +
+            s"FROM (SELECT col1 AS s FROM (VALUES $values))")
+          .filter($"sim" =!= $"lik").collect()
+        assert(bad.isEmpty,
+          s"pattern '$p': SIMILAR TO disagrees with LIKE on ${bad.mkString(", ")}")
+      }
+    }
+  }
+
   test("REJECTED tail fails loudly, never silently") {
     setup()
     // `#` is not an operator in either dialect — parse error (COVERAGE.md
