@@ -20,6 +20,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** A foreachBatch micro-batch arrives with the partitioning of its
+    * INPUT — for a file-source stream that is one partition per small
+    * file, so every per-row stage before the first shuffle runs on as
+    * many cores as the batch has files, regardless of cluster width.
+    * For the semantic sink that pre-shuffle stage is the expensive one
+    * (minhash signatures + shingle sets over every batch doc), which
+    * is how a 500k-doc single-file batch at sf10 ran its hashing on
+    * ONE core: ~36 s/batch in the gate vs ~14 s/batch for identical
+    * logic over a well-partitioned frame (SemIngestProfile; AQE is NOT
+    * the difference — it is already active inside foreachBatch, probed
+    * round 12).
+    *
+    * Spread BULK batches only: the gate is the optimizer's
+    * sizeInBytes estimate (plan stats — no job), thresholded at the
+    * same order as [[graft.operators.SketchSidecar.BulkAppendDocs]]
+    * (~16k docs ≈ 8 MB). A trickle batch stays in its arrival
+    * partitioning, preserving the sinks' one-file-per-store trickle
+    * append discipline; a bulk batch pays one batch-sized round-robin
+    * shuffle and unlocks cluster-wide hashing. */
+  private def spreadBatch(df: DataFrame): DataFrame = {
+    val wide = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes > (8L << 20) && df.rdd.getNumPartitions < wide)
+      df.repartition(wide)
+    else df
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
 
@@ -488,7 +515,7 @@ object EventStreams {
         // recovers creation-time (or legacy full-rewrite) swap states
         graft.sources.FsSwap.recover(fs, target, staging, retired, "dedupIngestSink")
         val withinBatch = graft.operators.Dedup
-          .exactByHash(batch.toDF(), textCol, idCol)
+          .exactByHash(spreadBatch(batch.toDF()), textCol, idCol)
           .drop("n_dups")
           .withColumn(HashCol, xxhash64(col(textCol)))
         if (!fs.exists(target)) {
@@ -672,6 +699,11 @@ object EventStreams {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val sp = batch.sparkSession
+        // the expensive pre-shuffle stage here is the batch's own
+        // minhash/shingle computation — spread it to cluster width
+        // (see spreadBatch: a single-file micro-batch would otherwise
+        // hash on one core)
+        val batchDf = spreadBatch(batch.toDF())
         val cp = new org.apache.hadoop.fs.Path(corpusPath)
         val cfs = cp.getFileSystem(sp.sessionState.newHadoopConf())
         val exists = cfs.exists(cp)
@@ -710,7 +742,7 @@ object EventStreams {
           }
         }
         val admitted = graft.Materialize.once(
-          SketchSidecar.admitNew(batch.toDF(), sketchPath, idCol, textCol,
+          SketchSidecar.admitNew(batchDf, sketchPath, idCol, textCol,
             cfg, exactThreshold), eager = true)
         admitted.write.mode(if (exists) "append" else "overwrite")
           .parquet(corpusPath)
