@@ -39,7 +39,7 @@ object EventStreams {
     * partitioning, preserving the sinks' one-file-per-store trickle
     * append discipline; a bulk batch pays one batch-sized round-robin
     * shuffle and unlocks cluster-wide hashing. */
-  private def spreadBatch(df: DataFrame): DataFrame = {
+  private[graft] def spreadBatch(df: DataFrame): DataFrame = {
     val wide = df.sparkSession.sparkContext.defaultParallelism
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (bytes > (8L << 20) && df.rdd.getNumPartitions < wide)

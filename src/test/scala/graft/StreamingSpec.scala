@@ -700,4 +700,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("click") == 2L || out("click") == 1L) // per-window rows exist
     assert(EventStreams.sessionized(batch).count() >= 3)
   }
+
+  test("spreadBatch: bulk batch spreads to cluster width, trickle passes through") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_spread").toString
+    // incompressible payload, compression off: one ~12 MB file (> the
+    // 8 MB bulk threshold) that the file source delivers as ONE
+    // partition — the exact shape the fix targets
+    spark.range(100000)
+      .select($"id", (0 until 4).map(i =>
+        md5(concat_ws("_", $"id", lit(i)))).reduce(concat(_, _)).as("s"))
+      .coalesce(1)
+      .write.option("compression", "uncompressed").parquet(s"$dir/bulk")
+    // pin the one-partition arrival shape (the splitter would divide
+    // 12 MB by bytesPerCore here; a real micro-batch arrives unsplit)
+    val bulk = spark.read.parquet(s"$dir/bulk").coalesce(1)
+    assert(bulk.rdd.getNumPartitions == 1)
+    val spread = EventStreams.spreadBatch(bulk)
+    assert(spread.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // content preserved exactly (round-robin shuffle only)
+    assert(spread.count() == 100000L)
+    assert(spread.agg(sum(crc32($"s")), sum($"id")).collect().toSeq ==
+      bulk.agg(sum(crc32($"s")), sum($"id")).collect().toSeq)
+
+    // trickle: under the byte threshold -> identity, arrival
+    // partitioning (and the frame itself) untouched
+    spark.range(100).select($"id", md5(concat_ws("_", $"id")).as("s"))
+      .coalesce(1).write.parquet(s"$dir/trickle")
+    val trickle = spark.read.parquet(s"$dir/trickle")
+    assert(EventStreams.spreadBatch(trickle) eq trickle)
+
+    // already-wide bulk frame: no extra shuffle on top
+    val wide = bulk.repartition(spark.sparkContext.defaultParallelism)
+    assert(EventStreams.spreadBatch(wide) eq wide)
+  }
 }
