@@ -254,6 +254,57 @@ object EventStreams {
     graft.sources.FsSwap.swap(fs, target, tmp, old, "rebucket")
   }
 
+  /** [[shouldRebucket]]'s verdict: the layout's size signals plus the
+    * boolean they imply. `recommendedBuckets` is the next power of two
+    * whose mean bucket lands under `targetBucketBytes`. */
+  final case class RebucketAdvice(shouldRebucket: Boolean,
+      numBuckets: Int, snapshotBytes: Long, meanBucketBytes: Long,
+      recommendedBuckets: Int, reason: String)
+
+  /** Rebucket advisor for an [[upsertSink]] snapshot — the piece that
+    * ACTS on the "bucket size grows with the snapshot" contract (the
+    * same role [[graft.operators.Similarity.shouldRebuildIvfIndex]]
+    * plays for frozen-centroid ANN indexes). Per-batch cost is
+    * O(touched buckets) but each touched bucket's rewrite is
+    * O(bucket bytes), so a snapshot that outgrows its count pays ever
+    * larger rewrites; the advisor compares the listing-derived mean
+    * bucket size against `targetBucketBytes` and advises [[rebucket]]
+    * once the recommended power-of-two count exceeds the current one
+    * by `hysteresis`× (a rebucket is one full rewrite — advising on
+    * every 2× drift would thrash). One `getContentSummary` listing, no
+    * Spark job, no data pages read.
+    *
+    * GROWTH-ONLY by design: an over-bucketed small snapshot (many tiny
+    * buckets) never degrades per-batch economics — pruned reads stay
+    * small and untouched buckets are never moved — so shrink advice
+    * would only fire noisily on every young snapshot. A flat legacy
+    * snapshot counts as one bucket (its first batch migrates it). */
+  def shouldRebucket(spark: org.apache.spark.sql.SparkSession,
+      snapshotPath: String, targetBucketBytes: Long = 256L << 20,
+      hysteresis: Int = 4): RebucketAdvice = {
+    // below parquet's per-file overhead (~KB of footer per bucket file)
+    // the recommendation cannot converge: growing the count grows the
+    // snapshot's on-disk bytes, which grows the recommendation again
+    require(targetBucketBytes >= (1L << 20),
+      s"targetBucketBytes must be >= 1 MiB, got $targetBucketBytes")
+    require(hysteresis >= 2, s"hysteresis must be >= 2, got $hysteresis")
+    val target = new org.apache.hadoop.fs.Path(snapshotPath)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(target), s"shouldRebucket: no snapshot at $snapshotPath")
+    val bytes = fs.getContentSummary(target).getLength
+    val cur = readBucketCount(fs, target)
+      .orElse(Some(bucketDirNames(fs, target).size).filter(_ > 0))
+      .getOrElse(1)
+    val need = math.max(1L, (bytes + targetBucketBytes - 1) / targetBucketBytes)
+    val pow = java.lang.Long.highestOneBit(need)
+    val rec = math.min(1L << 30, if (pow == need) need else pow << 1).toInt
+    val fire = rec >= cur.toLong * hysteresis
+    RebucketAdvice(fire, cur, bytes, bytes / math.max(1, cur), rec,
+      if (fire)
+        f"mean bucket ${bytes / math.max(1, cur)}%,d B over ${hysteresis}x target; rebucket $cur -> $rec"
+      else f"healthy: $cur buckets, mean ${bytes / math.max(1, cur)}%,d B vs target $targetBucketBytes%,d B")
+  }
+
   private def bucketDirNames(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Seq[String] =
     if (!fs.exists(p)) Nil
@@ -302,22 +353,27 @@ object EventStreams {
       keyCols: Seq[String], versionCol: String,
       deleteCol: String = "is_deleted",
       checkpointDir: Option[String] = None,
-      numBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+      numBuckets: Int = 64,
+      targetBucketBytes: Long = 256L << 20): org.apache.spark.sql.streaming.StreamingQuery = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     val writer = changes.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         applyUpsertBatch(batch.toDF(), snapshotPath, keyCols, versionCol,
-          deleteCol, numBuckets)
+          deleteCol, numBuckets, targetBucketBytes)
+        ()
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }
 
   /** One [[upsertSink]] micro-batch against the on-disk snapshot —
-    * exposed for deterministic crash-state tests. */
+    * exposed for deterministic crash-state tests. Returns the
+    * post-batch [[shouldRebucket]] verdict (also printed to stderr
+    * when it fires — the [[graft.operators.Similarity.finishAppend]]
+    * discipline: outgrowing the layout requires ignoring BOTH). */
   private[graft] def applyUpsertBatch(batchDf: DataFrame, snapshotPath: String,
       keyCols: Seq[String], versionCol: String, deleteCol: String,
-      numBuckets: Int): Unit = {
+      numBuckets: Int, targetBucketBytes: Long = 256L << 20): RebucketAdvice = {
     val spark = batchDf.sparkSession
     val target = new org.apache.hadoop.fs.Path(snapshotPath)
     val staging = new org.apache.hadoop.fs.Path(snapshotPath + ".__graft-upsert-staging__")
@@ -337,7 +393,11 @@ object EventStreams {
     val touched: Seq[Int] = batchDf
       .select(bucketOf(keyCols, effBuckets).as(BucketCol))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    if (touched.isEmpty) return // empty batch
+    if (touched.isEmpty) // empty batch: advise on the existing layout
+      return if (fs.exists(target))
+        surfaceRebucketAdvice(spark, snapshotPath, targetBucketBytes)
+      else RebucketAdvice(shouldRebucket = false, numBuckets, 0L, 0L,
+        numBuckets, "no snapshot yet")
 
     val liveBuckets = bucketDirNames(fs, target)
     val legacyFlat = fs.exists(target) && liveBuckets.isEmpty &&
@@ -372,6 +432,16 @@ object EventStreams {
     // same-parameter discipline that pre-metadata layouts relied on.
     if (readBucketCount(fs, target).isEmpty)
       writeBucketCount(fs, target, effBuckets)
+    surfaceRebucketAdvice(spark, snapshotPath, targetBucketBytes)
+  }
+
+  private def surfaceRebucketAdvice(spark: org.apache.spark.sql.SparkSession,
+      snapshotPath: String, targetBucketBytes: Long): RebucketAdvice = {
+    val advice = shouldRebucket(spark, snapshotPath, targetBucketBytes)
+    if (advice.shouldRebucket)
+      System.err.println(
+        s"[graft] upsertSink: $snapshotPath advises rebucket — ${advice.reason}")
+    advice
   }
 
   /** Per-bucket retire-then-promote after the staged write COMMITTED.

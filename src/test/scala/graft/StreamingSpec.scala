@@ -220,6 +220,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(s2.length == 200 && s2.toMap.apply(8L) == "eight!")
   }
 
+  test("rebucket advisor fires from the batch path once the snapshot outgrows its layout") {
+    import spark.implicits._
+    val snap = java.nio.file.Files.createTempDirectory("graft_rbadv_").toString + "/state"
+    // young snapshot under a generous target: healthy, no advice
+    val a1 = EventStreams.applyUpsertBatch(
+      (1L to 10L).map(k => (k, s"n$k", 1L, false)).toDF("k", "name", "v", "is_deleted"),
+      snap, Seq("k"), "v", "is_deleted", numBuckets = 2,
+      targetBucketBytes = 1L << 20)
+    assert(!a1.shouldRebucket, a1.reason)
+    assert(a1.numBuckets == 2 && a1.snapshotBytes > 0)
+    // grow it far past the 4x hysteresis at the 1 MiB target floor
+    // (incompressible md5 payload, ~6 MB on disk): the BATCH RETURN
+    // VALUE itself must carry the verdict — no separate advisor call
+    val bigBatch = spark.range(1, 12001).toDF("k")
+      .withColumn("name", concat((0 until 16).map(i =>
+        md5(concat_ws("_", col("k"), lit(i)))): _*))
+      .withColumn("v", lit(2L)).withColumn("is_deleted", lit(false))
+    val a2 = EventStreams.applyUpsertBatch(
+      bigBatch, snap, Seq("k"), "v", "is_deleted", numBuckets = 2,
+      targetBucketBytes = 1L << 20)
+    assert(a2.shouldRebucket, a2.reason)
+    assert(a2.numBuckets == 2 && a2.recommendedBuckets >= 8)
+    assert((a2.recommendedBuckets & (a2.recommendedBuckets - 1)) == 0,
+      s"recommended count must be a power of two: ${a2.recommendedBuckets}")
+    // acting on the advice restores health at the same target size
+    EventStreams.rebucket(spark, snap, Seq("k"), a2.recommendedBuckets)
+    val a3 = EventStreams.shouldRebucket(spark, snap,
+      targetBucketBytes = 1L << 20)
+    assert(!a3.shouldRebucket, a3.reason)
+    assert(a3.numBuckets == a2.recommendedBuckets)
+    // over-bucketing never fires (growth-only contract)
+    val a4 = EventStreams.shouldRebucket(spark, snap,
+      targetBucketBytes = 1L << 30)
+    assert(!a4.shouldRebucket, a4.reason)
+  }
+
   test("rebucket crash states: mid-swap promotes the committed new layout; pre-swap staging is discarded") {
     import spark.implicits._
     val snap = java.nio.file.Files.createTempDirectory("graft_rebkt_cr_").toString + "/state"
