@@ -256,6 +256,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(!a4.shouldRebucket, a4.reason)
   }
 
+  test("upsert fuzz: random batches with interleaved rebuckets ≡ plain changeset fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    val snap = java.nio.file.Files.createTempDirectory("graft_upfuzz_").toString + "/state"
+    val bucketChoices = Seq(1, 2, 4, 8, 16, 32)
+    // the oracle is the UNBUCKETED merge itself: the invariant under
+    // test is that the layout machinery (bucket pruning, per-bucket
+    // swaps, restart-parameter indifference, rebuckets at arbitrary
+    // points) never changes WHAT the snapshot holds
+    var oracle = Seq.empty[(Long, String, Long)].toDF("k", "name", "v")
+    (0 until 8).foreach { b =>
+      val keys = rnd.shuffle((1L to 60L).toList).take(rnd.nextInt(20) + 5)
+      val rows = keys.map(k =>
+        (k, s"v${b}_$k", rnd.nextInt(1000).toLong, rnd.nextInt(4) == 0))
+      val batch = rows.toDF("k", "name", "v", "is_deleted")
+      EventStreams.applyUpsertBatch(batch, snap, Seq("k"), "v", "is_deleted",
+        numBuckets = bucketChoices(rnd.nextInt(bucketChoices.size)))
+      val want = graft.operators.Merge
+        .applyChangeset(oracle, batch, Seq("k"), "v", "is_deleted")
+        .as[(Long, String, Long)].collect().toSet
+      oracle = want.toSeq.toDF("k", "name", "v")
+      if (rnd.nextInt(3) == 0)
+        EventStreams.rebucket(spark, snap, Seq("k"),
+          bucketChoices(rnd.nextInt(bucketChoices.size)))
+      val got = spark.read.parquet(snap).select("k", "name", "v")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == want, s"batch $b: snapshot diverged from the plain fold\n" +
+        s"  missing: ${(want -- got).take(5)}\n  extra: ${(got -- want).take(5)}")
+    }
+  }
+
   test("rebucket crash states: mid-swap promotes the committed new layout; pre-swap staging is discarded") {
     import spark.implicits._
     val snap = java.nio.file.Files.createTempDirectory("graft_rebkt_cr_").toString + "/state"
