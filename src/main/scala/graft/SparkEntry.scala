@@ -1742,6 +1742,37 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    "stream_upsert_lookup" -> ((s, dir) => {
+      // read-side counterpart of stream_upsert_snapshot: fold the same
+      // key-partitioned changesets into a 32-bucket snapshot (direct
+      // batch entry — the streaming path has its own gate), then
+      // point-LOOKUP a deterministic key subset via the bucket-pruned
+      // read (EventStreams.lookupUpsertKeys: keys hash to an IN-list in
+      // PartitionFilters, absent/tombstoned keys return no row). At
+      // 100 TB this is "latest state of these 143 keys" reading ≤ 143
+      // buckets, never the corpus.
+      val base = s"/tmp/graft_uplookg_${math.abs(dir.hashCode)}"
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(basePath, true)
+      val changes = tbl(s, dir, "events")
+        .filter(col("event_id").isNotNull)
+        .select((col("event_id") % 997).as("k"), col("event_id").as("v"),
+          col("value"), col("event_type"),
+          (col("event_type") === "error").as("is_deleted"))
+      (0 until 4).foreach { b =>
+        graft.streaming.EventStreams.applyUpsertBatch(
+          changes.filter(pmod(xxhash64(col("k")), lit(4L)) === b),
+          s"$base/snap", Seq("k"), "v", "is_deleted", numBuckets = 32)
+      }
+      val keys = s.range(0, 997).select(col("id").as("k"))
+        .filter(col("k") % 7 === 3)
+      graft.streaming.EventStreams.lookupUpsertKeys(s, s"$base/snap",
+          Seq("k"), keys)
+        .select(col("k"), col("v"), col("value"), col("event_type"))
+        .orderBy("k")
+    }),
+
     "q31_subqueries" -> ((s, dir) => {
       tbl(s, dir, "orders"); tbl(s, dir, "customer")
       // correlated EXISTS + scalar subquery (max-based threshold keeps the
@@ -2877,6 +2908,20 @@ object SparkEntry {
         |SELECT c.k, c.v, c.value, c.event_type
         |FROM c JOIN latest ON c.k = latest.k AND c.v = latest.v
         |WHERE NOT c.is_del
+        |ORDER BY c.k""".stripMargin,
+
+    "stream_upsert_lookup" ->
+      // the same latest-wins fold restricted to the looked-up key
+      // subset — a key whose latest change is a tombstone (or that
+      // never occurred) contributes no row
+      """WITH c AS (
+        |  SELECT event_id % 997 AS k, event_id AS v, value, event_type,
+        |         (event_type = 'error') AS is_del
+        |  FROM events WHERE event_id IS NOT NULL
+        |), latest AS (SELECT k, max(v) AS v FROM c GROUP BY k)
+        |SELECT c.k, c.v, c.value, c.event_type
+        |FROM c JOIN latest ON c.k = latest.k AND c.v = latest.v
+        |WHERE NOT c.is_del AND c.k % 7 = 3
         |ORDER BY c.k""".stripMargin,
 
     "q36_session_window" ->

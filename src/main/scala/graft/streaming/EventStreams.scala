@@ -435,6 +435,52 @@ object EventStreams {
     surfaceRebucketAdvice(spark, snapshotPath, targetBucketBytes)
   }
 
+  /** Bucket-pruned POINT LOOKUP against an [[upsertSink]] snapshot —
+    * the read-side counterpart of the sink's O(touched buckets)
+    * writes: hash the requested keys with the layout's persisted
+    * bucket count, read ONLY those bucket partitions (partition
+    * pruning at the scan — the IN-list lands in `PartitionFilters`),
+    * then keep the requested keys with a broadcast semi join. At
+    * 100 TB a k-key lookup reads ≤ k buckets of the corpus, not the
+    * corpus; absent keys simply return no row.
+    *
+    * `keys` carries the key columns (extra columns are ignored); it is
+    * distinct-ed and BROADCAST — this is a point/batch lookup for keys
+    * ≪ snapshot, not a join operator (for corpus-scale probes, join
+    * against the snapshot read directly). The driver materializes one
+    * bucket-id list, bounded by the layout's bucket count, same as the
+    * sink's own `touched` list. A layout that cannot be pruned — a
+    * legacy flat snapshot, or a pre-metadata layout whose count was
+    * never stamped — falls back to a full-scan semi join (correct,
+    * just unpruned). Torn swaps heal at entry exactly as the batch
+    * path does; run under the snapshot's single-maintainer discipline
+    * (quiesce the sink or call between its batches). */
+  def lookupUpsertKeys(spark: org.apache.spark.sql.SparkSession,
+      snapshotPath: String, keyCols: Seq[String],
+      keys: DataFrame): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val target = new org.apache.hadoop.fs.Path(snapshotPath)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.FsSwap.recover(fs, target,
+      rebucketTmp(snapshotPath), rebucketOld(snapshotPath), "lookupUpsertKeys")
+    recoverBucketSwap(fs, target,
+      new org.apache.hadoop.fs.Path(snapshotPath + ".__graft-upsert-staging__"),
+      new org.apache.hadoop.fs.Path(snapshotPath + ".__graft-upsert-old__"),
+      "lookupUpsertKeys")
+    require(fs.exists(target), s"lookupUpsertKeys: no snapshot at $snapshotPath")
+    val wanted = keys.select(keyCols.map(col): _*).distinct()
+    val snap = spark.read.parquet(snapshotPath)
+    val pruned = readBucketCount(fs, target) match {
+      case Some(eff) if snap.columns.contains(BucketCol) =>
+        val buckets = wanted.select(bucketOf(keyCols, eff).as(BucketCol))
+          .distinct().collect().map(_.getInt(0)).toSeq.sorted
+        snap.filter(col(BucketCol).isin(buckets.map(Integer.valueOf): _*))
+      case _ => snap // flat or pre-metadata layout: nothing to prune by
+    }
+    pruned.join(broadcast(wanted), keyCols, "left_semi")
+      .drop(BucketCol)
+  }
+
   private def surfaceRebucketAdvice(spark: org.apache.spark.sql.SparkSession,
       snapshotPath: String, targetBucketBytes: Long): RebucketAdvice = {
     val advice = shouldRebucket(spark, snapshotPath, targetBucketBytes)

@@ -256,6 +256,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(!a4.shouldRebucket, a4.reason)
   }
 
+  test("lookupUpsertKeys: bucket-pruned point lookup, plan-asserted, tracks updates and rebuckets") {
+    import spark.implicits._
+    val snap = java.nio.file.Files.createTempDirectory("graft_uplook_").toString + "/state"
+    EventStreams.applyUpsertBatch(
+      (1L to 200L).map(k => (k, s"n$k", 1L, false)).toDF("k", "name", "v", "is_deleted"),
+      snap, Seq("k"), "v", "is_deleted", numBuckets = 16)
+    def lookup(ks: Long*): (Map[Long, String], String) = {
+      val out = EventStreams.lookupUpsertKeys(spark, snap, Seq("k"), ks.toDF("k"))
+      (out.select("k", "name").as[(Long, String)].collect().toMap,
+        out.queryExecution.executedPlan.toString)
+    }
+    // the key IN-list must land INSIDE PartitionFilters (a bare
+    // contains("PartitionFilters") passes for any partitioned scan)
+    val (r1, plan1) = lookup(3L, 7L, 9999L)
+    assert(r1 == Map(3L -> "n3", 7L -> "n7"), s"got $r1") // 9999 absent
+    val pf1 = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan1).map(_.group(1))
+    assert(pf1.exists(f => f.contains(EventStreams.BucketCol) &&
+      f.toUpperCase.contains("IN")),
+      s"lookup buckets not in PartitionFilters (got: $pf1):\n$plan1")
+
+    // an update is visible; a tombstone removes the row
+    EventStreams.applyUpsertBatch(
+      Seq((3L, "three!", 2L, false), (7L, "gone", 2L, true))
+        .toDF("k", "name", "v", "is_deleted"),
+      snap, Seq("k"), "v", "is_deleted", numBuckets = 16)
+    assert(lookup(3L, 7L)._1 == Map(3L -> "three!"))
+
+    // after a rebucket the lookup prunes by the NEW layout
+    EventStreams.rebucket(spark, snap, Seq("k"), 64)
+    val (r2, plan2) = lookup(3L, 11L)
+    assert(r2 == Map(3L -> "three!", 11L -> "n11"))
+    val pf2 = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan2).map(_.group(1))
+    assert(pf2.exists(f => f.contains(EventStreams.BucketCol) &&
+      f.toUpperCase.contains("IN")), s"post-rebucket pruning lost: $pf2")
+
+    // a flat (pre-sink) snapshot has no layout: full-scan semi join,
+    // same answers
+    val flat = java.nio.file.Files.createTempDirectory("graft_uplookf_").toString + "/state"
+    (1L to 50L).map(k => (k, s"f$k", 1L)).toDF("k", "name", "v")
+      .write.parquet(flat)
+    val out = EventStreams.lookupUpsertKeys(spark, flat, Seq("k"), Seq(5L, 60L).toDF("k"))
+    assert(out.select("k", "name").as[(Long, String)].collect().toMap ==
+      Map(5L -> "f5"))
+  }
+
   test("upsert fuzz: random batches with interleaved rebuckets ≡ plain changeset fold") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260814)
