@@ -155,10 +155,15 @@ object Bench {
     spark.stop()
   }
 
-  /** Per-query anchor seconds parsed from BASELINE.md's markdown tables
-    * (rows shaped `` `name` | 1.23 ``). Later tables override earlier
-    * ones, so round-N re-anchors win. Missing file → empty map →
-    * no flagging (new deployments without the doc still bench). */
+  /** Scale label of a testdata dir: the `X` of a final `sfX` path
+    * segment (`/tmp/sf10` → "10", `/root/testdata/sf0.1` → "0.1"),
+    * None when the dir doesn't spell its scale — no anchors at all
+    * beats wrong-scale anchors. */
+  private[graft] def sfLabelOf(sfDir: String): Option[String] = {
+    val name = sfDir.stripSuffix("/").split('/').last
+    if (name.startsWith("sf") && name.length > 2) Some(name.drop(2)) else None
+  }
+
   /** Anchors for the given scale factor. The AUTHORITATIVE store is
     * ANCHORS.json — an explicit per-query record `{"name": {"sf":
     * "0.1", "sec": N, "date": "…"}, …}` — because the previous
@@ -169,16 +174,8 @@ object Bench {
     * `sf` label does not match the requested scale are EXCLUDED (a
     * BenchSpec case pins this), so a future sf10 anchor table can
     * never poison the sf0.1 gate again. The markdown parse survives
-    * only as a fallback for trees without the JSON. */
-  /** Scale label of a testdata dir: the `X` of a final `sfX` path
-    * segment (`/tmp/sf10` → "10", `/root/testdata/sf0.1` → "0.1"),
-    * None when the dir doesn't spell its scale — no anchors at all
-    * beats wrong-scale anchors. */
-  private[graft] def sfLabelOf(sfDir: String): Option[String] = {
-    val name = sfDir.stripSuffix("/").split('/').last
-    if (name.startsWith("sf") && name.length > 2) Some(name.drop(2)) else None
-  }
-
+    * only as a fallback for trees without the JSON. Missing files →
+    * empty map → no flagging (new deployments still bench). */
   private[graft] def loadAnchors(sf: String = "0.1"): Map[String, Double] = {
     def read(p: String): Option[String] =
       try {

@@ -294,16 +294,23 @@ object Sampling {
   private def numRangeParts(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
 
-  /** Every expression in the optimized plan is deterministic, so any
-    * re-execution reproduces the same row VALUES (if not the same row
-    * PLACEMENT). That is all a row-value bucket function needs —
-    * exchanges are value-preserving even though their physical
-    * distribution is not reproducible (RangePartitioner's reservoir
-    * seed folds in `rdd.id`, which differs between the counts job and
-    * the output job). */
+  /** Sound fast-path guard for the two-pass global budget sampler:
+    * the output job must reproduce the counts job's row MULTISET.
+    * All-expressions-deterministic is NOT enough — a limit after a
+    * shuffle keeps whichever rows the shuffle fetch race delivered, a
+    * sample draws from per-partition arrival order, a
+    * dropDuplicates/first() aggregate keeps an order-dependent row —
+    * all with every expression flagged deterministic. So this reuses
+    * [[AddRowIndex.rescanSafe]]'s shape (deterministic narrow
+    * Project/Filter over a leaf, nothing wider) with the leaf-pinning
+    * relaxed (`localMaster = true`): value stability needs the same
+    * row VALUES, not the same splits — a file scan re-planned with
+    * different splits on a real cluster still yields the same
+    * multiset. Anything wider (exchange, limit, sample, aggregate,
+    * join) materializes once. */
   private def valueStable(df: DataFrame): Boolean =
-    df.queryExecution.optimizedPlan.collect { case p => p }
-      .forall(_.expressions.forall(_.deterministic))
+    AddRowIndex.rescanSafe(df.queryExecution.optimizedPlan,
+      localMaster = true)
 
   /** Pin the partition space between [[nextFitPack]]'s counts job and
     * output job by MATERIALIZING the range-partitioned, pid-stamped

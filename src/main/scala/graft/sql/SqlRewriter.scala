@@ -400,14 +400,20 @@ object SqlRewriter {
     var i = 0
     while (i < pat.length) {
       val c = pat.charAt(i)
-      if (escapeChar.contains(c)) {
+      if (inClass) {
+        // VERBATIM inside a bracket expression — including the escape
+        // character, which is not special there (the documented POSIX
+        // pass-through; a backslash in-class means whatever the regex
+        // engine says it means, same as the DuckDB oracle's engine).
+        // Known caveat: an in-class `\]` ends the SCANNER's class state
+        // early even though the engine reads it as a literal `]`.
+        if (c == ']') inClass = false
+        out.append(c); i += 1
+      } else if (escapeChar.contains(c)) {
         if (i + 1 >= pat.length)
           throw new IllegalArgumentException(
             s"SIMILAR TO pattern must not end with its escape character: $pat")
         emitLiteral(pat.charAt(i + 1)); i += 2
-      } else if (inClass) {
-        if (c == ']') inClass = false
-        out.append(c); i += 1
       } else {
         c match {
           case '%' => out.append(".*")
@@ -419,7 +425,10 @@ object SqlRewriter {
         i += 1
       }
     }
-    "^(?:" + out.toString + ")$"
+    // \A..\z, not ^..$: Java's `$` (sans MULTILINE) also matches just
+    // before a FINAL line terminator, so "red\n" would wrongly satisfy
+    // SIMILAR TO 'red' under find()-style RLIKE; \z is end-of-input
+    "\\A(?:" + out.toString + ")\\z"
   }
 
   /** A Java-regex string as a Spark SQL single-quoted literal (Spark's

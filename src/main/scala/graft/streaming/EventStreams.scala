@@ -42,7 +42,17 @@ object EventStreams {
   private[graft] def spreadBatch(df: DataFrame): DataFrame = {
     val wide = df.sparkSession.sparkContext.defaultParallelism
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes > (8L << 20) && df.rdd.getNumPartitions < wide)
+    // a stats-less source (a DSv2 scan that doesn't report statistics,
+    // e.g. Kafka) surfaces the UNKNOWN default — spark.sql
+    // .defaultSizeInBytes, Long.MaxValue unless overridden — not a
+    // measurement; treating unknown as bulk would round-robin every
+    // trickle batch and break the sinks' one-file-per-store append
+    // discipline, so unknown stays un-spread (the conservative side:
+    // trickle semantics preserved, a bulk batch merely misses the
+    // optimization)
+    val unknown = bytes >=
+      df.sparkSession.sessionState.conf.defaultSizeInBytes
+    if (!unknown && bytes > (8L << 20) && df.rdd.getNumPartitions < wide)
       df.repartition(wide)
     else df
   }
@@ -201,6 +211,12 @@ object EventStreams {
     new org.apache.hadoop.fs.Path(path + ".__graft-rebucket-tmp__")
   private def rebucketOld(path: String) =
     new org.apache.hadoop.fs.Path(path + ".__graft-rebucket-old__")
+  // one spelling for the micro-batch swap pair: every entry point that
+  // heals a torn swap (batch apply, rebucket, lookup) must agree on it
+  private def upsertStaging(path: String) =
+    new org.apache.hadoop.fs.Path(path + ".__graft-upsert-staging__")
+  private def upsertRetired(path: String) =
+    new org.apache.hadoop.fs.Path(path + ".__graft-upsert-old__")
 
   /** Re-bucket a live [[upsertSink]] snapshot to `newNumBuckets` —
     * the MAINTENANCE op that lets the layout track snapshot growth.
@@ -236,8 +252,7 @@ object EventStreams {
     // heal a torn micro-batch swap, then a torn previous rebucket —
     // disjoint states under the single-maintainer discipline
     recoverBucketSwap(fs, target,
-      new org.apache.hadoop.fs.Path(snapshotPath + ".__graft-upsert-staging__"),
-      new org.apache.hadoop.fs.Path(snapshotPath + ".__graft-upsert-old__"),
+      upsertStaging(snapshotPath), upsertRetired(snapshotPath),
       "rebucket")
     graft.sources.FsSwap.recover(fs, target, tmp, old, "rebucket")
     require(fs.exists(target), s"rebucket: no snapshot at $snapshotPath")
@@ -295,14 +310,21 @@ object EventStreams {
     val cur = readBucketCount(fs, target)
       .orElse(Some(bucketDirNames(fs, target).size).filter(_ > 0))
       .getOrElse(1)
+    rebucketAdviceFrom(bytes, cur, targetBucketBytes, hysteresis,
+      source = "measured")
+  }
+
+  private def rebucketAdviceFrom(bytes: Long, cur: Int,
+      targetBucketBytes: Long, hysteresis: Int,
+      source: String): RebucketAdvice = {
     val need = math.max(1L, (bytes + targetBucketBytes - 1) / targetBucketBytes)
     val pow = java.lang.Long.highestOneBit(need)
     val rec = math.min(1L << 30, if (pow == need) need else pow << 1).toInt
     val fire = rec >= cur.toLong * hysteresis
     RebucketAdvice(fire, cur, bytes, bytes / math.max(1, cur), rec,
       if (fire)
-        f"mean bucket ${bytes / math.max(1, cur)}%,d B over ${hysteresis}x target; rebucket $cur -> $rec"
-      else f"healthy: $cur buckets, mean ${bytes / math.max(1, cur)}%,d B vs target $targetBucketBytes%,d B")
+        f"mean bucket ${bytes / math.max(1, cur)}%,d B ($source) over ${hysteresis}x target; rebucket $cur -> $rec"
+      else f"healthy: $cur buckets, mean ${bytes / math.max(1, cur)}%,d B ($source) vs target $targetBucketBytes%,d B")
   }
 
   private def bucketDirNames(fs: org.apache.hadoop.fs.FileSystem,
@@ -376,8 +398,8 @@ object EventStreams {
       numBuckets: Int, targetBucketBytes: Long = 256L << 20): RebucketAdvice = {
     val spark = batchDf.sparkSession
     val target = new org.apache.hadoop.fs.Path(snapshotPath)
-    val staging = new org.apache.hadoop.fs.Path(snapshotPath + ".__graft-upsert-staging__")
-    val retired = new org.apache.hadoop.fs.Path(snapshotPath + ".__graft-upsert-old__")
+    val staging = upsertStaging(snapshotPath)
+    val retired = upsertRetired(snapshotPath)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     // a rebucket killed mid-swap heals here (promote its committed
     // staging / restore the retired copy), BEFORE the layout is read
@@ -393,11 +415,9 @@ object EventStreams {
     val touched: Seq[Int] = batchDf
       .select(bucketOf(keyCols, effBuckets).as(BucketCol))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    if (touched.isEmpty) // empty batch: advise on the existing layout
-      return if (fs.exists(target))
-        surfaceRebucketAdvice(spark, snapshotPath, targetBucketBytes)
-      else RebucketAdvice(shouldRebucket = false, numBuckets, 0L, 0L,
-        numBuckets, "no snapshot yet")
+    if (touched.isEmpty) // empty batch: nothing to list, nothing to advise
+      return RebucketAdvice(shouldRebucket = false, effBuckets, 0L, 0L,
+        effBuckets, "empty batch: no advice computed")
 
     val liveBuckets = bucketDirNames(fs, target)
     val legacyFlat = fs.exists(target) && liveBuckets.isEmpty &&
@@ -420,6 +440,15 @@ object EventStreams {
       subset, batchDf, keyCols, versionCol, deleteCol)
     merged.withColumn(BucketCol, bucketOf(keyCols, effBuckets))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
+    // estimate the layout's mean bucket size from the STAGED buckets
+    // before the swap consumes them: the staging holds the touched
+    // buckets' complete new content, so the listing cost tracks this
+    // batch's own writes — a full getContentSummary(target) here would
+    // add a recursive whole-corpus LIST to every micro-batch (the
+    // maintenance-window [[shouldRebucket]] call is where the measured
+    // number lives)
+    val stagedBytes = fs.getContentSummary(staging).getLength
+    val stagedBuckets = math.max(1, bucketDirNames(fs, staging).size)
     if (legacyFlat)
       // the old flat files must go too: whole-directory swap, once
       graft.sources.FsSwap.swap(fs, target, staging, retired, "upsertSink")
@@ -432,7 +461,11 @@ object EventStreams {
     // same-parameter discipline that pre-metadata layouts relied on.
     if (readBucketCount(fs, target).isEmpty)
       writeBucketCount(fs, target, effBuckets)
-    surfaceRebucketAdvice(spark, snapshotPath, targetBucketBytes)
+    surfaceRebucketAdvice(
+      rebucketAdviceFrom(stagedBytes / stagedBuckets * effBuckets,
+        effBuckets, targetBucketBytes, hysteresis = 4,
+        source = "estimated from this batch's touched buckets"),
+      snapshotPath)
   }
 
   /** Bucket-pruned POINT LOOKUP against an [[upsertSink]] snapshot —
@@ -464,8 +497,7 @@ object EventStreams {
     graft.sources.FsSwap.recover(fs, target,
       rebucketTmp(snapshotPath), rebucketOld(snapshotPath), "lookupUpsertKeys")
     recoverBucketSwap(fs, target,
-      new org.apache.hadoop.fs.Path(snapshotPath + ".__graft-upsert-staging__"),
-      new org.apache.hadoop.fs.Path(snapshotPath + ".__graft-upsert-old__"),
+      upsertStaging(snapshotPath), upsertRetired(snapshotPath),
       "lookupUpsertKeys")
     require(fs.exists(target), s"lookupUpsertKeys: no snapshot at $snapshotPath")
     val wanted = keys.select(keyCols.map(col): _*).distinct()
@@ -481,9 +513,8 @@ object EventStreams {
       .drop(BucketCol)
   }
 
-  private def surfaceRebucketAdvice(spark: org.apache.spark.sql.SparkSession,
-      snapshotPath: String, targetBucketBytes: Long): RebucketAdvice = {
-    val advice = shouldRebucket(spark, snapshotPath, targetBucketBytes)
+  private def surfaceRebucketAdvice(advice: RebucketAdvice,
+      snapshotPath: String): RebucketAdvice = {
     if (advice.shouldRebucket)
       System.err.println(
         s"[graft] upsertSink: $snapshotPath advises rebucket — ${advice.reason}")

@@ -70,7 +70,10 @@ class SketchSidecarSpec extends AnyFunSuite {
     // ---- plan-level: the batch's real hash list lands in the band
     // scan as a pushed In
     val scanDf = SketchSidecar.corpusBandScan(spark, path, hashesIn)
-    scanDf.count()
+    // execute THIS frame's own QueryExecution before reading its scan
+    // metrics — df.count() plans a SEPARATE QueryExecution whose fresh
+    // scan nodes would leave these metrics at a vacuous 0
+    scanDf.collect()
     val scans = scanDf.queryExecution.executedPlan.collect {
       case f: FileSourceScanExec => f
     }
@@ -98,7 +101,7 @@ class SketchSidecarSpec extends AnyFunSuite {
     // same discipline on the sets store: a small candidate-id list
     // pushes as In and decodes a small fraction of set rows
     val setScan = SketchSidecar.corpusSetScan(spark, path, Some(Seq(1L, 2L, 3L)))
-    setScan.count()
+    setScan.collect() // same: execute THIS QueryExecution, then read
     val setScans = setScan.queryExecution.executedPlan.collect {
       case f: FileSourceScanExec => f
     }

@@ -163,11 +163,22 @@ class SqlGrammarSweepSpec extends AnyFunSuite {
     // rewriter-side literal escaping exists to avoid
     assert(run("SELECT 1 AS r WHERE CONCAT('a', CHR(92), 'b') SIMILAR TO '_\\_' ESCAPE ''")
       .count() == 1L)
-    // translation unit contract, spelled out
+    // translation unit contract, spelled out (\A..\z, not ^..$: Java's
+    // `$` also matches before a FINAL newline, so "red\n" would wrongly
+    // satisfy SIMILAR TO 'red' under find()-style RLIKE)
     assert(graft.sql.SqlRewriter.translateSimilarTo("%(ab|c)_[0-9]%") ==
-      "^(?:.*(ab|c).[0-9].*)$")
+      "\\A(?:.*(ab|c).[0-9].*)\\z")
     assert(graft.sql.SqlRewriter.translateSimilarTo("a.b^c$d") ==
-      "^(?:a\\.b\\^c\\$d)$")
+      "\\A(?:a\\.b\\^c\\$d)\\z")
+    // whole-string means whole-string: a trailing newline is a mismatch
+    assert(run("SELECT 1 AS r WHERE CONCAT('red', CHR(10)) SIMILAR TO 'red'")
+      .count() == 0L)
+    // the escape character is NOT special inside a bracket expression
+    // (verbatim pass-through, same as the oracle engine's regex): [\d]
+    // stays a digit class, not a literal 'd'
+    assert(graft.sql.SqlRewriter.translateSimilarTo("[\\d]%") ==
+      "\\A(?:[\\d].*)\\z")
+    assert(run("SELECT 1 AS r WHERE '7x' SIMILAR TO '[\\d]%'").count() == 1L)
     // non-literal patterns and dangling escapes fail LOUDLY
     intercept[IllegalArgumentException] { run("SELECT k SIMILAR TO k FROM t") }
     intercept[IllegalArgumentException] {
