@@ -331,6 +331,15 @@ class StreamingSpec extends AnyFunSuite {
         .as[(Long, String, Long)].collect().toSet
       assert(got == want, s"batch $b: snapshot diverged from the plain fold\n" +
         s"  missing: ${(want -- got).take(5)}\n  extra: ${(got -- want).take(5)}")
+      // the bucket-pruned lookup agrees with the fold on a random key
+      // subset (present, tombstoned, and never-seen keys alike), at
+      // every layout the fuzz wanders through
+      val probe = Seq.fill(10)(rnd.nextLong(80L) + 1L).distinct
+      val looked = EventStreams.lookupUpsertKeys(spark, snap, Seq("k"),
+          probe.toDF("k"))
+        .select("k", "name", "v").as[(Long, String, Long)].collect().toSet
+      assert(looked == want.filter(r => probe.contains(r._1)),
+        s"batch $b: lookup diverged for keys $probe")
     }
   }
 
