@@ -986,6 +986,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "text_bm25_index" -> ((s, dir) => {
+      // the PERSISTED-index counterpart of text_bm25: build the index
+      // from 2/3 of documents, APPEND the rest — the exact-increment
+      // contract (additive df / corpus-stat delta rows) runs inside
+      // the gate, so a drifting append breaks correctness here, not
+      // just a unit test — then answer fresh 2-term queries through
+      // the term-pruned probe (query terms push into the postings and
+      // terms scans as In; corpus text is never re-read). Same
+      // 6dp-rounded rank/score policy as text_bm25, same reason.
+      import s.implicits._
+      val base = s"/tmp/graft_bm25idx_${math.abs(dir.hashCode)}"
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Bm25Index.buildBm25Index(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", base)
+      graft.operators.Bm25Index.appendToBm25Index(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", base)
+      val qs = Seq((1L, "hash join"), (2L, "stream filter"),
+        (3L, "batch sort")).toDF("query_id", "qtext")
+      graft.operators.Bm25Index.queryBm25Index(s, base, qs,
+          "query_id", "qtext", k = 10, rankRoundDp = 6)
+        .select(col("query_id"), col("rank"), col("id").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     "text_tfidf" -> ((s, dir) => {
       // tfidf emitted at 6dp: tf/df/N are exact ints, but ln() is
       // transcendental — engines may differ in the last ulp, and the
@@ -2568,6 +2593,45 @@ object SparkEntry {
         |queries(query_id, qtext) AS (
         |  VALUES (1::BIGINT, 'table scan'), (2::BIGINT, 'window merge'),
         |         (3::BIGINT, 'customer vector')),
+        |qterms AS (
+        |  SELECT query_id,
+        |    unnest(list_distinct(list_filter(string_split_regex(lower(trim(qtext)), '\s+'), x -> len(x) > 0))) AS term
+        |  FROM queries),
+        |scored AS (
+        |  SELECT q.query_id, t.doc_id,
+        |    sum(ln(1.0 + (s.n_docs - t2.df::DOUBLE + 0.5) / (t2.df::DOUBLE + 0.5))
+        |        * (t.tf::DOUBLE * (1.2 + 1.0))
+        |        / (t.tf::DOUBLE + 1.2 * (0.25 + 0.75 * d.dl::DOUBLE / s.avgdl))) AS score
+        |  FROM tf t
+        |  JOIN qterms q USING (term)
+        |  JOIN dfreq t2 USING (term)
+        |  JOIN dl d ON d.doc_id = t.doc_id
+        |  CROSS JOIN stats s
+        |  GROUP BY q.query_id, t.doc_id),
+        |ranked AS (
+        |  SELECT query_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS BIGINT) AS rank,
+        |    doc_id, score
+        |  FROM scored)
+        |SELECT query_id, rank, doc_id, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "text_bm25_index" ->
+      // identical BM25 fold as text_bm25 (the index is build-path
+      // plumbing, not a scoring change), different 2-term query set
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs,
+        |                 (sum(dl)::DOUBLE / count(*)::DOUBLE) AS avgdl FROM dl),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |queries(query_id, qtext) AS (
+        |  VALUES (1::BIGINT, 'hash join'), (2::BIGINT, 'stream filter'),
+        |         (3::BIGINT, 'batch sort')),
         |qterms AS (
         |  SELECT query_id,
         |    unnest(list_distinct(list_filter(string_split_regex(lower(trim(qtext)), '\s+'), x -> len(x) > 0))) AS term

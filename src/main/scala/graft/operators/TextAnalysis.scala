@@ -280,12 +280,41 @@ object TextAnalysis {
     * Repeated query workloads should persist the exploded posting
     * frame once and reuse it; every step below composes unchanged on
     * top of a stored (id, term, tf, dl) table. */
+  /** The one BM25 tokenizer — lowercased whitespace tokens. Shared by
+    * the ad-hoc scorer and [[Bm25Index]] so a persisted index can
+    * never tokenize differently from the query side. */
+  private[operators] def bm25Words(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
+
+  /** The one BM25 scoring expression over a joined frame carrying
+    * (tf, dl, df, n_docs, avgdl): appends `idf` and the per-(term,doc)
+    * partial `s`. Shared with [[Bm25Index]] — identical floats by
+    * construction. */
+  private[operators] def bm25Scored(j: DataFrame, k1: Double, b: Double): DataFrame =
+    j.withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("s", col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+
+  /** The one per-query top-k epilogue over scored partials (see
+    * [[bm25TopK]] for the rankRoundDp contract). */
+  private[operators] def bm25TopKFromScored(scored: DataFrame, k: Int,
+      rankRoundDp: Int): DataFrame = {
+    val perDoc = scored.groupBy("query_id", "id").agg(sum("s").as("score"))
+    val rankKey = if (rankRoundDp >= 0) round(col("score"), rankRoundDp)
+                  else col("score")
+    Similarity.topKPerKey(perDoc, Seq("query_id"), rankKey.desc, k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("id"), col("score"))
+  }
+
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75, rankRoundDp: Int = -1): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
-    def words(text: Column): Column =
-      filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
+    def words(text: Column): Column = bm25Words(text)
     val qterms = queries.select(col(qidCol).as("query_id"), explode(
       array_distinct(words(col(qtextCol)))).as("term"))
     val qset = qterms.select("term").distinct()
@@ -314,13 +343,7 @@ object TextAnalysis {
     val scored = tf.join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfreq), Seq("term")) // ≤ |query terms| rows
       .crossJoin(broadcast(stats))
-      .withColumn("idf", log(lit(1.0) +
-        (col("n_docs") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))))
-      .withColumn("s", col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
-        (col("tf").cast("double") +
-          lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
-    val perDoc = scored.groupBy("query_id", "id").agg(sum("s").as("score"))
+      .transform(bm25Scored(_, k1, b))
     // rankRoundDp >= 0: rank on the ROUNDED score (id tiebreak) — a
     // drift-free rank key for cross-engine comparison. Full-precision
     // ranking leaves two near-equal scores free to rank-flip when the
@@ -328,10 +351,6 @@ object TextAnalysis {
     // 10^-dp grid both engines emit removes that freedom (a true score
     // would have to sit within ~1 ulp of a rounding boundary to differ,
     // and rounded ties resolve by id deterministically).
-    val rankKey = if (rankRoundDp >= 0) round(col("score"), rankRoundDp)
-                  else col("score")
-    Similarity.topKPerKey(perDoc, Seq("query_id"), rankKey.desc, k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("id"), col("score"))
+    bm25TopKFromScored(scored, k, rankRoundDp)
   }
 }
