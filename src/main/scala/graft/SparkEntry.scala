@@ -1054,6 +1054,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_nb_quality" -> ((s, dir) => {
+      // trained quality classifier (the fastText-style CCNet/GPT-3
+      // pipeline gate as multinomial NB). The synthetic corpus' text
+      // carries no label signal on its own (every lang draws the same
+      // vocabulary), so the gate salts a marker phrase keyed on doc_id
+      // parity — the seed label the classifier must LEARN from token
+      // counts, not read — then fits on 2/3 of docs and scores the
+      // held-out 1/3, where keep must re-discover the parity.
+      // vocabSize=35 keeps the marker tokens IN-vocab (they rank 31-35
+      // by count) while the cap still BINDS (the corpus vocabulary is
+      // 36+ terms) so cap + OOV are both exercised. logit
+      // at 6dp: ln() is transcendental and the per-doc sum is
+      // order-sensitive at the 1e-15 level — the 1e-6 grid absorbs
+      // both (the text_lm_score precedent). keep compares exactly:
+      // the salted signal puts every logit far from 0.
+      val docs = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 2 === 0, lit(" clean curated reference"))
+            .otherwise(lit(" spamword clickbait"))).as("text"),
+        (col("doc_id") % 2 === 0).as("label"))
+      val model = graft.operators.QualityClassifier.trainNbQuality(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        "label", "text", vocabSize = 35, smoothing = 1.0)
+      graft.operators.QualityClassifier.scoreNbQuality(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", model)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("logit"), 6).as("logit"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     "text_blocklist" -> ((s, dir) => {
       tbl(s, dir, "documents").select(col("doc_id"),
         Curation.blocklistHits(col("text"), Seq("spark", "vector", "hash"))
@@ -2782,6 +2812,70 @@ object SparkEntry {
         |  round(p.avg_logp, 6) AS avg_logp
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "text_nb_quality" ->
+      // identical NB fold: exact integer counts -> ln ratios; the
+      // vocab cap's (total DESC, term ASC) order is total in both
+      // engines (ASCII terms, binary collation)
+      """WITH salted AS (
+        |  SELECT doc_id,
+        |    concat(coalesce(text, ''),
+        |      CASE WHEN doc_id % 2 = 0 THEN ' clean curated reference'
+        |           ELSE ' spamword clickbait' END) AS text,
+        |    (doc_id % 2 = 0) AS label
+        |  FROM documents),
+        |train AS (
+        |  SELECT doc_id, text, label
+        |  FROM salted WHERE doc_id % 3 <> 0),
+        |toks AS (
+        |  SELECT label,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM train),
+        |counts AS (
+        |  SELECT term,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+        |    CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+        |  FROM toks GROUP BY term),
+        |vocab AS (
+        |  SELECT * FROM counts ORDER BY (c_pos + c_neg) DESC, term LIMIT 35),
+        |totals AS (
+        |  SELECT coalesce(CAST(sum(c_pos) AS DOUBLE), 0.0) AS t_pos,
+        |         coalesce(CAST(sum(c_neg) AS DOUBLE), 0.0) AS t_neg,
+        |         CAST(count(*) AS DOUBLE) AS v_size
+        |  FROM vocab),
+        |model AS (
+        |  SELECT term,
+        |    ln((CAST(c_pos AS DOUBLE) + 1.0) / (t_pos + 1.0 * (v_size + 1.0))) -
+        |    ln((CAST(c_neg AS DOUBLE) + 1.0) / (t_neg + 1.0 * (v_size + 1.0))) AS lp_diff
+        |  FROM vocab CROSS JOIN totals),
+        |konst AS (
+        |  SELECT
+        |    ln(1.0 / (t_pos + 1.0 * (v_size + 1.0))) -
+        |      ln(1.0 / (t_neg + 1.0 * (v_size + 1.0))) AS lp_oov_diff,
+        |    (SELECT ln(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |          - ln(CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |     FROM train) AS lp_prior_diff
+        |  FROM totals),
+        |score AS (SELECT doc_id, text FROM salted WHERE doc_id % 3 = 0),
+        |stoks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM score),
+        |perdoc AS (
+        |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    sum(coalesce(m.lp_diff, k.lp_oov_diff)) AS sum_lp
+        |  FROM stoks s
+        |  LEFT JOIN model m USING (term)
+        |  CROSS JOIN konst k
+        |  GROUP BY s.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(p.n_tokens, 0) AS n_tokens,
+        |  round(coalesce(p.sum_lp, 0.0) + k.lp_prior_diff, 6) AS logit,
+        |  (coalesce(p.sum_lp, 0.0) + k.lp_prior_diff) > 0.0 AS keep
+        |FROM score d
+        |LEFT JOIN perdoc p USING (doc_id)
+        |CROSS JOIN konst k
+        |ORDER BY doc_id""".stripMargin,
 
     "text_blocklist" ->
       """SELECT doc_id,
