@@ -2075,6 +2075,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "sample_dsir" -> ((s, dir) => {
+      // DSIR importance resampling (Xie et al. 2023): salt the corpus
+      // with parity marker tokens (the text carries no intrinsic
+      // signal — same trick as text_nb_quality), take the even-salted
+      // doc_id%3==0 slice as the "Wikipedia" target, and Gumbel-top-50
+      // the raw corpus by hashed-bigram importance weight. B=256 keeps
+      // real hash collisions in play; every random draw is the
+      // deterministic md5 fold, so the oracle replays the full method
+      // — hashing, smoothing, noise — value-exact. rank on the
+      // 6dp-rounded key (id tiebreak): the bm25 rank policy.
+      val salted = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 2 === 0, lit(" clean curated reference"))
+            .otherwise(lit(" spamword clickbait"))).as("text"))
+      val target = salted
+        .filter(col("doc_id") % 2 === 0 && col("doc_id") % 3 === 0)
+      graft.operators.Dsir.dsirResample(salted, "doc_id", "text",
+          target, "text", k = 50, buckets = 256, smoothing = 1.0,
+          saltTag = "#dsir", rankRoundDp = 6)
+        .select(col("doc_id"), col("n_features"),
+          round(col("log_w"), 6).as("log_w"),
+          round(col("gumbel_key"), 6).as("gumbel_key"), col("rank"))
+        .orderBy("rank")
+    }),
+
     "sample_token_budget" -> ((s, dir) => {
       // deterministic budget prefix in md5-priority order; n_chars
       // stands in for the token count (exact integers, same cumsum in
@@ -3396,6 +3421,83 @@ object SparkEntry {
         |FROM bucketed b JOIN cut c USING (lang)
         |WHERE b.bucket < c.cut
         |ORDER BY doc_id""".stripMargin,
+
+    "sample_dsir" ->
+      // full DSIR replay: hashed unigram+bigram features (md5 6-hex
+      // fold mod 256 — the mix_weights bucket idiom), add-1 smoothed
+      // log-likelihood ratios over the complete bucket domain,
+      // deterministic Gumbel noise from the same fold mod 2^20
+      """WITH salted AS (
+        |  SELECT doc_id,
+        |    concat(coalesce(text, ''),
+        |      CASE WHEN doc_id % 2 = 0 THEN ' clean curated reference'
+        |           ELSE ' spamword clickbait' END) AS text
+        |  FROM documents),
+        |words_r AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS w
+        |  FROM salted),
+        |feats_r AS (
+        |  SELECT doc_id, md5(unnest(w ||
+        |    CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')) END)) AS h
+        |  FROM words_r),
+        |fb_r AS (
+        |  SELECT doc_id,
+        |    ((((((ascii(substr(h,1,1)) - CASE WHEN ascii(substr(h,1,1)) >= 97 THEN 87 ELSE 48 END) * 16
+        |       + (ascii(substr(h,2,1)) - CASE WHEN ascii(substr(h,2,1)) >= 97 THEN 87 ELSE 48 END)) * 16
+        |       + (ascii(substr(h,3,1)) - CASE WHEN ascii(substr(h,3,1)) >= 97 THEN 87 ELSE 48 END)) * 16
+        |       + (ascii(substr(h,4,1)) - CASE WHEN ascii(substr(h,4,1)) >= 97 THEN 87 ELSE 48 END)) * 16
+        |       + (ascii(substr(h,5,1)) - CASE WHEN ascii(substr(h,5,1)) >= 97 THEN 87 ELSE 48 END)) * 16
+        |       + (ascii(substr(h,6,1)) - CASE WHEN ascii(substr(h,6,1)) >= 97 THEN 87 ELSE 48 END)
+        |    ) % 256 AS bucket
+        |  FROM feats_r),
+        |fb_t AS (
+        |  SELECT bucket FROM fb_r
+        |  WHERE doc_id % 2 = 0 AND doc_id % 3 = 0),
+        |cp AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_p FROM fb_t GROUP BY bucket),
+        |cq AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_q FROM fb_r GROUP BY bucket),
+        |tot AS (
+        |  SELECT (SELECT coalesce(CAST(sum(c_p) AS DOUBLE), 0.0) FROM cp) AS t_p,
+        |         (SELECT coalesce(CAST(sum(c_q) AS DOUBLE), 0.0) FROM cq) AS t_q),
+        |model AS (
+        |  SELECT r.range AS bucket,
+        |    ln((CAST(coalesce(c_p, 0) AS DOUBLE) + 1.0) / (t_p + 1.0 * 256.0)) -
+        |    ln((CAST(coalesce(c_q, 0) AS DOUBLE) + 1.0) / (t_q + 1.0 * 256.0)) AS llr
+        |  FROM range(256) r
+        |  LEFT JOIN cp ON cp.bucket = r.range
+        |  LEFT JOIN cq ON cq.bucket = r.range
+        |  CROSS JOIN tot),
+        |perdoc AS (
+        |  SELECT s.doc_id,
+        |    CAST(count(fb.bucket) AS BIGINT) AS n_features,
+        |    coalesce(sum(m.llr), 0.0) AS log_w
+        |  FROM salted s
+        |  LEFT JOIN fb_r fb USING (doc_id)
+        |  LEFT JOIN model m ON m.bucket = fb.bucket
+        |  GROUP BY s.doc_id),
+        |noise AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#dsir') AS h
+        |  FROM perdoc),
+        |keyed AS (
+        |  SELECT p.doc_id, p.n_features, p.log_w,
+        |    p.log_w - ln(-ln(
+        |      ((((((((ascii(substr(n.h,1,1)) - CASE WHEN ascii(substr(n.h,1,1)) >= 97 THEN 87 ELSE 48 END) * 16
+        |         + (ascii(substr(n.h,2,1)) - CASE WHEN ascii(substr(n.h,2,1)) >= 97 THEN 87 ELSE 48 END)) * 16
+        |         + (ascii(substr(n.h,3,1)) - CASE WHEN ascii(substr(n.h,3,1)) >= 97 THEN 87 ELSE 48 END)) * 16
+        |         + (ascii(substr(n.h,4,1)) - CASE WHEN ascii(substr(n.h,4,1)) >= 97 THEN 87 ELSE 48 END)) * 16
+        |         + (ascii(substr(n.h,5,1)) - CASE WHEN ascii(substr(n.h,5,1)) >= 97 THEN 87 ELSE 48 END)) * 16
+        |         + (ascii(substr(n.h,6,1)) - CASE WHEN ascii(substr(n.h,6,1)) >= 97 THEN 87 ELSE 48 END)
+        |      ) % 1048576) + 0.5) / 1048576.0)) AS gumbel_key
+        |  FROM perdoc p JOIN noise n USING (doc_id)),
+        |ranked AS (
+        |  SELECT doc_id, n_features, log_w, gumbel_key,
+        |    CAST(row_number() OVER (ORDER BY round(gumbel_key, 6) DESC, doc_id) AS BIGINT) AS rank
+        |  FROM keyed)
+        |SELECT doc_id, n_features, round(log_w, 6) AS log_w,
+        |  round(gumbel_key, 6) AS gumbel_key, rank
+        |FROM ranked WHERE rank <= 50
+        |ORDER BY rank""".stripMargin,
 
     "sample_token_budget" ->
       """WITH c AS (
