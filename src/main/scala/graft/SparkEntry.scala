@@ -1031,6 +1031,20 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "emb_jl_project" -> ((s, dir) => {
+      // deterministic JL projection 64 → 16 dims; one (vec_id, k, y)
+      // row per output coordinate (the driver compare handles scalar
+      // columns only). y at 6dp: the per-coordinate sum is a 64-term
+      // double fold whose order differs between Spark's aggregate()
+      // and DuckDB's list_sum.
+      Embeddings.jlProject(tbl(s, dir, "embeddings"), "vec_id",
+          "embedding", inDim = 64, outDim = 16)
+        .select(col("vec_id"), posexplode(col("proj")))
+        .select(col("vec_id"), col("pos").cast("long").as("k"),
+          round(col("col"), 6).as("y"))
+        .orderBy("vec_id", "k")
+    }),
+
     "text_chunk" -> ((s, dir) => {
       // 30-token windows, stride 20 (10-token overlap) — docs average
       // ~50 words, so most produce 2-3 chunks incl. a short tail
@@ -2739,6 +2753,23 @@ object SparkEntry {
         |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |        FROM embeddings) a) b
         |ORDER BY vec_id""".stripMargin,
+
+    "emb_jl_project" ->
+      // the sign matrix re-derives per (i, k) from the same md5 fold
+      // Spark builds its broadcast matrix from — s(i,k) = low bit of
+      // md5("rp#rp#i#k")'s first hex digit, mapped to ±1
+      """WITH proj AS (
+        |  SELECT e.vec_id, k.range AS k,
+        |    list_sum(list_transform(range(64), i ->
+        |      CAST(e.embedding[i + 1] AS DOUBLE) *
+        |      CAST(((ascii(substr(md5('rp#rp#' || CAST(i AS VARCHAR) || '#' || CAST(k.range AS VARCHAR)), 1, 1))
+        |             - CASE WHEN ascii(substr(md5('rp#rp#' || CAST(i AS VARCHAR) || '#' || CAST(k.range AS VARCHAR)), 1, 1)) >= 97
+        |                    THEN 87 ELSE 48 END) % 2) * 2 - 1 AS DOUBLE)))
+        |      * (1.0 / sqrt(16.0)) AS y
+        |  FROM embeddings e CROSS JOIN range(16) k)
+        |SELECT vec_id, CAST(k AS BIGINT) AS k, round(y, 6) AS y
+        |FROM proj
+        |ORDER BY vec_id, k""".stripMargin,
 
     "text_chunk" ->
       """WITH w AS (

@@ -55,4 +55,57 @@ object Embeddings {
       zip_with(v, array_repeat(n, size(v)), (x, nn) => x / nn))
       .otherwise(v)
   }
+
+  /** Deterministic Johnson–Lindenstrauss random projection: compress a
+    * `inDim`-dim embedding column to `outDim` dims with a Rademacher
+    * (±1) sign matrix, y_k = (1/√outDim)·Σ_i x_i·s(i,k) — the standard
+    * dimensionality cut BEFORE sign-LSH / IVF / brute-force cosine at
+    * corpus scale (a 4× dim cut is a 4× cut in every downstream ANN
+    * scan's bytes and FLOPs, at a distance distortion JL bounds).
+    *
+    * The sign matrix is never sampled: s(i,k) is the low bit of an md5
+    * fold of "rp#salt#i#k" (the [[Sampling.fineBucket]] engine-portable
+    * idiom), so projections replay bit-identically anywhere, reruns are
+    * reproducible, and a SQL oracle can re-derive the entire matrix.
+    * A different `salt` is an independent draw.
+    *
+    * Scale shape: the outDim×inDim matrix is ONE nested-array literal
+    * expression evaluated once in a 1-row frame and broadcast —
+    * projection itself is a pure map-side zip_with/aggregate pass, no
+    * shuffle, no explode (corpus rows never leave their partitions).
+    * Vectors whose length ≠ inDim project to NULL (zip_with pads with
+    * null and the sum propagates it) rather than silently mis-scaling. */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, outDim: Int, salt: String = "rp"): DataFrame = {
+    require(inDim >= 1, s"inDim must be >= 1 (got $inDim)")
+    require(outDim >= 1 && outDim <= inDim,
+      s"outDim must be in [1, inDim=$inDim] (got $outDim)")
+    val spark = df.sparkSession
+    // ±1 from the low bit of md5's first hex digit — one digit is
+    // enough for a single fair bit and keeps the oracle expression short
+    def sign(i: Column, k: Column): Column = {
+      val hex = md5(concat_ws("#", lit("rp"), lit(salt),
+        i.cast("string"), k.cast("string")))
+      val a = ascii(substring(hex, 1, 1))
+      val hv = a - when(a >= 97, lit(87)).otherwise(lit(48))
+      (pmod(hv, lit(2)) * 2 - 1).cast("double")
+    }
+    val matrix = spark.range(1).select(
+      transform(sequence(lit(0), lit(outDim - 1)),
+        k => transform(sequence(lit(0), lit(inDim - 1)), i => sign(i, k)))
+        .as("rp_rows"))
+    val invSqrtM = lit(1.0 / math.sqrt(outDim.toDouble))
+    df.crossJoin(broadcast(matrix))
+      // the double-cast is hoisted to its own projection so the lambda
+      // below references a BOUND attribute — casting inside the
+      // transform would re-cast the whole vector once per output dim
+      // (the O(d²) HOF trap quantizeInt8Columns documents)
+      .select(col(idCol), asDouble(col(vecCol)).as("__vd"), col("rp_rows"))
+      .select(col(idCol),
+        when(size(col("__vd")) === inDim,
+          transform(col("rp_rows"), rk =>
+            aggregate(zip_with(col("__vd"), rk, (x, s) => x * s),
+              lit(0.0), (acc, x) => acc + x, s => s * invSqrtM)))
+          .as("proj"))
+  }
 }

@@ -230,6 +230,64 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1) == Seq(0.0, 0.0))
   }
 
+  test("jlProject: matches a plain-Scala reference exactly; salts are independent draws") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def sign(i: Int, k: Int, salt: String): Double = {
+      val hv = Character.digit(md5hex(s"rp#$salt#$i#$k").head, 16)
+      (math.floorMod(hv, 2) * 2 - 1).toDouble
+    }
+    val d = 8; val m = 4
+    val rows = (0 until 10).map(id =>
+      (id.toLong, Seq.tabulate(d)(i => ((id * 31 + i * 7) % 13 - 6).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    def ref(v: Seq[Float], salt: String): Seq[Double] =
+      (0 until m).map(k =>
+        v.zipWithIndex.map { case (x, i) => x.toDouble * sign(i, k, salt) }.sum
+          * (1.0 / math.sqrt(m.toDouble)))
+    val got = graft.operators.Embeddings.jlProject(df, "vec_id", "embedding", d, m)
+      .as[(Long, Seq[Double])].collect().toMap
+    rows.foreach { case (id, v) =>
+      val want = ref(v, "rp")
+      got(id).zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) <= math.max(1e-12, math.abs(w) * 1e-12),
+          s"proj drift at vec $id: ${got(id)} vs $want")
+      }
+    }
+    val other = graft.operators.Embeddings.jlProject(df, "vec_id", "embedding",
+      d, m, salt = "other").as[(Long, Seq[Double])].collect().toMap
+    assert(rows.exists { case (id, _) => other(id) != got(id) },
+      "a different salt must be a different draw")
+  }
+
+  test("jlProject: norm preservation on the testdata embeddings; bad-length → null; no shuffle") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = graft.operators.Embeddings.jlProject(df, "vec_id", "embedding", 64, 16)
+      .join(df, "vec_id")
+      .select(
+        sqrt(aggregate(transform(col("proj"), x => x * x), lit(0.0), _ + _)).as("pn"),
+        sqrt(aggregate(transform(col("embedding"),
+          x => x.cast("double") * x.cast("double")), lit(0.0), _ + _)).as("vn"))
+      .filter(col("vn") > 0).select((col("pn") / col("vn")).as("r"))
+      .as[Double].collect()
+    assert(out.nonEmpty)
+    // E[r²]=1; for m=16 the observed spread for THIS deterministic draw
+    // stays well inside [0.4, 1.8] — JL at work, loose enough to be stable
+    assert(out.forall(r => r > 0.4 && r < 1.8),
+      s"norm distortion out of band: min=${out.min} max=${out.max}")
+    // wrong-length vectors must project to NULL, not mis-scale
+    val bad = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val nulls = graft.operators.Embeddings.jlProject(bad, "vec_id", "embedding", 64, 16)
+      .filter(col("proj").isNull).count()
+    assert(nulls == 1L)
+    // pure map-side: broadcast the 1-row matrix, no exchange on the corpus
+    val plan = graft.operators.Embeddings.jlProject(df, "vec_id", "embedding", 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("SortMergeJoin"),
+      s"projection must not shuffle the corpus:\n$plan")
+  }
+
   test("tfidfTopTerms: exact tf/df, score ordering, deterministic ties") {
     val df = Seq(
       (1L, "apple apple banana"),
