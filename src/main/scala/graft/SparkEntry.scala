@@ -649,6 +649,38 @@ object SparkEntry {
 
     // ---- similarity search ---------------------------------------------
 
+    "ann_jl_topk" -> ((s, dir) => {
+      // the pre-ANN dimensionality cut in action: project corpus AND
+      // queries 64→16 with the shared deterministic JL matrix, then
+      // exact cosine top-10 IN PROJECTED SPACE (4× fewer bytes and
+      // FLOPs per candidate). The oracle replays matrix, projection,
+      // cosine and rank; rank on the 6dp-rounded cosine (id tiebreak)
+      // because the projected values pass through two engine-local
+      // float folds (projection sum, then cosine) before ranking.
+      // NOT asserted: cross-space recall vs the full-dim ranking —
+      // measured 0.1@10 HERE because the synthetic embeddings have no
+      // cluster structure (near-uniform cosines; the ivfCentroidTopK
+      // comment documents the same), so top-10 is a ranking of
+      // near-ties that any ε distortion reshuffles. JL preserves
+      // neighbors when they win by a margin, which structureless
+      // fixtures don't have; the gate's subject is the projection
+      // pipeline's cross-engine exactness, not fixture recall.
+      val proj = Embeddings.jlProject(tbl(s, dir, "embeddings"),
+        "vec_id", "embedding", inDim = 64, outDim = 16)
+      val c = proj.select(col("vec_id").as("id"), col("proj").as("v"))
+      val q = proj.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("proj").as("qv"))
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id"),
+          graft.functions.VectorFunctions.cosine(col("v"), col("qv")).as("cosine"))
+      Similarity.topKPerKey(scored, Seq("query_id"),
+          round(col("cosine"), 6).desc, 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("id").as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_brute_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val queriesDf = emb.filter(col("vec_id") < 5)
@@ -3789,6 +3821,31 @@ object SparkEntry {
     // left-to-right fold — verified bit-identical to Spark's aggregate()
     // (list_cosine_similarity computes in float32 and does NOT match)
     "ann_brute_topk" -> annBruteOracleSql,
+
+    "ann_jl_topk" ->
+      // replay the JL matrix (low bit of md5's first hex digit → ±1),
+      // the projection fold, cosine, and the 6dp-rounded rank
+      """WITH proj AS (
+        |  SELECT e.vec_id,
+        |    list_transform(range(16), k ->
+        |      list_sum(list_transform(range(64), i ->
+        |        CAST(e.embedding[i + 1] AS DOUBLE) *
+        |        CAST(((('0x' || substr(md5('rp#rp#' || CAST(i AS VARCHAR) || '#' || CAST(k AS VARCHAR)), 1, 1))::BIGINT % 2) * 2 - 1) AS DOUBLE)))
+        |      * (1.0 / sqrt(16.0))) AS p
+        |  FROM embeddings e),
+        |q AS (SELECT vec_id, p FROM proj WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(c.p, q.p), z -> z[1] * z[2])) /
+        |    (sqrt(list_sum(list_transform(c.p, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(q.p, x -> x * x)))) AS cos_raw
+        |  FROM proj c, q WHERE c.vec_id != q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY round(cos_raw, 6) DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cos_raw, 4) AS cosine
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "dedup_embedding" ->
       """WITH capped AS (
