@@ -1130,6 +1130,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_ccnet_buckets" -> ((s, dir) => {
+      // the CCNet pipeline composed end-to-end: corpus-trained bigram
+      // LM perplexity proxy (-avg_logp, so LOW = predictable text) →
+      // per-language tercile thresholds (exact interpolated
+      // percentile, the oracle-parity mode) → keep head+middle, drop
+      // the gibberish tail. Scores are 6dp-ROUNDED BEFORE bucketing so
+      // both engines threshold the identical multiset — interpolated
+      // thresholds then land strictly between (or exactly on)
+      // population values in both engines and no doc can straddle an
+      // ulp-different cut. Docs with <2 tokens have no LM evidence:
+      // null bucket, keep=false (CCNet drops empties).
+      val docs = tbl(s, dir, "documents")
+      // lang rides bigramLmScore's resurrection join (carryCols) — a
+      // separate docs⋈scored join would shuffle the corpus a second time
+      val scored = TextAnalysis.bigramLmScore(docs, "doc_id", "text",
+          carryCols = Seq("lang"))
+        .withColumn("score", round(-col("avg_logp"), 6))
+      Curation.quantileBuckets(scored, "lang", "score", exact = true)
+        .select(col("doc_id"), col("lang"), col("n_bigrams"), col("score"),
+          col("bucket"),
+          coalesce(col("bucket").isin("head", "middle"), lit(false)).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     "text_blocklist" -> ((s, dir) => {
       tbl(s, dir, "documents").select(col("doc_id"),
         Curation.blocklistHits(col("text"), Seq("spark", "vector", "hash"))
@@ -2964,6 +2988,52 @@ object SparkEntry {
         |LEFT JOIN perdoc p USING (doc_id)
         |CROSS JOIN konst k
         |ORDER BY doc_id""".stripMargin,
+
+    "text_ccnet_buckets" ->
+      // the text_lm_score fold feeding the text_quantile_buckets fold:
+      // same LM CTEs, scores negated + 6dp-rounded BEFORE the per-lang
+      // quantile_cont thresholds (see the gate comment for why)
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')) END) AS bigram
+        |  FROM words),
+        |bic AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_bi FROM bi GROUP BY bigram),
+        |uni AS (
+        |  SELECT unnest(w) AS w1 FROM words),
+        |unic AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_uni FROM uni GROUP BY w1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v_size FROM unic),
+        |lmscored AS (
+        |  SELECT bi.doc_id,
+        |    ln((CAST(c_bi AS DOUBLE) + 0.5) / (CAST(c_uni AS DOUBLE) + 0.5 * (SELECT v_size FROM v))) AS logp
+        |  FROM bi
+        |  JOIN bic USING (bigram)
+        |  JOIN unic ON string_split(bi.bigram, ' ')[1] = unic.w1),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, avg(logp) AS avg_logp
+        |  FROM lmscored GROUP BY doc_id),
+        |sc AS (
+        |  SELECT d.doc_id, d.lang,
+        |    coalesce(p.n_bigrams, 0) AS n_bigrams,
+        |    round(-p.avg_logp, 6) AS score
+        |  FROM documents d LEFT JOIN per_doc p USING (doc_id)),
+        |th AS (
+        |  SELECT lang,
+        |    quantile_cont(score, 1.0/3) AS q1,
+        |    quantile_cont(score, 2.0/3) AS q2
+        |  FROM sc GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.n_bigrams, s.score,
+        |  CASE WHEN s.score IS NULL THEN NULL
+        |       WHEN s.score <= t.q1 THEN 'head'
+        |       WHEN s.score <= t.q2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  coalesce(s.score <= t.q2, FALSE) AS keep
+        |FROM sc s JOIN th t USING (lang)
+        |ORDER BY s.doc_id""".stripMargin,
 
     "text_blocklist" ->
       """SELECT doc_id,

@@ -167,7 +167,7 @@ object TextAnalysis {
     * forced hint would OOM the driver on a 100 TB vocabulary). No
     * driver collect anywhere; the model IS a DataFrame. */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
-      k: Double = 0.5): DataFrame = {
+      k: Double = 0.5, carryCols: Seq[String] = Seq.empty): DataFrame = {
     require(k > 0, s"smoothing k must be positive, got $k")
     val id = col(idCol)
     val w = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
@@ -204,10 +204,13 @@ object TextAnalysis {
     val scored = docBi.join(biModel, "bigram")
     val perDoc = scored.groupBy(id).agg(
       count(lit(1)).as("n_bigrams"), avg(col("logp")).as("avg_logp"))
-    df.select(id).join(perDoc, Seq(idCol), "left")
-      .select(id,
+    // carryCols ride the resurrection join for free — a caller that
+    // needs (lang, source, ...) beside the score would otherwise pay a
+    // SECOND corpus-sized join against df just to get them back
+    df.select(id +: carryCols.map(col): _*).join(perDoc, Seq(idCol), "left")
+      .select((id +: carryCols.map(col)) ++ Seq(
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        col("avg_logp"))
+        col("avg_logp")): _*)
   }
 
   /** Per-source corpus report (the "datasheet" summary of a curation
