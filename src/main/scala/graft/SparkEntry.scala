@@ -1130,6 +1130,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_bpe_merges" -> ((s, dir) => {
+      // tokenizer TRAINING as an oracle gate: 8 BPE merge rounds on the
+      // corpus word-type frame. The merge table is the model — if any
+      // round's pair counts, argmax tie-break, or greedy replacement
+      // semantics drifted from the (unrolled) SQL replay, the wrong
+      // pair surfaces here. Driver cost: one 1-row collect per round.
+      import s.implicits._
+      Bpe.trainBpeMerges(tbl(s, dir, "documents"), "text", numMerges = 8)
+        .map(m => (m._1.toLong, m._2, m._3, m._4))
+        .toDF("rank", "pair", "merged", "cnt")
+        .orderBy("rank")
+    }),
+
+    "text_bpe_tokens" -> ((s, dir) => {
+      // train on the FULL corpus, tokenize the doc_id%7 slice with the
+      // learned merges — word-boundary-preserving, map-side apply. The
+      // output string is the exact subword segmentation, so any
+      // application-order divergence breaks the compare.
+      val docs = tbl(s, dir, "documents")
+      val merges = Bpe.trainBpeMerges(docs, "text", numMerges = 8)
+        .map(m => (m._2, m._3))
+      Bpe.applyBpeMerges(docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", merges)
+        .select(col("doc_id"),
+          when(col("bpe_tokens").isNull, lit(0L))
+            .otherwise(size(col("bpe_tokens")).cast("long")).as("n_tokens"),
+          coalesce(array_join(col("bpe_tokens"), " "), lit("")).as("bpe_text"))
+        .orderBy("doc_id")
+    }),
+
     "text_ccnet_buckets" -> ((s, dir) => {
       // the CCNet pipeline composed end-to-end: corpus-trained bigram
       // LM perplexity proxy (-avg_logp, so LOW = predictable text) →
@@ -2989,6 +3019,9 @@ object SparkEntry {
         |CROSS JOIN konst k
         |ORDER BY doc_id""".stripMargin,
 
+    "text_bpe_merges" -> bpeMergesOracleSql,
+    "text_bpe_tokens" -> bpeTokensOracleSql,
+
     "text_ccnet_buckets" ->
       // the text_lm_score fold feeding the text_quantile_buckets fold:
       // same LM CTEs, scores negated + 6dp-rounded BEFORE the per-lang
@@ -4092,6 +4125,78 @@ object SparkEntry {
   /** DuckDB replica of the portable md5-based 60-bit simhash used by the
     * dedup_simhash gate query: one vote aggregate per bit, generated
     * programmatically. */
+  /** The unrolled-BPE CTE chain shared by both bpe oracles: w0 is the
+    * word-type collapse, then per round r: p_r (pair counts), b_r
+    * (argmax merge), w_r (words after the merge). Generated
+    * programmatically like [[simhashOracleSql]] — the rounds are
+    * mechanical and the round count must match the gate's numMerges. */
+  private def bpeRoundsSql(n: Int): String = {
+    // every CTE is MATERIALIZED: each round references the previous
+    // ~3×, and DuckDB's default CTE inlining would re-evaluate the
+    // chain 3^n times (measured: the inlined 8-round oracle did not
+    // finish in 9 minutes at sf0.01; materialized it is sub-second).
+    // The argmax rides a CROSS JOIN (1 row), never a correlated
+    // scalar subquery inside a per-row expression.
+    val w0 =
+      raw"""w0 AS MATERIALIZED (
+           |  SELECT array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), ' ') AS word,
+           |         CAST(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS w
+           |        FROM documents)
+           |  GROUP BY 1)""".stripMargin
+    val rounds = (1 to n).map { r =>
+      raw"""p$r AS MATERIALIZED (
+           |  SELECT pr, sum(freq) AS cnt FROM (
+           |    SELECT unnest(CASE WHEN len(sy) < 2 THEN CAST([] AS VARCHAR[])
+           |      ELSE list_transform(range(1, len(sy)), j -> sy[j] || ' ' || sy[j + 1]) END) AS pr, freq
+           |    FROM (SELECT string_split(word, ' ') AS sy, freq FROM w${r - 1}))
+           |  GROUP BY pr),
+           |b$r AS MATERIALIZED (SELECT pr, cnt FROM p$r ORDER BY cnt DESC, pr LIMIT 1),
+           |w$r AS MATERIALIZED (
+           |  SELECT word, CAST(sum(freq) AS BIGINT) AS freq FROM (
+           |    SELECT replace(word, b.pr, replace(b.pr, ' ', '')) AS word, freq
+           |    FROM w${r - 1} CROSS JOIN b$r b)
+           |  GROUP BY word)""".stripMargin
+    }
+    (w0 +: rounds).mkString(",\n")
+  }
+
+  /** Number of merges both bpe gates train — oracle rounds must match. */
+  private val BpeGateMerges = 8
+
+  private def bpeMergesOracleSql: String = {
+    val rows = (1 to BpeGateMerges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, pr AS pair, replace(pr, ' ', '') AS merged, cnt FROM b$r")
+    s"WITH ${bpeRoundsSql(BpeGateMerges)}\n" +
+      rows.mkString("", "\nUNION ALL ", "\nORDER BY rank")
+  }
+
+  private def bpeTokensOracleSql: String = {
+    val applies = (1 to BpeGateMerges).map(r =>
+      raw"""a$r AS MATERIALIZED (
+           |  SELECT doc_id, list_transform(sws, w ->
+           |    replace(w, b.pr, replace(b.pr, ' ', ''))) AS sws
+           |  FROM a${r - 1} CROSS JOIN b$r b)""".stripMargin).mkString(",\n")
+    raw"""WITH ${bpeRoundsSql(BpeGateMerges)},
+         |docs_s AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS ws
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |a0 AS MATERIALIZED (
+         |  SELECT doc_id, list_transform(ws, w ->
+         |    array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), ' ')) AS sws
+         |  FROM docs_s),
+         |$applies,
+         |toks AS (
+         |  SELECT doc_id, flatten(list_transform(sws, w -> string_split(w, ' '))) AS ts
+         |  FROM a$BpeGateMerges)
+         |SELECT doc_id,
+         |  CAST(coalesce(len(ts), 0) AS BIGINT) AS n_tokens,
+         |  coalesce(array_to_string(ts, ' '), '') AS bpe_text
+         |FROM toks
+         |ORDER BY doc_id""".stripMargin
+  }
+
   private def simhashOracleSql: String = {
     val votes = (0 until 60)
       .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
