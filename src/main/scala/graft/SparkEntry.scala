@@ -1216,6 +1216,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_paragraph" -> ((s, dir) => {
+      // Dolma-style cross-corpus paragraph dedup: synthesize 3-para
+      // docs (real text + a footer shared by ALL docs + a tail shared
+      // by every 20th doc — the text_boilerplate recipe at paragraph
+      // granularity). The footer survives only in doc 0; each tail
+      // only in its first carrier; duplicated real texts lose their
+      // whole body. Exact strings compare, so any drift in first-
+      // occurrence ordering or rebuild order breaks the gate.
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          lit("\n\nshared corpus footer"),
+          lit("\n\ndoc tail "), (col("doc_id") % 20).cast("string")).as("text"))
+      Dedup.dedupParagraphs(d, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "dedup_url" -> ((s, dir) => {
       // URL-level dedup (the RefinedWeb pre-dedup step) as composition:
       // canonicalize, then exact-group on the canonical form. Synthetic
@@ -2175,6 +2191,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "split_k_per_group" -> ((s, dir) => {
+      // exactly-25-per-language balanced sample (the eval-set
+      // primitive): md5-priority order replays verbatim in SQL, so
+      // the row SET and the ranks compare exactly.
+      Sampling.samplePerGroup(
+          tbl(s, dir, "documents").select("doc_id", "lang"),
+          "lang", "doc_id", k = 25)
+        .select(col("doc_id"), col("lang"), col("rank"))
+        .orderBy("doc_id")
+    }),
+
     "sample_dsir" -> ((s, dir) => {
       // DSIR importance resampling (Xie et al. 2023): salt the corpus
       // with parity marker tokens (the text carries no intrinsic
@@ -3127,6 +3154,36 @@ object SparkEntry {
     // all synthesized variants normalize to https://corpus.example.com/p/N,
     // so the oracle needs no regex at all — normalization correctness is
     // exactly what the group counts prove
+    "dedup_paragraph" ->
+      // first occurrence = lexicographic min (doc_id, pos), derived in
+      // two steps (min doc per para, then min pos within that doc);
+      // parallel unnest zips (pos, para)
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    concat(coalesce(text, ''), chr(10), chr(10), 'shared corpus footer',
+        |      chr(10), chr(10), 'doc tail ', CAST(doc_id % 20 AS VARCHAR)) AS text
+        |  FROM documents),
+        |paras AS (
+        |  SELECT doc_id,
+        |    unnest(range(len(sp))) AS pos,
+        |    unnest(sp) AS para
+        |  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS sp FROM d)),
+        |fdoc AS (SELECT para, min(doc_id) AS fd FROM paras GROUP BY para),
+        |fpos AS (
+        |  SELECT p.para, f.fd, min(p.pos) AS fp
+        |  FROM paras p JOIN fdoc f ON p.para = f.para AND p.doc_id = f.fd
+        |  GROUP BY p.para, f.fd),
+        |k AS (
+        |  SELECT p.doc_id, p.pos, p.para,
+        |    (f.fd = p.doc_id AND f.fp = p.pos) AS keep
+        |  FROM paras p JOIN fpos f ON p.para = f.para)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(coalesce(count(*) FILTER (keep), 0) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS text_dedup
+        |FROM k GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "dedup_url" ->
       """SELECT concat('https://corpus.example.com/p/', CAST(doc_id % 50 AS VARCHAR)) AS url_norm,
         |  min(doc_id) AS canonical_id,
@@ -3586,6 +3643,16 @@ object SparkEntry {
         |SELECT b.doc_id, b.lang, CAST(0 AS BIGINT) AS copy
         |FROM bucketed b JOIN cut c USING (lang)
         |WHERE b.bucket < c.cut
+        |ORDER BY doc_id""".stripMargin,
+
+    "split_k_per_group" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '#kpg'), doc_id) AS BIGINT) AS rank
+        |  FROM documents)
+        |SELECT doc_id, lang, rank FROM ranked
+        |WHERE rank <= 25
         |ORDER BY doc_id""".stripMargin,
 
     "sample_dsir" ->

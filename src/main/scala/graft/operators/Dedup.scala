@@ -53,6 +53,53 @@ object Dedup {
     exact(df.withColumn("__h", xxhash64(col(textCol))), Seq("__h", textCol), orderCol)
       .drop("__h")
 
+  /** Cross-corpus PARAGRAPH dedup (the Dolma pipeline's sub-document
+    * exact pass): each distinct paragraph string survives only at its
+    * FIRST occurrence — smallest (idCol, position) lexicographically —
+    * and every later copy is excised; documents are rebuilt from their
+    * surviving paragraphs in original order. Catches the shared
+    * footers/headers/templates that whole-document dedup leaves
+    * verbatim, at exact-match cost (the fuzzy counterpart is the
+    * repeated-span machinery).
+    *
+    * Output: (idCol, n_paras, n_kept, text_dedup) — one row per input
+    * doc, `text_dedup` empty when every paragraph was a later copy,
+    * null-text docs (0, 0, ""). ALL `sep`-split segments participate,
+    * empty segments included — consecutive separators carry layout
+    * information and dedup like any other string.
+    *
+    * Scale shape: posexplode_outer (order + empty-doc retention) → one
+    * window keyed by paragraph (two-phase min; paragraph-cardinality,
+    * uniform keys — web-scale hot paragraphs are exactly the
+    * duplicates being excised, and min is a combiner so the skew
+    * collapses map-side) → one groupBy(id) rebuild. Two shuffles, no
+    * joins, nothing corpus-sized ever re-joins itself. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(sep.nonEmpty, "sep must be non-empty")
+    val id = col(idCol)
+    val paras = df
+      .select(id, posexplode_outer(
+        split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF(idCol, "pos", "para")
+    val w = Window.partitionBy("para")
+    paras
+      .withColumn("__f", min(struct(id, col("pos"))).over(w))
+      .withColumn("__keep", col("para").isNotNull &&
+        col(s"__f.$idCol") === id && col("__f.pos") === col("pos"))
+      .groupBy(id)
+      .agg(
+        count(col("para")).as("n_paras"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the nulls the non-kept rows produce; sort
+        // restores document order (pos is unique per doc)
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("pos"), col("para"))))),
+          s => s.getField("para")), sep).as("text_dedup"))
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   final case class MinHashConfig(

@@ -54,6 +54,37 @@ object Sampling {
     df.filter(pctBucket(concat(col(idCol).cast("string"), lit("#sample"))) < pct)
   }
 
+  /** Deterministic EXACTLY-k-per-group sample: each group keeps the k
+    * rows with the smallest md5(id ‖ salt) (id tiebreak) — the
+    * count-based complement to the rate-based [[stratifiedSample]],
+    * for balanced eval sets and per-source caps where "10 000 docs
+    * per source" is the contract, not "0.1% of each". No RNG state,
+    * no seed exchange: every engine and every rerun draws the same
+    * rows; a different `salt` is an independent draw. Groups smaller
+    * than k keep everything.
+    *
+    * Shape: the partial-then-final top-k ([[Similarity.topKPerKey]]'s
+    * discipline) — rank within (group, partition) first, so at most
+    * k rows per partition per group reach the exchange; the md5
+    * priority is uniform, so group skew collapses at the map side. */
+  def samplePerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int,
+      salt: String = "#kpg"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val tagged = df.withColumn("__pr",
+      md5(concat(col(idCol).cast("string"), lit(salt))))
+    val localW = Window.partitionBy(col(groupCol), spark_partition_id())
+      .orderBy(col("__pr"), col(idCol))
+    val globalW = Window.partitionBy(col(groupCol))
+      .orderBy(col("__pr"), col(idCol))
+    tagged
+      .withColumn("__lr", row_number().over(localW))
+      .filter(col("__lr") <= k).drop("__lr")
+      .withColumn("rank", row_number().over(globalW).cast("long"))
+      .filter(col("rank") <= k)
+      .drop("__pr")
+  }
+
   /** Min-id connected components over an undirected edge set: for every
     * id in `ids`, the minimum id reachable over `pairs` edges. Output:
     * (id, rep). Pointer-jumping min-propagation run TO FIXPOINT — each

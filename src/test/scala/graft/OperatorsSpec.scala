@@ -69,6 +69,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) == 1L)
   }
 
+  test("dedupParagraphs: first occurrence survives, docs rebuild in order, edge docs retained") {
+    val d = Seq(
+      (1L, "alpha\n\nshared footer\n\nbeta"),
+      (2L, "gamma\n\nshared footer\n\ndelta"),   // loses the footer to doc 1
+      (3L, "shared footer\n\nalpha"),            // loses BOTH paragraphs
+      (4L, "unique only"),
+      (5L, ""),                                   // one empty paragraph
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(d, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3L, 3L, "alpha\n\nshared footer\n\nbeta")))
+    assert(out(2L) == ((3L, 2L, "gamma\n\ndelta")))
+    assert(out(3L) == ((2L, 0L, "")))           // both paras first-seen in doc 1
+    assert(out(4L) == ((1L, 1L, "unique only")))
+    assert(out(5L) == ((1L, 1L, "")))           // its "" paragraph IS first
+    assert(out(6L) == ((0L, 0L, "")))           // null text: nothing to keep
+    assert(out.size == 6)
+    // within-doc repeats: later copy in the SAME doc also drops
+    val rep = Seq((1L, "x\n\nx\n\ny")).toDF("doc_id", "text")
+    val r1 = Dedup.dedupParagraphs(rep, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().head
+    assert(r1 == ((1L, 3L, 2L, "x\n\ny")))
+  }
+
   test("minhash: identical docs → est_jaccard 1.0; near-dups detected") {
     // r=2 bands: candidate-miss probability for J≈0.54 is (1-J²)⁶⁴ ≈ 3e-10
     // (the r=4 default has a ~6% deterministic miss chance at this J)
@@ -942,6 +967,31 @@ class OperatorsSpec extends AnyFunSuite {
       numCentroids = 2, seed = 42L, iters = 3, plusPlusSample = 100)
     val fitAxes = cents.map(c => c.map(math.abs).zipWithIndex.maxBy(_._1)._2).toSet
     assert(fitAxes == Set(0, 2))
+  }
+
+  test("samplePerGroup: exactly k per group, reference-exact, salt-independent") {
+    val df = (0 until 90).map(i => (i.toLong, s"g${i % 3}")).toDF("doc_id", "grp")
+    val got = graft.operators.Sampling.samplePerGroup(df, "grp", "doc_id", 7)
+      .select("grp", "doc_id", "rank").as[(String, Long, Long)].collect()
+    assert(got.groupBy(_._1).forall(_._2.length == 7))
+    // plain-Scala reference: per group, the 7 md5-smallest ids
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = (0 until 90).map(i => (i.toLong, s"g${i % 3}"))
+      .groupBy(_._2).flatMap { case (g, rows) =>
+        rows.map(_._1).sortBy(id => (md5hex(id.toString + "#kpg"), id)).take(7)
+          .zipWithIndex.map { case (id, r) => (g, id, r + 1L) }
+      }.toSet
+    assert(got.toSet == want)
+    // ranks follow the priority order; small groups keep everything
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "grp")
+    val all = graft.operators.Sampling.samplePerGroup(tiny, "grp", "doc_id", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L))
+    // a different salt draws a different set
+    val other = graft.operators.Sampling.samplePerGroup(df, "grp", "doc_id", 7,
+      salt = "#other").select("grp", "doc_id").as[(String, Long)].collect().toSet
+    assert(other != got.map(r => (r._1, r._2)).toSet)
   }
 
   test("stratifiedSample is deterministic, per-stratum, and composes with hashSplit") {
