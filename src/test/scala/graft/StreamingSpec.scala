@@ -38,6 +38,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((ts(20), "click", 1L, 4.0)))
   }
 
+  test("frozen NB quality model scores micro-batches in foreachBatch ≡ batch scoring") {
+    // the trained-model curation composition: fit once in batch,
+    // score every micro-batch with the FROZEN broadcast model — the
+    // streaming counterpart of scoreNbQuality, no retraining, no
+    // cross-batch state. Batch and stream scores must be identical
+    // floats (same expressions, same model rows).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val train = (0 until 40).map { i =>
+      val good = i % 2 == 0
+      val words = (if (good) Seq("clean", "prose") else Seq("spam", "junk")) ++
+        Seq("common", s"w${i % 5}")
+      (i.toLong, words.mkString(" "), good)
+    }.toDF("doc_id", "text", "label")
+    val model = graft.operators.QualityClassifier
+      .trainNbQuality(train, "label", "text")
+    // pin the model frames so each micro-batch reuses the fit instead
+    // of re-deriving it from the training lineage
+    val frozen = graft.operators.QualityClassifier.NbModel(
+      Materialize.once(model.termLogProbs, eager = true),
+      Materialize.once(model.stats, eager = true))
+    val evalRows = Seq((100L, "clean prose common"), (101L, "junk spam spam"),
+      (102L, ""), (103L, "unseen words only"))
+    val want = graft.operators.QualityClassifier
+      .scoreNbQuality(evalRows.toDF("doc_id", "text"), "doc_id", "text", frozen)
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set[(Long, Long, Double, Boolean)]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.operators.QualityClassifier
+          .scoreNbQuality(batch, "doc_id", "text", frozen)
+          .as[(Long, Long, Double, Boolean)].collect()
+        ()
+      }.start()
+    input.addData(evalRows.take(2): _*)
+    input.addData(evalRows.drop(2): _*)
+    q.processAllAvailable(); q.stop()
+    assert(got.toSet == want, s"stream scores diverged:\n got=$got\nwant=$want")
+    assert(want.exists(r => r._1 == 100L && r._4) &&
+      want.exists(r => r._1 == 101L && !r._4))
+  }
+
   test("session windows close after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
