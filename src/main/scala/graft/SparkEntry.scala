@@ -2191,6 +2191,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "sample_weighted" -> ((s, dir) => {
+      // Efraimidis–Spirakis weight-proportional sample: top-40 docs by
+      // ln(u)/n_chars with the deterministic md5 draw. es_key at 9dp
+      // (magnitudes ~1e-3: keeps ~6 significant digits, far above
+      // ln()'s last-ulp engine noise); rank on the rounded key.
+      Sampling.weightedSample(
+          tbl(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", k = 40, rankRoundDp = 9)
+        .select(col("doc_id"), col("n_chars"),
+          round(col("es_key"), 9).as("es_key"), col("rank"))
+        .orderBy("rank")
+    }),
+
     "split_k_per_group" -> ((s, dir) => {
       // exactly-25-per-language balanced sample (the eval-set
       // primitive): md5-priority order replays verbatim in SQL, so
@@ -3644,6 +3657,23 @@ object SparkEntry {
         |FROM bucketed b JOIN cut c USING (lang)
         |WHERE b.bucket < c.cut
         |ORDER BY doc_id""".stripMargin,
+
+    "sample_weighted" ->
+      // the fine-bucket draw via the compact hex cast (value-identical
+      // to the ascii fold: first 6 md5 hex digits mod 2^20)
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars,
+        |    ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ws'), 1, 6))::BIGINT % 1048576) + 0.5) / 1048576.0)
+        |      / CAST(n_chars AS DOUBLE) AS es_key
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0.0),
+        |ranked AS (
+        |  SELECT doc_id, n_chars, es_key,
+        |    CAST(row_number() OVER (ORDER BY round(es_key, 9) DESC, doc_id) AS BIGINT) AS rank
+        |  FROM keyed)
+        |SELECT doc_id, n_chars, round(es_key, 9) AS es_key, rank
+        |FROM ranked WHERE rank <= 40
+        |ORDER BY rank""".stripMargin,
 
     "split_k_per_group" ->
       """WITH ranked AS (

@@ -85,6 +85,47 @@ object Sampling {
       .drop("__pr")
   }
 
+  /** Deterministic weight-proportional sample WITHOUT replacement
+    * (Efraimidis–Spirakis A-ES, Inf. Proc. Letters 2006): keep the k
+    * rows maximizing ln(u_i)/w_i with u_i uniform in (0,1) — each row
+    * wins with probability proportional to its weight, exactly the
+    * "sample documents by token count" / "pick shards by size"
+    * primitive. u_i is the md5 fine-bucket draw (deterministic,
+    * engine-replayable — the [[Dsir]] Gumbel discipline; a different
+    * `salt` is an independent draw). ln(u) < 0, so dividing by a
+    * LARGER weight moves the key toward zero, i.e. upward.
+    *
+    * Rows with null/zero/negative weights are EXCLUDED (they have no
+    * defined inclusion probability), not errors — filters compose
+    * upstream. Output: (all input columns, es_key, rank), rank 1..k.
+    * `rankRoundDp >= 0` ranks on the ROUNDED key (id tiebreak) — the
+    * cross-engine policy; ln() is transcendental, so exact keys can
+    * differ in the last ulp between engines.
+    *
+    * Shape: map-side key computation + the partial-then-final global
+    * top-k (≤ k rows per partition reach the exchange). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+      salt: String = "#ws", rankRoundDp: Int = -1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val u = (fineBucket(concat(col(idCol).cast("string"), lit(salt)))
+      .cast("double") + lit(0.5)) / lit(MixBuckets.toDouble)
+    val keyed = df
+      .filter(col(weightCol).isNotNull && col(weightCol).cast("double") > 0.0)
+      .withColumn("es_key", log(u) / col(weightCol).cast("double"))
+    val rankKey = if (rankRoundDp >= 0) round(col("es_key"), rankRoundDp)
+                  else col("es_key")
+    val localW = Window.partitionBy(spark_partition_id())
+      .orderBy(rankKey.desc, col(idCol))
+    val globalW = Window.partitionBy()
+      .orderBy(rankKey.desc, col(idCol))
+    keyed
+      .withColumn("__lr", row_number().over(localW))
+      .filter(col("__lr") <= k).drop("__lr")
+      .withColumn("rank", row_number().over(globalW).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Min-id connected components over an undirected edge set: for every
     * id in `ids`, the minimum id reachable over `pairs` edges. Output:
     * (id, rep). Pointer-jumping min-propagation run TO FIXPOINT — each

@@ -969,6 +969,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fitAxes == Set(0, 2))
   }
 
+  test("weightedSample: reference-exact A-ES keys, weight bias, bad weights excluded") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def u(id: Long, salt: String): Double = {
+      val b = md5hex(id.toString + salt).take(6)
+        .foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16)) % 1048576L
+      (b + 0.5) / 1048576.0
+    }
+    val rows = (0 until 60).map(i => (i.toLong, (1 + i % 9).toDouble * 10))
+    val df = rows.toDF("doc_id", "w")
+    val got = graft.operators.Sampling.weightedSample(df, "doc_id", "w", 15)
+      .select("doc_id", "es_key", "rank").as[(Long, Double, Long)].collect()
+      .sortBy(_._3)
+    val wantKeys = rows.map { case (id, w) => id -> math.log(u(id, "#ws")) / w }.toMap
+    val wantTop = rows.map(_._1).sortBy(id => (-wantKeys(id), id)).take(15)
+    assert(got.map(_._1).toSeq == wantTop, "selection order diverged from reference")
+    got.foreach { case (id, key, _) =>
+      val wk = wantKeys(id)
+      assert(math.abs(key - wk) <= math.max(1e-15, math.abs(wk) * 1e-12))
+    }
+    // weight bias: sampling k=30 of 60 with weights 10..90 must skew
+    // the kept multiset toward heavy weights vs the uniform expectation
+    val kept = got.map(_._1).toSet
+    val meanKept = rows.filter(r => kept.contains(r._1)).map(_._2).sum / kept.size
+    val meanAll = rows.map(_._2).sum / rows.size
+    assert(meanKept > meanAll, s"kept mean weight $meanKept !> corpus mean $meanAll")
+    // null/zero/negative weights are excluded, never sampled
+    val bad = Seq((100L, 0.0), (101L, -3.0)).toDF("doc_id", "w")
+      .unionByName(Seq((102L, Option.empty[Double])).toDF("doc_id", "w"))
+      .unionByName(Seq((103L, Option(5.0))).toDF("doc_id", "w"))
+    val onlyGood = graft.operators.Sampling.weightedSample(bad, "doc_id", "w", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(onlyGood == Set(103L))
+  }
+
   test("samplePerGroup: exactly k per group, reference-exact, salt-independent") {
     val df = (0 until 90).map(i => (i.toLong, s"g${i % 3}")).toDF("doc_id", "grp")
     val got = graft.operators.Sampling.samplePerGroup(df, "grp", "doc_id", 7)
