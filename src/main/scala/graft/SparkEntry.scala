@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** Collision-free /tmp scratch tag for a dataset dir: the full path,
+    * sanitized — two distinct dirs can never share an index/roundtrip
+    * location (Int hashCode could collide, and math.abs(Int.MinValue)
+    * is still negative). */
+  private def dirTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
     // Normalize events.ts to a µs-precision TimestampType regardless of
     // which testdata generation wrote the file:
@@ -768,7 +775,7 @@ object SparkEntry {
       // 0.96/0.92 at sf0.01/sf0.1
       annRecallGate(s, dir, floor = 0.8, label = "persisted IVF-PQ index") {
         (emb, queriesDf) =>
-          val path = s"/tmp/graft_ivfpq_${math.abs(dir.hashCode)}"
+          val path = s"/tmp/graft_ivfpq_${dirTag(dir)}"
           Pq.buildIvfPqIndex(emb, "vec_id", "embedding", path,
             numCentroids = 16, m = 16, k = 32, seed = 42L, kmeansIters = 2)
           Pq.queryIvfPqIndex(s, path, queriesDf,
@@ -782,7 +789,7 @@ object SparkEntry {
       // cells (IvfIndexSpec asserts the plan); same recall gate shape
       annRecallGate(s, dir, floor = 0.5, label = "persisted IVF index") {
         (emb, queriesDf) =>
-          val path = s"/tmp/graft_ivf_${math.abs(dir.hashCode)}"
+          val path = s"/tmp/graft_ivf_${dirTag(dir)}"
           Similarity.buildIvfIndex(emb, "vec_id", "embedding", path,
             numCentroids = 16, seed = 42L, kmeansIters = 2)
           Similarity.queryIvfIndex(s, path, queriesDf,
@@ -797,7 +804,7 @@ object SparkEntry {
       // floor, not just a unit test
       annRecallGate(s, dir, floor = 0.5, label = "appended IVF index") {
         (emb, queriesDf) =>
-          val path = s"/tmp/graft_ivfap_${math.abs(dir.hashCode)}"
+          val path = s"/tmp/graft_ivfap_${dirTag(dir)}"
           Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
             "vec_id", "embedding", path,
             numCentroids = 16, seed = 42L, kmeansIters = 2)
@@ -813,7 +820,7 @@ object SparkEntry {
       // same floor as the full-build gate through the exact re-rank
       annRecallGate(s, dir, floor = 0.8, label = "appended IVF-PQ index") {
         (emb, queriesDf) =>
-          val path = s"/tmp/graft_ivfpqap_${math.abs(dir.hashCode)}"
+          val path = s"/tmp/graft_ivfpqap_${dirTag(dir)}"
           Pq.buildIvfPqIndex(emb.filter(col("vec_id") % 2 === 0),
             "vec_id", "embedding", path,
             numCentroids = 16, m = 16, k = 32, seed = 42L, kmeansIters = 2)
@@ -835,7 +842,7 @@ object SparkEntry {
       // compactIndexCells verbatim; IvfPqIndexSpec covers it.)
       annRecallGate(s, dir, floor = 0.5, label = "compacted IVF index") {
         (emb, queriesDf) =>
-          val path = s"/tmp/graft_ivfcp_${math.abs(dir.hashCode)}"
+          val path = s"/tmp/graft_ivfcp_${dirTag(dir)}"
           Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
             "vec_id", "embedding", path,
             numCentroids = 16, seed = 42L, kmeansIters = 2)
@@ -1028,7 +1035,7 @@ object SparkEntry {
       // terms scans as In; corpus text is never re-read). Same
       // 6dp-rounded rank/score policy as text_bm25, same reason.
       import s.implicits._
-      val base = s"/tmp/graft_bm25idx_${math.abs(dir.hashCode)}"
+      val base = s"/tmp/graft_bm25idx_${dirTag(dir)}"
       val docs = tbl(s, dir, "documents")
       graft.operators.Bm25Index.buildBm25Index(
         docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", base)
@@ -1269,7 +1276,7 @@ object SparkEntry {
     // against the oracle on the ORIGINAL parquet.
 
     "io_csv_roundtrip" -> ((s, dir) => {
-      val path = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/lineitem_csv.csv"
+      val path = s"/tmp/graft_rt_${dirTag(dir)}/lineitem_csv.csv"
       val src = tbl(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
       graft.sources.Writers.writeCsv(src, path, delimiter = ';')
@@ -1290,7 +1297,7 @@ object SparkEntry {
       // picks ','. Detection must anchor on the HEADER, which contains
       // no comma. Value fidelity is proven by normalizing the Euro
       // string back to a double and matching the ORIGINAL parquet.
-      val path = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/lineitem_euro.csv"
+      val path = s"/tmp/graft_rt_${dirTag(dir)}/lineitem_euro.csv"
       val src = tbl(s, dir, "lineitem")
         .filter(col("l_linenumber") === 1)
         .select(col("l_orderkey"), col("l_returnflag"),
@@ -1310,7 +1317,7 @@ object SparkEntry {
       // lossy read must keep every clean row byte-identical and decode
       // the damaged cell with exactly one U+FFFD, which the DuckDB
       // oracle reconstructs as chr(65533).
-      val path = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/lineitem_lossy.csv"
+      val path = s"/tmp/graft_rt_${dirTag(dir)}/lineitem_lossy.csv"
       val src = tbl(s, dir, "lineitem")
         .filter(col("l_linenumber") === 1 && col("l_orderkey") <= 20000)
         .select("l_orderkey", "l_returnflag", "l_extendedprice")
@@ -1335,7 +1342,7 @@ object SparkEntry {
     }),
 
     "io_ndjson_roundtrip" -> ((s, dir) => {
-      val path = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/orders.ndjson"
+      val path = s"/tmp/graft_rt_${dirTag(dir)}/orders.ndjson"
       val src = tbl(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
       graft.sources.Writers.writeNdJson(src, path)
       val (back, _) = graft.sources.Readers.readAuto(s, path)
@@ -1347,7 +1354,7 @@ object SparkEntry {
     "io_orc_roundtrip" -> ((s, dir) => {
       // ORC sink → extension-dispatched read-back; value fidelity proven
       // against the oracle on the ORIGINAL parquet (as every io_* gate)
-      val path = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/customer.orc"
+      val path = s"/tmp/graft_rt_${dirTag(dir)}/customer.orc"
       val src = tbl(s, dir, "customer")
         .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
       graft.sources.Writers.saveAs(src, path)
@@ -1363,7 +1370,7 @@ object SparkEntry {
       // through a selective date-range filter — the path LayoutSpec
       // proves skips at the scan. Values must match the oracle on the
       // ORIGINAL table (layout must never change content).
-      val path = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/orders_sorted.parquet"
+      val path = s"/tmp/graft_rt_${dirTag(dir)}/orders_sorted.parquet"
       val src = tbl(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
       graft.sources.Writers.writeSortedParquet(src, path,
@@ -1384,7 +1391,7 @@ object SparkEntry {
       // a BOTH-columns selective filter, the access pattern z-order
       // exists for. Values must match the oracle on the ORIGINAL table:
       // layout must never change content.
-      val path = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/lineitem_z.parquet"
+      val path = s"/tmp/graft_rt_${dirTag(dir)}/lineitem_z.parquet"
       val src = tbl(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
           "l_shipdate")
@@ -1405,7 +1412,8 @@ object SparkEntry {
       // the bucket column — the layout whose point is that this groupBy
       // needs NO exchange (BucketingSpec asserts the plan); the oracle
       // checks the numbers over the original parquet
-      val name = s"graft_bkt_cust_${math.abs(dir.hashCode)}"
+      // catalog identifier: dots/dashes are illegal in table names
+      val name = s"graft_bkt_cust_${dirTag(dir).replaceAll("[.-]", "_")}"
       val src = tbl(s, dir, "customer")
         .select("c_custkey", "c_nationkey", "c_acctbal")
       graft.sources.Writers.writeBucketed(src, name,
@@ -1422,7 +1430,7 @@ object SparkEntry {
       // small-files ingest (48 tiny files) → compactParquet (rename-only
       // swap) → read back; content fidelity against the oracle on the
       // ORIGINAL table, and the compaction must actually reduce files
-      val path = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/orders_compact.parquet"
+      val path = s"/tmp/graft_rt_${dirTag(dir)}/orders_compact.parquet"
       val src = tbl(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
       src.repartition(48).write.mode("overwrite").parquet(path)
@@ -1546,7 +1554,7 @@ object SparkEntry {
       // region as parquet, then joined back through read_csv /
       // read_parquet — values must match the same join on the ORIGINAL
       // tables
-      val base = s"/tmp/graft_rt_${math.abs(dir.hashCode)}"
+      val base = s"/tmp/graft_rt_${dirTag(dir)}"
       graft.sources.Writers.writeCsv(
         tbl(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey"),
         s"$base/nation_tf.csv", delimiter = ';')
@@ -1562,7 +1570,7 @@ object SparkEntry {
     }),
 
     "io_json_array_roundtrip" -> ((s, dir) => {
-      val path = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/nation.json"
+      val path = s"/tmp/graft_rt_${dirTag(dir)}/nation.json"
       val src = tbl(s, dir, "nation")
       graft.sources.Writers.writeJsonArray(src, path)
       val (back, _) = graft.sources.Readers.readAuto(s, path)
@@ -1802,7 +1810,7 @@ object SparkEntry {
       // within-quartile corpus-internal duplicates resolve to the min
       // doc_id by the within-batch dedup, cross-batch ones by the
       // against-corpus anti-join.
-      val base = s"/tmp/graft_ingest_${math.abs(dir.hashCode)}"
+      val base = s"/tmp/graft_ingest_${dirTag(dir)}"
       val basePath = new org.apache.hadoop.fs.Path(base)
       val fs = basePath.getFileSystem(s.sessionState.newHadoopConf())
       fs.delete(basePath, true)
@@ -1845,7 +1853,7 @@ object SparkEntry {
       // smaller-id sibling of its own batch. Chains matter: a doc whose
       // only near-dup was itself rejected IS admitted — the oracle
       // unrolls the same three rounds in SQL.
-      val base = s"/tmp/graft_semingest_${math.abs(dir.hashCode)}"
+      val base = s"/tmp/graft_semingest_${dirTag(dir)}"
       val basePath = new org.apache.hadoop.fs.Path(base)
       val fs = basePath.getFileSystem(s.sessionState.newHadoopConf())
       fs.delete(basePath, true)
@@ -1889,7 +1897,7 @@ object SparkEntry {
       // preserve earlier batches' keys through the swap) and
       // within-batch tombstone consumption ('error' events delete their
       // key when they are the key's latest version).
-      val base = s"/tmp/graft_upsert_${math.abs(dir.hashCode)}"
+      val base = s"/tmp/graft_upsert_${dirTag(dir)}"
       val basePath = new org.apache.hadoop.fs.Path(base)
       val fs = basePath.getFileSystem(s.sessionState.newHadoopConf())
       fs.delete(basePath, true)
@@ -1922,7 +1930,7 @@ object SparkEntry {
       // PartitionFilters, absent/tombstoned keys return no row). At
       // 100 TB this is "latest state of these 143 keys" reading ≤ 143
       // buckets, never the corpus.
-      val base = s"/tmp/graft_uplookg_${math.abs(dir.hashCode)}"
+      val base = s"/tmp/graft_uplookg_${dirTag(dir)}"
       val basePath = new org.apache.hadoop.fs.Path(base)
       val fs = basePath.getFileSystem(s.sessionState.newHadoopConf())
       fs.delete(basePath, true)
@@ -4234,9 +4242,16 @@ object SparkEntry {
     // finish in 9 minutes at sf0.01; materialized it is sub-second).
     // The argmax rides a CROSS JOIN (1 row), never a correlated
     // scalar subquery inside a per-row expression.
+    // the padded-double-space representation (" x  y  z "): a merge's
+    // literal pattern ' x  y ' can only align to WHOLE symbols — every
+    // symbol is space-flanked, and each match consumes one space from
+    // each side's double run, so neighbouring boundaries survive.
+    // Plain replace() (left-to-right non-overlapping) then equals the
+    // symbol-list greedy merge exactly — boundary-safe with no
+    // lookaround (which RE2 engines lack).
     val w0 =
       raw"""w0 AS MATERIALIZED (
-           |  SELECT array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), ' ') AS word,
+           |  SELECT ' ' || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), '  ') || ' ' AS word,
            |         CAST(count(*) AS BIGINT) AS freq
            |  FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS w
            |        FROM documents)
@@ -4246,12 +4261,12 @@ object SparkEntry {
            |  SELECT pr, sum(freq) AS cnt FROM (
            |    SELECT unnest(CASE WHEN len(sy) < 2 THEN CAST([] AS VARCHAR[])
            |      ELSE list_transform(range(1, len(sy)), j -> sy[j] || ' ' || sy[j + 1]) END) AS pr, freq
-           |    FROM (SELECT string_split(word, ' ') AS sy, freq FROM w${r - 1}))
+           |    FROM (SELECT string_split(trim(word), '  ') AS sy, freq FROM w${r - 1}))
            |  GROUP BY pr),
            |b$r AS MATERIALIZED (SELECT pr, cnt FROM p$r ORDER BY cnt DESC, pr LIMIT 1),
            |w$r AS MATERIALIZED (
            |  SELECT word, CAST(sum(freq) AS BIGINT) AS freq FROM (
-           |    SELECT replace(word, b.pr, replace(b.pr, ' ', '')) AS word, freq
+           |    SELECT replace(word, ' ' || replace(b.pr, ' ', '  ') || ' ', ' ' || replace(b.pr, ' ', '') || ' ') AS word, freq
            |    FROM w${r - 1} CROSS JOIN b$r b)
            |  GROUP BY word)""".stripMargin
     }
@@ -4272,7 +4287,7 @@ object SparkEntry {
     val applies = (1 to BpeGateMerges).map(r =>
       raw"""a$r AS MATERIALIZED (
            |  SELECT doc_id, list_transform(sws, w ->
-           |    replace(w, b.pr, replace(b.pr, ' ', ''))) AS sws
+           |    replace(w, ' ' || replace(b.pr, ' ', '  ') || ' ', ' ' || replace(b.pr, ' ', '') || ' ')) AS sws
            |  FROM a${r - 1} CROSS JOIN b$r b)""".stripMargin).mkString(",\n")
     raw"""WITH ${bpeRoundsSql(BpeGateMerges)},
          |docs_s AS (
@@ -4281,11 +4296,11 @@ object SparkEntry {
          |  FROM documents WHERE doc_id % 7 = 0),
          |a0 AS MATERIALIZED (
          |  SELECT doc_id, list_transform(ws, w ->
-         |    array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), ' ')) AS sws
+         |    ' ' || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), '  ') || ' ') AS sws
          |  FROM docs_s),
          |$applies,
          |toks AS (
-         |  SELECT doc_id, flatten(list_transform(sws, w -> string_split(w, ' '))) AS ts
+         |  SELECT doc_id, flatten(list_transform(sws, w -> string_split(trim(w), '  '))) AS ts
          |  FROM a$BpeGateMerges)
          |SELECT doc_id,
          |  CAST(coalesce(len(ts), 0) AS BIGINT) AS n_tokens,

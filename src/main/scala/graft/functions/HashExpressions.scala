@@ -670,4 +670,28 @@ object HashFunctions {
 
   def nearestCentroids(vec: Column, centroids: Array[Array[Double]], n: Int): Column =
     toCol(NearestCentroids(toExpr(vec), centroids, n))
+
+  /** Value of the 1-based i-th hex digit of a lowercase-hex string
+    * column (md5 output) — THE engine-portable digit decode every
+    * md5-derived deterministic draw in the library shares; the exact
+    * ascii arithmetic replays verbatim in any SQL engine's oracle. */
+  def md5HexDigit(hexCol: Column, i: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val a = ascii(substring(hexCol, i, 1))
+    a - when(a >= 97, lit(87)).otherwise(lit(48))
+  }
+
+  /** First-6-hex-digit fold of md5(key), mod `buckets` — PERFECTLY
+    * uniform exactly when buckets divides 16^6 (hence the require).
+    * The single shared md5 bucket idiom behind mixing thresholds, DSIR
+    * feature hashing, Gumbel/A-ES draws and the JL sign matrix —
+    * one definition, so cross-engine parity cannot drift per caller. */
+  def md5Fold6(key: Column, buckets: Long): Column = {
+    import org.apache.spark.sql.functions._
+    require(buckets >= 2 && 16777216L % buckets == 0,
+      s"buckets must divide 16^6 for an unbiased fold (got $buckets)")
+    val hex = md5(key)
+    val v = (1 to 6).map(md5HexDigit(hex, _)).reduce((acc, h) => acc * 16 + h)
+    pmod(v, lit(buckets)).cast("long")
+  }
 }

@@ -383,6 +383,81 @@ object UnicodeNormalize {
   }
 }
 
+/** Apply a trained BPE merge list to an array of words — each merge
+  * applied fully (greedy leftmost non-overlapping, at the SYMBOL-LIST
+  * level, so boundary safety holds by construction) before the next,
+  * exactly [[graft.operators.Bpe]]'s training semantics. Native rather
+  * than composed because a per-merge expression layer makes Catalyst
+  * plan depth O(merge count) — a real tokenizer's ~30k merges would
+  * stack-overflow analysis long before execution; here the merge list
+  * lives in the expression and the plan stays O(1) deep.
+  *
+  * `pairs` are rank-ordered "x y" strings (two space-free symbols).
+  * Symbols are Unicode code points at initialization — the same unit
+  * as the training side's `substr(word, i, 1)`. Per-word cost is
+  * O(merges × symbols); the classic rank-map tokenizer trick would
+  * make it O(symbols² log) independent of vocabulary size, but its
+  * iterate-until-no-pair order can differ from apply-in-rank-order on
+  * held-out text — this expression keeps the order that provably
+  * reproduces training segmentations. */
+case class BpeSegmentWords(child: Expression, pairs: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.ArrayType
+
+  pairs.foreach(p => require(p.split(" ", -1).length == 2 && !p.contains("  "),
+    s"BPE pair must be two space-separated symbols (got '$p')"))
+
+  private lazy val mergeSeq: Array[(String, String, String)] =
+    pairs.map { p =>
+      val i = p.indexOf(' ')
+      val x = p.substring(0, i); val y = p.substring(i + 1)
+      (x, y, x + y)
+    }.toArray
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val out = new scala.collection.mutable.ArrayBuffer[Any](words.numElements())
+    var wi = 0
+    while (wi < words.numElements()) {
+      val w = words.getUTF8String(wi).toString
+      // initial symbols: one per Unicode code point (= substr semantics)
+      var sy = new Array[String](w.codePointCount(0, w.length))
+      var ci = 0; var si = 0
+      while (ci < w.length) {
+        val cp = w.codePointAt(ci)
+        sy(si) = new String(Character.toChars(cp))
+        si += 1; ci += Character.charCount(cp)
+      }
+      var mi = 0
+      while (mi < mergeSeq.length) {
+        val (x, y, m) = mergeSeq(mi)
+        if (sy.length >= 2) {
+          var changed = false
+          val buf = new scala.collection.mutable.ArrayBuffer[String](sy.length)
+          var i = 0
+          while (i < sy.length) {
+            if (i + 1 < sy.length && sy(i) == x && sy(i + 1) == y) {
+              buf += m; i += 2; changed = true
+            } else { buf += sy(i); i += 1 }
+          }
+          if (changed) sy = buf.toArray
+        }
+        mi += 1
+      }
+      var k = 0
+      while (k < sy.length) { out += UTF8String.fromString(sy(k)); k += 1 }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSegmentWords =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
 
@@ -397,4 +472,8 @@ object TextFunctions {
   /** Unicode-normalize a string column (default NFC). */
   def normalizeUnicode(text: Column, form: String = "NFC"): Column =
     toCol(UnicodeNormalize(toExpr(text), form))
+
+  /** BPE-segment an array-of-words column with rank-ordered merges. */
+  def bpeSegmentWords(words: Column, pairs: Seq[String]): Column =
+    toCol(BpeSegmentWords(toExpr(words), pairs))
 }

@@ -185,15 +185,37 @@ object Bm25Index {
     * would silently shed both and probes would read every row group);
     * stats rows merge file-wise. Row-preserving, so every query is
     * identical before and after. Single maintainer, between writes.
-    * Returns (files before, files after) summed over stores. */
+    *
+    * Crash-safe via the [[Similarity.compactIvfIndex]] protocol: the
+    * in-progress sentinel drops first, THEN the commit marker — a
+    * crash mid-compaction leaves the marker down, so readers refuse
+    * loudly instead of scanning a half-swapped store, and re-running
+    * this method (sentinel present → skip the committed check) lets
+    * each store's own compactParquet swap recovery finish the job
+    * before the index re-marks. Returns (files before, files after)
+    * summed over stores. */
   def compactBm25Index(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20): (Int, Int) = {
     val fs = fsOf(spark, path)
+    val dir = new Path(path)
+    val sentinel = new Path(dir, "_graft_compact_inprogress")
+    if (!fs.exists(sentinel)) {
+      graft.sources.FsSwap.requireCommitted(fs, dir, "compactBm25Index")
+      fs.create(sentinel, true).close()
+      graft.sources.FsSwap.beginArtifact(fs, dir)
+    }
+    // else: a previous compaction died with the marker down — fall
+    // through; compactParquet's FsSwap.recover finishes each store's
+    // interrupted swap, then the rewrite re-runs and the index re-marks
     var before = 0
     var after = 0
     def one(store: String, sortCols: Seq[String], opts: Map[String, String]): Unit = {
       val p = new Path(path, store)
-      if (fs.exists(p)) {
+      // the store may exist only under its swap names after a crash —
+      // compactParquet's recover promotes/restores before listing
+      val tmp = new Path(path, store + ".__graft-compact-tmp__")
+      val old = new Path(path, store + ".__graft-compact-old__")
+      if (fs.exists(p) || fs.exists(tmp) || fs.exists(old)) {
         val (bN, aN) = graft.sources.Writers.compactParquet(
           spark, p.toString, targetFileBytes, opts, sortCols = sortCols)
         before += bN; after += aN
@@ -202,6 +224,9 @@ object Bm25Index {
     one(PostingsDir, Seq("term"), bloomOpts("term"))
     one(TermsDir, Seq("term"), bloomOpts("term"))
     one(StatsDir, Seq.empty, Map.empty)
+    graft.sources.FsSwap.commitArtifact(fs, dir,
+      s"bm25 compact: $before -> $after files")
+    fs.delete(sentinel, false)
     (before, after)
   }
 }

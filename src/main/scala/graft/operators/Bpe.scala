@@ -17,13 +17,22 @@ import graft.Materialize
   * on that frame alone. 100 TB of text costs one tokenize+count
   * shuffle; the N merge rounds never touch the corpus again.
   *
-  * Representation: a word is its symbol sequence joined by single
-  * spaces ("h e l l o"); a merge rewrites the word string with literal
-  * left-to-right non-overlapping replacement ("e l" → "el"), which is
-  * `replace()` semantics in every SQL engine and quoted-literal
-  * `regexp_replace` in Spark — the SAME greedy application order, so
-  * an oracle replays training exactly. Pair counts are raw adjacent
-  * counts ("a a a" contributes (a,a) twice — the original
+  * Representation — the boundary-safety invariant: a word is stored as
+  * its symbol sequence joined by DOUBLE spaces and padded with one
+  * space at each end (" h  e  l  l  o "). A merge of pair (x, y)
+  * replaces the literal " x  y " with " xy ": because every symbol is
+  * flanked by spaces and the pattern demands a space on each side, the
+  * pattern can only ever align to WHOLE symbols — a pair like "h e"
+  * can never fuse the tail of symbol "th" with a following "e" (the
+  * classic substring-replacement bug; Sennrich's reference anchors
+  * with lookaround, which SQL replace() lacks — the padding encodes
+  * the same anchor as pure literal text). Each match consumes one
+  * space from each side's double-space run, so neighbouring
+  * boundaries survive for adjacent matches, and literal left-to-right
+  * non-overlapping replacement — `replace()` semantics in every SQL
+  * engine, quoted-literal `regexp_replace` in Spark — implements the
+  * same greedy merge order as a symbol-list scan. Pair counts are raw
+  * adjacent counts ("a a a" contributes (a,a) twice — the original
   * implementation's counting); argmax ties break on the pair string
   * (bytewise — symbols here are ASCII corpus tokens).
   *
@@ -37,29 +46,40 @@ object Bpe {
   /** How many merge rounds ride one materialized lineage segment. */
   private val RematerializeEvery = 4
 
-  /** Spaced symbol sequence of a word: "abc" → "a b c". Explicit
-    * per-index substring (not split-on-empty, whose edge behavior
-    * differs between engines). */
-  private[operators] def spaced(word: org.apache.spark.sql.Column) =
-    array_join(
-      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
-      " ")
+  /** Padded double-space symbol string of a word: "abc" → " a  b  c ".
+    * Explicit per-index substring (not split-on-empty, whose edge
+    * behavior differs between engines). */
+  private[operators] def spacedPadded(word: org.apache.spark.sql.Column) =
+    concat(lit(" "),
+      array_join(
+        transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
+        "  "),
+      lit(" "))
 
-  /** Adjacent symbol pairs of a spaced word: "a b c" → ["a b", "b c"];
-    * single-symbol words → empty. */
-  private[operators] def adjacentPairs(spacedWord: org.apache.spark.sql.Column) = {
-    val sy = split(spacedWord, " ")
+  /** Adjacent symbol pairs of a padded word: " a  b  c " →
+    * ["a b", "b c"] (single-space pair strings — the merges-table
+    * form); single-symbol words → empty. */
+  private[operators] def adjacentPairs(paddedWord: org.apache.spark.sql.Column) = {
+    val sy = split(trim(paddedWord), "  ")
     when(size(sy) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(sy) - 1),
         j => concat(element_at(sy, j), lit(" "), element_at(sy, j + 1))))
   }
 
-  /** The word-type frame (word spaced, freq) for a corpus — the one
+  /** The boundary-anchored literal replace of one merge on the padded
+    * representation: " x  y " → " xy ". */
+  private def applyMergeCol(word: org.apache.spark.sql.Column,
+      pair: String, merged: String) =
+    regexp_replace(word,
+      lit(Pattern.quote(" " + pair.replace(" ", "  ") + " ")),
+      lit(Matcher.quoteReplacement(" " + merged + " ")))
+
+  /** The word-type frame (word padded, freq) for a corpus — the one
     * corpus-sized pass; everything else iterates on its result. */
   private def wordTypes(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(TextAnalysis.bm25Words(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(spaced(col("w")).as("word"), col("freq"))
+      .select(spacedPadded(col("w")).as("word"), col("freq"))
 
   /** Train `numMerges` BPE merges. Returns (rank, pair, merged, cnt)
     * rows in merge order — rank 1 is the first (highest-count) merge;
@@ -84,9 +104,7 @@ object Bpe {
         val merged = pair.replace(" ", "")
         merges += ((r, pair, merged, cnt))
         val next = w
-          .select(regexp_replace(col("word"),
-              lit(Pattern.quote(pair)), lit(Matcher.quoteReplacement(merged)))
-            .as("word"), col("freq"))
+          .select(applyMergeCol(col("word"), pair, merged).as("word"), col("freq"))
           .groupBy("word").agg(sum("freq").as("freq"))
         w = if (r % RematerializeEvery == 0) Materialize.once(next, eager = true)
             else next
@@ -96,19 +114,26 @@ object Bpe {
     merges.result()
   }
 
-  /** Apply trained merges (in rank order) to a corpus: one map-side
-    * pass, no shuffle — each doc's words tokenize independently.
-    * Output: (idCol, bpe_tokens: array<string>) where word boundaries
-    * are preserved (merges never cross words, as in training). */
+  /** Apply trained merges (in rank order, each applied fully before
+    * the next — exactly the training semantics, so training words
+    * re-tokenize to their trained segmentation) to a corpus: one
+    * map-side pass via the native [[graft.functions.BpeSegmentWords]]
+    * expression — plan depth is O(1) in the merge count (a per-merge
+    * expression layer would stack-overflow Catalyst at real
+    * vocabulary sizes), and the symbol-LIST merge inside the
+    * expression is boundary-safe by construction. No shuffle — each
+    * doc's words tokenize independently; word boundaries are never
+    * crossed, as in training. Output: (idCol, bpe_tokens). */
   def applyBpeMerges(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val spacedWords = transform(TextAnalysis.bm25Words(col(textCol)),
-      w => spaced(w))
-    val mergedWords = merges.foldLeft(spacedWords) { case (acc, (pair, merged)) =>
-      transform(acc, w => regexp_replace(w,
-        lit(Pattern.quote(pair)), lit(Matcher.quoteReplacement(merged))))
+    merges.foreach { case (pair, merged) =>
+      require(pair.split(" ", -1).length == 2 && !pair.contains("  "),
+        s"merge pair must be two space-separated symbols (got '$pair')")
+      require(merged == pair.replace(" ", ""),
+        s"merged symbol must be the pair's concatenation (got '$pair' -> '$merged')")
     }
     docs.select(col(idCol),
-      flatten(transform(mergedWords, w => split(w, " "))).as("bpe_tokens"))
+      graft.functions.TextFunctions.bpeSegmentWords(
+        TextAnalysis.bm25Words(col(textCol)), merges.map(_._1)).as("bpe_tokens"))
   }
 }

@@ -39,19 +39,12 @@ object Dsir {
   /** 2^20 — the fineBucket domain the Gumbel uniform draws from. */
   private val NoiseBuckets = 1048576.0
 
-  private def hexVal(hex: Column, i: Int): Column = {
-    val a = ascii(substring(hex, i, 1))
-    a - when(a >= 97, lit(87)).otherwise(lit(48))
-  }
-
   /** First 6 md5 hex digits mod `buckets` — uniform exactly when
     * buckets divides 2^24 (hence the power-of-two requirement), and
-    * verbatim-reproducible in any engine with md5 + ascii. */
-  private[operators] def hashBucket(key: Column, buckets: Int): Column = {
-    val hex = md5(key)
-    val v = (1 to 6).map(hexVal(hex, _)).reduce((acc, h) => acc * 16 + h)
-    pmod(v, lit(buckets)).cast("long")
-  }
+    * verbatim-reproducible in any engine with md5 + ascii (the shared
+    * [[graft.functions.HashFunctions.md5Fold6]] idiom). */
+  private[operators] def hashBucket(key: Column, buckets: Int): Column =
+    graft.functions.HashFunctions.md5Fold6(key, buckets.toLong)
 
   /** Unigrams ++ word bigrams of a text column (the DSIR feature set);
     * tokenizer shared with the BM25/NB family, bigram shape shared

@@ -82,12 +82,12 @@ object Embeddings {
       s"outDim must be in [1, inDim=$inDim] (got $outDim)")
     val spark = df.sparkSession
     // ±1 from the low bit of md5's first hex digit — one digit is
-    // enough for a single fair bit and keeps the oracle expression short
+    // enough for a single fair bit and keeps the oracle expression
+    // short; the digit decode is the shared HashFunctions idiom
     def sign(i: Column, k: Column): Column = {
-      val hex = md5(concat_ws("#", lit("rp"), lit(salt),
-        i.cast("string"), k.cast("string")))
-      val a = ascii(substring(hex, 1, 1))
-      val hv = a - when(a >= 97, lit(87)).otherwise(lit(48))
+      val hv = graft.functions.HashFunctions.md5HexDigit(
+        md5(concat_ws("#", lit("rp"), lit(salt),
+          i.cast("string"), k.cast("string"))), 1)
       (pmod(hv, lit(2)) * 2 - 1).cast("double")
     }
     val matrix = spark.range(1).select(

@@ -67,7 +67,14 @@ object QualityClassifier {
     require(docs.schema(labelCol).dataType == BooleanType,
       s"label column '$labelCol' must be BOOLEAN (true = positive class), " +
         s"got ${docs.schema(labelCol).dataType.simpleString}")
-    val lbl = col(labelCol)
+    // a NULL label is a broken seed set, not a negative example — the
+    // otherwise(...) branches below would silently count it as class
+    // false and bias the fit. raise_error keeps the check lazy (fires
+    // on the first null row at training time) — same loud-failure
+    // philosophy as the ln(0) prior note below.
+    val lbl = coalesce(when(col(labelCol).isNotNull, col(labelCol)),
+      raise_error(concat(lit(s"trainNbQuality: null label in '$labelCol' — " +
+        "seed labels must be non-null booleans"))).cast(BooleanType))
     val toks = docs.select(lbl.as("label"),
       explode(TextAnalysis.bm25Words(col(textCol))).as("term"))
     val counts = toks.groupBy("term").agg(

@@ -111,7 +111,11 @@ object Sampling {
     val u = (fineBucket(concat(col(idCol).cast("string"), lit(salt)))
       .cast("double") + lit(0.5)) / lit(MixBuckets.toDouble)
     val keyed = df
-      .filter(col(weightCol).isNotNull && col(weightCol).cast("double") > 0.0)
+      // NaN must be excluded EXPLICITLY: Spark orders NaN above every
+      // number, so `NaN > 0.0` is true and a NaN key would seize rank 1
+      .filter(col(weightCol).isNotNull &&
+        !isnan(col(weightCol).cast("double")) &&
+        col(weightCol).cast("double") > 0.0)
       .withColumn("es_key", log(u) / col(weightCol).cast("double"))
     val rankKey = if (rankRoundDp >= 0) round(col("es_key"), rankRoundDp)
                   else col("es_key")
@@ -244,15 +248,8 @@ object Sampling {
     * like [[pctBucket]] (md5 + ascii arithmetic reproduce verbatim in
     * any SQL engine; rate granularity ~1e-6 where pctBucket's 100
     * buckets quantize to 1%). */
-  private[operators] def fineBucket(key: Column): Column = {
-    val hex = md5(key)
-    def hv(i: Int): Column = {
-      val a = ascii(substring(hex, i, 1))
-      a - when(a >= 97, lit(87)).otherwise(lit(48))
-    }
-    val v = (1 to 6).map(hv).reduce((acc, h) => acc * 16 + h)
-    pmod(v, lit(1048576)).cast("long")
-  }
+  private[operators] def fineBucket(key: Column): Column =
+    graft.functions.HashFunctions.md5Fold6(key, MixBuckets)
 
   val MixBuckets: Long = 1048576L
 

@@ -169,6 +169,10 @@ object TextAnalysis {
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
       k: Double = 0.5, carryCols: Seq[String] = Seq.empty): DataFrame = {
     require(k > 0, s"smoothing k must be positive, got $k")
+    val reserved = Seq("n_bigrams", "avg_logp", idCol)
+    require(carryCols.intersect(reserved).isEmpty,
+      s"carryCols may not collide with the output columns $reserved " +
+        s"(got ${carryCols.mkString(", ")})")
     val id = col(idCol)
     val w = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
     // bigrams via the zip_with shape (arguments bind once per row —

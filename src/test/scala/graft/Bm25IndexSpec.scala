@@ -140,6 +140,35 @@ class Bm25IndexSpec extends AnyFunSuite {
     assertSameRanking(got, want)
   }
 
+  test("compaction crash: marker stays down until re-run completes; answers restored") {
+    val path = tmp("graft_bm25_crash")
+    Bm25Index.buildBm25Index(corpus(40), "doc_id", "text", path)
+    (0 until 2).foreach { i =>
+      Bm25Index.appendToBm25Index(corpus(10, start = 3000L + i * 100),
+        "doc_id", "text", path)
+    }
+    val before = collectTopK(Bm25Index.queryBm25Index(
+      spark, path, queriesDf, "qid", "q", k = 5, rankRoundDp = 6))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate a compaction killed right after its prologue: sentinel
+    // down, commit marker removed, stores untouched
+    fs.create(new org.apache.hadoop.fs.Path(root, "_graft_compact_inprogress"), true).close()
+    graft.sources.FsSwap.beginArtifact(fs, root)
+    // readers must refuse the torn index
+    intercept[java.io.IOException] {
+      Bm25Index.queryBm25Index(spark, path, queriesDf, "qid", "q", k = 2)
+    }
+    // re-running compaction (sentinel present → committed check skipped)
+    // finishes the job and re-marks
+    val (b, a) = Bm25Index.compactBm25Index(spark, path)
+    assert(a <= b)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_compact_inprogress")))
+    val after = collectTopK(Bm25Index.queryBm25Index(
+      spark, path, queriesDf, "qid", "q", k = 5, rankRoundDp = 6))
+    assert(after == before, "recovered compaction changed query results")
+  }
+
   test("torn build/append refuses loudly; compaction shrinks files and preserves answers") {
     val docs = corpus(50)
     val path = tmp("graft_bm25_maint")

@@ -8,37 +8,49 @@ class BpeSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  // ---- plain-Scala reference BPE (exact) ----
+  // ---- plain-Scala reference BPE (exact, symbol-LIST level — the
+  // ground truth the padded-string replace must equal) ----
   private def refTokens(text: String): Seq[String] =
     text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
 
+  /** Greedy leftmost non-overlapping merge of (x, y) in a symbol list. */
+  private def mergeOnce(sy: List[String], x: String, y: String): List[String] = {
+    val m = x + y
+    val buf = List.newBuilder[String]
+    var rest = sy
+    while (rest.nonEmpty) {
+      rest match {
+        case a :: b :: tail if a == x && b == y => buf += m; rest = tail
+        case a :: tail => buf += a; rest = tail
+        case Nil => ()
+      }
+    }
+    buf.result()
+  }
+
   private def refTrain(texts: Seq[String], n: Int): Seq[(Int, String, String, Long)] = {
-    var words: Map[String, Long] = texts.flatMap(refTokens)
-      .groupBy(w => w.toSeq.mkString(" ")).map { case (w, g) => w -> g.size.toLong }
+    var words: Map[List[String], Long] = texts.flatMap(refTokens)
+      .groupBy(identity).map { case (w, g) =>
+        w.map(_.toString).toList -> g.size.toLong
+      }
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var done = false
     while (r <= n && !done) {
       val pairs = scala.collection.mutable.Map[String, Long]()
-      words.foreach { case (w, f) =>
-        val sy = w.split(" ")
-        (0 until sy.length - 1).foreach { j =>
-          val p = sy(j) + " " + sy(j + 1)
-          pairs(p) = pairs.getOrElse(p, 0L) + f
+      words.foreach { case (sy, f) =>
+        sy.sliding(2).filter(_.size == 2).foreach { p =>
+          val key = p.head + " " + p(1)
+          pairs(key) = pairs.getOrElse(key, 0L) + f
         }
       }
       if (pairs.isEmpty) done = true
       else {
         val (bp, bc) = pairs.toSeq.minBy { case (p, c) => (-c, p) }
-        val merged = bp.replace(" ", "")
-        out += ((r, bp, merged, bc))
-        // literal left-to-right non-overlapping replacement
-        words = words.toSeq
-          .map { case (w, f) =>
-            w.split(java.util.regex.Pattern.quote(bp), -1)
-              .mkString(merged) -> f
-          }
-          .groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }
+        val Array(x, y) = bp.split(" ", 2)
+        out += ((r, bp, x + y, bc))
+        words = words.toSeq.map { case (sy, f) => mergeOnce(sy, x, y) -> f }
+          .groupBy(_._1).map { case (sy, g) => sy -> g.map(_._2).sum }
         r += 1
       }
     }
@@ -47,11 +59,12 @@ class BpeSpec extends AnyFunSuite {
 
   private def refApply(text: String, merges: Seq[(String, String)]): Seq[String] =
     refTokens(text).flatMap { w =>
-      val spaced0 = w.toSeq.mkString(" ")
-      val done = merges.foldLeft(spaced0) { case (acc, (p, m)) =>
-        acc.split(java.util.regex.Pattern.quote(p), -1).mkString(m)
+      var sy = w.map(_.toString).toList
+      merges.foreach { case (p, _) =>
+        val Array(x, y) = p.split(" ", 2)
+        sy = mergeOnce(sy, x, y)
       }
-      done.split(" ").toSeq
+      sy
     }
 
   private val texts = Seq(
@@ -60,7 +73,7 @@ class BpeSpec extends AnyFunSuite {
     "that cat that hat",
     "matter chatter the the the")
 
-  test("trainBpeMerges matches the plain-Scala reference merge-for-merge") {
+  test("trainBpeMerges matches the symbol-list reference merge-for-merge") {
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     for (n <- Seq(1, 4, 10)) {
@@ -68,17 +81,37 @@ class BpeSpec extends AnyFunSuite {
       val want = refTrain(texts, n)
       assert(got == want, s"merge tables differ at n=$n:\n got=$got\nwant=$want")
     }
-    // counts are positive and ranks sequential
     val m = Bpe.trainBpeMerges(df, "text", 6)
     assert(m.map(_._1) == (1 to m.length))
     assert(m.forall(_._4 > 0))
+  }
+
+  test("merges are boundary-safe: a pair can never fuse across a symbol boundary") {
+    // craft merges (t,h) then (h,e): on word 'the', round 1 yields
+    // [th, e]; a substring-level replace of 'h e' would then match
+    // inside 'th e' and produce the never-trained symbol 'the'
+    val merges = Seq(("t h", "th"), ("h e", "he"))
+    val got = Bpe.applyBpeMerges(Seq((1L, "the he them")).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().head._2
+    assert(got == Seq("th", "e", "he", "th", "e", "m"),
+      s"boundary violation: $got")
+    // and TRAINING's padded-string replace equals the list semantics on
+    // a corpus engineered to expose the same trap: 'xa by' substring
+    // match inside 'fooxa byz'-like sequences
+    val trap = Seq("oth e", "t h e") // 'oth e'? words are ws-split: craft words
+    // words: 'othe' and 'the' — after (t,h): othe=[o,t,h,e]->[o,th,e];
+    // the=[th,e]. Pair (h,e) must NOT fire on the 'th' tails.
+    val df = Seq((1L, "othe the othe the he he")).toDF("doc_id", "text")
+    val m = Bpe.trainBpeMerges(df, "text", 3)
+    val want = refTrain(Seq("othe the othe the he he"), 3)
+    assert(m == want, s"training diverged from list semantics:\n got=$m\nwant=$want")
   }
 
   test("applyBpeMerges reproduces the reference tokenization, held-out words included") {
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     val merges = Bpe.trainBpeMerges(df, "text", 8).map(m => (m._2, m._3))
-    // held-out text: unseen words, seen subwords, single chars, empty doc
     val eval = Seq((0L, "the theme thematic x"), (1L, "chat batter"), (2L, ""))
       .toDF("doc_id", "text")
     val got = Bpe.applyBpeMerges(eval, "doc_id", "text", merges)
@@ -98,15 +131,21 @@ class BpeSpec extends AnyFunSuite {
     assert(m == Seq((1, "a b", "ab", 2L))) // one merge possible, then dry
   }
 
-  test("training never re-reads the corpus after the word-type collapse") {
-    // the per-round aggregate runs on the word frame: its plan must not
-    // contain the documents scan (trainBpeMerges materializes word
-    // types eagerly — verify by training on a frame that becomes
-    // invalid after the first pass)
+  test("training is deterministic across runs") {
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     val m1 = Bpe.trainBpeMerges(df, "text", 3)
-    assert(m1.nonEmpty) // and a second train run is deterministic
+    assert(m1.nonEmpty)
     assert(Bpe.trainBpeMerges(df, "text", 3) == m1)
+  }
+
+  test("applyBpeMerges validates pair shape") {
+    val df = Seq((1L, "ab")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Bpe.applyBpeMerges(df, "doc_id", "text", Seq(("a b c", "abc")))
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.applyBpeMerges(df, "doc_id", "text", Seq(("a b", "xy")))
+    }
   }
 }

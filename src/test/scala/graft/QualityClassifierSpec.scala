@@ -127,4 +127,18 @@ class QualityClassifierSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("BOOLEAN"))
   }
+
+  test("null seed labels fail loudly at training time, never count as negatives") {
+    val df = Seq((1L, "a b", Option(true)), (2L, "c d", Option.empty[Boolean]))
+      .toDF("doc_id", "text", "label")
+    // the vocab materialize is eager, so the broken seed fails INSIDE
+    // training — before any model frame escapes
+    val e = intercept[Exception] {
+      QualityClassifier.trainNbQuality(df, "label", "text")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null label")), s"wrong failure: $e")
+  }
 }
