@@ -139,6 +139,35 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.trainBpeMerges(df, "text", 3) == m1)
   }
 
+  test("fuzz: random small-alphabet corpora train and apply reference-exact") {
+    // alphabet {a,b,c,d} forces heavy pair collisions, repeated chars,
+    // and multi-round interactions (merged symbols re-entering pairs)
+    val rnd = new scala.util.Random(20260815L)
+    for (round <- 0 until 5) {
+      val corpus = Seq.fill(20 + rnd.nextInt(20)) {
+        Seq.fill(1 + rnd.nextInt(4))(
+          (0 to rnd.nextInt(7)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+        ).mkString(" ")
+      }
+      val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val n = 1 + rnd.nextInt(12)
+      val got = Bpe.trainBpeMerges(df, "text", n)
+      val want = refTrain(corpus, n)
+      assert(got == want, s"fuzz round $round (n=$n) train diverged:\n got=$got\nwant=$want")
+      if (got.nonEmpty) {
+        val merges = got.map(m => (m._2, m._3))
+        val heldOut = (0 until 6).map(_ =>
+          (0 to rnd.nextInt(9)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString).mkString(" ")
+        val applied = Bpe.applyBpeMerges(
+            Seq((0L, heldOut)).toDF("doc_id", "text"), "doc_id", "text", merges)
+          .as[(Long, Seq[String])].collect().head._2
+        assert(applied == refApply(heldOut, merges),
+          s"fuzz round $round apply diverged on '$heldOut'")
+      }
+    }
+  }
+
   test("applyBpeMerges validates pair shape") {
     val df = Seq((1L, "ab")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
