@@ -140,6 +140,30 @@ class Bm25IndexSpec extends AnyFunSuite {
     assertSameRanking(got, want)
   }
 
+  test("fuzz: random corpora and random build/append splits ≡ the ad-hoc scorer") {
+    val rnd = new scala.util.Random(20260815L)
+    for (round <- 0 until 3) {
+      val n = 30 + rnd.nextInt(40)
+      val docs = (0 until n).map { i =>
+        val words = Seq.fill(1 + rnd.nextInt(12))(s"w${rnd.nextInt(15)}")
+        (i.toLong, words.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val cut = 1 + rnd.nextInt(n - 1)
+      val path = tmp(s"graft_bm25_fuzz$round")
+      Bm25Index.buildBm25Index(df.filter(col("doc_id") < cut), "doc_id", "text", path)
+      Bm25Index.appendToBm25Index(df.filter(col("doc_id") >= cut), "doc_id", "text", path)
+      val qs = Seq.tabulate(3)(q =>
+        (q.toLong, Seq.fill(1 + rnd.nextInt(3))(s"w${rnd.nextInt(18)}").mkString(" ")))
+        .toDF("qid", "q") // some query terms absent from the corpus
+      val want = collectTopK(TextAnalysis.bm25TopK(
+        df, "doc_id", "text", qs, "qid", "q", k = 5, rankRoundDp = 6))
+      val got = collectTopK(Bm25Index.queryBm25Index(
+        spark, path, qs, "qid", "q", k = 5, rankRoundDp = 6))
+      assertSameRanking(got, want)
+    }
+  }
+
   test("compaction crash: marker stays down until re-run completes; answers restored") {
     val path = tmp("graft_bm25_crash")
     Bm25Index.buildBm25Index(corpus(40), "doc_id", "text", path)
