@@ -1167,6 +1167,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_cms_counts" -> ((s, dir) => {
+      // count-min sketch at a deliberately TIGHT width (4×64 cells vs
+      // a ~40-term vocabulary → collisions certain) so the gate
+      // exercises the min-over-rows estimator, not just counting; the
+      // CMS overestimate guarantee (est ≥ true, always) is asserted
+      // in-query; values compare exactly — the md5 cell fold and the
+      // integer counters replay verbatim in SQL.
+      val words = graft.Materialize.once(
+        tbl(s, dir, "documents").select(explode(
+          filter(split(lower(trim(col("text"))), "\\s+"), w => length(w) > 0))
+          .as("term"))) // feeds the sketch, the truth counts, AND the assert pass
+      val sketch = Cms.cmsSketch(words, "term", depth = 4, width = 64)
+      val truth = words.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+      val top = truth.orderBy(col("true_cnt").desc, col("term")).limit(20)
+      val out = Cms.cmsEstimate(sketch, top.select("term"), "term",
+          depth = 4, width = 64)
+        .join(broadcast(top), Seq("term"))
+        .select(col("term"), col("est"), col("true_cnt"))
+      val under = out.filter(col("est") < col("true_cnt")).count()
+      require(under == 0, s"CMS underestimated $under terms — impossible by construction")
+      out.orderBy("term")
+    }),
+
     "text_ccnet_buckets" -> ((s, dir) => {
       // the CCNet pipeline composed end-to-end: corpus-trained bigram
       // LM perplexity proxy (-avg_logp, so LOW = predictable text) →
@@ -3069,6 +3092,31 @@ object SparkEntry {
 
     "text_bpe_merges" -> bpeMergesOracleSql,
     "text_bpe_tokens" -> bpeTokensOracleSql,
+
+    "text_cms_counts" ->
+      // row r's cell = int(md5(term#cms) hex digits [6r+1, 6r+6]) % 64
+      // — the compact 0x-cast form of the shared md5HexFoldAt windows
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |cells AS (
+        |  SELECT r.range AS row,
+        |    ('0x' || substr(md5(term || '#cms'), 1 + 6 * CAST(r.range AS INT), 6))::BIGINT % 64 AS bucket
+        |  FROM toks CROSS JOIN range(4) r),
+        |sk AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+        |truth AS (SELECT term, CAST(count(*) AS BIGINT) AS true_cnt FROM toks GROUP BY term),
+        |top AS (SELECT term, true_cnt FROM truth ORDER BY true_cnt DESC, term LIMIT 20),
+        |pc AS (
+        |  SELECT t.term, r.range AS row,
+        |    ('0x' || substr(md5(t.term || '#cms'), 1 + 6 * CAST(r.range AS INT), 6))::BIGINT % 64 AS bucket
+        |  FROM top t CROSS JOIN range(4) r),
+        |est AS (
+        |  SELECT term, min(coalesce(s.cnt, 0)) AS est
+        |  FROM pc LEFT JOIN sk s USING (row, bucket)
+        |  GROUP BY term)
+        |SELECT t.term, e.est, t.true_cnt
+        |FROM top t JOIN est e USING (term)
+        |ORDER BY t.term""".stripMargin,
 
     "text_ccnet_buckets" ->
       // the text_lm_score fold feeding the text_quantile_buckets fold:
