@@ -1181,10 +1181,14 @@ object SparkEntry {
       val sketch = Cms.cmsSketch(words, "term", depth = 4, width = 64)
       val truth = words.groupBy("term").agg(count(lit(1)).as("true_cnt"))
       val top = truth.orderBy(col("true_cnt").desc, col("term")).limit(20)
-      val out = Cms.cmsEstimate(sketch, top.select("term"), "term",
-          depth = 4, width = 64)
-        .join(broadcast(top), Seq("term"))
-        .select(col("term"), col("est"), col("true_cnt"))
+      // 20-row result materialized ONCE: the in-query assert and the
+      // output would otherwise each re-run the full sketch pipeline
+      val out = graft.Materialize.once(
+        Cms.cmsEstimate(sketch, top.select("term"), "term",
+            depth = 4, width = 64)
+          .join(broadcast(top), Seq("term"))
+          .select(col("term"), col("est"), col("true_cnt")),
+        eager = true)
       val under = out.filter(col("est") < col("true_cnt")).count()
       require(under == 0, s"CMS underestimated $under terms — impossible by construction")
       out.orderBy("term")
