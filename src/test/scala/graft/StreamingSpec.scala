@@ -82,6 +82,40 @@ class StreamingSpec extends AnyFunSuite {
       want.exists(r => r._1 == 101L && !r._4))
   }
 
+  test("CMS accumulates across micro-batches: cell-summed stream sketch ≡ batch sketch") {
+    // the sketch's mergeability IS its streaming story: per-batch
+    // sketches sum cell-wise into the corpus sketch, state bounded at
+    // depth×width forever
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batches = Seq(
+      (0 until 120).map(i => s"t${i % 9}"),
+      (0 until 80).map(i => s"u${i % 5}"),
+      (0 until 50).map(i => s"t${i % 3}"))
+    var acc: Option[org.apache.spark.sql.DataFrame] = None
+    val input = MemoryStream[String]
+    val q = input.toDF().toDF("term").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val sk = graft.operators.Cms.cmsSketch(batch, "term", depth = 3, width = 32)
+        val merged = acc match {
+          case None => sk
+          case Some(prev) => prev.unionByName(sk)
+            .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+        }
+        // pin each accumulated state: the next merge must not re-read
+        // closed micro-batch sources
+        acc = Some(Materialize.once(merged, eager = true))
+        ()
+      }.start()
+    batches.foreach(b => input.addData(b: _*))
+    q.processAllAvailable(); q.stop()
+    val streamed = acc.get.as[(Int, Long, Long)].collect().toSet
+    val whole = graft.operators.Cms.cmsSketch(
+      batches.flatten.toDF("term"), "term", depth = 3, width = 32)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed == whole, "streamed cell-sum diverged from the batch sketch")
+  }
+
   test("session windows close after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
