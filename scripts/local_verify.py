@@ -36,6 +36,26 @@ def main(outdir, sfdir):
             n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
+        # dtype parity: the driver hashes typed values, so an oracle
+        # whose sum()/count() leaks HUGEINT (-> float64 in fetchdf)
+        # hash-mismatches even when every value is numerically equal.
+        # Python == can't see it (4568 == 4568.0), so compare dtype
+        # KINDS (int vs float vs object ...) explicitly. Same-kind
+        # width differences (int32 vs int64) are warned, not failed:
+        # the driver compares stringified cell values, which width
+        # does not change.
+        dt_bad = [(c, str(got[c].dtype), str(exp[c].dtype))
+                  for c in got.columns
+                  if got[c].dtype.kind != exp[c].dtype.kind]
+        if dt_bad:
+            c, gd, ed = dt_bad[0]
+            print(f"FAIL {name}: dtype kind col {c}: got {gd} vs oracle {ed}"
+                  f" (oracle type leak? cast the oracle column)")
+            n_fail += 1; continue
+        for c in got.columns:
+            if str(got[c].dtype) != str(exp[c].dtype):
+                print(f"warn {name}: col {c} dtype width got"
+                      f" {got[c].dtype} vs oracle {exp[c].dtype}")
         bad = None
         for c in got.columns:
             gv, ev = got[c].tolist(), exp[c].tolist()

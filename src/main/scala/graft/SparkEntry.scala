@@ -1979,6 +1979,58 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    "stream_nb_score" -> ((s, dir) => {
+      // frozen-model streaming scoring run FOR REAL: fit the NB quality
+      // classifier ONCE in batch (same salted seed + 2/3 train split as
+      // text_nb_quality), pin the fitted frames, then deliver the
+      // held-out 1/3 as a 3-batch file-source stream scored per
+      // micro-batch by EventStreams.nbScoreSink against the FROZEN
+      // broadcast model. Scoring is stateless across batches, so the
+      // sink's union must be float-identical to batch-scoring the
+      // union — the oracle IS text_nb_quality's oracle. File mtimes are
+      // pinned so the file source replays the intended batch sequence.
+      val base = s"/tmp/graft_nbscore_${dirTag(dir)}"
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(basePath, true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/in"))
+      val salted = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 2 === 0, lit(" clean curated reference"))
+            .otherwise(lit(" spamword clickbait"))).as("text"),
+        (col("doc_id") % 2 === 0).as("label"))
+      val model = graft.operators.QualityClassifier.trainNbQuality(
+        salted.filter(col("doc_id") % 3 =!= 0),
+        "label", "text", vocabSize = 35, smoothing = 1.0)
+      val frozen = graft.operators.QualityClassifier.NbModel(
+        Materialize.once(model.termLogProbs, eager = true),
+        Materialize.once(model.stats, eager = true))
+      val held = salted.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      val n = held.agg(max("doc_id")).head().getLong(0) + 1
+      val batches = (0 until 3).map(b =>
+        held.filter(col("doc_id") * 3 / n >= b && col("doc_id") * 3 / n < b + 1))
+      batches.zipWithIndex.foreach { case (df, b) =>
+        val tmp = s"$base/tmp$b"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).filter(_.getName.startsWith("part-")).head
+        val dest = new org.apache.hadoop.fs.Path(s"$base/in/batch$b.parquet")
+        fs.rename(part, dest)
+        fs.setTimes(dest, 60000L * (b + 1), -1)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      val stream = s.readStream.schema(held.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      val q = graft.streaming.EventStreams.nbScoreSink(stream, frozen,
+        s"$base/scores", "doc_id", "text",
+        checkpointDir = Some(s"$base/ckpt"))
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/scores")
+        .select(col("doc_id"), col("n_tokens"), col("logit"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     "q31_subqueries" -> ((s, dir) => {
       tbl(s, dir, "orders"); tbl(s, dir, "customer")
       // correlated EXISTS + scalar subquery (max-based threshold keeps the
@@ -3030,69 +3082,12 @@ object SparkEntry {
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
-    "text_nb_quality" ->
-      // identical NB fold: exact integer counts -> ln ratios; the
-      // vocab cap's (total DESC, term ASC) order is total in both
-      // engines (ASCII terms, binary collation)
-      """WITH salted AS (
-        |  SELECT doc_id,
-        |    concat(coalesce(text, ''),
-        |      CASE WHEN doc_id % 2 = 0 THEN ' clean curated reference'
-        |           ELSE ' spamword clickbait' END) AS text,
-        |    (doc_id % 2 = 0) AS label
-        |  FROM documents),
-        |train AS (
-        |  SELECT doc_id, text, label
-        |  FROM salted WHERE doc_id % 3 <> 0),
-        |toks AS (
-        |  SELECT label,
-        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS term
-        |  FROM train),
-        |counts AS (
-        |  SELECT term,
-        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
-        |    CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
-        |  FROM toks GROUP BY term),
-        |vocab AS (
-        |  SELECT * FROM counts ORDER BY (c_pos + c_neg) DESC, term LIMIT 35),
-        |totals AS (
-        |  SELECT coalesce(CAST(sum(c_pos) AS DOUBLE), 0.0) AS t_pos,
-        |         coalesce(CAST(sum(c_neg) AS DOUBLE), 0.0) AS t_neg,
-        |         CAST(count(*) AS DOUBLE) AS v_size
-        |  FROM vocab),
-        |model AS (
-        |  SELECT term,
-        |    ln((CAST(c_pos AS DOUBLE) + 1.0) / (t_pos + 1.0 * (v_size + 1.0))) -
-        |    ln((CAST(c_neg AS DOUBLE) + 1.0) / (t_neg + 1.0 * (v_size + 1.0))) AS lp_diff
-        |  FROM vocab CROSS JOIN totals),
-        |konst AS (
-        |  SELECT
-        |    ln(1.0 / (t_pos + 1.0 * (v_size + 1.0))) -
-        |      ln(1.0 / (t_neg + 1.0 * (v_size + 1.0))) AS lp_oov_diff,
-        |    (SELECT ln(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE))
-        |          - ln(CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE))
-        |     FROM train) AS lp_prior_diff
-        |  FROM totals),
-        |score AS (SELECT doc_id, text FROM salted WHERE doc_id % 3 = 0),
-        |stoks AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS term
-        |  FROM score),
-        |perdoc AS (
-        |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |    sum(coalesce(m.lp_diff, k.lp_oov_diff)) AS sum_lp
-        |  FROM stoks s
-        |  LEFT JOIN model m USING (term)
-        |  CROSS JOIN konst k
-        |  GROUP BY s.doc_id)
-        |SELECT d.doc_id,
-        |  coalesce(p.n_tokens, 0) AS n_tokens,
-        |  round(coalesce(p.sum_lp, 0.0) + k.lp_prior_diff, 6) AS logit,
-        |  (coalesce(p.sum_lp, 0.0) + k.lp_prior_diff) > 0.0 AS keep
-        |FROM score d
-        |LEFT JOIN perdoc p USING (doc_id)
-        |CROSS JOIN konst k
-        |ORDER BY doc_id""".stripMargin,
+    "text_nb_quality" -> nbQualityOracleSql,
+
+    // frozen-model streaming scoring is stateless across batches, so
+    // the stream sink's union ≡ batch-scoring the union: the oracle IS
+    // the batch gate's oracle, byte-for-byte
+    "stream_nb_score" -> nbQualityOracleSql,
 
     "text_bpe_merges" -> bpeMergesOracleSql,
     "text_bpe_tokens" -> bpeTokensOracleSql,
@@ -4310,7 +4305,7 @@ object SparkEntry {
            |  GROUP BY 1)""".stripMargin
     val rounds = (1 to n).map { r =>
       raw"""p$r AS MATERIALIZED (
-           |  SELECT pr, sum(freq) AS cnt FROM (
+           |  SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM (
            |    SELECT unnest(CASE WHEN len(sy) < 2 THEN CAST([] AS VARCHAR[])
            |      ELSE list_transform(range(1, len(sy)), j -> sy[j] || ' ' || sy[j + 1]) END) AS pr, freq
            |    FROM (SELECT string_split(trim(word), '  ') AS sy, freq FROM w${r - 1}))
@@ -4327,6 +4322,74 @@ object SparkEntry {
 
   /** Number of merges both bpe gates train — oracle rounds must match. */
   private val BpeGateMerges = 8
+
+  /** Shared oracle for the NB quality classifier gates: identical NB
+    * fold (exact integer counts -> ln ratios; the vocab cap's
+    * (total DESC, term ASC) order is total in both engines — ASCII
+    * terms, binary collation). Used verbatim by BOTH `text_nb_quality`
+    * (batch train+score) and `stream_nb_score` (frozen-model
+    * micro-batch scoring): stateless scoring makes the stream union ≡
+    * the batch score of the union. */
+  private val nbQualityOracleSql: String =
+    """WITH salted AS (
+        |  SELECT doc_id,
+        |    concat(coalesce(text, ''),
+        |      CASE WHEN doc_id % 2 = 0 THEN ' clean curated reference'
+        |           ELSE ' spamword clickbait' END) AS text,
+        |    (doc_id % 2 = 0) AS label
+        |  FROM documents),
+        |train AS (
+        |  SELECT doc_id, text, label
+        |  FROM salted WHERE doc_id % 3 <> 0),
+        |toks AS (
+        |  SELECT label,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM train),
+        |counts AS (
+        |  SELECT term,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+        |    CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+        |  FROM toks GROUP BY term),
+        |vocab AS (
+        |  SELECT * FROM counts ORDER BY (c_pos + c_neg) DESC, term LIMIT 35),
+        |totals AS (
+        |  SELECT coalesce(CAST(sum(c_pos) AS DOUBLE), 0.0) AS t_pos,
+        |         coalesce(CAST(sum(c_neg) AS DOUBLE), 0.0) AS t_neg,
+        |         CAST(count(*) AS DOUBLE) AS v_size
+        |  FROM vocab),
+        |model AS (
+        |  SELECT term,
+        |    ln((CAST(c_pos AS DOUBLE) + 1.0) / (t_pos + 1.0 * (v_size + 1.0))) -
+        |    ln((CAST(c_neg AS DOUBLE) + 1.0) / (t_neg + 1.0 * (v_size + 1.0))) AS lp_diff
+        |  FROM vocab CROSS JOIN totals),
+        |konst AS (
+        |  SELECT
+        |    ln(1.0 / (t_pos + 1.0 * (v_size + 1.0))) -
+        |      ln(1.0 / (t_neg + 1.0 * (v_size + 1.0))) AS lp_oov_diff,
+        |    (SELECT ln(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |          - ln(CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |     FROM train) AS lp_prior_diff
+        |  FROM totals),
+        |score AS (SELECT doc_id, text FROM salted WHERE doc_id % 3 = 0),
+        |stoks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM score),
+        |perdoc AS (
+        |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    sum(coalesce(m.lp_diff, k.lp_oov_diff)) AS sum_lp
+        |  FROM stoks s
+        |  LEFT JOIN model m USING (term)
+        |  CROSS JOIN konst k
+        |  GROUP BY s.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(p.n_tokens, 0) AS n_tokens,
+        |  round(coalesce(p.sum_lp, 0.0) + k.lp_prior_diff, 6) AS logit,
+        |  (coalesce(p.sum_lp, 0.0) + k.lp_prior_diff) > 0.0 AS keep
+        |FROM score d
+        |LEFT JOIN perdoc p USING (doc_id)
+        |CROSS JOIN konst k
+        |ORDER BY doc_id""".stripMargin
 
   private def bpeMergesOracleSql: String = {
     val rows = (1 to BpeGateMerges).map(r =>

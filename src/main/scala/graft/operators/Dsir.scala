@@ -94,7 +94,7 @@ object Dsir {
     val q = feats.filter(col("bucket").isNotNull)
       .groupBy("bucket").agg(count(lit(1)).as("c_q"))
     val totals = p.agg(coalesce(sum("c_p"), lit(0L)).cast("double").as("t_p"))
-      .crossJoin(q.agg(coalesce(sum("c_q"), lit(0L)).cast("double").as("t_q")))
+      .crossJoin(broadcast(q.agg(coalesce(sum("c_q"), lit(0L)).cast("double").as("t_q"))))
     // B-row model over the FULL [0, buckets) domain — empty cells carry
     // the smoothing floor, so scoring needs no out-of-model path
     val model = spark.range(buckets).toDF("bucket")

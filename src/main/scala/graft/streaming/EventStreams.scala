@@ -900,6 +900,53 @@ object EventStreams {
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }
 
+  /** Frozen-model streaming scoring: score every arriving micro-batch
+    * of documents against a FITTED quality classifier and append the
+    * scores to a parquet sink — the "train once in batch, serve on the
+    * stream" half of the CCNet/GPT-3 curation pipelines, and the
+    * trained-model counterpart of [[semanticIngestSink]]'s semantic
+    * admission.
+    *
+    * The caller trains ONCE with
+    * [[graft.operators.QualityClassifier.trainNbQuality]] and MUST pin
+    * the fitted frames (`Materialize.once(_, eager = true)`) before
+    * passing them here — otherwise every micro-batch re-derives the fit
+    * from its training lineage (a full training-corpus scan per batch).
+    * With a pinned model, scoring is map-side against the ≤ vocabSize
+    * broadcast model plus one batch-sized shuffle (the per-doc sum), so
+    * per-batch cost scales with the BATCH, never the training corpus —
+    * the property that makes this serveable against an unbounded
+    * stream. Because the model is frozen and scoring is stateless
+    * across batches, the union of per-batch scores is float-identical
+    * to batch-scoring the union (StreamingSpec; oracle-gated as
+    * `stream_nb_score`).
+    *
+    * `logit` is emitted rounded to `roundDp` (ln() is transcendental
+    * and the per-doc sum order-sensitive at the 1e-15 level — same
+    * policy as the batch gates); `keep` compares the UNROUNDED logit
+    * to 0. Delivery is at-least-once: a batch replayed after a sink
+    * failure appends its scores twice — dedupe on read
+    * (`dropDuplicates(idCol)`: scores are deterministic, any copy
+    * wins) or point the sink at an [[upsertSink]]-managed store when
+    * exactly-once matters. */
+  def nbScoreSink(docs: DataFrame,
+      model: graft.operators.QualityClassifier.NbModel,
+      sinkPath: String, idCol: String, textCol: String,
+      checkpointDir: Option[String] = None,
+      roundDp: Int = 6): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.QualityClassifier
+          .scoreNbQuality(spreadBatch(batch.toDF()), idCol, textCol, model)
+          .select(col(idCol), col("n_tokens"),
+            round(col("logit"), roundDp).as("logit"), col("keep"))
+          .write.mode("append").parquet(sinkPath)
+        ()
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * totals emitted on every update (the escape hatch for semantics
     * session_window/window can't express).
