@@ -1943,8 +1943,15 @@ object SparkEntry {
       val q = graft.streaming.EventStreams.upsertSink(stream, s"$base/snap",
         Seq("k"), "v", checkpointDir = Some(s"$base/ckpt"))
       try q.processAllAvailable() finally q.stop()
+      // surface the maintenance advisor's verdict in the gate output:
+      // the 997-key snapshot is tiny at every gate scale, so a healthy
+      // advisor says false deterministically — if shouldRebucket ever
+      // misfires on a small snapshot (or the bucket-count bookkeeping
+      // drifts), this column turns the ORACLE red, not just a unit test
+      val advice = graft.streaming.EventStreams.shouldRebucket(s, s"$base/snap")
       s.read.parquet(s"$base/snap")
         .select(col("k"), col("v"), col("value"), col("event_type"))
+        .withColumn("rebucket_advised", lit(advice.shouldRebucket))
         .orderBy("k")
     }),
 
@@ -3379,7 +3386,8 @@ object SparkEntry {
         |         (event_type = 'error') AS is_del
         |  FROM events WHERE event_id IS NOT NULL
         |), latest AS (SELECT k, max(v) AS v FROM c GROUP BY k)
-        |SELECT c.k, c.v, c.value, c.event_type
+        |SELECT c.k, c.v, c.value, c.event_type,
+        |       FALSE AS rebucket_advised
         |FROM c JOIN latest ON c.k = latest.k AND c.v = latest.v
         |WHERE NOT c.is_del
         |ORDER BY c.k""".stripMargin,

@@ -82,6 +82,52 @@ class StreamingSpec extends AnyFunSuite {
       want.exists(r => r._1 == 101L && !r._4))
   }
 
+  test("nbScoreSink: parquet sink union ≡ batch scoring; logit rounded, keep exact") {
+    // the packaged sink around the frozen-model foreachBatch pattern
+    // the previous test spells out by hand: same model, but scores land
+    // in an on-disk parquet sink across multiple micro-batches
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val train = (0 until 40).map { i =>
+      val good = i % 2 == 0
+      val words = (if (good) Seq("clean", "prose") else Seq("spam", "junk")) ++
+        Seq("common", s"w${i % 5}")
+      (i.toLong, words.mkString(" "), good)
+    }.toDF("doc_id", "text", "label")
+    val model = graft.operators.QualityClassifier
+      .trainNbQuality(train, "label", "text")
+    val frozen = graft.operators.QualityClassifier.NbModel(
+      Materialize.once(model.termLogProbs, eager = true),
+      Materialize.once(model.stats, eager = true))
+    val evalRows = Seq((100L, "clean prose common"), (101L, "junk spam spam"),
+      (102L, ""), (103L, "unseen words only"))
+    val want = graft.operators.QualityClassifier
+      .scoreNbQuality(evalRows.toDF("doc_id", "text"), "doc_id", "text", frozen)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("logit"), 6).as("logit"), col("keep"))
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+
+    val base = s"/tmp/graft_test_nbsink_${System.nanoTime()}"
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.nbScoreSink(
+      input.toDF().toDF("doc_id", "text"), frozen,
+      s"$base/scores", "doc_id", "text",
+      checkpointDir = Some(s"$base/ckpt"))
+    input.addData(evalRows.take(2): _*)
+    input.addData(evalRows.drop(2): _*)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$base/scores")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(got == want, s"sink scores diverged:\n got=$got\nwant=$want")
+    // replay tolerance is BY DEDUP (scores are deterministic): a
+    // re-appended batch collapses to the same rows
+    val replayed = spark.read.parquet(s"$base/scores")
+      .unionAll(spark.read.parquet(s"$base/scores"))
+      .dropDuplicates("doc_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(replayed == want)
+  }
+
   test("CMS accumulates across micro-batches: cell-summed stream sketch ≡ batch sketch") {
     // the sketch's mergeability IS its streaming story: per-batch
     // sketches sum cell-wise into the corpus sketch, state bounded at
