@@ -2038,6 +2038,61 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "stream_cms_counts" -> ((s, dir) => {
+      // streaming CMS accumulation run FOR REAL: the full corpus
+      // arrives as a 3-batch file-source stream, each batch's token
+      // sketch cell-summed EXACTLY ONCE (batch-id marker protocol)
+      // into the persisted depth×width state; mergeability means the
+      // final state must equal the batch sketch of the union
+      // byte-for-byte, so the estimates replay text_cms_counts'
+      // oracle verbatim (same tight 4×64 shape — collisions certain,
+      // the min-estimator exercised; est ≥ true asserted in-query).
+      val base = s"/tmp/graft_cmsacc_${dirTag(dir)}"
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(basePath, true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/in"))
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+      val batches = (0 until 3).map(b =>
+        docs.filter(col("doc_id") * 3 / n >= b && col("doc_id") * 3 / n < b + 1))
+      batches.zipWithIndex.foreach { case (df, b) =>
+        val tmp = s"$base/tmp$b"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).filter(_.getName.startsWith("part-")).head
+        val dest = new org.apache.hadoop.fs.Path(s"$base/in/batch$b.parquet")
+        fs.rename(part, dest)
+        fs.setTimes(dest, 60000L * (b + 1), -1)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      val terms = stream.select(explode(
+        filter(split(lower(trim(col("text"))), "\\s+"), w => length(w) > 0))
+        .as("term"))
+      val q = graft.streaming.EventStreams.cmsAccumulateSink(terms,
+        s"$base/sketch", depth = 4, width = 64,
+        checkpointDir = Some(s"$base/ckpt"))
+      try q.processAllAvailable() finally q.stop()
+      val sketch = s.read.parquet(s"$base/sketch")
+      val words = graft.Materialize.once(
+        tbl(s, dir, "documents").select(explode(
+          filter(split(lower(trim(col("text"))), "\\s+"), w => length(w) > 0))
+          .as("term")))
+      val truth = words.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+      val top = truth.orderBy(col("true_cnt").desc, col("term")).limit(20)
+      val out = graft.Materialize.once(
+        Cms.cmsEstimate(sketch, top.select("term"), "term",
+            depth = 4, width = 64)
+          .join(broadcast(top), Seq("term"))
+          .select(col("term"), col("est"), col("true_cnt")),
+        eager = true)
+      val under = out.filter(col("est") < col("true_cnt")).count()
+      require(under == 0, s"CMS underestimated $under terms — impossible by construction")
+      out.orderBy("term")
+    }),
+
     "q31_subqueries" -> ((s, dir) => {
       tbl(s, dir, "orders"); tbl(s, dir, "customer")
       // correlated EXISTS + scalar subquery (max-based threshold keeps the
@@ -3099,30 +3154,12 @@ object SparkEntry {
     "text_bpe_merges" -> bpeMergesOracleSql,
     "text_bpe_tokens" -> bpeTokensOracleSql,
 
-    "text_cms_counts" ->
-      // row r's cell = int(md5(term#cms) hex digits [6r+1, 6r+6]) % 64
-      // — the compact 0x-cast form of the shared md5HexFoldAt windows
-      """WITH toks AS (
-        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS term
-        |  FROM documents),
-        |cells AS (
-        |  SELECT r.range AS row,
-        |    ('0x' || substr(md5(term || '#cms'), 1 + 6 * CAST(r.range AS INT), 6))::BIGINT % 64 AS bucket
-        |  FROM toks CROSS JOIN range(4) r),
-        |sk AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
-        |truth AS (SELECT term, CAST(count(*) AS BIGINT) AS true_cnt FROM toks GROUP BY term),
-        |top AS (SELECT term, true_cnt FROM truth ORDER BY true_cnt DESC, term LIMIT 20),
-        |pc AS (
-        |  SELECT t.term, r.range AS row,
-        |    ('0x' || substr(md5(t.term || '#cms'), 1 + 6 * CAST(r.range AS INT), 6))::BIGINT % 64 AS bucket
-        |  FROM top t CROSS JOIN range(4) r),
-        |est AS (
-        |  SELECT term, min(coalesce(s.cnt, 0)) AS est
-        |  FROM pc LEFT JOIN sk s USING (row, bucket)
-        |  GROUP BY term)
-        |SELECT t.term, e.est, t.true_cnt
-        |FROM top t JOIN est e USING (term)
-        |ORDER BY t.term""".stripMargin,
+    "text_cms_counts" -> cmsCountsOracleSql,
+
+    // the sketch's mergeability is exactness here: exactly-once
+    // cell-summed per-batch sketches equal the batch sketch of the
+    // union byte-for-byte, so the stream gate shares the batch oracle
+    "stream_cms_counts" -> cmsCountsOracleSql,
 
     "text_ccnet_buckets" ->
       // the text_lm_score fold feeding the text_quantile_buckets fold:
@@ -4398,6 +4435,35 @@ object SparkEntry {
         |LEFT JOIN perdoc p USING (doc_id)
         |CROSS JOIN konst k
         |ORDER BY doc_id""".stripMargin
+
+  /** Shared oracle for the count–min gates: row r's cell =
+    * int(md5(term#cms) hex digits [6r+1, 6r+6]) % 64 — the compact
+    * 0x-cast form of the shared md5HexFoldAt windows. Used verbatim by
+    * BOTH `text_cms_counts` (batch sketch) and `stream_cms_counts`
+    * (exactly-once cell-summed micro-batch accumulation): mergeability
+    * makes the stream state ≡ the batch sketch of the union. */
+  private val cmsCountsOracleSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |cells AS (
+      |  SELECT r.range AS row,
+      |    ('0x' || substr(md5(term || '#cms'), 1 + 6 * CAST(r.range AS INT), 6))::BIGINT % 64 AS bucket
+      |  FROM toks CROSS JOIN range(4) r),
+      |sk AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+      |truth AS (SELECT term, CAST(count(*) AS BIGINT) AS true_cnt FROM toks GROUP BY term),
+      |top AS (SELECT term, true_cnt FROM truth ORDER BY true_cnt DESC, term LIMIT 20),
+      |pc AS (
+      |  SELECT t.term, r.range AS row,
+      |    ('0x' || substr(md5(t.term || '#cms'), 1 + 6 * CAST(r.range AS INT), 6))::BIGINT % 64 AS bucket
+      |  FROM top t CROSS JOIN range(4) r),
+      |est AS (
+      |  SELECT term, min(coalesce(s.cnt, 0)) AS est
+      |  FROM pc LEFT JOIN sk s USING (row, bucket)
+      |  GROUP BY term)
+      |SELECT t.term, e.est, t.true_cnt
+      |FROM top t JOIN est e USING (term)
+      |ORDER BY t.term""".stripMargin
 
   private def bpeMergesOracleSql: String = {
     val rows = (1 to BpeGateMerges).map(r =>

@@ -947,6 +947,109 @@ object EventStreams {
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }
 
+  private val CmsBatchFile = "_graft_cms_batch"
+  private val CmsShapeFile = "_graft_cms_shape"
+
+  private def readStateMarker(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, name: String): Option[String] = {
+    val f = new org.apache.hadoop.fs.Path(dir, name)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  private def writeStateMarker(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, name: String, value: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+    try out.write(s"$value\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** One micro-batch of [[cmsAccumulateSink]]: fold `batchDf`'s key
+    * occurrences into the persisted sketch state at `sketchPath`,
+    * EXACTLY ONCE per `batchId`. The state is the (row, bucket, cnt)
+    * sketch frame plus two markers written INSIDE the staging before
+    * the swap (the [[rebucket]] stamp discipline): the last-folded
+    * batch id — a replayed batch (same id) is skipped, which is what
+    * upgrades foreachBatch's at-least-once delivery to exactly-once
+    * counts — and the sketch shape, so a restart with different
+    * depth/width refuses loudly instead of cell-summing incompatible
+    * geometries. Crash-safe at every instant via the [[graft.sources.FsSwap]]
+    * whole-directory protocol: a staging discarded by recovery is
+    * re-derived because the committed state's batch marker still names
+    * the previous batch, so the source replays the lost batch into
+    * this same idempotent fold. */
+  private[graft] def applyCmsBatch(batchDf: DataFrame, sketchPath: String,
+      batchId: Long, depth: Int, width: Int): Unit = {
+    val spark = batchDf.sparkSession
+    val target = new org.apache.hadoop.fs.Path(sketchPath)
+    val staging = new org.apache.hadoop.fs.Path(sketchPath + ".__graft-cms-staging__")
+    val retired = new org.apache.hadoop.fs.Path(sketchPath + ".__graft-cms-old__")
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.FsSwap.recover(fs, target, staging, retired, "cmsAccumulateSink")
+    val keyCol = batchDf.columns.head
+    if (fs.exists(target) &&
+        readStateMarker(fs, target, CmsBatchFile).exists(_.toLong >= batchId)) {
+      // replay of an already-folded batch — the committed state
+      // carries its counts; folding again would double-count
+      return
+    }
+    val sk = graft.operators.Cms.cmsSketch(
+      spreadBatch(batchDf), keyCol, depth, width)
+    val merged =
+      if (!fs.exists(target)) sk
+      else {
+        val shape = s"$depth,$width"
+        readStateMarker(fs, target, CmsShapeFile).foreach(prev =>
+          require(prev == shape,
+            s"cmsAccumulateSink: state at $sketchPath has shape ($prev), " +
+              s"sink configured ($shape) — cell-summing incompatible " +
+              "geometries would corrupt every estimate; use a new path"))
+        spark.read.parquet(target.toString)
+          .unionByName(sk)
+          .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+      }
+    // the state is ≤ depth·width rows by construction — one file keeps
+    // the per-batch swap a single rename pair at any corpus size
+    merged.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    writeStateMarker(fs, staging, CmsBatchFile, batchId.toString)
+    writeStateMarker(fs, staging, CmsShapeFile, s"$depth,$width")
+    graft.sources.FsSwap.swap(fs, target, staging, retired, "cmsAccumulateSink")
+  }
+
+  /** Streaming count–min accumulation: fold every arriving micro-batch
+    * of keys into a persisted bounded-memory frequency sketch — the
+    * unbounded-stream counterpart of [[graft.operators.Cms.cmsSketch]],
+    * exploiting the sketch's mergeability (per-batch sketches cell-sum
+    * into the sketch of the union, CmsSpec/StreamingSpec): state is
+    * ≤ depth·width rows FOREVER, regardless of how many distinct keys
+    * the stream carries — the estimator for "how often has this URL /
+    * n-gram / token appeared so far" that a dedup or curation pipeline
+    * consults without a corpus-sized state store.
+    *
+    * `keys` must be a single-column streaming frame (select the key
+    * expression before the sink — e.g. exploded tokens). Per-batch
+    * cost: one batch-sized sketch (shuffle key space depth·width) +
+    * one ≤ depth·width-row state merge + a rename-pair swap. Counts
+    * are EXACTLY-ONCE per batch id ([[applyCmsBatch]]'s marker
+    * protocol), so the final state equals the batch sketch of the
+    * union byte-for-byte (oracle-gated: `stream_cms_counts`). */
+  def cmsAccumulateSink(keys: DataFrame, sketchPath: String,
+      depth: Int = 4, width: Int = 4096,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keys.columns.length == 1,
+      s"cmsAccumulateSink: keys must be a single-column frame of key " +
+        s"occurrences, got ${keys.columns.mkString("(", ", ", ")")}")
+    val writer = keys.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyCmsBatch(batch.toDF(), sketchPath, batchId, depth, width)
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * totals emitted on every update (the escape hatch for semantics
     * session_window/window can't express).

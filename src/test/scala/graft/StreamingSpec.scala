@@ -162,6 +162,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == whole, "streamed cell-sum diverged from the batch sketch")
   }
 
+  test("cmsAccumulateSink: persisted state ≡ batch sketch; replayed batch folds once; shape refusal") {
+    // the PACKAGED persisted version of the accumulation above: state
+    // on disk, exactly-once per batch id, crash-safe swap
+    import spark.implicits._
+    val base = s"/tmp/graft_test_cmsacc_${System.nanoTime()}"
+    val path = s"$base/sketch"
+    val batches = Seq(
+      (0 until 120).map(i => s"t${i % 9}"),
+      (0 until 80).map(i => s"u${i % 5}"),
+      (0 until 50).map(i => s"t${i % 3}"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      EventStreams.applyCmsBatch(b.toDF("term"), path, i.toLong,
+        depth = 3, width = 32)
+    }
+    def state() = spark.read.parquet(path).as[(Int, Long, Long)].collect().toSet
+    val whole = graft.operators.Cms.cmsSketch(
+      batches.flatten.toDF("term"), "term", depth = 3, width = 32)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(state() == whole, "persisted cell-sum diverged from the batch sketch")
+    // at-least-once delivery replays a batch with its ORIGINAL id —
+    // the marker makes the re-fold a no-op, counts stay exact
+    EventStreams.applyCmsBatch(batches(1).toDF("term"), path, 1L,
+      depth = 3, width = 32)
+    EventStreams.applyCmsBatch(batches(2).toDF("term"), path, 2L,
+      depth = 3, width = 32)
+    assert(state() == whole, "replayed batches double-counted")
+    // a NEW batch id still folds
+    EventStreams.applyCmsBatch(Seq("t0", "t0").toDF("term"), path, 3L,
+      depth = 3, width = 32)
+    val afterNew = graft.operators.Cms.cmsSketch(
+      (batches.flatten ++ Seq("t0", "t0")).toDF("term"), "term",
+      depth = 3, width = 32).as[(Int, Long, Long)].collect().toSet
+    assert(state() == afterNew)
+    // incompatible geometry refuses loudly instead of corrupting cells
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.applyCmsBatch(Seq("x").toDF("term"), path, 4L,
+        depth = 4, width = 64)
+    }
+    assert(e.getMessage.contains("shape"))
+    // the streaming wrapper rejects multi-column key frames up front
+    val e2 = intercept[IllegalArgumentException] {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(String, Long)]
+      EventStreams.cmsAccumulateSink(
+        input.toDF().toDF("term", "junk"), s"$base/other")
+    }
+    assert(e2.getMessage.contains("single-column"))
+  }
+
   test("session windows close after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
