@@ -1035,7 +1035,14 @@ object EventStreams {
     * one ≤ depth·width-row state merge + a rename-pair swap. Counts
     * are EXACTLY-ONCE per batch id ([[applyCmsBatch]]'s marker
     * protocol), so the final state equals the batch sketch of the
-    * union byte-for-byte (oracle-gated: `stream_cms_counts`). */
+    * union byte-for-byte (oracle-gated: `stream_cms_counts`).
+    *
+    * ONE WRITER PER STATE PATH: the swap's staging/retired names are
+    * fixed per target ([[graft.sources.FsSwap]]), so two sinks
+    * accumulating into the same path can destroy each other's
+    * in-flight staging — same single-maintainer discipline as
+    * [[upsertSink]]. Fan-in instead: per-stream sketches at distinct
+    * paths cell-sum into a combined estimate (mergeability again). */
   def cmsAccumulateSink(keys: DataFrame, sketchPath: String,
       depth: Int = 4, width: Int = 4096,
       checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
