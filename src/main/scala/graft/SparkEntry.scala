@@ -2017,18 +2017,26 @@ object SparkEntry {
       val n = held.agg(max("doc_id")).head().getLong(0) + 1
       val batches = (0 until 3).map(b =>
         held.filter(col("doc_id") * 3 / n >= b && col("doc_id") * 3 / n < b + 1))
+      // frozen-model scoring is STATELESS across batches, so the gate
+      // value is independent of batch composition — unlike the dedup/
+      // upsert gates (whose oracles unroll a specific batch sequence),
+      // each tercile can stage as 8 parallel part files (a coalesce(1)
+      // write here was a single-core corpus rewrite at sf10) grouped
+      // into one trigger by maxFilesPerTrigger below
       batches.zipWithIndex.foreach { case (df, b) =>
         val tmp = s"$base/tmp$b"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-          .map(_.getPath).filter(_.getName.startsWith("part-")).head
-        val dest = new org.apache.hadoop.fs.Path(s"$base/in/batch$b.parquet")
-        fs.rename(part, dest)
-        fs.setTimes(dest, 60000L * (b + 1), -1)
+        df.repartition(8).write.mode("overwrite").parquet(tmp)
+        fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).filter(_.getName.startsWith("part-"))
+          .zipWithIndex.foreach { case (part, i) =>
+            val dest = new org.apache.hadoop.fs.Path(s"$base/in/batch${b}_$i.parquet")
+            fs.rename(part, dest)
+            fs.setTimes(dest, 60000L * (b + 1), -1)
+          }
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       }
       val stream = s.readStream.schema(held.schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+        .option("maxFilesPerTrigger", "8").parquet(s"$base/in")
       val q = graft.streaming.EventStreams.nbScoreSink(stream, frozen,
         s"$base/scores", "doc_id", "text",
         checkpointDir = Some(s"$base/ckpt"))
@@ -2056,18 +2064,24 @@ object SparkEntry {
       val n = docs.agg(max("doc_id")).head().getLong(0) + 1
       val batches = (0 until 3).map(b =>
         docs.filter(col("doc_id") * 3 / n >= b && col("doc_id") * 3 / n < b + 1))
+      // exactly-once cell-summing makes the final state independent of
+      // batch composition, so each tercile stages as 8 parallel part
+      // files (vs a single-core coalesce(1) corpus rewrite at sf10)
+      // grouped into one trigger by maxFilesPerTrigger below
       batches.zipWithIndex.foreach { case (df, b) =>
         val tmp = s"$base/tmp$b"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-          .map(_.getPath).filter(_.getName.startsWith("part-")).head
-        val dest = new org.apache.hadoop.fs.Path(s"$base/in/batch$b.parquet")
-        fs.rename(part, dest)
-        fs.setTimes(dest, 60000L * (b + 1), -1)
+        df.repartition(8).write.mode("overwrite").parquet(tmp)
+        fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).filter(_.getName.startsWith("part-"))
+          .zipWithIndex.foreach { case (part, i) =>
+            val dest = new org.apache.hadoop.fs.Path(s"$base/in/batch${b}_$i.parquet")
+            fs.rename(part, dest)
+            fs.setTimes(dest, 60000L * (b + 1), -1)
+          }
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       }
       val stream = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+        .option("maxFilesPerTrigger", "8").parquet(s"$base/in")
       val terms = stream.select(explode(
         filter(split(lower(trim(col("text"))), "\\s+"), w => length(w) > 0))
         .as("term"))
