@@ -972,11 +972,13 @@ object EventStreams {
     * EXACTLY ONCE per `batchId`. The state is the (row, bucket, cnt)
     * sketch frame plus two markers written INSIDE the staging before
     * the swap (the [[rebucket]] stamp discipline): the last-folded
-    * batch id — a replayed batch (same id) is skipped, which is what
-    * upgrades foreachBatch's at-least-once delivery to exactly-once
-    * counts — and the sketch shape, so a restart with different
-    * depth/width refuses loudly instead of cell-summing incompatible
-    * geometries. Crash-safe at every instant via the [[graft.sources.FsSwap]]
+    * batch id — a replay of that batch (same id) is skipped, which is
+    * what upgrades foreachBatch's at-least-once delivery to
+    * exactly-once counts, while an id BEHIND the marker (a fresh or
+    * mismatched checkpoint against existing state — skipping would
+    * silently drop batches) refuses loudly — and the sketch shape, so
+    * a restart with different depth/width refuses loudly instead of
+    * cell-summing incompatible geometries. Crash-safe at every instant via the [[graft.sources.FsSwap]]
     * whole-directory protocol: a staging discarded by recovery is
     * re-derived because the committed state's batch marker still names
     * the previous batch, so the source replays the lost batch into
@@ -990,11 +992,26 @@ object EventStreams {
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     graft.sources.FsSwap.recover(fs, target, staging, retired, "cmsAccumulateSink")
     val keyCol = batchDf.columns.head
-    if (fs.exists(target) &&
-        readStateMarker(fs, target, CmsBatchFile).exists(_.toLong >= batchId)) {
-      // replay of an already-folded batch — the committed state
-      // carries its counts; folding again would double-count
-      return
+    val lastFolded =
+      if (fs.exists(target)) readStateMarker(fs, target, CmsBatchFile).map(_.toLong)
+      else None
+    lastFolded.foreach { m =>
+      // the ONLY legitimate already-seen id is the marker itself (an
+      // at-least-once replay of the last batch, crash between fold and
+      // checkpoint commit). An id BEHIND the marker means the sink was
+      // restarted with a fresh/mismatched checkpoint against an
+      // existing state — the skip would then silently DROP every batch
+      // until the new ids pass the old marker; refuse instead.
+      require(batchId >= m,
+        s"cmsAccumulateSink: batch id $batchId is behind the state's " +
+          s"last-folded marker $m at $sketchPath — fresh checkpoint " +
+          "against an existing state? counts would be silently lost; " +
+          "use a new state path or restore the original checkpoint")
+      if (batchId == m) {
+        // replay of the already-folded batch — the committed state
+        // carries its counts; folding again would double-count
+        return
+      }
     }
     val sk = graft.operators.Cms.cmsSketch(
       spreadBatch(batchDf), keyCol, depth, width)

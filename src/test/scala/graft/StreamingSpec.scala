@@ -181,13 +181,20 @@ class StreamingSpec extends AnyFunSuite {
       batches.flatten.toDF("term"), "term", depth = 3, width = 32)
       .as[(Int, Long, Long)].collect().toSet
     assert(state() == whole, "persisted cell-sum diverged from the batch sketch")
-    // at-least-once delivery replays a batch with its ORIGINAL id —
-    // the marker makes the re-fold a no-op, counts stay exact
-    EventStreams.applyCmsBatch(batches(1).toDF("term"), path, 1L,
-      depth = 3, width = 32)
+    // at-least-once delivery replays THE LAST batch with its original
+    // id — the marker makes the re-fold a no-op, counts stay exact
     EventStreams.applyCmsBatch(batches(2).toDF("term"), path, 2L,
       depth = 3, width = 32)
-    assert(state() == whole, "replayed batches double-counted")
+    assert(state() == whole, "replayed last batch double-counted")
+    // an id BEHIND the marker can't be a replay (one checkpoint only
+    // ever re-delivers its last uncommitted batch): it means a fresh
+    // checkpoint against existing state, where skipping would silently
+    // drop batches — refuse loudly
+    val eReset = intercept[IllegalArgumentException] {
+      EventStreams.applyCmsBatch(batches(1).toDF("term"), path, 1L,
+        depth = 3, width = 32)
+    }
+    assert(eReset.getMessage.contains("behind"))
     // a NEW batch id still folds
     EventStreams.applyCmsBatch(Seq("t0", "t0").toDF("term"), path, 3L,
       depth = 3, width = 32)
