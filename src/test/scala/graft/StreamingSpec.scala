@@ -218,6 +218,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("single-column"))
   }
 
+  test("cmsAccumulateSink crash states: mid-swap and pre-swap both replay to the exact state") {
+    // the two interesting windows of the per-batch swap, constructed
+    // literally on disk, each followed by the at-least-once replay the
+    // source would deliver after the crash
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/tmp").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def hp(s: String) = new Path(s)
+    val batches = Seq(
+      (0 until 90).map(i => s"a${i % 7}"),
+      (0 until 60).map(i => s"b${i % 4}"),
+      (0 until 40).map(i => s"a${i % 3}"))
+    def fold(path: String, upTo: Int): Unit =
+      (0 to upTo).foreach(i => EventStreams.applyCmsBatch(
+        batches(i).toDF("term"), path, i.toLong, depth = 3, width = 32))
+    def state(path: String) =
+      spark.read.parquet(path).as[(Int, Long, Long)].collect().toSet
+    val base = s"/tmp/graft_test_cmscrash_${System.nanoTime()}"
+    fold(s"$base/expect", 2) // the state every recovery must reach
+
+    // crash BETWEEN the swap's renames: target already retired, the
+    // committed batch-2 staging not yet promoted. Recovery must finish
+    // the swap; the replayed batch must then no-op on the marker.
+    val mid = s"$base/mid"
+    fold(mid, 2) // produces the post-batch-2 target...
+    fs.rename(hp(mid), hp(mid + ".__graft-cms-staging__")) // ...as staging
+    fold(mid, 1) // rebuild the PRE-batch-2 target at the live path
+    fs.rename(hp(mid), hp(mid + ".__graft-cms-old__")) // first rename done
+    EventStreams.applyCmsBatch(batches(2).toDF("term"), mid, 2L,
+      depth = 3, width = 32)
+    assert(state(mid) == state(s"$base/expect"), "mid-swap recovery diverged")
+    assert(!fs.exists(hp(mid + ".__graft-cms-staging__")) &&
+      !fs.exists(hp(mid + ".__graft-cms-old__")))
+
+    // crash AFTER the staging write, BEFORE the swap began: recovery
+    // discards the orphan staging (the live target is authoritative,
+    // marker still 1) and the replayed batch re-folds.
+    val pre = s"$base/pre"
+    fold(pre, 2)
+    fs.rename(hp(pre), hp(pre + ".__graft-cms-staging__"))
+    fold(pre, 1)
+    EventStreams.applyCmsBatch(batches(2).toDF("term"), pre, 2L,
+      depth = 3, width = 32)
+    assert(state(pre) == state(s"$base/expect"), "pre-swap recovery diverged")
+  }
+
   test("session windows close after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
