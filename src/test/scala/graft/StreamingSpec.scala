@@ -218,6 +218,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("single-column"))
   }
 
+  test("cmsAccumulateSink fuzz: random batches with interleaved last-batch replays ≡ one-shot sketch") {
+    // the upsert-sink fuzz discipline applied to the sketch state
+    // machine: whatever the batch sizes, key skew, or replay pattern,
+    // exactly-once folding must leave the state equal to sketching the
+    // concatenation once. Deterministic splitmix RNG — reruns are
+    // bit-identical.
+    import spark.implicits._
+    def mix(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val path = s"/tmp/graft_test_cmsfuzz_${System.nanoTime()}/sketch"
+    val all = scala.collection.mutable.Buffer[String]()
+    (0 until 8).foreach { b =>
+      val sz = math.floorMod(mix(b * 31L), 120L).toInt + 1
+      val batch = (0 until sz).map(i =>
+        s"k${math.floorMod(mix(b * 1009L + i), 40L)}")
+      all ++= batch
+      EventStreams.applyCmsBatch(batch.toDF("term"), path, b.toLong,
+        depth = 3, width = 32)
+      // ~half the batches get an at-least-once replay of THEMSELVES
+      if (math.floorMod(mix(b * 77L + 5), 2L) == 0L)
+        EventStreams.applyCmsBatch(batch.toDF("term"), path, b.toLong,
+          depth = 3, width = 32)
+    }
+    val got = spark.read.parquet(path).as[(Int, Long, Long)].collect().toSet
+    val want = graft.operators.Cms.cmsSketch(all.toSeq.toDF("term"), "term",
+      depth = 3, width = 32).as[(Int, Long, Long)].collect().toSet
+    assert(got == want, "fuzzed fold diverged from the one-shot sketch")
+  }
+
   test("cmsAccumulateSink crash states: mid-swap and pre-swap both replay to the exact state") {
     // the two interesting windows of the per-batch swap, constructed
     // literally on disk, each followed by the at-least-once replay the
