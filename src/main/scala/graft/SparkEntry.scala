@@ -1992,6 +1992,28 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    "stream_running_totals" -> ((s, dir) => {
+      // the custom-keyed-state operator (flatMapGroupsWithState)
+      // through Spark's UNIFIED batch execution of the identical code
+      // path StreamingSpec drives with MemoryStreams: in batch, the
+      // state function runs once per user with the full event iterator,
+      // so the emission IS the final running total — which the oracle
+      // replays as a plain per-user aggregate. total_value is a
+      // sequential double fold (order-sensitive at 1e-15) → 6dp, the
+      // standing policy; n_events compares exactly.
+      import s.implicits._
+      val ev = tbl(s, dir, "events")
+        .filter(col("event_id").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      graft.streaming.EventStreams.runningUserTotals(ev, idleTimeout = None)
+        .toDF()
+        .select(col("user_id"), col("n_events"),
+          round(col("total_value"), 6).as("total_value"))
+        .orderBy("user_id")
+    }),
+
     "stream_nb_score" -> ((s, dir) => {
       // frozen-model streaming scoring run FOR REAL: fit the NB quality
       // classifier ONCE in batch (same salted seed + 2/3 train split as
@@ -3170,6 +3192,17 @@ object SparkEntry {
     // the stream sink's union ≡ batch-scoring the union: the oracle IS
     // the batch gate's oracle, byte-for-byte
     "stream_nb_score" -> nbQualityOracleSql,
+
+    // batch execution of flatMapGroupsWithState runs the state fn once
+    // per key over all its rows — the emitted "running" total is the
+    // final total, a plain aggregate in SQL
+    "stream_running_totals" ->
+      """SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 6) AS total_value
+        |FROM events WHERE event_id IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "text_bpe_merges" -> bpeMergesOracleSql,
     "text_bpe_tokens" -> bpeTokensOracleSql,
