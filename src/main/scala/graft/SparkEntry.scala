@@ -1992,6 +1992,39 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    "stream_windowed_counts" -> ((s, dir) => {
+      // the watermarked tumbling-window aggregate through unified batch
+      // execution (watermark is a no-op in batch; the window fold is
+      // identical). Spark's window() is epoch-aligned, so the oracle is
+      // integer-µs floor arithmetic; sum(value) at 2dp (q20 policy).
+      graft.streaming.EventStreams.windowedCounts(
+          tbl(s, dir, "events").filter(col("ts").isNotNull),
+          windowDur = "5 minutes")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          unix_micros(col("window_end")).as("window_end_us"),
+          col("event_type"), col("n"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy("window_start_us", "event_type")
+    }),
+
+    "stream_sessionized" -> ((s, dir) => {
+      // gap-based session windows (session_window) through unified
+      // batch execution. The oracle rebuilds sessions with the classic
+      // lag/cumsum SQL: a new session starts when the gap from the
+      // previous event is >= 5 minutes (Spark's session end is
+      // exclusive: an event exactly at last_ts + gap opens a NEW
+      // session); session_end = last event + gap.
+      graft.streaming.EventStreams.sessionized(
+          tbl(s, dir, "events")
+            .filter(col("ts").isNotNull && col("user_id").isNotNull),
+          gap = "5 minutes")
+        .select(unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("user_id"), col("n_events"),
+          round(col("session_value"), 2).as("session_value"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
     "stream_running_totals" -> ((s, dir) => {
       // the custom-keyed-state operator (flatMapGroupsWithState)
       // through Spark's UNIFIED batch execution of the identical code
@@ -3192,6 +3225,46 @@ object SparkEntry {
     // the stream sink's union ≡ batch-scoring the union: the oracle IS
     // the batch gate's oracle, byte-for-byte
     "stream_nb_score" -> nbQualityOracleSql,
+
+    // Spark's window() is 1970-epoch-aligned: start = floor(us / 5min)
+    "stream_windowed_counts" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 1000 AS us, event_type, value
+        |  FROM events WHERE ts IS NOT NULL),
+        |w AS (
+        |  SELECT us - us % 300000000 AS ws, event_type, value FROM e)
+        |SELECT ws AS window_start_us,
+        |  ws + 300000000 AS window_end_us,
+        |  event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM w GROUP BY ws, event_type
+        |ORDER BY window_start_us, event_type""".stripMargin,
+
+    // classic lag/cumsum sessionization; >= gap starts a new session
+    // (Spark session ends are exclusive), end = last event + gap
+    "stream_sessionized" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us, value
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |o AS (
+        |  SELECT user_id, us, value,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 300000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, us, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT CAST(min(us) AS BIGINT) AS session_start_us,
+        |  CAST(max(us) + 300000000 AS BIGINT) AS session_end_us,
+        |  user_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS session_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     // batch execution of flatMapGroupsWithState runs the state fn once
     // per key over all its rows — the emitted "running" total is the
