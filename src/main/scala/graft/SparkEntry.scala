@@ -1864,9 +1864,45 @@ object SparkEntry {
         s"$base/corpus", "doc_id", "text",
         checkpointDir = Some(s"$base/ckpt"))
       try q.processAllAvailable() finally q.stop()
+      // the compaction MAINTENANCE op inside the correctness loop
+      // (the rebucket-in-gate pattern): the append-grown corpus
+      // compacts before the read, so content preservation across the
+      // file merge — bloom options included — is oracle-visible
+      graft.streaming.EventStreams.compactIngestCorpus(s, s"$base/corpus")
       s.read.parquet(s"$base/corpus")
         .select(col("doc_id"), col("text"))
         .orderBy("doc_id")
+    }),
+
+    "stream_dedup_events" -> ((s, dir) => {
+      // the watermarked exact-key stream dedup run FOR REAL: the events
+      // table arrives DOUBLED (two full copies in one file batch) and
+      // dropDuplicatesWithinWatermark must collapse it back — survivor
+      // rows are byte-identical copies, so the output is deterministic
+      // and the oracle is just the distinct input. ts emitted as epoch
+      // µs (integer space, the stream_interval_join policy).
+      implicit val sqlCtx = s.sqlContext
+      val base = s"/tmp/graft_dedupev_${dirTag(dir)}"
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(basePath, true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/in"))
+      val ev = tbl(s, dir, "events")
+        .filter(col("event_id").isNotNull && col("ts").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      ev.unionAll(ev).repartition(8)
+        .write.mode("overwrite").parquet(s"$base/in")
+      val stream = s.readStream.schema(ev.schema).parquet(s"$base/in")
+      val q = graft.streaming.EventStreams.dedupedEvents(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("parquet").option("path", s"$base/out").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
     }),
 
     "stream_semantic_ingest" -> ((s, dir) => {
@@ -3225,6 +3261,15 @@ object SparkEntry {
     // the stream sink's union ≡ batch-scoring the union: the oracle IS
     // the batch gate's oracle, byte-for-byte
     "stream_nb_score" -> nbQualityOracleSql,
+
+    // the doubled input collapses to the distinct event rows; event_id
+    // is unique, so the survivor is the one original row either way
+    "stream_dedup_events" ->
+      """SELECT DISTINCT event_id, epoch_ns(ts) // 1000 AS ts_us,
+        |  user_id, event_type, value
+        |FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
 
     // Spark's window() is 1970-epoch-aligned: start = floor(us / 5min)
     "stream_windowed_counts" ->
