@@ -44,9 +44,30 @@ def main(outdir, sfdir):
         # width differences (int32 vs int64) are warned, not failed:
         # the driver compares stringified cell values, which width
         # does not change.
-        dt_bad = [(c, str(got[c].dtype), str(exp[c].dtype))
-                  for c in got.columns
-                  if got[c].dtype.kind != exp[c].dtype.kind]
+        # int vs uint is NOT a leak (the driver's stringified values are
+        # identical); and a float-vs-int mismatch where the float side
+        # carries NaN is pandas NULL-masking (a nullable int column
+        # materializes as float64 on one engine only) — value-compare
+        # those instead of false-FAILing. A float-vs-int mismatch with
+        # NO NaN anywhere stays a hard FAIL: that is the HUGEINT-style
+        # type leak this check exists to catch.
+        dt_bad = []
+        for c in got.columns:
+            gk, ek = got[c].dtype.kind, exp[c].dtype.kind
+            if gk == ek:
+                continue
+            if {gk, ek} <= {"i", "u"}:
+                print(f"warn {name}: col {c} int/uint kind"
+                      f" ({got[c].dtype} vs {exp[c].dtype}); value-comparing")
+                continue
+            if {gk, ek} in ({"f", "i"}, {"f", "u"}):
+                fl = got[c] if gk == "f" else exp[c]
+                if fl.isna().any():
+                    print(f"warn {name}: col {c} float from NULL masking"
+                          f" ({got[c].dtype} vs {exp[c].dtype});"
+                          f" value-comparing")
+                    continue
+            dt_bad.append((c, str(got[c].dtype), str(exp[c].dtype)))
         if dt_bad:
             c, gd, ed = dt_bad[0]
             print(f"FAIL {name}: dtype kind col {c}: got {gd} vs oracle {ed}"

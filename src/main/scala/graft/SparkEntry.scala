@@ -796,23 +796,34 @@ object SparkEntry {
             "vec_id", "embedding", k = 10, nprobe = 8)
       }),
 
-    "ann_ivf_index_append" -> ((s, dir) =>
+    "ann_ivf_index_append" -> ((s, dir) => {
       // incremental-ingest path: index built on HALF the corpus, the
       // other half APPENDED against the frozen centroids (no rebuild),
       // then probed — recall is asserted against brute force over the
       // FULL corpus, so a lost or double-counted appended row fails the
-      // floor, not just a unit test
+      // floor, not just a unit test. The append's rebuild-advisor
+      // verdict rides along as a column (the stream_upsert_snapshot
+      // rebucket-advisor pattern): this even/odd split appends at most
+      // half the rows (appended fraction ≤ 0.5, never > the 0.5
+      // threshold) into the SAME distribution the centroids were fit
+      // on (skew ≈ as-built, far under 4×), so a healthy advisor says
+      // false deterministically — advisor drift turns the ORACLE red,
+      // not just IvfIndexSpec.
+      var advised: Option[Boolean] = None
       annRecallGate(s, dir, floor = 0.5, label = "appended IVF index") {
         (emb, queriesDf) =>
           val path = s"/tmp/graft_ivfap_${dirTag(dir)}"
           Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
             "vec_id", "embedding", path,
             numCentroids = 16, seed = 42L, kmeansIters = 2)
-          Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 2 =!= 0),
+          val res = Similarity.appendToIvfIndex(
+            emb.filter(col("vec_id") % 2 =!= 0),
             "vec_id", "embedding", path)
+          advised = Some(res.advice.shouldRebuild)
           Similarity.queryIvfIndex(s, path, queriesDf,
             "vec_id", "embedding", k = 10, nprobe = 8)
-      }),
+      }.withColumn("rebuild_advised", lit(advised.get))
+    }),
 
     "ann_ivfpq_index_append" -> ((s, dir) =>
       // IVF-PQ twin of the append gate: frozen centroids AND frozen
@@ -1905,6 +1916,46 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "stream_dedup_content" -> ((s, dir) => {
+      // the streaming CONTENT dedup (SimHash-keyed
+      // dropDuplicates-within-watermark analog) run FOR REAL over a
+      // file-source stream: the documents table arrives DOUBLED under
+      // distinct ids (copy ids offset by 10M), so every text group has
+      // ≥2 members with different ids — the round-14 deterministic
+      // survivor contract (MIN id of the first batch holding the
+      // signature) is what makes this oracle-expressible: one trigger
+      // batch → survivor = global min id per signature group, and the
+      // oracle's row_number() over the TEXT group matches because the
+      // corpus has no cross-text token-multiset collisions (verified:
+      // distinct texts == distinct lowercased token multisets at
+      // sf0.01 and sf0.1). Degenerate (token-free) texts key by their
+      // own id and pass through — none exist in this corpus, so the
+      // branch is exercised by StreamingSpec instead.
+      val base = s"/tmp/graft_cdedup_${dirTag(dir)}"
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(basePath, true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/in"))
+      val docs = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val duped = docs.unionAll(
+          docs.select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        .withColumn("ts",
+          timestamp_micros(lit(1704067200000000L) + col("doc_id")))
+      duped.repartition(8).write.mode("overwrite").parquet(s"$base/in")
+      val stream = s.readStream.schema(duped.schema).parquet(s"$base/in")
+      val q = graft.streaming.EventStreams.dedupedByContent(
+          stream, "doc_id", "text", "ts")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("parquet").option("path", s"$base/out").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     "stream_semantic_ingest" -> ((s, dir) => {
       // SEMANTIC (MinHash near-dup) streaming admission — the admitNew
       // composition dedupIngestSink's doc points users to, run FOR REAL
@@ -2071,8 +2122,14 @@ object SparkEntry {
       // sequential double fold (order-sensitive at 1e-15) → 6dp, the
       // standing policy; n_events compares exactly.
       import s.implicits._
+      // user_id/value are non-nullable fields of Event: a null would
+      // crash the Spark-side decode while the oracle would happily
+      // emit a NULL group — filter BOTH sides (stream_sessionized's
+      // defensive discipline; no-op on current testdata, which has no
+      // null user_id/value)
       val ev = tbl(s, dir, "events")
-        .filter(col("event_id").isNotNull)
+        .filter(col("event_id").isNotNull && col("user_id").isNotNull &&
+          col("value").isNotNull)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[graft.streaming.EventStreams.Event]
@@ -3271,13 +3328,28 @@ object SparkEntry {
         |WHERE event_id IS NOT NULL AND ts IS NOT NULL
         |ORDER BY event_id""".stripMargin,
 
-    // Spark's window() is 1970-epoch-aligned: start = floor(us / 5min)
+    // deterministic survivor = min id per SIGNATURE group, one trigger
+    // batch. The signature is the portable 60-bit md5 simhash, rebuilt
+    // here bit-for-bit (the dedup_simhash oracle's vote fold), so
+    // near-duplicate distinct texts that vote to the SAME signature
+    // group identically in both engines. Degenerate (token-free) texts
+    // pass through (none exist in this corpus; the branch is
+    // MemoryStream-specced instead).
+    "stream_dedup_content" -> streamDedupContentOracleSql,
+
+    // Spark's window() is 1970-epoch-aligned: start = floor(us / 5min).
+    // Alignment must FLOOR for pre-1970 (negative-µs) timestamps too:
+    // DuckDB's % and // both follow the dividend toward zero, so plain
+    // `us - us % P` (and `(us // P) * P`) would round a negative µs
+    // toward zero — one window off Spark's floor. The floor-mod
+    // `us - ((us % P) + P) % P` is exact in integer space for any sign.
     "stream_windowed_counts" ->
       """WITH e AS (
         |  SELECT epoch_ns(ts) // 1000 AS us, event_type, value
         |  FROM events WHERE ts IS NOT NULL),
         |w AS (
-        |  SELECT us - us % 300000000 AS ws, event_type, value FROM e)
+        |  SELECT us - ((us % 300000000) + 300000000) % 300000000 AS ws,
+        |    event_type, value FROM e)
         |SELECT ws AS window_start_us,
         |  ws + 300000000 AS window_end_us,
         |  event_type,
@@ -3318,7 +3390,9 @@ object SparkEntry {
       """SELECT user_id,
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  round(sum(value), 6) AS total_value
-        |FROM events WHERE event_id IS NOT NULL
+        |FROM events
+        |WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |  AND value IS NOT NULL
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
 
@@ -4120,7 +4194,13 @@ object SparkEntry {
     "ann_ivf_kmeans_topk" -> annBruteOracleSql,
     "ann_pq_topk" -> annBruteOracleSql,
     "ann_ivf_index_topk" -> annBruteOracleSql,
-    "ann_ivf_index_append" -> annBruteOracleSql,
+    // + the append gate's advisor column: the gate's even/odd split is
+    // a balanced same-distribution append (fraction ≤ 0.5, skew ≈
+    // as-built), so a healthy advisor is deterministically false
+    "ann_ivf_index_append" ->
+      annBruteOracleSql.replace(
+        "SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cosine",
+        "SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cosine, FALSE AS rebuild_advised"),
     "ann_ivf_index_compact" -> annBruteOracleSql,
     "ann_ivfpq_index_append" -> annBruteOracleSql,
     "ann_ivfpq_topk" -> annBruteOracleSql,
@@ -4666,6 +4746,41 @@ object SparkEntry {
          |  CAST(coalesce(len(ts), 0) AS BIGINT) AS n_tokens,
          |  coalesce(array_to_string(ts, ' '), '') AS bpe_text
          |FROM toks
+         |ORDER BY doc_id""".stripMargin
+  }
+
+  /** stream_dedup_content's oracle: the documents table doubled under
+    * offset ids, each row's portable 60-bit md5 simhash rebuilt with
+    * the same per-bit vote fold as [[simhashOracleSql]], survivor =
+    * min doc_id per signature (degenerate token-free rows exempt). */
+  private def streamDedupContentOracleSql: String = {
+    val votes = (0 until 60)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n    ")
+    val bits = (0 until 60)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    raw"""WITH duped AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+         |  WHERE doc_id IS NOT NULL),
+         |toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS w
+         |  FROM duped),
+         |hashed AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM toks),
+         |votes AS (SELECT doc_id,
+         |    $votes
+         |  FROM hashed GROUP BY doc_id),
+         |sim AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh FROM votes),
+         |r AS (
+         |  SELECT d.doc_id, d.text,
+         |    (d.text IS NULL OR NOT regexp_matches(d.text, '\S')) AS degen,
+         |    row_number() OVER (PARTITION BY s.sh ORDER BY d.doc_id) AS rn
+         |  FROM duped d LEFT JOIN sim s ON d.doc_id = s.doc_id)
+         |SELECT doc_id, text FROM r
+         |WHERE degen OR rn = 1
          |ORDER BY doc_id""".stripMargin
   }
 

@@ -420,9 +420,10 @@ object Pq {
     * [[Similarity.compactIvfIndex]] (same sentinel + marker discipline,
     * same row-preserving guarantee). Returns (files before, after). */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      targetFileBytes: Long = 128L << 20): (Int, Int) =
+      targetFileBytes: Long = 128L << 20,
+      maxConcurrentCells: Int = Similarity.DefaultCompactConcurrency): (Int, Int) =
     Similarity.compactIndexCells(spark, path, "codes", "compactIvfPqIndex",
-      targetFileBytes)
+      targetFileBytes, maxConcurrentCells)
 
   /** Query a [[buildIvfPqIndex]] index: probe the `nprobe` nearest
     * cells per query. The probed cell set re-enters the plan as an

@@ -474,8 +474,10 @@ object Similarity {
     * maintainer per index path, as for every FsSwap caller. Returns
     * (files before, files after) summed over cells. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      targetFileBytes: Long = 128L << 20): (Int, Int) =
-    compactIndexCells(spark, path, "vectors", "compactIvfIndex", targetFileBytes)
+      targetFileBytes: Long = 128L << 20,
+      maxConcurrentCells: Int = DefaultCompactConcurrency): (Int, Int) =
+    compactIndexCells(spark, path, "vectors", "compactIvfIndex",
+      targetFileBytes, maxConcurrentCells)
 
   /** [[shouldRebuildIvfIndex]]'s verdict: the measured drift signals
     * plus the boolean they imply. `appendedFraction` is rows added
@@ -585,7 +587,10 @@ object Similarity {
 
   private[operators] def compactIndexCells(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      dataDir: String, ctx: String, targetFileBytes: Long): (Int, Int) = {
+      dataDir: String, ctx: String, targetFileBytes: Long,
+      maxConcurrentCells: Int = DefaultCompactConcurrency): (Int, Int) = {
+    require(maxConcurrentCells > 0,
+      s"maxConcurrentCells must be positive, got $maxConcurrentCells")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val sentinel = new org.apache.hadoop.fs.Path(p, "_graft_compact_inprogress")
@@ -612,18 +617,63 @@ object Similarity {
       }
     val cellDirs = (if (fs.exists(data)) fs.listStatus(data) else Array.empty[org.apache.hadoop.fs.FileStatus])
       .filter(st => st.isDirectory && st.getPath.getName.matches("cell=\\d+"))
-    var before = 0
-    var after = 0
-    cellDirs.foreach { d =>
-      val (b, a) = graft.sources.Writers.compactParquet(
-        spark, d.getPath.toString, targetFileBytes)
-      before += b; after += a
-    }
+    // per-cell compactions are INDEPENDENT (each cell owns its own
+    // tmp/old swap triple, and the entry recovery above handles any
+    // subset of cells dying mid-swap), so they run through a bounded
+    // concurrent job pool instead of one driver-serialized Spark job
+    // per cell — at a production index (thousands of cells) a
+    // sequential loop makes compaction wall-time O(numCells) × job
+    // overhead regardless of cluster width. The pool submits ≤
+    // `maxConcurrentCells` Spark jobs at a time (enough to hide
+    // per-job scheduling latency without flooding the scheduler); the
+    // crash protocol per cell is byte-identical to the sequential
+    // form. On any cell failure the remaining in-flight cells finish,
+    // the first failure propagates, and the sentinel stays down — the
+    // next call's recovery path re-enters exactly as before.
+    val (before, after) =
+      if (cellDirs.isEmpty) (0, 0)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(maxConcurrentCells, cellDirs.length),
+          new java.util.concurrent.ThreadFactory {
+            private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+            def newThread(r: Runnable): Thread = {
+              val t = new Thread(r, s"graft-compact-${n.getAndIncrement()}")
+              t.setDaemon(true); t
+            }
+          })
+        implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          val futures = cellDirs.toSeq.map { d =>
+            scala.concurrent.Future {
+              graft.sources.Writers.compactParquet(
+                spark, d.getPath.toString, targetFileBytes)
+            }
+          }
+          // await every cell (not fail-fast): a propagated failure with
+          // sibling compactions still running could race their swaps
+          // against the caller's recovery attempt
+          val results = futures.map(f =>
+            scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.Inf).value.get)
+          results.collectFirst { case scala.util.Failure(e) => throw e }
+          val done = results.collect { case scala.util.Success(ba) => ba }
+          (done.map(_._1).sum, done.map(_._2).sum)
+        } finally pool.shutdown()
+      }
     graft.sources.FsSwap.commitArtifact(fs, p,
       s"$ctx: ${cellDirs.length} cells, $before -> $after files")
     fs.delete(sentinel, false)
     (before, after)
   }
+
+  /** Default concurrency bound for [[compactIndexCells]]'s per-cell
+    * job pool: per-cell compaction jobs are tiny (read one cell,
+    * coalesce, write), so the bound exists to cap scheduler pressure,
+    * not executor work — 8 concurrent jobs hide per-job submit latency
+    * at any realistic cell count while leaving AQE/broadcast threads
+    * unstarved on a shared driver. */
+  private[operators] val DefaultCompactConcurrency: Int = 8
 
   /** IVF-style ANN: cell = hyperplane sign bucket; query probes cells
     * whose bucket differs in ≤ `probeBits` bits (Hamming ball). */

@@ -99,9 +99,10 @@ object EventStreams {
       .dropDuplicatesWithinWatermark(keys)
 
   /** Streaming CONTENT dedup for a document stream: the dedup key is the
-    * fused 64-bit SimHash of the text (identical content — and identical
-    * token multisets, since simhash is order-free — collapses to one
-    * signature computed map-side), deduped within the watermark horizon.
+    * fused portable 60-bit md5 SimHash of the text (identical content —
+    * and identical token multisets, since simhash is order-free —
+    * collapses to one signature computed map-side), deduped within the
+    * watermark horizon.
     * The streaming-ingest counterpart of [[graft.operators.Dedup]]'s
     * batch operators: a training-data pipeline drops exact/trivial
     * near-dup re-crawls at ingest with per-key state bounded by the
@@ -117,29 +118,115 @@ object EventStreams {
     * re-crawl with the SAME id does dedup — same id means same row
     * identity.
     *
-    * Signature collisions across genuinely different docs are possible
-    * (64-bit) but need adversarial content; use a keccak/md5 fingerprint
-    * column as the key instead where cryptographic certainty matters. */
-  def dedupedByContent(docs: DataFrame, idCol: String, textCol: String, tsCol: String,
-      watermark: String = "10 minutes", seed: Long = 42L): DataFrame = {
+    * Signature collisions across genuinely different docs are the
+    * OPERATOR'S POINT for near-identical token multisets (simhash bits
+    * vote per token) and otherwise need adversarial content (60-bit);
+    * use a keccak/md5 fingerprint column as the key instead where
+    * exact-content certainty matters.
+    *
+    * DETERMINISTIC SURVIVOR (round 14): within a duplicate group the
+    * surviving row is the MINIMUM `idCol` of the first micro-batch that
+    * contains the signature ([[graft.operators.Dedup]]'s exact-dedup
+    * representative discipline), tie-broken by earliest `tsCol` —
+    * never `dropDuplicates`' engine-arbitrary pick. In batch execution
+    * (one "batch" = the whole frame) the survivor is therefore exactly
+    * min-id per signature group, which makes the operator
+    * oracle-expressible (`stream_dedup_content`:
+    * `row_number() OVER (PARTITION BY sig ORDER BY id) = 1`); in
+    * streaming it is deterministic given the batch sequence. Suppression
+    * lasts the watermark horizon past the group's latest seen event
+    * time — the same state bound as `dropDuplicatesWithinWatermark`
+    * (per-key state expires via event-time timeout; a batch run keeps
+    * no state at all). */
+  def dedupedByContent(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.Row
     // collision-safe temp name: never clobber a caller column (e.g. a
     // signature persisted by an upstream ingest stage)
     val sigCol = graft.operators.AddRowIndex.resolveUniqueName("__sig", docs.columns.toSeq)
-    docs
-      .withColumn(sigCol, struct(
-        // (isDegenerate, signature, id-for-degenerate) — degenerate rows
-        // can never collide with real signatures (different first
-        // field), and each keys to its own id VALUE (xxhash64(NULL id)
-        // would be the constant seed, collapsing all null-id rows; the
-        // raw value keeps distinct ids distinct for any id type)
-        col(textCol).isNull || !col(textCol).rlike("\\S"),
-        when(col(textCol).isNotNull && col(textCol).rlike("\\S"),
-          graft.functions.HashFunctions.simhashFromText(col(textCol), seed)),
-        when(col(textCol).isNull || !col(textCol).rlike("\\S"),
-          col(idCol).cast("string"))))
+    val degenerate = col(textCol).isNull || !col(textCol).rlike("\\S")
+    // string key with a tag prefix: degenerate (token-free) rows can
+    // never collide with real signatures (different prefix), and each
+    // keys to its own id VALUE (a hash of NULL would be the constant
+    // seed, collapsing all null-id rows; the raw value keeps distinct
+    // ids distinct for any id type). The signature is the PORTABLE
+    // 60-bit md5 simhash (the dedup_simhash family's), so the batch
+    // gate's oracle can recompute it engine-exactly; it returns NULL
+    // exactly for token-free docs — the degenerate branch.
+    val keyed = docs
+      .withColumn(sigCol,
+        when(degenerate, concat(lit("d:"), col(idCol).cast("string")))
+          .otherwise(concat(lit("s:"),
+            graft.functions.HashFunctions.simhashMd5FromText(col(textCol))
+              .cast("string"))))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark(sigCol)
+    val schema = keyed.schema
+    val keyIdx = schema.fieldIndex(sigCol)
+    val idIdx = schema.fieldIndex(idCol)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val streaming = docs.isStreaming
+    // watermark horizon in ms, for the event-time state timeout
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    require(iv.months == 0,
+      s"dedupedByContent: watermark '$watermark' must not use month units")
+    val horizonMs = iv.days * 86400000L + iv.microseconds / 1000L
+    // EventTimeTimeout only where state persists across invocations;
+    // batch runs the state fn once per key with the full iterator, so
+    // NoTimeout there (and GroupState forbids event-time timeouts
+    // without a streaming watermark anyway)
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(schema)
+    keyed.as(rowEnc)
+      .groupByKey((r: Row) => r.getString(keyIdx))(Encoders.STRING)
+      .flatMapGroupsWithState[Boolean, Row](OutputMode.Append(), timeoutConf) {
+        (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val emitted = state.exists
+            var survivor: Row = null
+            var maxTsMs = Long.MinValue
+            rows.foreach { r =>
+              val t = r.getAs[java.sql.Timestamp](tsIdx)
+              if (t != null && t.getTime > maxTsMs) maxTsMs = t.getTime
+              if (!emitted && (survivor == null ||
+                  survivorOrder(r, survivor, idIdx, tsIdx) < 0))
+                survivor = r
+            }
+            if (!emitted) state.update(true)
+            if (streaming)
+              // suppress re-arrivals for the horizon past the LATEST
+              // seen event time, then expire — the
+              // dropDuplicatesWithinWatermark state bound. Rows behind
+              // the watermark were already late-filtered upstream, so
+              // maxTs + horizon is always ahead of the watermark; an
+              // (impossible) all-null-ts batch falls back to now-ish.
+              state.setTimeoutTimestamp(
+                (if (maxTsMs != Long.MinValue) maxTsMs
+                 else state.getCurrentWatermarkMs()) + horizonMs)
+            if (survivor == null) Iterator.empty else Iterator.single(survivor)
+          }
+      }(Encoders.scalaBoolean, rowEnc)
       .drop(sigCol)
+  }
+
+  /** Total order for [[dedupedByContent]] survivors: min id, then
+    * earliest event time (rows sharing both are treated as identical
+    * for dedup purposes). idCol must be non-null and its runtime type
+    * Comparable (every Spark atomic type is). */
+  private def survivorOrder(a: org.apache.spark.sql.Row,
+      b: org.apache.spark.sql.Row, idIdx: Int, tsIdx: Int): Int = {
+    val (ia, ib) = (a.get(idIdx), b.get(idIdx))
+    require(ia != null && ib != null,
+      "dedupedByContent: idCol must be non-null (null ids cannot carry row identity)")
+    val c = ia.asInstanceOf[Comparable[Any]].compareTo(ib)
+    if (c != 0) c
+    else {
+      val (ta, tb) = (a.getAs[java.sql.Timestamp](tsIdx), b.getAs[java.sql.Timestamp](tsIdx))
+      if (ta == null || tb == null) 0 else ta.compareTo(tb)
+    }
   }
 
   /** Watermarked stream-stream interval join: each left row pairs with
@@ -993,8 +1080,20 @@ object EventStreams {
     graft.sources.FsSwap.recover(fs, target, staging, retired, "cmsAccumulateSink")
     val keyCol = batchDf.columns.head
     val lastFolded =
-      if (fs.exists(target)) readStateMarker(fs, target, CmsBatchFile).map(_.toLong)
-      else None
+      if (fs.exists(target)) {
+        // an existing target with NO batch marker is not a
+        // cmsAccumulateSink state (externally created, or a marker lost
+        // to manual surgery) — treating it as fresh (lastFolded=None)
+        // would silently double-fold on the first at-least-once replay;
+        // refuse loudly like the behind-marker and shape cases
+        val m = readStateMarker(fs, target, CmsBatchFile)
+        require(m.nonEmpty,
+          s"cmsAccumulateSink: existing state at $sketchPath has no " +
+            s"$CmsBatchFile marker — unrecognized state layout (not " +
+            "written by this sink?); folding into it would double-count " +
+            "on replay; use a new state path or restore the marker")
+        m.map(_.toLong)
+      } else None
     lastFolded.foreach { m =>
       // the ONLY legitimate already-seen id is the marker itself (an
       // at-least-once replay of the last batch, crash between fold and

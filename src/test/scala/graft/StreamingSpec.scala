@@ -1049,6 +1049,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.sorted == Seq(1L, 4L, 6L, 7L), s"kept $ids")
   }
 
+  test("content dedup survivor is MIN id, independent of arrival order") {
+    // the round-14 determinism contract: within the first batch that
+    // carries a signature, the survivor is the minimum id — not the
+    // first arrival — so the batch-mode gate is oracle-expressible
+    // (row_number() OVER (PARTITION BY sig ORDER BY id) = 1)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.dedupedByContent(
+      input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdedup_min_out").start()
+    input.addData(
+      (9L, ts(0), "alpha beta gamma"),   // larger id arrives FIRST
+      (3L, ts(1), "alpha beta gamma"),   // min id arrives later, same batch
+      (7L, ts(2), "alpha beta gamma"))
+    q.processAllAvailable()
+    input.addData((1L, ts(3), "alpha beta gamma"))  // later batch: smaller id
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("cdedup_min_out").select("doc_id")
+      .as[Long].collect().toSeq
+    // batch-1 min (3) survives; the later-batch smaller id (1) is a
+    // DUPLICATE of an already-emitted signature (append mode cannot
+    // retract), exactly dropDuplicatesWithinWatermark's horizon rule
+    assert(ids == Seq(3L), s"kept $ids")
+  }
+
+  test("content dedup in BATCH execution = min id per signature group") {
+    // unified-semantics check backing the stream_dedup_content oracle:
+    // on a batch frame the whole input is one invocation per key, so
+    // the emission is exactly min-id per signature group
+    import spark.implicits._
+    val docs = Seq(
+      (10L, ts(0), "the quick brown fox"),
+      (2L, ts(1), "the quick brown fox"),   // min of the group, mid-frame
+      (6L, ts(2), "fox brown quick the"),   // permutation → same simhash
+      (4L, ts(3), "another doc entirely"),
+      (8L, ts(4), ""),                       // degenerate: passes through
+      (9L, ts(5), null.asInstanceOf[String]))
+      .toDF("doc_id", "ts", "text")
+    val kept = EventStreams.dedupedByContent(docs, "doc_id", "text", "ts")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(2L, 4L, 8L, 9L), s"kept $kept")
+  }
+
   test("curation expressions run unchanged under Structured Streaming") {
     // the curation tier is stateless column expressions (incl. the
     // native TextStats/WordChunks), so the SAME operators apply to a
