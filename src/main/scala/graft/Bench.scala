@@ -31,6 +31,66 @@ object Bench {
   final case class QueryResult(name: String, sec: Double, ok: Boolean,
       failedRuns: Int, buildSec: Double, runs: Int)
 
+  /** One timed sample: wall seconds, eager-build share, and the
+    * failure (if any) for infra-classification. sec = -1 on failure. */
+  final case class RunSample(sec: Double, buildSec: Double,
+      err: Option[Throwable] = None)
+
+  /** Environment-shaped failures — fs hiccoughs, lost executors,
+    * timeouts, interrupted waits — the class behind the round-13 sf10
+    * sweep blip that silently dropped 13 alphabetical-tail gates and
+    * took a by-hand diagnosis (solo re-runs + full re-sweep) to clear.
+    * These earn ONE retry per gate; deterministic engine failures
+    * (analysis errors, in-query recall requires, NPEs) never do —
+    * retrying those would just double the time to a red artifact. */
+  private[graft] def isInfraException(e: Throwable): Boolean = {
+    var root = e
+    while (root.getCause != null && root.getCause != root) root = root.getCause
+    root match {
+      case _: java.io.IOException => true
+      case _: java.util.concurrent.TimeoutException => true
+      case _: InterruptedException => true
+      case _: java.util.concurrent.RejectedExecutionException => true
+      case _ =>
+        val m = Option(root.getMessage).getOrElse("")
+        Seq("ExecutorLost", "FetchFailed", "Connection reset",
+          "Too many open files", "No space left", "barrier", "heartbeat")
+          .exists(m.contains)
+    }
+  }
+
+  /** Collect a gate's timing samples with the blip defense: when every
+    * failed sample is infra-shaped, run ONE extra attempt and — if it
+    * passes — mark the infra failures as `excused` so [[summarize]]'s
+    * majority rule doesn't fail the gate on a transient. The failed
+    * runs still surface in the artifact (`flaky` map + `reruns` count),
+    * so a blip is distinguishable from a regression INSIDE one
+    * artifact instead of requiring a by-hand re-sweep. */
+  private[graft] def collectSamples(name: String, repeat: Int,
+      run: () => RunSample): (Seq[RunSample], Int) = {
+    val first = (1 to repeat).map(_ => run())
+    val fails = first.filter(_.sec < 0)
+    if (fails.nonEmpty && fails.forall(_.err.exists(isInfraException))) {
+      System.err.println(s"[bench] $name: ${fails.length} run(s) failed " +
+        "with environment-shaped errors - retrying once")
+      val extra = run()
+      (first :+ extra, if (extra.sec >= 0) fails.length else 0)
+    } else (first, 0)
+  }
+
+  /** Median-of-good-samples summary. `excused` infra failures (backed
+    * by a successful retry) don't count against the majority rule but
+    * DO count in failedRuns/runs, so the artifact records them. */
+  private[graft] def summarize(name: String, samples: Seq[RunSample],
+      excused: Int = 0): QueryResult = {
+    val good = samples.filter(_.sec >= 0)
+    val considered = math.max(1, samples.length - excused)
+    val ok = good.length * 2 > considered
+    val t = if (!ok) -1.0 else good.map(_.sec).sorted.apply(good.length / 2)
+    val b = if (!ok) 0.0 else good.map(_.buildSec).sorted.apply(good.length / 2)
+    QueryResult(name, t, ok, samples.length - good.length, b, samples.length)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -80,18 +140,17 @@ object Bench {
     // artifact is the official record and must self-adjudicate noise.
     val adaptive = sys.env.get("SPARK_GRAFT_ADAPTIVE").forall(_ != "0")
 
-    /** One timed run: (totalSec, buildSec) — buildSec is the eager
-      * plan-construction share (index builds, in-query recall gates);
-      * (-1,-1) on failure. */
+    /** One timed run: buildSec is the eager plan-construction share
+      * (index builds, in-query recall gates); sec = -1 on failure. */
     def runOnce(fn: (SparkSession, String) => DataFrame,
-        name: String): (Double, Double) = {
+        name: String): RunSample = {
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
         val t1 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         val t2 = System.nanoTime()
-        ((t2 - t0) / 1e9, (t1 - t0) / 1e9)
+        RunSample((t2 - t0) / 1e9, (t1 - t0) / 1e9)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -99,13 +158,13 @@ object Bench {
           // under Stream/SparkException wrappers is undiagnosable from
           // the message alone
           var root = e
-          while (root.getCause != null) root = root.getCause
+          while (root.getCause != null && root.getCause != root) root = root.getCause
           System.err.println(s"[bench] $name root: $root")
           root.getStackTrace.take(25).foreach(t =>
             System.err.println(s"[bench]   at $t"))
           // a failed run records -1 — a fast failure must not masquerade
           // as a fast pass in BENCH_r* diffs
-          (-1.0, -1.0)
+          RunSample(-1.0, -1.0, Some(e))
       } finally {
         // between-query hygiene: drop cached frames and pinned
         // materialize-once RDDs (localCheckpoints persist until
@@ -119,29 +178,29 @@ object Bench {
       }
     }
 
-    def summarize(name: String, samples: Seq[(Double, Double)]): QueryResult = {
-      val good = samples.filter(_._1 >= 0)
-      val ok = good.length * 2 > samples.length
-      val t = if (!ok) -1.0 else good.map(_._1).sorted.apply(good.length / 2)
-      val b = if (!ok) 0.0 else good.map(_._2).sorted.apply(good.length / 2)
-      QueryResult(name, t, ok, samples.length - good.length, b, samples.length)
-    }
-
     val initial = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        (name, fn, (1 to repeat).map(_ => runOnce(fn, name)))
+        // collectSamples carries the blip defense: an environment-shaped
+        // failure (IOException, lost executor, timeout) earns one retry
+        // and, if the retry passes, the failure is excused from the
+        // majority rule but recorded in flaky/reruns
+        val (samples, excused) = collectSamples(name, repeat,
+          () => runOnce(fn, name))
+        (name, fn, samples, excused)
       }
     // Adaptive pass: any passing query over 2× its BASELINE.md anchor
     // gets topped up to 3 samples and re-summarized over ALL samples —
     // a sandbox-noise spike rarely repeats, a real regression does.
-    val results = initial.map { case (name, fn, samples) =>
-      val first = summarize(name, samples)
+    val results = initial.map { case (name, fn, samples, excused) =>
+      val first = summarize(name, samples, excused)
       val over = first.ok && anchors.get(name).exists(a => first.sec > 2 * a)
       if (adaptive && over && samples.length < 3) {
         System.err.println(f"[bench] $name ${first.sec}%.2fs > 2x anchor " +
           f"${anchors(name)}%.2fs - re-measuring to median-of-3")
-        summarize(name, samples ++ (samples.length until 3).map(_ => runOnce(fn, name)))
+        summarize(name,
+          samples ++ (samples.length until 3).map(_ => runOnce(fn, name)),
+          excused)
       } else first
     }
     val (full, out) = render(results, sfDir, anchors)

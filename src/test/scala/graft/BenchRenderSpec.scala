@@ -219,4 +219,65 @@ class BenchRenderSpec extends AnyFunSuite {
     val j = parse(out)
     assert((j \ "queries_omitted").asInstanceOf[JInt].num.toInt == 50)
   }
+
+  // ---- blip defense (round-14: retry-once-on-infra-exception) --------
+
+  test("injected infra fault: one IOException run is retried, excused, and recorded") {
+    // the round-13 sf10 sweep class: a transient fs error fails the
+    // only sample of an alphabetical-tail gate. With the defense the
+    // gate retries once, passes, and the artifact shows ok + flaky + a
+    // rerun instead of a missing gate.
+    var calls = 0
+    val (samples, excused) = Bench.collectSamples("g", repeat = 1, () => {
+      calls += 1
+      if (calls == 1)
+        Bench.RunSample(-1.0, -1.0, Some(new java.io.IOException("Connection reset by peer")))
+      else Bench.RunSample(2.0, 0.0)
+    })
+    assert(calls == 2 && samples.length == 2 && excused == 1)
+    val r = Bench.summarize("g", samples, excused)
+    assert(r.ok, "a successfully retried infra blip must not fail the gate")
+    assert(r.sec == 2.0 && r.failedRuns == 1 && r.runs == 2)
+    // artifact record: gate in queries (not failed[]), blip in flaky{},
+    // rerun counted
+    val (_, out) = Bench.render(Seq(r), "/x")
+    val j = parse(out)
+    assert((j \ "queries" \ "g").asInstanceOf[JDouble].num == 2.0)
+    assert((j \ "failed").asInstanceOf[JArray].arr.isEmpty)
+    assert((j \ "flaky" \ "g").asInstanceOf[JInt].num.toInt == 1)
+    assert((j \ "reruns").asInstanceOf[JInt].num.toInt == 1)
+  }
+
+  test("deterministic failure is NOT retried; repeated infra failure stays failed") {
+    // an in-query recall require / analysis error: retrying doubles the
+    // time to a red artifact and can't change the outcome
+    var detCalls = 0
+    val (detSamples, detExcused) = Bench.collectSamples("det", repeat = 1, () => {
+      detCalls += 1
+      Bench.RunSample(-1.0, -1.0,
+        Some(new IllegalArgumentException("recall@10 regressed")))
+    })
+    assert(detCalls == 1 && detSamples.length == 1 && detExcused == 0)
+    assert(!Bench.summarize("det", detSamples, detExcused).ok)
+    // infra-shaped but persistent (a real outage, not a blip): retried
+    // once, still failing -> nothing excused, gate fails loudly
+    var infCalls = 0
+    val (infSamples, infExcused) = Bench.collectSamples("inf", repeat = 1, () => {
+      infCalls += 1
+      Bench.RunSample(-1.0, -1.0, Some(new java.io.IOException("No space left on device")))
+    })
+    assert(infCalls == 2 && infSamples.length == 2 && infExcused == 0)
+    assert(!Bench.summarize("inf", infSamples, infExcused).ok)
+  }
+
+  test("isInfraException classifies wrapped causes and message shapes") {
+    val wrapped = new RuntimeException("job aborted",
+      new java.util.concurrent.TimeoutException("futures timed out"))
+    assert(Bench.isInfraException(wrapped))
+    assert(Bench.isInfraException(
+      new RuntimeException("ExecutorLostFailure (executor 3 exited)")))
+    assert(!Bench.isInfraException(
+      new IllegalStateException("compaction merged nothing")))
+    assert(!Bench.isInfraException(new NullPointerException()))
+  }
 }
