@@ -1185,10 +1185,15 @@ object SparkEntry {
       // CMS overestimate guarantee (est ≥ true, always) is asserted
       // in-query; values compare exactly — the md5 cell fold and the
       // integer counters replay verbatim in SQL.
-      val words = graft.Materialize.once(
-        tbl(s, dir, "documents").select(explode(
-          filter(split(lower(trim(col("text"))), "\\s+"), w => length(w) > 0))
-          .as("term"))) // feeds the sketch, the truth counts, AND the assert pass
+      // feeds the sketch pass and the truth-count pass as TWO cheap
+      // codegen'd scans of documents, deliberately NOT materialized: a
+      // checkpoint of the corpus-sized exploded token stream is the
+      // anti-pattern at scale — the round-14 sf100 probe OOM'd
+      // execution memory under exactly that storage pressure, while
+      // re-deriving tokens from the scan costs one extra parquet read
+      val words = tbl(s, dir, "documents").select(explode(
+        filter(split(lower(trim(col("text"))), "\\s+"), w => length(w) > 0))
+        .as("term"))
       val sketch = Cms.cmsSketch(words, "term", depth = 4, width = 64)
       val truth = words.groupBy("term").agg(count(lit(1)).as("true_cnt"))
       val top = truth.orderBy(col("true_cnt").desc, col("term")).limit(20)

@@ -847,13 +847,26 @@ object Dedup {
   }
 
   /** (chunks, agreeChunks) for [[simhashPairs]] sized to the corpus at
-    * the default radius 3: the 16-bit single-chunk buckets are right
-    * until expected occupancy corpusCount/2^16 makes the per-bucket
-    * self-join dominate; past `bandingThreshold` (default ~64M docs →
-    * occupancy ≈ 1k) switch to (8, 4) banding — 32-bit keys, exact for
-    * radius ≤ 4, ~3,700× fewer expected candidates. */
+    * the default radius 3. Both configurations are EXACT at radius ≤ 3,
+    * so the switch is purely a cost model:
+    *
+    *   - (4, 1): 16-bit keys, 4 entries/doc. Expected CANDIDATES per
+    *     doc = 4 · n/2^16 — grows linearly with n, so total join
+    *     volume is quadratic. Right while candidates/doc stay under
+    *     the alternative's fixed explode factor.
+    *   - (8, 4): 32-bit keys, C(8,4) = 70 entries/doc. Candidates per
+    *     doc = 70 · n/2^32 ≈ 0 until n ~ 100M; the cost is the
+    *     constant 70× bucket-entry shuffle.
+    *
+    * Crossover where 4 · n/2^16 = 70 → n ≈ 1.1M docs; the default
+    * threshold sits there (2^21 ≈ 2.1M keeps a margin for the cheaper
+    * join-side rows vs explode-side rows). The previous 64M default
+    * was mis-calibrated by ~30×: the round-14 sf100 probe (5M docs)
+    * spilled a ~760M-candidate self-join to disk exhaustion under
+    * (4, 1), while (8, 4) generates ~200k candidates from an 11 GB
+    * bucket shuffle at the same scale. */
   def recommendedSimhashBanding(corpusCount: Long,
-      bandingThreshold: Long = 64L << 20): (Int, Int) =
+      bandingThreshold: Long = 2L << 20): (Int, Int) =
     if (corpusCount <= bandingThreshold) (4, 1) else (8, 4)
 
   /** Sentinel default for LSH parameters: derive from the corpus count

@@ -1147,6 +1147,10 @@ class OperatorsSpec extends AnyFunSuite {
     // +1 bit per corpus doubling (occupancy invariant)
     assert(recommendedSignBits(2L << 20) == recommendedSignBits(1L << 20) + 1)
     assert(recommendedSimhashBanding(1000000L) == ((4, 1)))
+    // past the candidates/doc crossover (4·n/2^16 vs the 70-entry
+    // explode) the 32-bit combination banding wins: the round-14 sf100
+    // probe spilled the (4,1) self-join to disk exhaustion at 5M docs
+    assert(recommendedSimhashBanding(5L * 1000 * 1000) == ((8, 4)))
     assert(recommendedSimhashBanding(1L << 31) == ((8, 4)))
     // the banded recommendation is actually legal for the default radius
     val (c, a) = recommendedSimhashBanding(1L << 31)
