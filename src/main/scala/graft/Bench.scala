@@ -94,10 +94,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // default 32 = the sandbox-tuned reduce width for sf0.1; scale
+    // probes override it (SPARK_GRAFT_SHUFFLE_PARTITIONS) the way a
+    // cluster would — per-task shuffle share shrinks with width, and a
+    // gate whose sf100 ratio inflates only at width 32 is spilling,
+    // not superlinear
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     val spark = GraftSession.configure(
       SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", shufflePartitions)
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

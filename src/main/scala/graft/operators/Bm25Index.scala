@@ -104,14 +104,18 @@ object Bm25Index {
   private def writeSegment(docs: DataFrame, idCol: String, textCol: String,
       path: String): Long = {
     val spark = docs.sparkSession
-    // materialized once: tokenization feeds postings, terms AND stats —
-    // re-running a non-deterministic source could write postings for
-    // one realization and stats for another
-    val toks = Materialize.once(
-      docs.select(col(idCol).as("id"),
-          TextAnalysis.bm25Words(col(textCol)).as("ws"))
-        .select(col("id"), size(col("ws")).as("dl"), explode(col("ws")).as("term")),
-      eager = true)
+    // ONE materialization, of the (doc, term) frame — NOT of the
+    // corpus-sized exploded token stream: postings, terms, stats and
+    // the doc count all derive from this single frame, so a
+    // non-deterministic source still cannot write postings for one
+    // realization and stats for another (stronger than the previous
+    // shape, which checkpointed the raw token explosion as well — a
+    // corpus-scale storage burden that throttled the sf100 probe; the
+    // token stream has exactly one consumer and pipelines into the tf
+    // aggregation without ever being stored)
+    val toks = docs.select(col(idCol).as("id"),
+        TextAnalysis.bm25Words(col(textCol)).as("ws"))
+      .select(col("id"), size(col("ws")).as("dl"), explode(col("ws")).as("term"))
     val tf = Materialize.once(
       toks.groupBy("id", "term", "dl").agg(count(lit(1)).as("tf")),
       eager = true)
@@ -132,8 +136,9 @@ object Bm25Index {
       .write.mode("append").options(bloomOpts("term"))
       .parquet(new Path(path, TermsDir).toString)
     // exact integer corpus deltas; docs with zero tokens contribute to
-    // neither store (the bm25TopK convention)
-    toks.groupBy("id").agg(first(col("dl")).as("dl"))
+    // neither store (the bm25TopK convention — explode drops them from
+    // tf exactly as it dropped them from the token stream)
+    tf.groupBy("id").agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .coalesce(1).write.mode("append")
       .parquet(new Path(path, StatsDir).toString)
