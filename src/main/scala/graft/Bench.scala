@@ -42,11 +42,18 @@ object Bench {
     * took a by-hand diagnosis (solo re-runs + full re-sweep) to clear.
     * These earn ONE retry per gate; deterministic engine failures
     * (analysis errors, in-query recall requires, NPEs) never do —
-    * retrying those would just double the time to a red artifact. */
+    * retrying those would just double the time to a red artifact.
+    * DETERMINISTIC IOException subtypes are carved out: a missing input
+    * file or a truncated/corrupt parquet stream is a data bug that
+    * fails identically every run — excusing it as a blip (and letting a
+    * lucky re-read record it as merely flaky) would hide a red gate. */
   private[graft] def isInfraException(e: Throwable): Boolean = {
     var root = e
     while (root.getCause != null && root.getCause != root) root = root.getCause
     root match {
+      case _: java.io.FileNotFoundException => false
+      case _: java.nio.file.NoSuchFileException => false
+      case _: java.io.EOFException => false
       case _: java.io.IOException => true
       case _: java.util.concurrent.TimeoutException => true
       case _: InterruptedException => true
@@ -70,11 +77,19 @@ object Bench {
       run: () => RunSample): (Seq[RunSample], Int) = {
     val first = (1 to repeat).map(_ => run())
     val fails = first.filter(_.sec < 0)
-    if (fails.nonEmpty && fails.forall(_.err.exists(isInfraException))) {
+    val goodCount = first.length - fails.length
+    // a gate that already passes the majority rule needs no rescue —
+    // retrying anyway could APPEND a second failure and flip a passing
+    // 2-good-of-3 into 2-good-of-4 (the rescue turning a gate red)
+    if (goodCount * 2 > first.length) (first, 0)
+    else if (fails.nonEmpty && fails.forall(_.err.exists(isInfraException))) {
       System.err.println(s"[bench] $name: ${fails.length} run(s) failed " +
         "with environment-shaped errors - retrying once")
       val extra = run()
-      (first :+ extra, if (extra.sec >= 0) fails.length else 0)
+      // a FAILED retry is discarded, not appended: the first samples
+      // already record the failures, and an extra unexcused failure
+      // would only shift the majority denominator against the gate
+      if (extra.sec >= 0) (first :+ extra, fails.length) else (first, 0)
     } else (first, 0)
   }
 
@@ -119,10 +134,16 @@ object Bench {
     // smooth environmental flakes, so one transient error must not
     // discard N-1 valid timings (while a deterministic bug still fails
     // every run and lands in failed:[]).
+    // SPARK_GRAFT_REANCHOR=1: the round-11 median-of-3 re-anchor
+    // protocol as a scripted mode — run every selected gate 3x and
+    // REWRITE this scale's ANCHORS.json records from the medians
+    // (box wall drifts 1.3-2x day to day; artisanal re-anchoring kept
+    // drifting from the protocol, so the tool IS the protocol now)
+    val reanchor = sys.env.get("SPARK_GRAFT_REANCHOR").contains("1")
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT")
       .map(s => s.trim.toIntOption.getOrElse(
         sys.error(s"SPARK_GRAFT_REPEAT must be an integer, got '$s'")))
-      .getOrElse(1).max(1)
+      .getOrElse(1).max(if (reanchor) 3 else 1)
     // SPARK_GRAFT_ONLY=q1_agg,t6_row_index — run a subset while
     // iterating locally; the driver never sets it (full run). Unknown
     // names are a hard error — a typo must not silently bench nothing.
@@ -210,6 +231,19 @@ object Bench {
           excused)
       } else first
     }
+    if (reanchor) {
+      val sfLabel = sfLabelOf(sfDir).getOrElse(sys.error(
+        s"SPARK_GRAFT_REANCHOR needs a dir that spells its scale (sfX), got $sfDir"))
+      val meds = results.collect { case r if r.ok => r.name -> r.sec }.toMap
+      val path = Seq("ANCHORS.json", "/root/repo/ANCHORS.json")
+        .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.isReadable)
+        .getOrElse(java.nio.file.Paths.get("ANCHORS.json"))
+      val n = updateAnchorsFile(path, sfLabel,
+        meds, java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString)
+      System.err.println(s"[bench] re-anchored $n sf$sfLabel gate(s) in $path" +
+        (if (meds.size < results.size)
+          s" (${results.size - meds.size} failed gate(s) left untouched)" else ""))
+    }
     val (full, out) = render(results, sfDir, anchors)
     System.err.println(full)
     try {
@@ -219,6 +253,60 @@ object Bench {
     } catch { case _: Throwable => () } // best-effort; stdout line is canonical
     println(out)
     spark.stop()
+  }
+
+  /** One ANCHORS.json record: (name, sf label, seconds, date). */
+  private[graft] final case class AnchorRec(name: String, sf: String,
+      sec: Double, date: String)
+
+  /** Parse EVERY record out of ANCHORS.json text regardless of nesting
+    * (top-level sf0.1 entries and per-scale sections share one record
+    * shape; field order sf/sec/date is fixed by [[renderAnchorsFile]]). */
+  private[graft] def parseAllAnchorRecs(json: String): Seq[AnchorRec] = {
+    val pat = ("\"([A-Za-z0-9_]+)\"\\s*:\\s*\\{\\s*\"sf\"\\s*:\\s*\"([^\"]+)\"\\s*," +
+      "\\s*\"sec\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?)\\s*," +
+      "\\s*\"date\"\\s*:\\s*\"([^\"]+)\"").r
+    pat.findAllMatchIn(json)
+      .map(m => AnchorRec(m.group(1), m.group(2), m.group(3).toDouble, m.group(4)))
+      .toSeq
+  }
+
+  /** Canonical ANCHORS.json text: sf0.1 records at top level (the
+    * historical layout [[parseAnchorsJson]] and the driver both read),
+    * every other scale under an `"sf<label>"` section, names sorted.
+    * Field order sf/sec/date is LOAD-BEARING for the regex parsers. */
+  private[graft] def renderAnchorsFile(recs: Seq[AnchorRec]): String = {
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def rec(r: AnchorRec, pad: String): String =
+      s"""$pad"${r.name}": {\n$pad "sf": "${r.sf}",\n$pad "sec": ${fmt(r.sec)},\n$pad "date": "${r.date}"\n$pad}"""
+    val (top, scaled) = recs.distinct.partition(_.sf == "0.1")
+    val topLines = top.sortBy(_.name).map(rec(_, " "))
+    val sections = scaled.groupBy(_.sf).toSeq.sortBy(_._1).map { case (sf, rs) =>
+      val inner = rs.sortBy(_.name).map(rec(_, "  ")).mkString(",\n")
+      s""" "sf$sf": {\n$inner\n }"""
+    }
+    (topLines ++ sections).mkString("{\n", ",\n", "\n}\n")
+  }
+
+  /** Re-anchor protocol as a scripted mode (SPARK_GRAFT_REANCHOR=1):
+    * replace the run scale's records for the gates just measured
+    * (median-of-3 — [[main]] forces repeat>=3 in this mode) and rewrite
+    * ANCHORS.json canonically. Records of other scales and gates not in
+    * this run are preserved verbatim, so the diff shows only sec/date
+    * fields (plus a one-time format normalization). Returns the updated
+    * record count. */
+  private[graft] def updateAnchorsFile(path: java.nio.file.Path, sf: String,
+      meds: Map[String, Double], date: String): Int = {
+    val existing =
+      if (java.nio.file.Files.isReadable(path))
+        parseAllAnchorRecs(new String(java.nio.file.Files.readAllBytes(path), "UTF-8"))
+      else Seq.empty
+    val kept = existing.filterNot(r => r.sf == sf && meds.contains(r.name))
+    val updated = meds.toSeq.map { case (n, s) => AnchorRec(n, sf, s, date) }
+    java.nio.file.Files.write(path,
+      renderAnchorsFile(kept ++ updated).getBytes("UTF-8"))
+    updated.length
   }
 
   /** Scale label of a testdata dir: the `X` of a final `sfX` path

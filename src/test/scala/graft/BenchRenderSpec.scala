@@ -260,14 +260,97 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(detCalls == 1 && detSamples.length == 1 && detExcused == 0)
     assert(!Bench.summarize("det", detSamples, detExcused).ok)
     // infra-shaped but persistent (a real outage, not a blip): retried
-    // once, still failing -> nothing excused, gate fails loudly
+    // once, still failing -> the failed retry is DISCARDED (the first
+    // samples already record the failures), nothing excused, gate
+    // fails loudly
     var infCalls = 0
     val (infSamples, infExcused) = Bench.collectSamples("inf", repeat = 1, () => {
       infCalls += 1
       Bench.RunSample(-1.0, -1.0, Some(new java.io.IOException("No space left on device")))
     })
-    assert(infCalls == 2 && infSamples.length == 2 && infExcused == 0)
+    assert(infCalls == 2 && infSamples.length == 1 && infExcused == 0)
     assert(!Bench.summarize("inf", infSamples, infExcused).ok)
+  }
+
+  test("rescue never runs when the majority rule already passes") {
+    // round-14 advice: 2 good + 1 infra fail of repeat=3 already passes
+    // good*2 > considered — a retry that ALSO failed used to append an
+    // unexcused sample and flip 4>3 (pass) into 4>4 (fail). The rescue
+    // must not be able to turn a passing gate red.
+    var calls = 0
+    val (samples, excused) = Bench.collectSamples("g", repeat = 3, () => {
+      calls += 1
+      if (calls == 2)
+        Bench.RunSample(-1.0, -1.0, Some(new java.io.IOException("Connection reset")))
+      else Bench.RunSample(2.0, 0.0)
+    })
+    assert(calls == 3, "majority already passes - no retry should run")
+    assert(samples.length == 3 && excused == 0)
+    val r = Bench.summarize("g", samples, excused)
+    assert(r.ok && r.failedRuns == 1)
+  }
+
+  test("deterministic IOException subtypes are not infra-shaped") {
+    // a missing input file or truncated parquet stream fails
+    // identically every run — retrying it can only hide a data bug as
+    // flakiness (round-14 advice)
+    assert(!Bench.isInfraException(new java.io.FileNotFoundException("/x/part-0.parquet")))
+    assert(!Bench.isInfraException(new RuntimeException("read failed",
+      new java.io.EOFException("Reached the end of stream with 93 bytes left to read"))))
+    assert(!Bench.isInfraException(new java.nio.file.NoSuchFileException("/x/_SUCCESS")))
+    // the broad IOException class stays retryable
+    assert(Bench.isInfraException(new java.io.IOException("Connection reset by peer")))
+  }
+
+  test("re-anchor: update replaces only the run scale's measured gates") {
+    // the scripted median-of-3 re-anchor mode (round-14 verdict item 5):
+    // rewriting must touch ONLY (run-scale, measured-gate) records —
+    // other scales and unmeasured gates survive verbatim, and the
+    // rendered file stays readable by the legacy scale-filtered parser.
+    val dir = java.nio.file.Files.createTempDirectory("graft_anchors_")
+    val path = dir.resolve("ANCHORS.json")
+    val initial = Seq(
+      Bench.AnchorRec("q1_agg", "0.1", 1.5, "2026-08-01"),
+      Bench.AnchorRec("q2_join", "0.1", 2.5, "2026-08-01"),
+      Bench.AnchorRec("q1_agg", "10", 9.0, "2026-08-01"))
+    java.nio.file.Files.write(path,
+      Bench.renderAnchorsFile(initial).getBytes("UTF-8"))
+    val n = Bench.updateAnchorsFile(path, "0.1",
+      Map("q1_agg" -> 1.8, "q3_new" -> 0.4), "2026-08-15")
+    assert(n == 2)
+    val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    val recs = Bench.parseAllAnchorRecs(txt)
+      .map(r => (r.name, r.sf) -> r).toMap
+    assert(recs(("q1_agg", "0.1")).sec == 1.8 &&
+      recs(("q1_agg", "0.1")).date == "2026-08-15")
+    assert(recs(("q2_join", "0.1")).sec == 2.5 &&
+      recs(("q2_join", "0.1")).date == "2026-08-01",
+      "unmeasured gate must survive verbatim")
+    assert(recs(("q1_agg", "10")).sec == 9.0, "other scales must survive")
+    assert(recs(("q3_new", "0.1")).sec == 0.4, "new gates are added")
+    // compat: the scale-filtered reader Bench gates with still parses
+    // both the top level and the sf10 section out of the rendered file
+    assert(Bench.parseAnchorsJson(txt, "0.1") ==
+      Map("q1_agg" -> 1.8, "q2_join" -> 2.5, "q3_new" -> 0.4))
+    assert(Bench.parseAnchorsJson(txt, "10") == Map("q1_agg" -> 9.0))
+    // idempotence: render(parse(render)) is byte-stable, so repeated
+    // re-anchors diff only in sec/date
+    assert(Bench.renderAnchorsFile(Bench.parseAllAnchorRecs(txt)) == txt)
+    // and the file is well-formed JSON
+    assert(parse(txt) != JNothing)
+  }
+
+  test("re-anchor: the REAL ANCHORS.json round-trips losslessly") {
+    val p = java.nio.file.Paths.get("/root/repo/ANCHORS.json")
+    assume(java.nio.file.Files.isReadable(p))
+    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val recs = Bench.parseAllAnchorRecs(txt)
+    assert(recs.size >= 200, s"expected full coverage, parsed ${recs.size}")
+    val rendered = Bench.renderAnchorsFile(recs)
+    assert(Bench.parseAllAnchorRecs(rendered).toSet == recs.toSet)
+    // per-scale views identical through the legacy reader
+    for (sf <- recs.map(_.sf).distinct)
+      assert(Bench.parseAnchorsJson(rendered, sf) == Bench.parseAnchorsJson(txt, sf))
   }
 
   test("isInfraException classifies wrapped causes and message shapes") {
