@@ -975,14 +975,17 @@ object EventStreams {
               sketchPath, cfg)
           }
         }
-        val admitted = graft.Materialize.once(
-          SketchSidecar.admitNew(batchDf, sketchPath, idCol, textCol,
-            cfg, exactThreshold), eager = true)
+        // admitAndSketches hands back the admitted rows' sketch frame
+        // from the SAME materialized sketch pass that drove admission —
+        // the append below re-reads checkpointed blocks instead of
+        // re-hashing every admitted document's text (which used to be
+        // the second-largest per-batch term)
+        val (admittedRaw, sketchesRaw) = SketchSidecar.admitAndSketches(
+          batchDf, sketchPath, idCol, textCol, cfg, exactThreshold)
+        val admitted = graft.Materialize.once(admittedRaw, eager = true)
         admitted.write.mode(if (exists) "append" else "overwrite")
           .parquet(corpusPath)
-        SketchSidecar.append(
-          Dedup.dedupSketchColumns(admitted, idCol, textCol, cfg),
-          sketchPath, cfg)
+        SketchSidecar.append(sketchesRaw, sketchPath, cfg)
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }

@@ -206,6 +206,137 @@ class SketchSidecarSpec extends AnyFunSuite {
     assert(compacted == before)
   }
 
+  test("BULK arm (probe past the chunked-In ceiling) ≡ flat sketch frame") {
+    // cfg.bands = 8 → a batch needs > MaxInValues×MaxProbeChunks/8 =
+    // 800 docs to overflow the chunked probe; 900 docs forces the
+    // full-band-store arm (hashesIn = None) that the gate's thousands-
+    // of-docs batches take
+    val path = freshPath("bulk")
+    val corpus = synthDocs(300)
+    val inner = synthDocs(900, start = 10000L)
+    val batch = inner
+      .union(corpus.filter($"doc_id" < 12).select(($"doc_id" + 50000L).as("doc_id"), $"text"))
+      .union(inner.filter($"doc_id" < 10008L).select(($"doc_id" + 60000L).as("doc_id"), $"text"))
+    val banded = SketchSidecar.bandedBatch(batch, "doc_id", "text", cfg)
+    assert(SketchSidecar.probeHashes(banded).isEmpty,
+      "batch must overflow the chunked probe ceiling to exercise the bulk arm")
+    val sketches = Dedup.dedupSketchColumns(corpus, "doc_id", "text", cfg)
+    SketchSidecar.create(spark, path)
+    SketchSidecar.append(sketches, path, cfg)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id_new", $"id_other", $"other_in_corpus", round($"jaccard", 9).as("j"))
+      .as[(Long, Long, Boolean, Double)].collect().toSet
+    val viaSidecar = norm(SketchSidecar.minhashExactPairsAgainstSidecar(
+      batch, path, "doc_id", "text", cfg, exactThreshold = 0.3))
+    val viaFlat = norm(Dedup.minhashExactPairsAgainstSketches(
+      batch, sketches, "doc_id", "text", cfg, exactThreshold = 0.3))
+    assert(viaSidecar == viaFlat, s"${viaSidecar.size} vs ${viaFlat.size}")
+    assert(viaFlat.exists(_._3), "bulk test must produce corpus-side pairs")
+    assert(viaFlat.exists(!_._3), "bulk test must produce sibling pairs")
+  }
+
+  test("multi-chunk probe pushes an In per union arm and still prunes row groups") {
+    val path = freshPath("chunks")
+    SketchSidecar.create(spark, path)
+    (0 until 20).foreach { i =>
+      SketchSidecar.append(
+        Dedup.dedupSketchColumns(synthDocs(80, start = i * 100L), "doc_id", "text", cfg),
+        path, cfg)
+    }
+    // 30 docs × 8 bands ≈ 240 distinct hashes → 3 chunks of ≤100
+    val batch = synthDocs(30, start = 77000L)
+    val hashesIn = SketchSidecar.probeHashes(
+      SketchSidecar.bandedBatch(batch, "doc_id", "text", cfg))
+    assert(hashesIn.isDefined && hashesIn.get.length > SketchSidecar.MaxInValues,
+      s"batch must need >1 chunk: ${hashesIn.map(_.length)}")
+    val scanDf = SketchSidecar.corpusBandScan(spark, path, hashesIn)
+    scanDf.collect()
+    val scans = scanDf.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.length >= 2, s"expected one scan per chunk, got ${scans.length}")
+    scans.foreach { f =>
+      assert(f.toString.contains("PushedFilters: [In(band_hash"),
+        s"every chunk's In must push to parquet:\n${f.toString.take(400)}")
+    }
+    val totalBandRows = 20L * 80 * 8
+    val rowsScanned = scans.map(_.metrics("numOutputRows").value).sum
+    assert(rowsScanned < totalBandRows / 4,
+      s"30-doc probe decoded $rowsScanned of $totalBandRows band rows across chunks")
+  }
+
+  test("admitAndSketches: sketch frame ≡ dedupSketchColumns(admitted), append-ready") {
+    val path = freshPath("adm")
+    val corpus = synthDocs(150)
+    SketchSidecar.create(spark, path)
+    SketchSidecar.append(
+      Dedup.dedupSketchColumns(corpus, "doc_id", "text", cfg), path, cfg)
+    // batch with corpus dups, a sibling dup pair, and a token-free doc
+    val batch = synthDocs(30, start = 4000L)
+      .union(corpus.filter($"doc_id" < 6).select(($"doc_id" + 9000L).as("doc_id"), $"text"))
+      .union(synthDocs(1, start = 4500L).select(($"doc_id" + 100L).as("doc_id"), $"text"))
+      .union(Seq((4777L, "")).toDF("doc_id", "text"))
+    val (admitted, sketches) = SketchSidecar.admitAndSketches(
+      batch, path, "doc_id", "text", cfg, exactThreshold = 0.3)
+    val admIds = admitted.select("doc_id").as[Long].collect().toSet
+    val expectedAdm = SketchSidecar.admitNew(batch, path, "doc_id", "text", cfg,
+      exactThreshold = 0.3).select("doc_id").as[Long].collect().toSet
+    assert(admIds == expectedAdm)
+    assert(admIds.contains(4777L), "token-free doc admits unconditionally")
+    assert(!admIds.contains(9000L), "corpus dup must be doomed")
+    def skNorm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id", $"sig", $"sh").as[(Long, Seq[Long], Seq[Long])]
+      .collect().toSet
+    val expectedSk = skNorm(Dedup.dedupSketchColumns(
+      batch.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi"),
+      "doc_id", "text", cfg))
+    assert(skNorm(sketches) == expectedSk,
+      "sketch frame must equal a fresh dedupSketchColumns over admitted rows")
+    // config metadata survives the reuse path: the append + a fresh
+    // probe against the grown sidecar must validate and behave
+    SketchSidecar.append(sketches, path, cfg)
+    assert(SketchSidecar.setsCount(spark, path) == 150L + admIds.size)
+    val replay = SketchSidecar.admitNew(batch, path, "doc_id", "text", cfg,
+      exactThreshold = 0.3).select("doc_id").as[Long].collect().toSet
+    assert(replay == Set(4777L),
+      s"replayed batch re-admits only the unsketchable token-free doc: $replay")
+  }
+
+  test("forced pruned tiers ≡ fused path (pairs and admission identical)") {
+    // small fixtures take the fused small-sidecar path by default;
+    // forcing the crossover to 0 routes the SAME inputs through the
+    // candidate-probe + InSet verify prune, which must be invisible
+    // in results
+    val path = freshPath("tiers")
+    val corpus = synthDocs(250)
+    SketchSidecar.create(spark, path)
+    SketchSidecar.append(
+      Dedup.dedupSketchColumns(corpus, "doc_id", "text", cfg), path, cfg)
+    val inner = synthDocs(120, start = 5000L)
+    val batch = inner
+      .union(corpus.filter($"doc_id" < 9).select(($"doc_id" + 70000L).as("doc_id"), $"text"))
+      .union(inner.filter($"doc_id" < 5004L).select(($"doc_id" + 80000L).as("doc_id"), $"text"))
+    def pairsNow() = SketchSidecar.minhashExactPairsAgainstSidecar(
+        batch, path, "doc_id", "text", cfg, exactThreshold = 0.3)
+      .select($"id_new", $"id_other", $"other_in_corpus", round($"jaccard", 9).as("j"))
+      .as[(Long, Long, Boolean, Double)].collect().toSet
+    def admitNow() = {
+      val (a, sk) = SketchSidecar.admitAndSketches(
+        batch, path, "doc_id", "text", cfg, exactThreshold = 0.3)
+      (a.select("doc_id").as[Long].collect().toSet,
+        sk.select($"id", $"sig", $"sh").as[(Long, Seq[Long], Seq[Long])].collect().toSet)
+    }
+    val fusedPairs = pairsNow()
+    val fusedAdmit = admitNow()
+    spark.conf.set("graft.sidecar.pruneMinStoreBytes", "0")
+    try {
+      assert(pairsNow() == fusedPairs)
+      assert(admitNow() == fusedAdmit)
+    } finally spark.conf.unset("graft.sidecar.pruneMinStoreBytes")
+    assert(fusedPairs.exists(_._3) && fusedPairs.exists(!_._3),
+      "fixture must exercise corpus and sibling pairs")
+  }
+
   test("config drift against the sidecar fails fast") {
     val path = freshPath("cfgdrift")
     SketchSidecar.create(spark, path)

@@ -45,8 +45,8 @@ object SemIngestPhases {
       t(s"b$b banded_batch") {
         noop(Dedup.bandedSigs(Dedup.sigFrame(batch, "doc_id", "text", cfg), cfg))
       }
-      // phase 3a: corpus bands via the CURRENT bulk source (sets-store
-      // sig column re-derive + explode)
+      // phase 3a: corpus bands via the OLD bulk source (sets-store
+      // sig column re-derive + explode) — kept for A/B against 3b
       if (b > 0) t(s"b$b corpusbands_rederive") {
         val sets = new org.apache.hadoop.fs.Path(sketchPath, SketchSidecar.SetsDir)
         noop(Dedup.bandedSigs(
@@ -55,24 +55,17 @@ object SemIngestPhases {
           .select(col("band_hash"), col("id")))
       }
       // phase 3b: corpus bands via the PRE-EXPLODED skinny band store
+      // (what the bulk arm reads since round 15)
       if (b > 0) t(s"b$b corpusbands_store") {
         noop(SketchSidecar.corpusBandScan(spark, sketchPath, None))
       }
-      // phase 4: candidate join (batch bands vs corpus-rederive union
-      // batch) + distinct — the shape minhashExactPairsAgainstSidecar
-      // builds for a bulk batch
+      // phase 4: candidate join (batch bands vs band store union
+      // batch) + distinct — the shape pairsAndSketches builds for a
+      // bulk batch
       t(s"b$b candidates") {
         val newBanded = graft.Materialize.once(
           Dedup.bandedSigs(Dedup.sigFrame(batch, "doc_id", "text", cfg), cfg))
-        val corpusBands =
-          if (b == 0) SketchSidecar.corpusBandScan(spark, sketchPath, None)
-          else {
-            val sets = new org.apache.hadoop.fs.Path(sketchPath, SketchSidecar.SetsDir)
-            Dedup.bandedSigs(
-              spark.read.parquet(sets.toString).select(col("id"), col("sig"))
-                .filter(col("sig").getItem(0) =!= Long.MaxValue), cfg)
-              .select(col("band_hash"), col("id"))
-          }
+        val corpusBands = SketchSidecar.corpusBandScan(spark, sketchPath, None)
         val l = newBanded.select(col("band_hash"), col("id").as("id_new"))
         val rt = corpusBands.withColumn("other_in_corpus", lit(true))
           .select(col("band_hash"), col("id").as("id_other"), col("other_in_corpus"))
@@ -92,15 +85,16 @@ object SemIngestPhases {
       }
       // the REAL per-batch wall, as the sink runs it
       var admitted: org.apache.spark.sql.DataFrame = null
+      var sketches: org.apache.spark.sql.DataFrame = null
       t(s"b$b admit_real") {
-        admitted = graft.Materialize.once(
-          SketchSidecar.admitNew(batch, sketchPath, "doc_id", "text", cfg, 0.5),
-          eager = true)
+        val (a, sk) = SketchSidecar.admitAndSketches(
+          batch, sketchPath, "doc_id", "text", cfg, 0.5)
+        admitted = graft.Materialize.once(a, eager = true)
+        sketches = sk
       }
       t(s"b$b appends") {
         admitted.write.mode(if (b == 0) "overwrite" else "append").parquet(corpusPath)
-        SketchSidecar.append(
-          Dedup.dedupSketchColumns(admitted, "doc_id", "text", cfg), sketchPath, cfg)
+        SketchSidecar.append(sketches, sketchPath, cfg)
       }
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))

@@ -29,17 +29,18 @@ object SemIngestProfile {
         assert(!torn)
       }
       var admitted: org.apache.spark.sql.DataFrame = null
+      var sketches: org.apache.spark.sql.DataFrame = null
       t(s"b$b admit") {
-        admitted = graft.Materialize.once(
-          SketchSidecar.admitNew(batch, sketchPath, "doc_id", "text", cfg, 0.5),
-          eager = true)
+        val (a, sk) = SketchSidecar.admitAndSketches(
+          batch, sketchPath, "doc_id", "text", cfg, 0.5)
+        admitted = graft.Materialize.once(a, eager = true)
+        sketches = sk
       }
       t(s"b$b corpuswrite") {
         admitted.write.mode(if (exists) "append" else "overwrite").parquet(corpusPath)
       }
       t(s"b$b sketchappend") {
-        SketchSidecar.append(Dedup.dedupSketchColumns(admitted, "doc_id", "text", cfg),
-          sketchPath, cfg)
+        SketchSidecar.append(sketches, sketchPath, cfg)
       }
     }
     spark.stop()
