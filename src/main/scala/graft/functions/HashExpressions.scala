@@ -158,6 +158,33 @@ object HashEval {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** All `bands` LSH band hashes of a minhash signature in ONE pass,
+    * value-identical to the declarative form it replaces —
+    * `xxhash64(slice(sig, b*rowsPerBand+1, rowsPerBand), b)` — which
+    * Spark evaluates INTERPRETED (Slice allocates a GenericArrayData
+    * copy per band per row inside a non-codegen ArrayTransform; at 64
+    * bands × millions of docs that eval dominated ingest batches).
+    * Spark's xxhash64 over (array<long>, int) folds left to right:
+    * acc starts at the expression seed 42, each array element folds
+    * via XXH64.hashLong, then the band index folds via XXH64.hashInt
+    * — replicated here exactly, pinned by a spec against the
+    * declarative original. */
+  def lshBandHashes(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = sig.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 42L
+      var i = b * rowsPerBand
+      val end = math.min(n, i + rowsPerBand)
+      while (i < end) { acc = XXH64.hashLong(sig.getLong(i), acc); i += 1 }
+      out(b) = XXH64.hashInt(b, acc)
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   def simhashFromText(s: UTF8String, seed: Long): Long = {
     val wh = Tokenize.wordHashes(s, seed)
     val votes = new Array[Int](64)
@@ -383,6 +410,26 @@ case class PositionalShingleHashes(child: Expression, n: Int, seed: Long)
       s"graft.functions.HashEval.positionalShingleArray($c, $n, ${seed}L)")
 
   override protected def withNewChildInternal(newChild: Expression): PositionalShingleHashes =
+    copy(child = newChild)
+}
+
+/** `lsh_band_hashes(sig)` → `array<long>` of the signature's `bands`
+  * LSH band hashes (see [[HashEval.lshBandHashes]] for the exact
+  * value contract vs the declarative slice/xxhash64 form). */
+case class LshBandHashes(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashEval.lshBandHashes(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashEval.lshBandHashes($c, $bands, $rowsPerBand)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBandHashes =
     copy(child = newChild)
 }
 
@@ -652,6 +699,9 @@ object HashFunctions {
 
   def positionalShingleHashes(text: Column, n: Int, seed: Long = 42L): Column =
     toCol(PositionalShingleHashes(toExpr(text), n, seed))
+
+  def lshBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    toCol(LshBandHashes(toExpr(sig), bands, rowsPerBand))
 
   def simhash64(tokens: Column, seed: Long = 42L): Column =
     toCol(SimHash64(toExpr(tokens), seed))

@@ -138,13 +138,17 @@ object Dedup {
 
   /** (band, band_hash, id) LSH bucket rows of a signature frame — THE
     * banding definition; batch and incremental candidate joins both use
-    * it, so the band hash can never silently drift between them. */
+    * it, so the band hash can never silently drift between them.
+    * Values are the original declarative form's —
+    * `xxhash64(slice(sig, b*r+1, r), b)` — computed by the fused
+    * [[graft.functions.HashFunctions.lshBandHashes]] expression (the
+    * declarative form evaluated interpreted with a per-band array
+    * copy; BandedSigsSpec pins value equality). */
   private[operators] def bandedSigs(sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
     val r = cfg.numHashes / cfg.bands
     sigs.select(
       col("id"),
-      posexplode(transform(sequence(lit(0), lit(cfg.bands - 1)),
-        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))))
+      posexplode(HashFunctions.lshBandHashes(col("sig"), cfg.bands, r)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
   }
 
@@ -766,6 +770,21 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .transform(Materialize.once(_))
 
+    // pre-flight spill advisory (prefix route): the index pipeline's
+    // shuffle volume is LINEAR in total shingle occurrences, but linear
+    // × 100 TB exhausts a box (the round-14 sf100 probe died on disk
+    // with zero warning). One cheap agg over the just-materialized sets
+    // estimates the volume and warns LOUDLY — with the composable knobs
+    // — before the job commits to it. Advisory, not refusal: aggregate
+    // cluster shuffle disk is the real budget and only the operator of
+    // the session knows it (conf-tunable).
+    if (candidateGen != "lsh") {
+      val st = sets.agg(count(lit(1)), sum(size(col("sh")))).head()
+      val totalShingles = if (st.isNullAt(1)) 0L else st.getLong(1)
+      ngramSpillAdvisory(df.sparkSession, totalShingles, st.getLong(0),
+        shingleKeepFraction).foreach(System.err.println)
+    }
+
     // ---- candidate generation: two routes with the same exact verify.
     //
     // PREFIX (the exact PPJoin index) is sound at any threshold; LSH
@@ -827,6 +846,54 @@ object Dedup {
       (col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Runtime conf key: shuffle-spill budget (bytes) for the exact
+    * n-gram prefix index's pre-flight advisory. Default
+    * [[NgramSpillBudgetDefault]] — sized for a single large box; a
+    * cluster deployment should raise it to its aggregate shuffle
+    * disk. */
+  val NgramSpillBudgetKey = "graft.dedup.ngram.spillBudgetBytes"
+
+  /** 32 GiB: under the ~47 GB free disk that the round-14 sf100 probe
+    * exhausted, over anything the bench scales reach. */
+  val NgramSpillBudgetDefault: Long = 32L << 30
+
+  /** Estimated shuffle bytes per shingle OCCURRENCE across the prefix
+    * pipeline (inverted-list explode → document-frequency join →
+    * per-doc rarity-rank window — each pass shuffles the occurrence
+    * rows once, ~28-36 B serialized each). Calibrated against the
+    * round-14 sf100 run: ~500M occurrences spilled past 47 GB →
+    * ~96 B/occurrence end-to-end. */
+  private[graft] val NgramShuffleBytesPerShingle = 96L
+
+  /** The advisory message when the estimated prefix-index shuffle
+    * volume exceeds the session's spill budget; None when it fits.
+    * Pure function of the estimate (exposed for tests). */
+  private[graft] def ngramSpillAdvisory(spark: org.apache.spark.sql.SparkSession,
+      totalShingles: Long, docCount: Long,
+      shingleKeepFraction: Double): Option[String] = {
+    val budget = spark.conf.getOption(NgramSpillBudgetKey)
+      .map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      .getOrElse(NgramSpillBudgetDefault)
+    require(budget >= 1, s"$NgramSpillBudgetKey must be >= 1 (got $budget)")
+    val est = totalShingles * NgramShuffleBytesPerShingle
+    if (est <= budget) None
+    else {
+      // a keep fraction that fits the budget, composed with whatever
+      // sampling is already in force (floored to 1% so the suggestion
+      // stays meaningful)
+      val fit = math.max(0.01,
+        shingleKeepFraction * budget.toDouble / est.toDouble)
+      Some(f"[graft] ngramJaccardPairs ADVISORY: exact prefix-index dedup over " +
+        f"$docCount%,d docs / $totalShingles%,d shingle occurrences will shuffle " +
+        f"~${est / (1L << 30)}%,d GiB (budget ${budget / (1L << 30)}%,d GiB, " +
+        f"$NgramSpillBudgetKey). The volume is linear in corpus size, not a plan " +
+        f"defect, but it can exhaust local shuffle disk. Options that compose " +
+        f"soundly: shingleKeepFraction=$fit%.2f (consistent sampled-set Jaccard, " +
+        f"divides the volume), or minhashPairs/minhashDedup (estimated-threshold " +
+        f"near-dup contract, the documented route at corpus scale).")
+    }
   }
 
   // ---- corpus-size-driven LSH parameter heuristics -----------------------

@@ -109,4 +109,35 @@ class HashCodegenSpec extends AnyFunSuite {
     val codes = r.getSeq[Int](0); val lut = r.getSeq[Double](1)
     assert(r.getDouble(2) == lut(0 * 2 + codes(0)) + lut(1 * 2 + codes(1)))
   }
+
+  test("lsh_band_hashes: value-identical to the declarative slice/xxhash64 banding") {
+    import graft.functions.HashFunctions._
+    // random-ish signatures via the fused minhash (64 hashes); 8 bands
+    // of 8 rows — the EXACT declarative form bandedSigs used before
+    // round 15 must reproduce bit for bit, or every persisted sketch
+    // sidecar and minhash gate would silently change candidates
+    val docs = (0 until 50).map(i =>
+      (0 until 30).map(j => s"w${(i * 37 + j * 11) % 500}").mkString(" "))
+      .toDF("text")
+    val sigs = docs.select(minhashFromText($"text", 3, 64, 42L).as("sig"))
+    def q = sigs.select(
+        lshBandHashes($"sig", 8, 8).as("fused"),
+        transform(sequence(lit(0), lit(7)),
+          b => xxhash64(slice($"sig", b * 8 + 1, lit(8)), b)).as("declarative"))
+      .collect().toSeq
+    val (gen, interp) = bothModes(q)
+    assert(gen == interp, "codegen and interpreted banding must agree")
+    gen.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"fused banding diverged from the declarative form: $r")
+    }
+    // short signature (fewer elements than bands×rows): fused clamps,
+    // declarative slice truncates the same way
+    val shortSig = Seq(Seq(1L, 2L, 3L)).toDF("sig")
+    val sr = shortSig.select(
+      lshBandHashes($"sig", 4, 2).as("fused"),
+      transform(sequence(lit(0), lit(3)),
+        b => xxhash64(slice($"sig", b * 2 + 1, lit(2)), b)).as("decl")).head()
+    assert(sr.getSeq[Long](0) == sr.getSeq[Long](1))
+  }
 }

@@ -155,6 +155,52 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("compact: one cell failing mid-pool leaves the sentinel down; next call recovers all cells") {
+    // the pool awaits every cell (not fail-fast) and propagates the
+    // first failure with the sentinel still down — this pins that
+    // contract with a real injected per-cell failure instead of only
+    // the synthetic sentinel states above
+    val p = Files.createTempDirectory("graft_ivf_cpf").toFile.getAbsolutePath
+    val corpus = synthCorpus(400, 8)
+    Similarity.buildIvfIndex(corpus.filter($"vec_id" < 200), "vec_id",
+      "embedding", p, numCentroids = 8, seed = 7L, kmeansIters = 2)
+    (0 until 4).foreach { i =>
+      Similarity.appendToIvfIndex(
+        corpus.filter($"vec_id" >= 200 + i * 50 && $"vec_id" < 250 + i * 50),
+        "vec_id", "embedding", p)
+    }
+    // corrupt ONE cell: a part- file with a valid name but garbage
+    // bytes makes that cell's compaction job fail at read time
+    val cells = new java.io.File(s"$p/vectors").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).sortBy(_.getName)
+    assert(cells.length >= 2, "fixture needs multiple cells")
+    val poisoned = new java.io.File(cells.head, "part-00000-poison.snappy.parquet")
+    java.nio.file.Files.write(poisoned.toPath, "not a parquet file".getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      Similarity.compactIvfIndex(spark, p, targetFileBytes = 64L << 20)
+    }
+    assert(e != null)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(hp, "_graft_compact_inprogress")),
+      "failed compaction must leave the in-progress sentinel down")
+    // readers refuse the mid-compaction index
+    assertThrows[java.io.IOException] {
+      Similarity.queryIvfIndex(spark, p, corpus.filter($"vec_id" < 2),
+        "vec_id", "embedding", k = 5, nprobe = 2)
+    }
+    // operator removes the poison; the next call recovers every cell —
+    // the ones that compacted before the failure, any mid-swap state,
+    // and the poisoned cell — and re-admits readers
+    assert(poisoned.delete())
+    val (b, a) = Similarity.compactIvfIndex(spark, p, targetFileBytes = 64L << 20)
+    assert(a <= b, s"recovery compaction went backwards ($b -> $a)")
+    assert(spark.read.parquet(s"$p/vectors").count() == 400,
+      "rows lost across the failed+recovered compaction")
+    assert(Similarity.queryIvfIndex(spark, p, corpus.filter($"vec_id" < 2),
+      "vec_id", "embedding", k = 5, nprobe = 2).count() > 0)
+  }
+
   test("rebuild advisor: healthy after build, flips on skewed appends, rebuild restores") {
     val p = Files.createTempDirectory("graft_ivf_adv").toFile.getAbsolutePath
     Similarity.buildIvfIndex(synthCorpus(400, 8), "vec_id", "embedding", p,

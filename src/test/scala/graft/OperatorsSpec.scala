@@ -1333,6 +1333,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exact.size >= 50, s"exact found only ${exact.size}")
   }
 
+  test("ngramJaccard spill advisory: fires past the budget, silent within, knob-aware") {
+    // pure estimator contract (the message the operator prints): a
+    // corpus-scale shingle volume must warn, bench scales must not
+    val silent = Dedup.ngramSpillAdvisory(spark,
+      totalShingles = 5L * 1000 * 1000, docCount = 50000L,
+      shingleKeepFraction = 1.0)
+    assert(silent.isEmpty, s"sf0.1-scale volume must be silent: $silent")
+    // ~500M occurrences × 96 B ≈ 48 GB > the 32 GiB default — the
+    // round-14 sf100 disk-exhaustion shape must fire
+    val fired = Dedup.ngramSpillAdvisory(spark,
+      totalShingles = 500L * 1000 * 1000, docCount = 5000000L,
+      shingleKeepFraction = 1.0)
+    assert(fired.isDefined, "sf100-scale volume must fire the advisory")
+    assert(fired.get.contains("shingleKeepFraction") &&
+      fired.get.contains("minhash"), s"advisory must name the knobs: ${fired.get}")
+    // the suggested fraction composes with sampling already in force:
+    // 500M × 96 B ≈ 48 GB at keep=0.5 → suggest 0.5 × 34.36/48 ≈ 0.36
+    val sampledFire = Dedup.ngramSpillAdvisory(spark,
+      totalShingles = 500L * 1000 * 1000, docCount = 5000000L,
+      shingleKeepFraction = 0.5).get
+    assert(sampledFire.contains("shingleKeepFraction=0.36"),
+      s"suggestion must scale the in-force fraction: $sampledFire")
+    // conf raises the budget → silent at the same volume
+    spark.conf.set(Dedup.NgramSpillBudgetKey, (256L << 30).toString)
+    try assert(Dedup.ngramSpillAdvisory(spark, 500L * 1000 * 1000, 5000000L, 1.0).isEmpty)
+    finally spark.conf.unset(Dedup.NgramSpillBudgetKey)
+    // end-to-end: the operator still computes the same pairs while
+    // advising (budget forced to 1 byte so the tiny fixture fires)
+    val corpus = (0 until 8).map(i =>
+      (i.toLong, (0 until 40).map(j => s"w${i * 100 + j}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .union(Seq((100L, (0 until 40).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text"))
+    val quiet = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    spark.conf.set(Dedup.NgramSpillBudgetKey, "1")
+    try {
+      val advised = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(advised == quiet, "advisory must not change results")
+    } finally spark.conf.unset(Dedup.NgramSpillBudgetKey)
+  }
+
   test("ngramJaccard LSH route: pair-identical to the prefix index at low thresholds") {
     // low-overlap structure: bases with variants at several Jaccard
     // levels straddling t=0.2 — exactly the regime auto routes to LSH
