@@ -167,6 +167,7 @@ object Bench {
     // timing the raw single-shot behavior); default ON — the driver's
     // artifact is the official record and must self-adjudicate noise.
     val adaptive = sys.env.get("SPARK_GRAFT_ADAPTIVE").forall(_ != "0")
+    val cleanTmp = sys.env.get("SPARK_GRAFT_CLEAN_TMP").contains("1")
 
     /** One timed run: buildSec is the eager plan-construction share
       * (index builds, in-query recall gates); sec = -1 on failure. */
@@ -203,6 +204,31 @@ object Bench {
         // isolation is the representative measurement.
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        // SPARK_GRAFT_CLEAN_TMP=1: delete the gate's /tmp/graft_* temp
+        // outputs after the clock stops. Gates are self-contained (each
+        // creates its own corpora/indexes/roundtrip files), but at
+        // sf100 their outputs accumulate to more than this box's free
+        // disk over a full sweep — a mid-sweep disk-full would then
+        // poison every LATER gate, which is worse than the (timed,
+        // honest) failure of the one gate that genuinely overflows.
+        // Never on by default: re-runs of one gate benefit from warm
+        // temp state, and the driver's sf0.1 runs don't need it.
+        // Scoped to THIS RUN's dirTag — every gate temp dir embeds the
+        // sanitized sfDir — so a concurrent run against another scale
+        // (or a tool's graft_* scratch dir) is never collateral (the
+        // first unscoped version deleted a live profiler's sidecar).
+        if (cleanTmp) {
+          val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+          val tmp = new java.io.File("/tmp")
+          Option(tmp.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.getName.startsWith("graft_") &&
+              f.getName.contains(tag))
+            .foreach { d =>
+              try deleteRecursively(d)
+              catch { case e: Exception =>
+                System.err.println(s"[bench] tmp clean of $d failed: $e") }
+            }
+        }
       }
     }
 
@@ -253,6 +279,12 @@ object Bench {
     } catch { case _: Throwable => () } // best-effort; stdout line is canonical
     println(out)
     spark.stop()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
   }
 
   /** One ANCHORS.json record: (name, sf label, seconds, date). */

@@ -99,6 +99,16 @@ object SemIngestPhases {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    // decoupling witness: a 100-doc micro-batch against the fully
+    // grown sidecar takes the chunked pushed-In probe — its wall must
+    // track the batch, not the millions of sketched docs
+    val trickle = docs.limit(100)
+      .select((col("doc_id") + 10000000000L).as("doc_id"), col("text"))
+    t("trickle100 admit") {
+      val (a, _) = SketchSidecar.admitAndSketches(
+        trickle, sketchPath, "doc_id", "text", cfg, 0.5)
+      println(s"[phase] trickle100 admitted: ${a.count()}")
+    }
     spark.stop()
   }
 }
