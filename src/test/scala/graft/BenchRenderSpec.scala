@@ -174,6 +174,41 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(Bench.loadAnchors("10") == sf10)
   }
 
+  test("sf100 anchors: probe set parses, scopes to sf100, and re-gates the r14 defect") {
+    // round-14 verdict item 2: the sf100 probe becomes a standing gate.
+    // The seeded section must (a) parse at sf "100" only, (b) cover the
+    // probed families, and (c) actually catch the round-14 defect class:
+    // a re-broken simhash auto-banding threshold sent the gate from
+    // 271 s to DNF/disk-exhaustion — either shape (failure, or a >2x
+    // wall) must turn the artifact red against these anchors.
+    val p = java.nio.file.Paths.get("ANCHORS.json")
+    assume(java.nio.file.Files.isReadable(p))
+    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val sf100 = Bench.parseAnchorsJson(txt, "100")
+    assert(sf100.size >= 15, s"expected >=15 sf100 anchors, parsed ${sf100.size}")
+    assert((sf100.keySet -- SparkEntry.queries.keySet).isEmpty,
+      s"sf100 anchors for non-queries: ${sf100.keySet -- SparkEntry.queries.keySet}")
+    assert(sf100.contains("dedup_simhash"), "the r14 defect's gate must be anchored")
+    // sf100 records never bleed into other scales' gates
+    val sf01 = Bench.parseAnchorsJson(txt, "0.1")
+    assert((sf01.keySet & sf100.keySet).forall(k => sf01(k) != sf100(k)),
+      "sf100 records must be distinct measurements, not copies of sf0.1")
+    assert(Bench.loadAnchors("100") == sf100)
+    // negative control: replay the round-14 simhash regression (the
+    // (4,1) quadratic candidate join — observed as a DNF; modelled here
+    // as both a failure and a 10x wall) against the real anchors
+    val broken = Seq(
+      Bench.QueryResult("dedup_simhash", sf100("dedup_simhash") * 10.0, true, 0, 0.0, 1))
+    val (_, out) = Bench.render(broken, "/tmp/sf100", sf100)
+    val j = parse(out)
+    assert((j \ "flagged").asInstanceOf[JObject].obj.map(_._1) == List("dedup_simhash"),
+      "a 10x dedup_simhash wall must be flagged against the sf100 anchors")
+    val dnf = Seq(Bench.QueryResult("dedup_simhash", -1.0, false, 1, 0.0, 1))
+    val (_, out2) = Bench.render(dnf, "/tmp/sf100", sf100)
+    assert((parse(out2) \ "failed").asInstanceOf[JArray].arr.nonEmpty,
+      "a DNF dedup_simhash must land in failed")
+  }
+
   test("the real BASELINE.md parses to anchors covering the bench set") {
     val p = java.nio.file.Paths.get("BASELINE.md")
     assume(java.nio.file.Files.isReadable(p))
