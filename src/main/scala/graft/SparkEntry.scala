@@ -739,14 +739,18 @@ object SparkEntry {
     "ann_pq_topk" -> ((s, dir) =>
       // product-quantization path: 16×32 codebooks (4-dim subspaces) fit
       // driver-side from the deterministic sample, ADC candidate scan,
-      // exact re-rank of the top 8·k — the memory-bound ANN family
-      // member (16 B codes vs 512 B raw doubles per vector)
+      // exact re-rank of the top rerank·k — the memory-bound ANN family
+      // member (16 B codes vs 512 B raw doubles per vector). rerank is
+      // AUTO (Pq.resolveRerankFactor): the pool grows with corpus size
+      // so ADC leapfrog noise — linear in n — can't erode recall at
+      // scale (the round-15 sf100 sweep caught the fixed factor doing
+      // exactly that in the IVF-PQ gates)
       annRecallGate(s, dir, floor = 0.75, label = "PQ+re-rank") {
         (emb, queriesDf) =>
           val model = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 32,
             seed = 42L, iters = 10)
           Pq.pqTopK(emb, "vec_id", "embedding",
-            queriesDf, "vec_id", "embedding", k = 10, model, rerankFactor = 8)
+            queriesDf, "vec_id", "embedding", k = 10, model)
       }),
 
     "ann_ivfpq_topk" -> ((s, dir) =>
@@ -755,15 +759,17 @@ object SparkEntry {
       // scanned row, exact re-rank restores true cosines. nprobe is
       // AUTO (Pq.resolveNprobe: 0.85 scanned fraction → 14 of 16
       // cells); IvfPqSweep at sf0.01/sf0.1 measures recall 0.94/0.92 —
-      // the IVF probe, not the PQ code, is what bounds recall on these
-      // structureless synthetic embeddings
+      // at those scales the IVF probe bounds recall. rerank is also
+      // AUTO: at 5M vectors (sf100) the FIXED factor 8 measured 0.78 —
+      // ADC leapfrog noise grows linearly with corpus size, so the
+      // exact-re-rank pool must too (Pq.resolveRerankFactor)
       annRecallGate(s, dir, floor = 0.8, label = "IVF-PQ") {
         (emb, queriesDf) =>
           val model = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 32,
             seed = 42L, iters = 10)
           Pq.ivfPqTopK(emb, "vec_id", "embedding",
             queriesDf, "vec_id", "embedding", k = 10, model,
-            numCentroids = 16, rerankFactor = 8)
+            numCentroids = 16)
       }),
 
     "ann_ivfpq_index_topk" -> ((s, dir) =>
@@ -780,7 +786,7 @@ object SparkEntry {
             numCentroids = 16, m = 16, k = 32, seed = 42L, kmeansIters = 2)
           Pq.queryIvfPqIndex(s, path, queriesDf,
             "vec_id", "embedding", k = 10,
-            rerankWith = Some((emb, "vec_id", "embedding")), rerankFactor = 8)
+            rerankWith = Some((emb, "vec_id", "embedding")))
       }),
 
     "ann_ivf_index_topk" -> ((s, dir) =>
@@ -838,8 +844,7 @@ object SparkEntry {
           Pq.appendToIvfPqIndex(emb.filter(col("vec_id") % 2 =!= 0),
             "vec_id", "embedding", path)
           Pq.queryIvfPqIndex(s, path, queriesDf, "vec_id", "embedding",
-            k = 10, rerankWith = Some((emb, "vec_id", "embedding")),
-            rerankFactor = 8)
+            k = 10, rerankWith = Some((emb, "vec_id", "embedding")))
       }),
 
     "ann_ivf_index_compact" -> ((s, dir) =>

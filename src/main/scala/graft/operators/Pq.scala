@@ -172,7 +172,9 @@ object Pq {
   def queryPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
       rerankWith: Option[(DataFrame, String, String)] = None,
-      rerankFactor: Int = 8, excludeSelf: Boolean = true): DataFrame = {
+      rerankFactor: Int = Auto, excludeSelf: Boolean = true): DataFrame = {
+    require(rerankFactor == Auto || rerankFactor >= 1,
+      s"need rerankFactor >= 1 or Auto (got $rerankFactor)")
     graft.sources.FsSwap.requireCommitted(
       new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf()),
@@ -187,7 +189,9 @@ object Pq {
           scored.select(col("query_id"), col("id"), col("acos").as("cosine")),
           Seq("query_id"), col("cosine").desc, k)
       case Some((vecs, vidCol, vCol)) =>
-        rerankFromStore(scored, k, rerankFactor, vecs, vidCol, vCol)
+        rerankFromStore(scored, k,
+          resolveRerank(rerankFactor, codesRowCount(spark, path)),
+          vecs, vidCol, vCol)
     }
   }
 
@@ -292,6 +296,43 @@ object Pq {
   def resolveNprobe(numCells: Int, targetFraction: Double = 0.85): Int =
     math.min(numCells, math.max(1, math.ceil(numCells * targetFraction).toInt))
 
+  /** [[Auto]] resolution for `rerankFactor`: grow the exact-re-rank
+    * candidate pool LINEARLY with corpus size (one factor step per
+    * `rowsPerFactor` rows, floor 8, cap 512).
+    *
+    * Why linear: ADC scoring error per candidate is a roughly constant
+    * quantization noise σ, independent of corpus size — but the number
+    * of vectors whose TRUE cosine sits within σ of the k-th neighbor's
+    * (the ones that can leapfrog it in ADC order) grows linearly with
+    * n on structureless embeddings. A fixed pool that holds recall at
+    * 500k vectors therefore silently decays at 5M: the round-15 sf100
+    * sweep measured ann_ivfpq_topk at 0.78 and the appended-index gate
+    * at 0.76 against their 0.8 floors with the fixed factor 8 that
+    * passes every smaller scale. At the default sizing the pool stays
+    * a vanishing fraction of the corpus (5M rows → factor 100 → top
+    * k·100 re-ranked ≈ 0.02% of the corpus per query).
+    *
+    * The cap bounds the re-rank join as n keeps growing; past it,
+    * spend bytes on a finer code (larger m) rather than an ever-longer
+    * candidate list — re-rank cost is per-query-linear in the pool,
+    * while a finer code improves EVERY query's ADC ordering. */
+  def resolveRerankFactor(corpusRows: Long, rowsPerFactor: Long = 50_000L,
+      floor: Int = 8, cap: Int = 512): Int = {
+    require(corpusRows >= 0 && rowsPerFactor > 0 && floor >= 1 && cap >= floor,
+      s"bad resolveRerankFactor args ($corpusRows, $rowsPerFactor, $floor, $cap)")
+    math.min(cap,
+      math.max(floor, math.ceil(corpusRows.toDouble / rowsPerFactor).toInt))
+  }
+
+  /** Footer-only row count of a persisted index's codes store (count
+    * over parquet aggregates file metadata; no data pages read). */
+  private def codesRowCount(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long =
+    spark.read.parquet(s"$path/codes").count()
+
+  private def resolveRerank(rerankFactor: Int, corpusRows: => Long): Int =
+    if (rerankFactor == Auto) resolveRerankFactor(corpusRows) else rerankFactor
+
   /** FAISS-style IVF-PQ: coarse centroids cut the SCANNED FRACTION
     * (each query touches only its `nprobe` nearest cells), PQ codes cut
     * the BYTES PER SCANNED VECTOR (ADC lookups instead of raw dots), and
@@ -304,10 +345,11 @@ object Pq {
   def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
       model: PqModel, numCentroids: Int = 16, nprobe: Int = Auto,
-      seed: Long = 42L, rerankFactor: Int = 8, excludeSelf: Boolean = true): DataFrame = {
+      seed: Long = 42L, rerankFactor: Int = Auto, excludeSelf: Boolean = true): DataFrame = {
     import graft.functions.HashFunctions.nearestCentroids
-    require(nprobe == Auto || (nprobe >= 1 && rerankFactor >= 1),
-      s"need nprobe >= 1 or Auto, rerankFactor >= 1 (got $nprobe, $rerankFactor)")
+    require((nprobe == Auto || nprobe >= 1) && (rerankFactor == Auto || rerankFactor >= 1),
+      s"need nprobe >= 1 or Auto, rerankFactor >= 1 or Auto (got $nprobe, $rerankFactor)")
+    val rerank0 = resolveRerank(rerankFactor, corpus.count())
     val cents = Similarity.sampleCentroids(corpus, idCol, vecCol, numCentroids, seed)
     val nprobe0 = if (nprobe == Auto) resolveNprobe(cents.length) else nprobe
     val enc = encode(corpus, idCol, vecCol, model, keepVec = true)
@@ -316,7 +358,7 @@ object Pq {
     val q = lutQueries(queries, qidCol, qvecCol, model)
       .withColumn("cell", explode(nearestCentroids(col("qv"), cents, nprobe0)))
     val scored = adcScored(enc.join(broadcast(q), Seq("cell")), model, excludeSelf)
-    rerankExact(adcCandidates(scored, k * rerankFactor), k)
+    rerankExact(adcCandidates(scored, k * rerank0), k)
   }
 
   /** Persist an IVF-PQ index at `path` — the composition [[ivfPqTopK]]
@@ -436,10 +478,10 @@ object Pq {
   def queryIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
       nprobe: Int = Auto, rerankWith: Option[(DataFrame, String, String)] = None,
-      rerankFactor: Int = 8, excludeSelf: Boolean = true): DataFrame = {
+      rerankFactor: Int = Auto, excludeSelf: Boolean = true): DataFrame = {
     import graft.functions.HashFunctions.nearestCentroids
-    require(nprobe == Auto || (nprobe >= 1 && rerankFactor >= 1),
-      s"need nprobe >= 1 or Auto, rerankFactor >= 1 (got $nprobe, $rerankFactor)")
+    require((nprobe == Auto || nprobe >= 1) && (rerankFactor == Auto || rerankFactor >= 1),
+      s"need nprobe >= 1 or Auto, rerankFactor >= 1 or Auto (got $nprobe, $rerankFactor)")
     graft.sources.FsSwap.requireCommitted(
       new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf()),
@@ -467,7 +509,12 @@ object Pq {
           scored.select(col("query_id"), col("id"), col("acos").as("cosine")),
           Seq("query_id"), col("cosine").desc, k)
       case Some((vecs, vidCol, vCol)) =>
-        rerankFromStore(scored, k, rerankFactor, vecs, vidCol, vCol)
+        // Auto sizes from the index's REALIZED row count (footer-only
+        // scan), so the pool tracks the corpus the index actually
+        // serves — including everything appended since build
+        rerankFromStore(scored, k,
+          resolveRerank(rerankFactor, codesRowCount(spark, path)),
+          vecs, vidCol, vCol)
     }
   }
 
@@ -479,18 +526,19 @@ object Pq {
     * not the corpus. */
   def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
-      model: PqModel, rerankFactor: Int = 8, excludeSelf: Boolean = true): DataFrame = {
-    require(k >= 1 && rerankFactor >= 1,
-      s"need k >= 1, rerankFactor >= 1 (got k=$k rerankFactor=$rerankFactor)")
-    val enc = encode(corpus, idCol, vecCol, model, keepVec = rerankFactor > 1)
+      model: PqModel, rerankFactor: Int = Auto, excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1 && (rerankFactor == Auto || rerankFactor >= 1),
+      s"need k >= 1, rerankFactor >= 1 or Auto (got k=$k rerankFactor=$rerankFactor)")
+    val rerank0 = resolveRerank(rerankFactor, corpus.count())
+    val enc = encode(corpus, idCol, vecCol, model, keepVec = rerank0 > 1)
     val q = lutQueries(queries, qidCol, qvecCol, model)
     val scored = adcScored(enc.crossJoin(broadcast(q)), model, excludeSelf)
-    if (rerankFactor == 1) {
+    if (rerank0 == 1) {
       Similarity.topKPerKey(
         scored.select(col("query_id"), col("id"), col("acos").as("cosine")),
         Seq("query_id"), col("cosine").desc, k)
     } else {
-      rerankExact(adcCandidates(scored, k * rerankFactor), k)
+      rerankExact(adcCandidates(scored, k * rerank0), k)
     }
   }
 }

@@ -60,6 +60,33 @@ class PqSpec extends AnyFunSuite {
     assert(p1 == b1, s"top-1 after wide re-rank must be exact: $p1 vs $b1")
   }
 
+  test("resolveRerankFactor: floor at bench scales, linear growth, cap at the far end") {
+    // the round-15 sf100 finding: a fixed factor 8 holds recall through
+    // 500k vectors and measured 0.76-0.78 against 0.8 floors at 5M —
+    // ADC leapfrog noise grows linearly with corpus size, so the pool
+    // must too. Floor keeps every sub-500k scale bit-identical to the
+    // old fixed-8 behavior (oracle gates unchanged by construction).
+    assert(Pq.resolveRerankFactor(0L) == 8)
+    assert(Pq.resolveRerankFactor(5_000L) == 8)       // sf0.01
+    assert(Pq.resolveRerankFactor(50_000L) == 8)      // sf0.1
+    assert(Pq.resolveRerankFactor(400_000L) == 8)     // at the floor edge
+    assert(Pq.resolveRerankFactor(500_000L) == 10)    // sf10
+    assert(Pq.resolveRerankFactor(5_000_000L) == 100) // sf100 → top k·100
+    assert(Pq.resolveRerankFactor(1_000_000_000L) == 512, "cap bounds the pool")
+    intercept[IllegalArgumentException](Pq.resolveRerankFactor(-1L))
+    // Auto flows through the public paths: a small corpus with Auto is
+    // identical to the old explicit factor 8
+    val model = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 32, seed = 42L)
+    val queries = emb.filter(col("vec_id") < 3)
+    val auto = Pq.pqTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, model)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val fixed = Pq.pqTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, model, rerankFactor = 8)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(auto == fixed, "Auto at small n must equal the fixed floor")
+  }
+
   test("IVF-PQ composition keeps useful recall while scanning a fraction at code-width") {
     val model = Pq.fit(emb, "vec_id", "embedding", m = 16, k = 32, seed = 42L)
     val queries = emb.filter(col("vec_id") < 5)
