@@ -81,8 +81,13 @@ object Materialize {
         // RDD in a SEPARATE job that re-runs the lineage — without the
         // persist every site would compute its expensive upstream twice
         // (and side-effect jobs, e.g. accumulator-folded convergence
-        // counts, would double-fire)
-        ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // counts, would double-fire). SERIALIZED level: a deserialized
+        // cache of a corpus-scale frame unrolls java objects faster
+        // than G1 can evict (humongous-allocation + GCLocker stalls →
+        // heap OOM long before the disk tier engages — the round-15
+        // sf100 sweep died exactly this way in pipeline_e2e's row-index
+        // snapshot); serialized blocks are compact and stream to disk.
+        ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         // Reliable mode is always EAGER, even when the caller asked for
         // lazy: the persist can only be released once the checkpoint has
         // materialized, and a lazy reliable checkpoint would pin a
@@ -96,7 +101,11 @@ object Materialize {
         ds.unpersist(blocking = false)
         cp
       case None =>
-        ds.localCheckpoint(eager = eager)
+        // same serialized rationale as the reliable arm: the default
+        // deserialized MEMORY_AND_DISK is the level that heap-OOMed the
+        // 48g sf100 sweep; serialized snapshots spill instead of dying
+        ds.localCheckpoint(eager,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
   }
 }
