@@ -1,72 +1,85 @@
 #!/usr/bin/env python3
 """Assemble BENCH_sf100_r15.json: the round-15 full-set sf100 record.
 
-Sources, in increasing precedence (later overrides earlier):
-  1. round-14 probe waves (BENCH_sf100.json)       — 18 gates, solo
-  2. round-15 sidecar A/B (BASELINE.md)            — stream_semantic_ingest 681.4 s
-  3. round-15 complement sweep (bench_full_latest snapshot) — the ~141
-     gates never before run at sf100, single-shot, blip defense on
-  4. round-15 post-fix re-run of the two IVF-PQ recall gates
+The round's sf100 measurements landed in waves (the single-shot run
+died at the pipeline_e2e OOM defect it exists to catch); every gate
+records which wave measured it so the artifact is honest about not
+being one shot. Precedence: later waves override earlier ones.
 
-Every value records its provenance wave so the artifact is honest
-about not being one single shot.
+  r14_probe      BENCH_sf100.json — 18 corpus-proportional gates, solo
+  r15_sidecar_ab stream_semantic_ingest solo after the bulk-arm prune
+  r15_wave3a     first full-sweep attempt: 32 shuffle partitions (the
+                 sf0.1 default), ~6 min contaminated by a concurrent
+                 sf0.01 verify run; died in pipeline_e2e
+  r15_annfix     the two IVF-PQ recall gates re-run after the Auto
+                 rerank fix
+  r15_proto128   everything re-run at the 128-shuffle-partition sf100
+                 protocol after the Materialize serialization fix
 """
+import glob
 import json
-import sys
-
-complement_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_sf100_complement_full.json"
-rerun_path = sys.argv[2] if len(sys.argv) > 2 else None
 
 out = {
     "metric": "sf100_full",
     "sf": "/tmp/sf100 (ScaleUp 10x of /tmp/sf10; 15 GB, 5M docs, 600M lineitem)",
     "single_shot": False,
-    "waves": {
-        "r14_probe": "18 corpus-proportional gates, solo, round 14 (BENCH_sf100.json)",
-        "r15_sidecar_ab": "stream_semantic_ingest re-measured solo after the bulk-arm prune (BASELINE.md round-15 A/B)",
-        "r15_complement": "all remaining gates, one single-shot graft.Bench run, blip defense + per-gate temp cleanup on",
-        "r15_annfix": "ann_ivfpq_topk + ann_ivfpq_index_append re-run after the Auto rerank fix (recall floors now clear at 5M vectors)",
-    },
     "driver_mem": "48g",
     "cpus": 32,
+    "waves": {
+        "r14_probe": "round-14 probe, solo (BENCH_sf100.json)",
+        "r15_sidecar_ab": "round-15 sidecar A/B, solo, 128 shuffle partitions",
+        "r15_wave3a": "round-15 first sweep attempt, 32 shuffle partitions, partially contended",
+        "r15_annfix": "round-15 IVF-PQ gates after the Auto rerank fix",
+        "r15_proto128": "round-15 re-runs at the 128-partition sf100 protocol after the Materialize fix",
+    },
     "queries": {},
     "failed": [],
     "flagged": {},
+    "flaky": {},
 }
 
-# wave 1: round-14 probe
+
+def add(name, sec, wave, note=None):
+    rec = {"sec": sec, "wave": wave}
+    if note:
+        rec["note"] = note
+    out["queries"][name] = rec
+    if sec < 0 and name not in out["failed"]:
+        out["failed"].append(name)
+    if sec >= 0 and name in out["failed"]:
+        out["failed"].remove(name)
+
+
 r14 = json.load(open("/root/repo/BENCH_sf100.json"))
 for name, rec in r14["queries"].items():
     if isinstance(rec, dict) and isinstance(rec.get("sf100_sec"), (int, float)):
-        if rec["sf100_sec"] > 0:
-            out["queries"][name] = {"sec": rec["sf100_sec"], "wave": "r14_probe"}
-        else:
-            out["queries"][name] = {"sec": -1, "wave": "r14_probe",
-                                    "note": rec.get("note", "DNF")}
+        add(name, rec["sf100_sec"], "r14_probe",
+            rec.get("note") if rec["sf100_sec"] < 0 else None)
 
-# wave 2: round-15 sidecar A/B
-out["queries"]["stream_semantic_ingest"] = {"sec": 681.4, "wave": "r15_sidecar_ab"}
+add("stream_semantic_ingest", 681.4, "r15_sidecar_ab")
 
-# wave 3: complement sweep
-comp = json.load(open(complement_path))
-for name, sec in comp["queries"].items():
-    out["queries"][name] = {"sec": sec, "wave": "r15_complement"}
-for name in comp.get("failed", []):
-    out["queries"].setdefault(name, {})
-    out["queries"][name].update({"sec": -1, "wave": "r15_complement"})
-    out["failed"].append(name)
-out["flagged"].update(comp.get("flagged", {}))
-out["flaky"] = comp.get("flaky", {})
+wave3a = json.load(open("/tmp/sf100_wave3a.json"))
+for name, sec in wave3a["queries"].items():
+    if isinstance(sec, (int, float)) and sec >= 0:
+        add(name, sec, "r15_wave3a")
 
-# wave 4: post-fix ANN re-run
-if rerun_path:
-    rerun = json.load(open(rerun_path))
-    for name, sec in rerun["queries"].items():
-        out["queries"][name] = {"sec": sec, "wave": "r15_annfix"}
-        if name in out["failed"]:
-            out["failed"].remove(name)
+annfix = json.load(open("/tmp/annfix.json"))
+for name, sec in annfix["queries"].items():
+    add(name, sec, "r15_annfix")
 
-known = set(out["queries"])
-print(f"gates: {len(known)}; failed: {out['failed']}; flagged: {list(out['flagged'])}")
+for path in sorted(glob.glob("/tmp/sf100_proto128_*.json")):
+    d = json.load(open(path))
+    for name, sec in d["queries"].items():
+        add(name, sec, "r15_proto128")
+    out["flagged"].update(d.get("flagged", {}))
+    out["flaky"].update(d.get("flaky", {}))
+
+all_gates = set(json.load(open("/root/repo/BENCH_sf10_r14.json"))["queries"])
+missing = sorted(all_gates - set(out["queries"]))
+if missing:
+    out["not_measured"] = missing
+print(f"gates: {len(out['queries'])}/{len(all_gates)}; "
+      f"failed: {out['failed']}; flagged: {list(out['flagged'])}; "
+      f"missing: {missing}")
 json.dump(out, open("/root/repo/BENCH_sf100_r15.json", "w"), indent=1)
 print("wrote /root/repo/BENCH_sf100_r15.json")
