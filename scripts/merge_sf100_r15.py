@@ -31,6 +31,7 @@ out = {
         "r15_wave3a": "round-15 first sweep attempt, 32 shuffle partitions, partially contended",
         "r15_annfix": "round-15 IVF-PQ gates after the Auto rerank fix",
         "r15_proto128": "round-15 re-runs at the 128-partition sf100 protocol after the Materialize fix",
+        "r15_solo": "round-15 solo re-measures of the in-sweep outliers (sweep-neighborhood control)",
     },
     "queries": {},
     "failed": [],
@@ -69,8 +70,9 @@ for name, sec in annfix["queries"].items():
 
 for path in sorted(glob.glob("/tmp/sf100_proto128_*.json")):
     d = json.load(open(path))
+    wave = "r15_solo" if "zsolo" in path else "r15_proto128"
     for name, sec in d["queries"].items():
-        add(name, sec, "r15_proto128")
+        add(name, sec, wave)
     out["flagged"].update(d.get("flagged", {}))
     out["flaky"].update(d.get("flaky", {}))
 
