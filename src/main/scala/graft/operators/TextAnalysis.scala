@@ -181,8 +181,13 @@ object TextAnalysis {
       .otherwise(slice(
         zip_with(w, slice(w, lit(2), size(w)), (a, b) => concat(a, lit(" "), b)),
         lit(1), size(w) - 1))
+    // feeds training counts AND scoring — but do NOT Materialize: both
+    // consumers exchange on the SAME key (bigram: the groupBy for
+    // c_bi, and the model join), so Catalyst's ReuseExchange shares
+    // ONE corpus-sized shuffle between them, which beats writing and
+    // re-reading a corpus-sized snapshot (sf100 A/B in BASELINE.md);
+    // a snapshot would also sever the exchange-reuse opportunity
     val docBi = df.select(id, explode(bigrams2).as("bigram"))
-      .transform(Materialize.once(_)) // feeds training counts AND scoring
     val biCounts = docBi.groupBy("bigram").agg(count(lit(1)).as("c_bi"))
     val uniCounts = df
       .select(explode(w).as("w1"))
