@@ -1202,11 +1202,17 @@ object Dedup {
       windowTokens: Int = 50, minDocs: Int = 2, seed: Long = 42L): DataFrame = {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
     require(minDocs >= 2, s"minDocs must be >= 2 (cross-document), got $minDocs")
+    // one row per corpus TOKEN — do NOT Materialize: both consumers
+    // (the occurrence-count groupBy and the join-back) shuffle on __h,
+    // and the snapshot is the one frame here guaranteed BIGGER than
+    // the corpus text, so writing+reading it costs more than running
+    // the fused hash pass once per consumer. Measured at sf100 the
+    // snapshot was the over-linear term: it fits the page cache at
+    // sf10 and becomes real disk IO at 15 GB (A/B in BASELINE.md).
     val pos = df
       .select(col(idCol), posexplode(
         HashFunctions.positionalShingleHashes(col(textCol), windowTokens, seed)))
       .toDF(idCol, "pos", "__h")
-      .transform(Materialize.once(_))
     val repeated = pos.groupBy(col("__h"))
       .agg(countDistinct(col(idCol)).as("n_docs"), min(col(idCol)).as("first_id"))
       .filter(col("n_docs") >= minDocs)
