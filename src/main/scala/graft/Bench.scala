@@ -127,6 +127,20 @@ object Bench {
     SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop")
       .mode("overwrite").save()
 
+    // box-factor control (round-16): a PINNED data-independent job
+    // measured on every run, so the artifact carries the box's speed
+    // that day instead of leaving it to be inferred from old-code
+    // re-runs (round 15 measured the box at ~1.5x its anchor days via
+    // a by-hand control; one more slow-box round could mask a real
+    // 1.3x regression inside the 2x gate). median-of-3 of a ~3 s job;
+    // never part of queries/anchors/flags.
+    val controlSec = {
+      val t = (1 to 3).map(_ => runControl(spark)).sorted.apply(1)
+      System.err.println(f"[bench] box control: $t%.2f s " +
+        f"(ref $ControlRefSec%.2f s, factor ${t / ControlRefSec}%.2f)")
+      t
+    }
+
     // single-shot numbers on shared sandboxes carry large variance
     // (observed ±20 s across one full run); SPARK_GRAFT_REPEAT=N>1
     // reports the per-query MEDIAN of the successful runs. A query is
@@ -270,7 +284,7 @@ object Bench {
         (if (meds.size < results.size)
           s" (${results.size - meds.size} failed gate(s) left untouched)" else ""))
     }
-    val (full, out) = render(results, sfDir, anchors)
+    val (full, out) = render(results, sfDir, anchors, controlSec = controlSec)
     System.err.println(full)
     try {
       java.nio.file.Files.write(
@@ -279,6 +293,34 @@ object Bench {
     } catch { case _: Throwable => () } // best-effort; stdout line is canonical
     println(out)
     spark.stop()
+  }
+
+  /** Reference wall seconds for [[runControl]]: median-of-3 on the
+    * round-16 box (2026-08-16), the first day the control existed —
+    * box_factor is therefore relative to THAT day's box; anchors
+    * recorded earlier carry their own day's (unmeasured) factor until
+    * the next full re-anchor. The normalization rule (BASELINE.md
+    * §"Box-factor control"): a run's `box_factor` =
+    * control_sec / ControlRefSec; per-gate ratios near the 2x gate
+    * should be read against it — a 2.1x flag under box_factor 1.6 is a
+    * slow box, a 1.9x pass under box_factor 0.7 is a real regression
+    * hiding inside the gate. The control job below is FROZEN: changing
+    * it (or this constant) invalidates every cross-round box_factor
+    * comparison, so both only move when the whole anchor set is
+    * re-calibrated, together, in one commit. */
+  private[graft] val ControlRefSec: Double = 3.32
+
+  /** The pinned control job: 30M-row codegen'd hash pass into a 6M-key
+    * two-phase aggregate — exercises the CPU and one real shuffle with
+    * ZERO dependence on the data dir or any operator under development,
+    * so its wall time moves only when the box does. */
+  private[graft] def runControl(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 30L * 1000 * 1000, 1L, 32)
+      .selectExpr("pmod(xxhash64(id), 6000000) AS k", "id AS v")
+      .groupBy("k").sum("v")
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -432,7 +474,7 @@ object Bench {
     * the complete map always goes to stderr and bench_full_latest.json. */
   private[graft] def render(results: Seq[QueryResult],
       sfDir: String, anchors: Map[String, Double] = Map.empty,
-      budget: Int = 1750): (String, String) = {
+      budget: Int = 1750, controlSec: Double = -1.0): (String, String) = {
     val failedNames = results.collect { case r if !r.ok => r.name }
     // the failed list cannot be shed like the queries map, so a
     // mass-failure run (the run whose record matters most) must not blow
@@ -486,10 +528,18 @@ object Bench {
     val buildFull = buildMap(results.map(_.name).toSet, 0.01)
     val reruns = results.count(_.runs > 1)
 
+    // the pinned box-factor control (see ControlRefSec for the
+    // normalization rule); absent when the caller didn't measure one
+    val control =
+      if (controlSec <= 0) ""
+      else s""","control_sec":${fmt(controlSec)},"box_factor":${
+        String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(controlSec / ControlRefSec))}"""
+
     def line(entries: Seq[(String, Double)], build: String, extra: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed$failedTotal,"flaky":$flaky$flakyTotal,"flagged":$flagged$flaggedTotal,"build":$build,"reruns":$reruns$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed$failedTotal,"flaky":$flaky$flakyTotal,"flagged":$flagged$flaggedTotal,"build":$build,"reruns":$reruns$control$extra,"sf":"$sfDir"}"""
     }
 
     val all = results.map(r => (r.name, r.sec))

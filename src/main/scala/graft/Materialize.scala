@@ -104,7 +104,8 @@ object Materialize {
         // same serialized rationale as the reliable arm: the default
         // deserialized MEMORY_AND_DISK is the level that heap-OOMed the
         // 48g sf100 sweep; serialized snapshots spill instead of dying
-        ds.localCheckpoint(eager = eager) // A/B TEMP: deserialized
+        ds.localCheckpoint(
+          eager, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
   }
 }

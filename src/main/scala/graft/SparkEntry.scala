@@ -592,7 +592,17 @@ object SparkEntry {
     }),
 
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.2)
+      // spillPolicy=sample: at oracle scales (sf0.01/sf0.1) the spill
+      // budget never trips, so the gate is the EXACT prefix route and
+      // hash-matches DuckDB's quadratic oracle. At corpus scales whose
+      // estimated index shuffle exceeds the budget (sf100 on one box:
+      // ~46 GiB vs 47 GB free disk — a measured DNF in round 15), the
+      // operator auto-composes the fitting shingleKeepFraction instead
+      // of dying on disk: the gate's at-scale contract is consistent
+      // SAMPLED-set Jaccard (announced on stderr), the documented
+      // alternative to routing low-threshold intent through minhash.
+      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.2, spillPolicy = "sample")
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
@@ -2225,27 +2235,54 @@ object SparkEntry {
       fs.delete(basePath, true)
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/in"))
       val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
-      val batches = (0 until 3).map(b =>
-        docs.filter(col("doc_id") * 3 / n >= b && col("doc_id") * 3 / n < b + 1))
       // exactly-once cell-summing makes the final state independent of
-      // batch composition, so each tercile stages as 8 parallel part
-      // files (vs a single-core coalesce(1) corpus rewrite at sf10)
-      // grouped into one trigger by maxFilesPerTrigger below
-      batches.zipWithIndex.foreach { case (df, b) =>
-        val tmp = s"$base/tmp$b"
-        df.repartition(8).write.mode("overwrite").parquet(tmp)
-        fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-          .map(_.getPath).filter(_.getName.startsWith("part-"))
-          .zipWithIndex.foreach { case (part, i) =>
-            val dest = new org.apache.hadoop.fs.Path(s"$base/in/batch${b}_$i.parquet")
-            fs.rename(part, dest)
-            fs.setTimes(dest, 60000L * (b + 1), -1)
-          }
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      // batch composition, so the staging only has to DELIVER the
+      // corpus in multiple batches, not partition it by any key. When
+      // the source table is already a directory of >= 3 part files
+      // (the /tmp/sfN scale dirs), stage by BYTE-COPY of those files
+      // into tercile mtime groups — no decode/shuffle/encode of the
+      // corpus at all (the round-15 sweep's ~1.3x over-linear reading
+      // on this gate was exactly the repartition-rewrite's staging IO,
+      // closed by inspection; this closes it by construction). The
+      // driver's single-file testdata keeps the original 3-tercile
+      // rewrite so the multi-batch accumulation path stays exercised
+      // at oracle scales.
+      val srcPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val srcParts =
+        if (fs.getFileStatus(srcPath).isDirectory)
+          fs.listStatus(srcPath).map(_.getPath)
+            .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        else Array.empty[org.apache.hadoop.fs.Path]
+      val filesPerTrigger = if (srcParts.length >= 3) {
+        srcParts.zipWithIndex.foreach { case (part, i) =>
+          val b = i * 3 / srcParts.length
+          val dest = new org.apache.hadoop.fs.Path(s"$base/in/batch${b}_$i.parquet")
+          org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dest, false,
+            s.sessionState.newHadoopConf())
+          fs.setTimes(dest, 60000L * (b + 1), -1)
+        }
+        math.max(1, (srcParts.length + 2) / 3)
+      } else {
+        val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+        val batches = (0 until 3).map(b =>
+          docs.filter(col("doc_id") * 3 / n >= b && col("doc_id") * 3 / n < b + 1))
+        batches.zipWithIndex.foreach { case (df, b) =>
+          val tmp = s"$base/tmp$b"
+          df.repartition(8).write.mode("overwrite").parquet(tmp)
+          fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+            .map(_.getPath).filter(_.getName.startsWith("part-"))
+            .zipWithIndex.foreach { case (part, i) =>
+              val dest = new org.apache.hadoop.fs.Path(s"$base/in/batch${b}_$i.parquet")
+              fs.rename(part, dest)
+              fs.setTimes(dest, 60000L * (b + 1), -1)
+            }
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        }
+        8
       }
       val stream = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "8").parquet(s"$base/in")
+        .option("maxFilesPerTrigger", filesPerTrigger.toString)
+        .parquet(s"$base/in")
       val terms = stream.select(explode(
         filter(split(lower(trim(col("text"))), "\\s+"), w => length(w) > 0))
         .as("term"))

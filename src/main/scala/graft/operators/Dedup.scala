@@ -727,16 +727,28 @@ object Dedup {
     * documents still score exactly 1.0 (identical sets sample
     * identically); near-dup scores carry sampling noise, so borderline
     * pairs can cross the threshold in either direction. Never the
-    * default. */
+    * default.
+    *
+    * `spillPolicy` decides what happens when the pre-flight estimate of
+    * the prefix index's shuffle volume exceeds the session budget
+    * ([[NgramSpillBudgetKey]]): "advise" (default) warns and proceeds
+    * exact; "sample" auto-composes the keep fraction that fits — the
+    * caller's opt-in to the sampled-set contract above at whatever
+    * scale trips the budget, announced loudly when it fires; "fail"
+    * refuses up front naming the knobs. At bench scales the budget
+    * never trips, so all three are the exact route. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
       shingleKeepFraction: Double = 1.0,
-      candidateGen: String = "auto"): DataFrame = {
+      candidateGen: String = "auto",
+      spillPolicy: String = "advise"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shingleKeepFraction > 0.0 && shingleKeepFraction <= 1.0,
       s"shingleKeepFraction must be in (0, 1] (got $shingleKeepFraction)")
     require(Set("auto", "prefix", "lsh").contains(candidateGen),
       s"candidateGen must be auto|prefix|lsh (got $candidateGen)")
+    require(Set("advise", "sample", "fail").contains(spillPolicy),
+      s"spillPolicy must be advise|sample|fail (got $spillPolicy)")
     // the LSH route's ≤1e-12 miss bound is stated against FULL-shingle
     // Jaccard (signatures hash the full stream), but the verify Jaccard
     // under shingleKeepFraction < 1 is over the SAMPLED sets — the two
@@ -766,23 +778,58 @@ object Dedup {
       // the sign of the 64-bit hash)
       else rawSets.withColumn("sh",
         filter(col("sh"), g => pmod(g, lit(keepDen)) < lit(keepNum)))
-    val sets = sampled
+    val sets0 = sampled
       .filter(size(col("sh")) > 0)
       .transform(Materialize.once(_))
 
-    // pre-flight spill advisory (prefix route): the index pipeline's
+    // pre-flight spill check (prefix route): the index pipeline's
     // shuffle volume is LINEAR in total shingle occurrences, but linear
     // × 100 TB exhausts a box (the round-14 sf100 probe died on disk
     // with zero warning). One cheap agg over the just-materialized sets
-    // estimates the volume and warns LOUDLY — with the composable knobs
-    // — before the job commits to it. Advisory, not refusal: aggregate
-    // cluster shuffle disk is the real budget and only the operator of
-    // the session knows it (conf-tunable).
-    if (candidateGen != "lsh") {
-      val st = sets.agg(count(lit(1)), sum(size(col("sh")))).head()
+    // estimates the volume; `spillPolicy` decides what an over-budget
+    // estimate DOES (the budget is conf-tunable — aggregate cluster
+    // shuffle disk is the real limit and only the session operator
+    // knows it):
+    //   "advise" (default) — warn LOUDLY with the composable knobs and
+    //     proceed exact; the round-14/15 behavior.
+    //   "sample" — auto-compose the shingleKeepFraction that fits the
+    //     budget (floor 0.01). The output contract CHANGES when the
+    //     route fires: jaccard becomes consistent sampled-set Jaccard
+    //     (identical docs still score exactly 1.0; borderline pairs
+    //     carry sampling noise) — an explicit caller opt-in, announced
+    //     on stderr with the chosen fraction, never a silent downgrade.
+    //     Sampling composes on the MATERIALIZED sets (membership is a
+    //     pure function of the shingle hash, so a tighter pmod filter
+    //     on the snapshot ≡ sampling at the product fraction — no
+    //     re-hash of the corpus).
+    //   "fail" — refuse up front naming the knobs, for pipelines that
+    //     would rather schedule a minhash pass than approximate here.
+    val sets: DataFrame = if (candidateGen == "lsh") sets0 else {
+      val st = sets0.agg(count(lit(1)), sum(size(col("sh")))).head()
       val totalShingles = if (st.isNullAt(1)) 0L else st.getLong(1)
-      ngramSpillAdvisory(df.sparkSession, totalShingles, st.getLong(0),
-        shingleKeepFraction).foreach(System.err.println)
+      val budget = ngramSpillBudget(df.sparkSession)
+      val est = totalShingles * NgramShuffleBytesPerShingle
+      if (est <= budget) sets0
+      else spillPolicy match {
+        case "advise" =>
+          System.err.println(ngramSpillMessage(totalShingles, st.getLong(0),
+            shingleKeepFraction, est, budget, "ADVISORY"))
+          sets0
+        case "fail" =>
+          throw new IllegalStateException(ngramSpillMessage(totalShingles,
+            st.getLong(0), shingleKeepFraction, est, budget, "REFUSED " +
+              "(spillPolicy=fail)"))
+        case "sample" =>
+          val fit = ngramFitKeepFraction(shingleKeepFraction, est, budget)
+          val fitNum = math.max(1L, math.round(fit * keepDen))
+          System.err.println(ngramSpillMessage(totalShingles, st.getLong(0),
+            shingleKeepFraction, est, budget,
+            f"AUTO-SAMPLING at shingleKeepFraction=$fit%.3f " +
+              "(spillPolicy=sample; output is sampled-set Jaccard)"))
+          sets0.withColumn("sh",
+            filter(col("sh"), g => pmod(g, lit(keepDen)) < lit(fitNum)))
+            .filter(size(col("sh")) > 0)
+      }
     }
 
     // ---- candidate generation: two routes with the same exact verify.
@@ -867,33 +914,51 @@ object Dedup {
     * ~96 B/occurrence end-to-end. */
   private[graft] val NgramShuffleBytesPerShingle = 96L
 
+  /** The session's shuffle-spill budget for the prefix route. */
+  private[graft] def ngramSpillBudget(
+      spark: org.apache.spark.sql.SparkSession): Long = {
+    val budget = spark.conf.getOption(NgramSpillBudgetKey)
+      .map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      .getOrElse(NgramSpillBudgetDefault)
+    require(budget >= 1, s"$NgramSpillBudgetKey must be >= 1 (got $budget)")
+    budget
+  }
+
+  /** The keep fraction that fits the budget, composed with whatever
+    * sampling is already in force (floored to 1% so the route stays
+    * meaningful). Pure (exposed for tests). */
+  private[graft] def ngramFitKeepFraction(shingleKeepFraction: Double,
+      est: Long, budget: Long): Double =
+    math.max(0.01, shingleKeepFraction * budget.toDouble / est.toDouble)
+
+  /** The over-budget message, parameterized by what the policy DID
+    * (`verdict`: advisory, refusal, or the auto-chosen fraction). */
+  private[graft] def ngramSpillMessage(totalShingles: Long, docCount: Long,
+      shingleKeepFraction: Double, est: Long, budget: Long,
+      verdict: String): String = {
+    val fit = ngramFitKeepFraction(shingleKeepFraction, est, budget)
+    f"[graft] ngramJaccardPairs $verdict: exact prefix-index dedup over " +
+      f"$docCount%,d docs / $totalShingles%,d shingle occurrences will shuffle " +
+      f"~${est / (1L << 30)}%,d GiB (budget ${budget / (1L << 30)}%,d GiB, " +
+      f"$NgramSpillBudgetKey). The volume is linear in corpus size, not a plan " +
+      f"defect, but it can exhaust local shuffle disk. Options that compose " +
+      f"soundly: shingleKeepFraction=$fit%.2f (consistent sampled-set Jaccard, " +
+      f"divides the volume), or minhashPairs/minhashDedup (estimated-threshold " +
+      f"near-dup contract, the documented route at corpus scale); " +
+      f"spillPolicy=sample auto-applies the fitting fraction."
+  }
+
   /** The advisory message when the estimated prefix-index shuffle
     * volume exceeds the session's spill budget; None when it fits.
     * Pure function of the estimate (exposed for tests). */
   private[graft] def ngramSpillAdvisory(spark: org.apache.spark.sql.SparkSession,
       totalShingles: Long, docCount: Long,
       shingleKeepFraction: Double): Option[String] = {
-    val budget = spark.conf.getOption(NgramSpillBudgetKey)
-      .map(_.trim).filter(_.nonEmpty).map(_.toLong)
-      .getOrElse(NgramSpillBudgetDefault)
-    require(budget >= 1, s"$NgramSpillBudgetKey must be >= 1 (got $budget)")
+    val budget = ngramSpillBudget(spark)
     val est = totalShingles * NgramShuffleBytesPerShingle
     if (est <= budget) None
-    else {
-      // a keep fraction that fits the budget, composed with whatever
-      // sampling is already in force (floored to 1% so the suggestion
-      // stays meaningful)
-      val fit = math.max(0.01,
-        shingleKeepFraction * budget.toDouble / est.toDouble)
-      Some(f"[graft] ngramJaccardPairs ADVISORY: exact prefix-index dedup over " +
-        f"$docCount%,d docs / $totalShingles%,d shingle occurrences will shuffle " +
-        f"~${est / (1L << 30)}%,d GiB (budget ${budget / (1L << 30)}%,d GiB, " +
-        f"$NgramSpillBudgetKey). The volume is linear in corpus size, not a plan " +
-        f"defect, but it can exhaust local shuffle disk. Options that compose " +
-        f"soundly: shingleKeepFraction=$fit%.2f (consistent sampled-set Jaccard, " +
-        f"divides the volume), or minhashPairs/minhashDedup (estimated-threshold " +
-        f"near-dup contract, the documented route at corpus scale).")
-    }
+    else Some(ngramSpillMessage(totalShingles, docCount, shingleKeepFraction,
+      est, budget, "ADVISORY"))
   }
 
   // ---- corpus-size-driven LSH parameter heuristics -----------------------
@@ -1192,12 +1257,14 @@ object Dedup {
     *
     * Scale shape: the exploded (id, pos, hash) frame has one row per
     * corpus token — the honest cost of exact-substring matching, linear
-    * and map-side until the single hash-keyed shuffle. The frame is
-    * materialized once and consumed by both the occurrence count and
-    * the join-back; the aggregate is two-phase (partial distinct counts
-    * map-side). At 100 TB the repeated-hash side is a small fraction of
-    * windows (boilerplate, not body), and AQE broadcast-sizes the
-    * join-back against it from measured bytes. */
+    * and map-side until the single hash-keyed shuffle. The frame is NOT
+    * snapshotted: both consumers (the occurrence-count groupBy and the
+    * join-back) re-run the fused hash pass, which is cheaper than
+    * writing + reading the one frame guaranteed bigger than the corpus
+    * text (sf100 A/B in BASELINE.md). The aggregate is two-phase
+    * (partial distinct counts map-side). At 100 TB the repeated-hash
+    * side is a small fraction of windows (boilerplate, not body), and
+    * AQE broadcast-sizes the join-back against it from measured bytes. */
   def repeatedWindowMatches(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 50, minDocs: Int = 2, seed: Long = 42L): DataFrame = {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")

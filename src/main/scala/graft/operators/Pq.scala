@@ -324,11 +324,31 @@ object Pq {
       math.max(floor, math.ceil(corpusRows.toDouble / rowsPerFactor).toInt))
   }
 
-  /** Footer-only row count of a persisted index's codes store (count
-    * over parquet aggregates file metadata; no data pages read). */
+  /** Row count of a persisted index's codes store, cached per
+    * committed index so repeated Auto-factor queries against the same
+    * index don't relaunch the count job (the count itself is cheap —
+    * the parquet scan prunes to zero columns and row-group metadata
+    * supplies the counts — but it is still a schema-inference pass plus
+    * a full Spark job per call). The cache key carries the commit
+    * marker's modification time: appends recommit the marker
+    * ([[graft.sources.FsSwap.commitArtifact]]), so a grown index is
+    * re-counted, and per-path entries replace rather than accumulate. */
+  private val codesRowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
   private def codesRowCount(spark: org.apache.spark.sql.SparkSession,
-      path: String): Long =
-    spark.read.parquet(s"$path/codes").count()
+      path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(p, graft.sources.FsSwap.CommitMarker)
+    val stamp =
+      try fs.getFileStatus(marker).getModificationTime
+      catch { case _: java.io.FileNotFoundException => -1L }
+    val key = fs.makeQualified(p).toString
+    codesRowCountCache.compute(key, (_, prev) =>
+      if (prev != null && prev._1 == stamp) prev
+      else (stamp, spark.read.parquet(s"$path/codes").count()))._2
+  }
 
   private def resolveRerank(rerankFactor: Int, corpusRows: => Long): Int =
     if (rerankFactor == Auto) resolveRerankFactor(corpusRows) else rerankFactor

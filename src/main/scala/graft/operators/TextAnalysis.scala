@@ -181,12 +181,16 @@ object TextAnalysis {
       .otherwise(slice(
         zip_with(w, slice(w, lit(2), size(w)), (a, b) => concat(a, lit(" "), b)),
         lit(1), size(w) - 1))
-    // feeds training counts AND scoring — but do NOT Materialize: both
-    // consumers exchange on the SAME key (bigram: the groupBy for
-    // c_bi, and the model join), so Catalyst's ReuseExchange shares
-    // ONE corpus-sized shuffle between them, which beats writing and
-    // re-reading a corpus-sized snapshot (sf100 A/B in BASELINE.md);
-    // a snapshot would also sever the exchange-reuse opportunity
+    // feeds training counts AND scoring — but do NOT Materialize.
+    // (Not via ReuseExchange: the two bigram-keyed exchanges have
+    // different children — partial-aggregate vs bare projection — so
+    // Catalyst cannot share them, and the formatted plan confirms the
+    // explode lineage executes twice.) The measured reason (sf100 A/B
+    // in BASELINE.md, 181.7→98.6 s): re-running the map-side
+    // explode+hash pass per consumer is strictly cheaper than writing
+    // and re-reading the one frame guaranteed BIGGER than the corpus
+    // text — the snapshot fits the page cache at sf10 and becomes real
+    // disk IO at 15 GB.
     val docBi = df.select(id, explode(bigrams2).as("bigram"))
     val biCounts = docBi.groupBy("bigram").agg(count(lit(1)).as("c_bi"))
     val uniCounts = df

@@ -18,6 +18,20 @@ class BenchRenderSpec extends AnyFunSuite {
 
   private def parse(s: String): JValue = JsonMethods.parse(s)
 
+  test("render carries the box-factor control when measured, omits it otherwise") {
+    val r = Seq(Bench.QueryResult("q1_agg", 1.0, true, 0, 0.0, 1))
+    val (full, out) = Bench.render(r, "/tmp/sf0.1", Map.empty, 1750, controlSec = 4.5)
+    for (s <- Seq(full, out)) {
+      val j = parse(s)
+      assert((j \ "control_sec") == JDouble(4.5), s)
+      val bf = (j \ "box_factor").asInstanceOf[JDouble].num
+      assert(math.abs(bf - 4.5 / Bench.ControlRefSec) < 0.01, s"box_factor $bf")
+    }
+    // absent when the caller didn't measure one (unit renders, old paths)
+    val (f2, o2) = Bench.render(r, "/tmp/sf0.1")
+    assert(!f2.contains("control_sec") && !o2.contains("box_factor"))
+  }
+
   test("real query set at realistic timings: stdout line fits the tail cap and parses") {
     // worst realistic case: every one of the real queries present, each
     // with a 3-decimal sub-10s timing
@@ -169,7 +183,12 @@ class BenchRenderSpec extends AnyFunSuite {
       new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), "10")
     assert(sf10.size >= 20, s"expected >=20 sf10 anchors, parsed ${sf10.size}")
     assert((sf10.keySet -- SparkEntry.queries.keySet).isEmpty)
-    assert((a.keySet & sf10.keySet).forall(k => a(k) != sf10(k) || a(k) == 0.0),
+    // aggregate distinctness: a wholesale copy of one scale's numbers
+    // into the other must fail, but a single gate legitimately landing
+    // on the same rounded seconds at both scales must not (3-decimal
+    // values recur across the file)
+    val shared10 = (a.keySet & sf10.keySet).toSeq
+    assert(shared10.count(k => a(k) != sf10(k)) >= (shared10.size * 0.9).toInt,
       "sf10 records must be distinct measurements, not copies of sf0.1")
     assert(Bench.loadAnchors("10") == sf10)
   }
@@ -190,8 +209,10 @@ class BenchRenderSpec extends AnyFunSuite {
       s"sf100 anchors for non-queries: ${sf100.keySet -- SparkEntry.queries.keySet}")
     assert(sf100.contains("dedup_simhash"), "the r14 defect's gate must be anchored")
     // sf100 records never bleed into other scales' gates
+    // aggregate, not per-key (same rationale as the sf10 check above)
     val sf01 = Bench.parseAnchorsJson(txt, "0.1")
-    assert((sf01.keySet & sf100.keySet).forall(k => sf01(k) != sf100(k)),
+    val shared100 = (sf01.keySet & sf100.keySet).toSeq
+    assert(shared100.count(k => sf01(k) != sf100(k)) >= (shared100.size * 0.9).toInt,
       "sf100 records must be distinct measurements, not copies of sf0.1")
     assert(Bench.loadAnchors("100") == sf100)
     // negative control: replay the round-14 simhash regression (the

@@ -1375,6 +1375,45 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.unset(Dedup.NgramSpillBudgetKey)
   }
 
+  test("ngramJaccard spillPolicy: sample auto-fits, fail refuses, both inert within budget") {
+    // pure fit-fraction contract: scales the in-force fraction by
+    // budget/estimate, floored at 1%
+    assert(math.abs(Dedup.ngramFitKeepFraction(1.0, 100L << 30, 32L << 30) - 0.32) < 0.001)
+    assert(math.abs(Dedup.ngramFitKeepFraction(0.5, 48L << 30, 32L << 30) - 1.0 / 3) < 0.001)
+    assert(Dedup.ngramFitKeepFraction(1.0, Long.MaxValue / 2, 1L) == 0.01)
+
+    // twin docs (identical text) + disjoint-vocab rest: the exact route
+    // finds exactly the twin pair at 1.0, and so must the sampled route
+    // (identical sets sample identically at any consistent fraction)
+    val corpus = (0 until 8).map(i =>
+      (i.toLong, (0 until 40).map(j => s"w${i * 100 + j}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .union(Seq((100L, (0 until 40).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text"))
+    def run(policy: String) =
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5,
+        spillPolicy = policy).as[(Long, Long, Double)].collect().toSet
+    val exact = run("advise")
+    assert(exact == Set((0L, 100L, 1.0)), s"fixture contract: $exact")
+    // generous budget: all three policies are the identical exact route
+    assert(run("sample") == exact && run("fail") == exact)
+    // budget sized for fit ≈ 0.5 of the fixture's shingle volume:
+    // 9 docs × 38 shingles × 96 B ≈ 32.8 KB estimate → budget 16.4 KB.
+    // The sampled route halves the shingle volume and must still emit
+    // the twin pair at exactly 1.0 (consistent sampling).
+    spark.conf.set(Dedup.NgramSpillBudgetKey, (9L * 38 * 96 / 2).toString)
+    try {
+      val sampled = run("sample")
+      assert(sampled == Set((0L, 100L, 1.0)),
+        s"sampled route must keep the twin pair exactly at 1.0: $sampled")
+      // fail policy refuses loudly, naming the knob
+      val ex = intercept[IllegalStateException](run("fail"))
+      assert(ex.getMessage.contains("shingleKeepFraction") &&
+        ex.getMessage.contains("spillPolicy=fail"), ex.getMessage)
+      // advise (the default) proceeds exact — unchanged results
+      assert(run("advise") == exact)
+    } finally spark.conf.unset(Dedup.NgramSpillBudgetKey)
+  }
+
   test("ngramJaccard LSH route: pair-identical to the prefix index at low thresholds") {
     // low-overlap structure: bases with variants at several Jaccard
     // levels straddling t=0.2 — exactly the regime auto routes to LSH
