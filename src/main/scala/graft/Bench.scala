@@ -140,6 +140,13 @@ object Bench {
         f"(ref $ControlRefSec%.2f s, factor ${t / ControlRefSec}%.2f)")
       t
     }
+    // single-shot (a synced 256 MB write is its own smoothing; a slow
+    // disk day makes three of them needlessly expensive)
+    val diskMbps = {
+      val m = diskControlMbps()
+      System.err.println(f"[bench] disk control: $m%.0f MB/s synced write")
+      m
+    }
 
     // single-shot numbers on shared sandboxes carry large variance
     // (observed ±20 s across one full run); SPARK_GRAFT_REPEAT=N>1
@@ -284,7 +291,8 @@ object Bench {
         (if (meds.size < results.size)
           s" (${results.size - meds.size} failed gate(s) left untouched)" else ""))
     }
-    val (full, out) = render(results, sfDir, anchors, controlSec = controlSec)
+    val (full, out) = render(results, sfDir, anchors, controlSec = controlSec,
+      diskMbps = diskMbps)
     System.err.println(full)
     try {
       java.nio.file.Files.write(
@@ -321,6 +329,37 @@ object Bench {
       .groupBy("k").sum("v")
       .write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Pinned DISK control: synced sequential write of 256 MB to the
+    * shuffle-local filesystem, reported as MB/s. The CPU control above
+    * cannot see a degraded disk (its 500 MB shuffle rides the page
+    * cache), but shuffle-heavy gates are at the disk's mercy — the
+    * round-16 box measured the SAME code 10x over its round-15 wall
+    * purely from host disk degradation (27 of 32 executor threads
+    * blocked in write0; a 2 GB fdatasync dd crawled at < 10 MB/s).
+    * A sweep's flags are uninterpretable without this number. */
+  private[graft] def diskControlMbps(): Double = {
+    val f = java.io.File.createTempFile("graft_diskctl_", ".bin",
+      new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp")))
+    try {
+      val buf = new Array[Byte](4 << 20)
+      scala.util.Random.javaRandomToRandom(
+        new java.util.Random(42L)).nextBytes(buf)
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(f.toPath,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        var i = 0
+        while (i < 64) { // 64 x 4 MB = 256 MB
+          val bb = java.nio.ByteBuffer.wrap(buf)
+          while (bb.hasRemaining) ch.write(bb)
+          i += 1
+        }
+        ch.force(false)
+      } finally ch.close()
+      256.0 / ((System.nanoTime() - t0) / 1e9)
+    } finally { f.delete(); () }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -474,7 +513,8 @@ object Bench {
     * the complete map always goes to stderr and bench_full_latest.json. */
   private[graft] def render(results: Seq[QueryResult],
       sfDir: String, anchors: Map[String, Double] = Map.empty,
-      budget: Int = 1750, controlSec: Double = -1.0): (String, String) = {
+      budget: Int = 1750, controlSec: Double = -1.0,
+      diskMbps: Double = -1.0): (String, String) = {
     val failedNames = results.collect { case r if !r.ok => r.name }
     // the failed list cannot be shed like the queries map, so a
     // mass-failure run (the run whose record matters most) must not blow
@@ -530,11 +570,18 @@ object Bench {
 
     // the pinned box-factor control (see ControlRefSec for the
     // normalization rule); absent when the caller didn't measure one
-    val control =
-      if (controlSec <= 0) ""
-      else s""","control_sec":${fmt(controlSec)},"box_factor":${
-        String.format(java.util.Locale.ROOT, "%.2f",
-          Double.box(controlSec / ControlRefSec))}"""
+    val control = {
+      val cpu =
+        if (controlSec <= 0) ""
+        else s""","control_sec":${fmt(controlSec)},"box_factor":${
+          String.format(java.util.Locale.ROOT, "%.2f",
+            Double.box(controlSec / ControlRefSec))}"""
+      val disk =
+        if (diskMbps <= 0) ""
+        else s""","disk_mbps":${
+          String.format(java.util.Locale.ROOT, "%.0f", Double.box(diskMbps))}"""
+      cpu + disk
+    }
 
     def line(entries: Seq[(String, Double)], build: String, extra: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }

@@ -1302,25 +1302,53 @@ object Dedup {
     * tokens, so its whitespace is canonicalized — same canonical form
     * as [[TextAnalysis.fingerprint]]; a fully-covered document becomes
     * the empty string (drop or keep downstream is policy, so rows are
-    * never silently deleted here). Coverage is computed per document
-    * from its flagged window starts (`sequence`/`array_contains` over
-    * ≤ text-length indices — per-row array work, no extra shuffle
-    * beyond [[repeatedWindowMatches]]' own). */
+    * never silently deleted here). Coverage is tested per token
+    * directly against the document's flagged window starts
+    * (`exists` over ≤ span-count entries — per-row array work, no
+    * extra shuffle beyond [[repeatedWindowMatches]]' own).
+    *
+    * Rebuild-join shape (the round-16 fix for the sf100 over-linear
+    * residual): boilerplate is a small doc fraction, so the corpus
+    * must not shuffle for a join that touches few documents — but the
+    * spans frame (id → start list) is too wide to broadcast at scale
+    * (hundreds of MB compressed at 5M docs), which made the old
+    * single left-join a full-corpus sort-merge. Instead the corpus is
+    * split by a SLIM matched-ids frame (8 bytes/doc — AQE
+    * broadcast-sizes it from measured bytes long after the spans
+    * frame stops qualifying): untouched docs pass through an anti
+    * join map-side, touched docs are pruned map-side by a semi join
+    * and only that minority enters the spans join's exchange. When
+    * even the id frame outgrows broadcast, AQE degrades every join
+    * here to shuffles and the corpus pays two exchanges instead of
+    * one — the price of the split — but at that matched fraction the
+    * rebuild join was corpus-sized anyway. */
   def stripRepeatedWindows(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 50, minDocs: Int = 2, keepFirst: Boolean = false,
       seed: Long = 42L): DataFrame = {
     val matches = repeatedWindowMatches(df, idCol, textCol, windowTokens, minDocs, seed)
     val toStrip = if (keepFirst) matches.filter(col(idCol) =!= col("first_id")) else matches
-    val spans = toStrip.groupBy(col(idCol))
-      .agg(collect_list(col("pos")).as("__starts"))
+    // three consumers (anti/semi id joins + the spans join), each of
+    // which would otherwise re-run the whole match DAG; the frame is
+    // small relative to its compute (matched docs only). EAGER: the
+    // first consumer is a broadcast build, and materializing the match
+    // DAG inside a BroadcastExchange would race spark.sql.broadcastTimeout
+    val spans = Materialize.once(
+      toStrip.groupBy(col(idCol))
+        .agg(collect_list(col("pos")).as("__starts")),
+      eager = true)
+    val matchedIds = spans.select(col(idCol))
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
-    val covered = array_distinct(flatten(transform(col("__starts"),
-      p => sequence(p, p + lit(windowTokens - 1)))))
-    val rebuilt = concat_ws(" ",
-      filter(toks, (t, i) => !array_contains(covered, i)))
-    df.join(spans, Seq(idCol), "left")
-      .withColumn(textCol,
-        when(col("__starts").isNull, col(textCol)).otherwise(rebuilt))
+    // token i is covered iff SOME flagged window [p, p+w) contains it —
+    // exists over the ~spans-count starts beats materializing the
+    // window-expanded covered-index array (w× larger) per document
+    val rebuilt = concat_ws(" ", filter(toks, (t, i) =>
+      !exists(col("__starts"),
+        p => i >= p && i < p + lit(windowTokens))))
+    val untouched = df.join(matchedIds, Seq(idCol), "left_anti")
+    val touched = df.join(matchedIds, Seq(idCol), "left_semi")
+      .join(spans, Seq(idCol))
+      .withColumn(textCol, rebuilt)
       .drop("__starts")
+    untouched.unionByName(touched)
   }
 }

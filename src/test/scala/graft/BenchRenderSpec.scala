@@ -20,16 +20,19 @@ class BenchRenderSpec extends AnyFunSuite {
 
   test("render carries the box-factor control when measured, omits it otherwise") {
     val r = Seq(Bench.QueryResult("q1_agg", 1.0, true, 0, 0.0, 1))
-    val (full, out) = Bench.render(r, "/tmp/sf0.1", Map.empty, 1750, controlSec = 4.5)
+    val (full, out) = Bench.render(r, "/tmp/sf0.1", Map.empty, 1750,
+      controlSec = 4.5, diskMbps = 412.3)
     for (s <- Seq(full, out)) {
       val j = parse(s)
       assert((j \ "control_sec") == JDouble(4.5), s)
       val bf = (j \ "box_factor").asInstanceOf[JDouble].num
       assert(math.abs(bf - 4.5 / Bench.ControlRefSec) < 0.01, s"box_factor $bf")
+      assert((j \ "disk_mbps") == JInt(412) || (j \ "disk_mbps") == JDouble(412), s)
     }
     // absent when the caller didn't measure one (unit renders, old paths)
     val (f2, o2) = Bench.render(r, "/tmp/sf0.1")
-    assert(!f2.contains("control_sec") && !o2.contains("box_factor"))
+    assert(!f2.contains("control_sec") && !o2.contains("box_factor") &&
+      !f2.contains("disk_mbps"))
   }
 
   test("real query set at realistic timings: stdout line fits the tail cap and parses") {

@@ -22,7 +22,7 @@ object StageProfile {
     spark.sparkContext.setLogLevel("WARN")
 
     case class St(id: Int, name: String, wallMs: Long, taskMs: Long,
-        inputMB: Long, shReadMB: Long, shWriteMB: Long,
+        gcMs: Long, inputMB: Long, shReadMB: Long, shWriteMB: Long,
         memSpillMB: Long, diskSpillMB: Long, tasks: Int)
     val stages = ArrayBuffer.empty[St]
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -33,7 +33,7 @@ object StageProfile {
           yield a - b).getOrElse(-1L)
         stages.synchronized {
           stages += St(i.stageId, i.name.takeWhile(_ != '\n').take(80), wall,
-            m.executorRunTime, m.inputMetrics.bytesRead >> 20,
+            m.executorRunTime, m.jvmGCTime, m.inputMetrics.bytesRead >> 20,
             m.shuffleReadMetrics.totalBytesRead >> 20,
             m.shuffleWriteMetrics.bytesWritten >> 20,
             m.memoryBytesSpilled >> 20, m.diskBytesSpilled >> 20,
@@ -51,11 +51,11 @@ object StageProfile {
     Thread.sleep(3000)
 
     println(f"[stageprofile] $gate @ $dir total ${wall}%.1f s, ${stages.size} stages")
-    println(f"${"stage"}%6s ${"wall_s"}%8s ${"task_s"}%8s ${"in_MB"}%8s " +
+    println(f"${"stage"}%6s ${"wall_s"}%8s ${"task_s"}%8s ${"gc_s"}%7s ${"in_MB"}%8s " +
       f"${"shR_MB"}%8s ${"shW_MB"}%8s ${"spillM"}%7s ${"spillD"}%7s ${"tasks"}%6s  name")
     stages.sortBy(-_.wallMs).foreach { s =>
       println(f"${s.id}%6d ${s.wallMs / 1e3}%8.1f ${s.taskMs / 1e3}%8.1f " +
-        f"${s.inputMB}%8d ${s.shReadMB}%8d ${s.shWriteMB}%8d " +
+        f"${s.gcMs / 1e3}%7.1f ${s.inputMB}%8d ${s.shReadMB}%8d ${s.shWriteMB}%8d " +
         f"${s.memSpillMB}%7d ${s.diskSpillMB}%7d ${s.tasks}%6d  ${s.name}")
     }
     spark.stop()
