@@ -343,9 +343,9 @@ object Bench {
     val f = java.io.File.createTempFile("graft_diskctl_", ".bin",
       new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp")))
     try {
+      // random bytes so a compressing block layer can't fake the number
       val buf = new Array[Byte](4 << 20)
-      scala.util.Random.javaRandomToRandom(
-        new java.util.Random(42L)).nextBytes(buf)
+      new java.util.Random(42L).nextBytes(buf)
       val t0 = System.nanoTime()
       val ch = java.nio.channels.FileChannel.open(f.toPath,
         java.nio.file.StandardOpenOption.WRITE)

@@ -906,13 +906,21 @@ object Dedup {
     * exhausted, over anything the bench scales reach. */
   val NgramSpillBudgetDefault: Long = 32L << 30
 
-  /** Estimated shuffle bytes per shingle OCCURRENCE across the prefix
-    * pipeline (inverted-list explode → document-frequency join →
-    * per-doc rarity-rank window — each pass shuffles the occurrence
-    * rows once, ~28-36 B serialized each). Calibrated against the
-    * round-14 sf100 run: ~500M occurrences spilled past 47 GB →
-    * ~96 B/occurrence end-to-end. */
-  private[graft] val NgramShuffleBytesPerShingle = 96L
+  /** Estimated LOCAL-DISK bytes per shingle OCCURRENCE across the
+    * prefix pipeline (inverted-list explode → document-frequency join →
+    * per-doc rarity-rank window → candidate self-join — each pass
+    * shuffles the occurrence rows once, ~28-36 B serialized each, and
+    * shuffle files ACCUMULATE until the job ends rather than
+    * streaming away, so the estimate must cover their SUM plus the
+    * materialized set snapshot). Calibrated twice: the round-14 sf100
+    * probe (~500M occurrences past 47 GB) suggested 96; the round-16
+    * re-run measured 260M occurrences writing 30+ GB by the rank
+    * stage with the candidate join still ahead — ≥124 B/occ at death,
+    * end-to-end plausibly ~160-190. 192 carries that measurement with
+    * margin; an UNDER-estimate here is a mid-job ENOSPC (exactly what
+    * round 16 hit when 23 GiB-estimated work outgrew the budget's
+    * silence), an over-estimate merely samples a little early. */
+  private[graft] val NgramShuffleBytesPerShingle = 192L
 
   /** The session's shuffle-spill budget for the prefix route. */
   private[graft] def ngramSpillBudget(
@@ -924,12 +932,22 @@ object Dedup {
     budget
   }
 
-  /** The keep fraction that fits the budget, composed with whatever
-    * sampling is already in force (floored to 1% so the route stays
-    * meaningful). Pure (exposed for tests). */
+  /** Safety factor on the fitted keep fraction: the per-occurrence
+    * estimate itself carries ~2x error bars (two calibrations landed at
+    * 96 and ~190 B/occ on different runs of the same operator), and a
+    * fit that targets the budget EXACTLY turns any underestimate into a
+    * mid-job ENOSPC — the round-16 first sampled sf100 run did exactly
+    * that at fraction 0.687. Targeting half the budget keeps the worst
+    * calibrated case at the budget line. */
+  private[graft] val NgramFitSafetyFactor = 0.5
+
+  /** The keep fraction that fits [[NgramFitSafetyFactor]] x budget,
+    * composed with whatever sampling is already in force (floored to 1%
+    * so the route stays meaningful). Pure (exposed for tests). */
   private[graft] def ngramFitKeepFraction(shingleKeepFraction: Double,
       est: Long, budget: Long): Double =
-    math.max(0.01, shingleKeepFraction * budget.toDouble / est.toDouble)
+    math.max(0.01, shingleKeepFraction * NgramFitSafetyFactor *
+      budget.toDouble / est.toDouble)
 
   /** The over-budget message, parameterized by what the policy DID
     * (`verdict`: advisory, refusal, or the auto-chosen fraction). */

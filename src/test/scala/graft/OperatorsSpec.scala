@@ -1349,12 +1349,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fired.get.contains("shingleKeepFraction") &&
       fired.get.contains("minhash"), s"advisory must name the knobs: ${fired.get}")
     // the suggested fraction composes with sampling already in force:
-    // 500M × 96 B ≈ 48 GB at keep=0.5 → suggest 0.5 × 34.36/48 ≈ 0.36
+    // fit = inForce × budget / (occurrences × bytesPerOccurrence)
     val sampledFire = Dedup.ngramSpillAdvisory(spark,
       totalShingles = 500L * 1000 * 1000, docCount = 5000000L,
       shingleKeepFraction = 0.5).get
-    assert(sampledFire.contains("shingleKeepFraction=0.36"),
+    val expectFit = Dedup.ngramFitKeepFraction(0.5,
+      500L * 1000 * 1000 * Dedup.NgramShuffleBytesPerShingle,
+      Dedup.NgramSpillBudgetDefault)
+    assert(sampledFire.contains(f"shingleKeepFraction=$expectFit%.2f"),
       s"suggestion must scale the in-force fraction: $sampledFire")
+    // the fit targets HALF the budget (estimator error bars — see
+    // NgramFitSafetyFactor); a full-budget fit ENOSPC'd a real run
+    assert(expectFit < 0.5 * Dedup.NgramSpillBudgetDefault.toDouble /
+      (500L * 1000 * 1000 * Dedup.NgramShuffleBytesPerShingle).toDouble + 1e-12)
     // conf raises the budget → silent at the same volume
     spark.conf.set(Dedup.NgramSpillBudgetKey, (256L << 30).toString)
     try assert(Dedup.ngramSpillAdvisory(spark, 500L * 1000 * 1000, 5000000L, 1.0).isEmpty)
@@ -1377,9 +1384,11 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("ngramJaccard spillPolicy: sample auto-fits, fail refuses, both inert within budget") {
     // pure fit-fraction contract: scales the in-force fraction by
-    // budget/estimate, floored at 1%
-    assert(math.abs(Dedup.ngramFitKeepFraction(1.0, 100L << 30, 32L << 30) - 0.32) < 0.001)
-    assert(math.abs(Dedup.ngramFitKeepFraction(0.5, 48L << 30, 32L << 30) - 1.0 / 3) < 0.001)
+    // safetyFactor x budget/estimate, floored at 1%
+    assert(math.abs(Dedup.ngramFitKeepFraction(1.0, 100L << 30, 32L << 30)
+      - 0.32 * Dedup.NgramFitSafetyFactor) < 0.001)
+    assert(math.abs(Dedup.ngramFitKeepFraction(0.5, 48L << 30, 32L << 30)
+      - Dedup.NgramFitSafetyFactor / 3) < 0.001)
     assert(Dedup.ngramFitKeepFraction(1.0, Long.MaxValue / 2, 1L) == 0.01)
 
     // twin docs (identical text) + disjoint-vocab rest: the exact route
@@ -1396,11 +1405,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exact == Set((0L, 100L, 1.0)), s"fixture contract: $exact")
     // generous budget: all three policies are the identical exact route
     assert(run("sample") == exact && run("fail") == exact)
-    // budget sized for fit ≈ 0.5 of the fixture's shingle volume:
-    // 9 docs × 38 shingles × 96 B ≈ 32.8 KB estimate → budget 16.4 KB.
-    // The sampled route halves the shingle volume and must still emit
-    // the twin pair at exactly 1.0 (consistent sampling).
-    spark.conf.set(Dedup.NgramSpillBudgetKey, (9L * 38 * 96 / 2).toString)
+    // budget sized for fit ≈ 0.5 of the fixture's shingle volume
+    // (9 docs × 38 shingles × bytesPerOccurrence / 2). The sampled
+    // route halves the shingle volume and must still emit the twin
+    // pair at exactly 1.0 (consistent sampling).
+    spark.conf.set(Dedup.NgramSpillBudgetKey,
+      (9L * 38 * Dedup.NgramShuffleBytesPerShingle / 2).toString)
     try {
       val sampled = run("sample")
       assert(sampled == Set((0L, 100L, 1.0)),
