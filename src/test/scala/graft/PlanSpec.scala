@@ -293,4 +293,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("cluster"), s"cluster key missing from plan:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian crept into the cell join:\n$p")
   }
+
+  test("stripRepeatedWindows: corpus splits on broadcast anti/semi — no corpus sort-merge") {
+    // the round-16 rebuild shape: untouched docs pass through a
+    // broadcast ANTI join, touched docs are pruned by a broadcast SEMI
+    // before the spans join — the corpus text never enters a sort-merge
+    // join (the old single left-join sort-merged the whole corpus at
+    // sf100 once the spans frame stopped broadcasting)
+    val p = planOf("text_strip_repeated")
+    assert(p.contains("BroadcastHashJoin LeftAnti"),
+      s"untouched docs must pass through a broadcast anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      s"touched docs must be pruned by a broadcast semi join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus text must never sort-merge in the strip plan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
