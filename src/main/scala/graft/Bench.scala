@@ -116,12 +116,27 @@ object Bench {
     // not superlinear
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
-    val spark = GraftSession.configure(
-      SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", shufflePartitions)
-    ).getOrCreate()
+    // SPARK_GRAFT_MASTER=local-cluster[2,16,8192] — the distributed-ish
+    // probe mode (verdict r16 item 1): separate executor JVMs, real
+    // serialized closures, cross-process shuffle and broadcast. Needs
+    // the engine classes as a jar executors can load —
+    // SPARK_GRAFT_JARS points at `sbt package` output.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+    val builder = sys.env.get("SPARK_GRAFT_JARS").filter(_.nonEmpty)
+      .map(builder0.config("spark.jars", _)).getOrElse(builder0)
+    val spark = GraftSession.configure(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CHECKPOINT_DIR: run every Materialize.once site on
+    // the RELIABLE checkpoint arm (the cluster-grade mode — survives
+    // executor loss) instead of localCheckpoint. Exercised under
+    // local-cluster to measure the arm's cost delta on real gates.
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty).foreach { d =>
+      spark.conf.set(Materialize.DirKey, d)
+      System.err.println(s"[bench] reliable checkpoints -> $d")
+    }
 
     // JVM/codegen warmup so the first measured query isn't charged for it
     SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop")
@@ -140,11 +155,19 @@ object Bench {
         f"(ref $ControlRefSec%.2f s, factor ${t / ControlRefSec}%.2f)")
       t
     }
-    // single-shot (a synced 256 MB write is its own smoothing; a slow
-    // disk day makes three of them needlessly expensive)
+    // BEST-OF-TWO (round-17 fix): the first synced write after the CPU
+    // control queues behind that control's ~1.5 GB of shuffle-file
+    // writeback — measured on a healthy box: probe 1 read 18 MB/s,
+    // probes 2-3 read ~400 (raw incompressible dd on the same device:
+    // 400+). A genuinely degraded DEVICE is slow on both probes (r16:
+    // 9-22 across all measurements), so max-of-2 separates "device is
+    // slow" from "device is busy draining our own debt" at the cost of
+    // one extra 256 MB write.
     val diskMbps = {
-      val m = diskControlMbps()
-      System.err.println(f"[bench] disk control: $m%.0f MB/s synced write")
+      val dir = shuffleLocalDir(spark)
+      val m = math.max(diskControlMbps(dir), diskControlMbps(dir))
+      System.err.println(f"[bench] disk control: $m%.0f MB/s synced write " +
+        s"(best of 2, probed $dir)")
       m
     }
 
@@ -318,6 +341,13 @@ object Bench {
     * re-calibrated, together, in one commit. */
   private[graft] val ControlRefSec: Double = 3.32
 
+  /** disk_mbps below this labels a run's flags `disk_degraded` (see
+    * render): healthy sandboxes measure 100+ MB/s synced (round-17 box:
+    * 144); the round-16 degraded box read 9–22 while inflating
+    * unchanged shuffle-heavy gates up to 10×. 60 splits the two regimes
+    * with margin on both sides. */
+  private[graft] val DiskDegradedMbps: Double = 60.0
+
   /** The pinned control job: 30M-row codegen'd hash pass into a 6M-key
     * two-phase aggregate — exercises the CPU and one real shuffle with
     * ZERO dependence on the data dir or any operator under development,
@@ -331,6 +361,16 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** The directory Spark's shuffle files actually land in:
+    * `spark.local.dir` when set, else `java.io.tmpdir` — the disk
+    * control must probe the DEVICE the shuffles hit (ADVICE r16: on
+    * hosts where java.io.tmpdir is tmpfs or a different device, a
+    * tmpdir probe reports RAM bandwidth and predicts nothing). */
+  private[graft] def shuffleLocalDir(spark: SparkSession): String =
+    spark.conf.getOption("spark.local.dir").map(_.split(",")(0).trim)
+      .filter(_.nonEmpty)
+      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+
   /** Pinned DISK control: synced sequential write of 256 MB to the
     * shuffle-local filesystem, reported as MB/s. The CPU control above
     * cannot see a degraded disk (its 500 MB shuffle rides the page
@@ -339,9 +379,10 @@ object Bench {
     * purely from host disk degradation (27 of 32 executor threads
     * blocked in write0; a 2 GB fdatasync dd crawled at < 10 MB/s).
     * A sweep's flags are uninterpretable without this number. */
-  private[graft] def diskControlMbps(): Double = {
+  private[graft] def diskControlMbps(
+      dir: String = sys.props.getOrElse("java.io.tmpdir", "/tmp")): Double = {
     val f = java.io.File.createTempFile("graft_diskctl_", ".bin",
-      new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp")))
+      new java.io.File(dir))
     try {
       // random bytes so a compressing block layer can't fake the number
       val buf = new Array[Byte](4 << 20)
@@ -558,6 +599,17 @@ object Bench {
     val flaggedTotal =
       if (flaggedEntries.length > FailedCap) s""","flagged_total":${flaggedEntries.length}"""
       else ""
+    // disk-degradation adjudication (round-17 rule, BASELINE.md §r17):
+    // flags produced while the synced-write control reads below
+    // DiskDegradedMbps are LABELED in the artifact — shuffle-heavy
+    // gates (PLAN_AUDIT shuffle count ≥ 2) on a degraded-disk day are
+    // environment until reproduced on a healthy one (round 16: same
+    // code, 10× wall, disk_mbps 9). The label rides the JSON so a
+    // reader applies the rule without reconstructing the stderr.
+    val diskDegraded =
+      if (flaggedEntries.nonEmpty && diskMbps > 0 && diskMbps < DiskDegradedMbps)
+        s""","disk_degraded":true"""
+      else ""
     // one-time index-build share for the persisted-index gates, so a
     // bench regression there distinguishes build cost from probe cost
     def buildMap(names: Set[String], floor: Double): String = results
@@ -586,11 +638,26 @@ object Bench {
     def line(entries: Seq[(String, Double)], build: String, extra: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed$failedTotal,"flaky":$flaky$flakyTotal,"flagged":$flagged$flaggedTotal,"build":$build,"reruns":$reruns$control$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed$failedTotal,"flaky":$flaky$flakyTotal,"flagged":$flagged$flaggedTotal$diskDegraded,"build":$build,"reruns":$reruns$control$extra,"sf":"$sfDir"}"""
     }
 
     val all = results.map(r => (r.name, r.sec))
-    val full = line(all, buildFull, "")
+    // gate-posted scale metrics (GateMetrics side-channel — e.g. the
+    // semantic-ingest sidecar/batch byte ratio and its ~50x crossover):
+    // FULL line only; the tight stdout budget is for per-query seconds
+    val gateMetrics = {
+      val snap = GateMetrics.snapshot
+      if (snap.isEmpty) ""
+      else {
+        val inner = snap.toSeq.sortBy(_._1).map { case (g, ms) =>
+          "\"" + g + "\":" + ms.toSeq.sortBy(_._1)
+            .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+            .mkString("{", ",", "}")
+        }.mkString("{", ",", "}")
+        s""","gate_metrics":$inner"""
+      }
+    }
+    val full = line(all, buildFull, gateMetrics)
     val out = {
       val attempt = line(all, buildOut, "")
       if (attempt.length <= budget) attempt

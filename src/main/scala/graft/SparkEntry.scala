@@ -2016,6 +2016,35 @@ object SparkEntry {
         corpusPath, s"$base/sketches", "doc_id", "text", cfg,
         exactThreshold = 0.5, checkpointDir = Some(s"$base/ckpt"))
       try q.processAllAvailable() finally q.stop()
+      // sidecar-crossover tracking (round-16 verdict item 8): this is
+      // the one streaming operator whose per-batch cost grows with
+      // corpus size (each bulk batch scans the sketch sidecar once);
+      // the round-11 decision keeps the flat layout until sidecar
+      // bytes ≈ 50× batch bytes. Measure the ratio every run so the
+      // crossover is tracked by artifact data, not memory.
+      locally {
+        def bytesOf(p: String): Long = {
+          val path = new org.apache.hadoop.fs.Path(p)
+          if (!fs.exists(path)) 0L
+          else fs.getContentSummary(path).getLength
+        }
+        val sidecarB = bytesOf(s"$base/sketches")
+        val inFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/in"))
+          .filter(_.isFile)
+        val avgBatchB =
+          if (inFiles.isEmpty) 0L else inFiles.map(_.getLen).sum / inFiles.length
+        if (avgBatchB > 0) {
+          val ratio = sidecarB.toDouble / avgBatchB
+          graft.GateMetrics.put("stream_semantic_ingest",
+            "sidecar_batch_byte_ratio", math.rint(ratio * 100) / 100)
+          val verdict =
+            if (ratio > 50) "CROSSOVER EXCEEDED - band-partitioned sidecar layout indicated"
+            else f"under the ~50x crossover (headroom ${50 / math.max(ratio, 1e-9)}%.0fx)"
+          System.err.println(f"[graft] stream_semantic_ingest sidecar/batch " +
+            f"byte ratio: $ratio%.2f (sidecar ${sidecarB / 1024 / 1024} MB, " +
+            f"avg batch ${avgBatchB / 1024 / 1024} MB) - $verdict")
+        }
+      }
       s.read.parquet(corpusPath).select(col("doc_id"), col("text"))
         .orderBy("doc_id")
     }),

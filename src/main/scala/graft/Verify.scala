@@ -11,13 +11,23 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER / SPARK_GRAFT_JARS: the local-cluster probe
+    // mode (see Bench) — correctness under separate executor JVMs
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val builder = sys.env.get("SPARK_GRAFT_JARS").filter(_.nonEmpty)
+      .map(builder0.config("spark.jars", _)).getOrElse(builder0)
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reliable-checkpoint arm passthrough (see Bench)
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty).foreach { d =>
+      spark.conf.set(Materialize.DirKey, d)
+      System.err.println(s"[verify] reliable checkpoints -> $d")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -736,7 +736,20 @@ object Dedup {
     * caller's opt-in to the sampled-set contract above at whatever
     * scale trips the budget, announced loudly when it fires; "fail"
     * refuses up front naming the knobs. At bench scales the budget
-    * never trips, so all three are the exact route. */
+    * never trips, so all three are the exact route.
+    *
+    * The estimate runs in TWO stages (round-17): stage 1 gates on the
+    * linear occurrence term (plus a measured prior for candidates)
+    * before any index exists; stage 2 re-gates on the EXACT candidate
+    * count — Σ_g c·(c−1)/2 over the materialized prefix index — and
+    * under "sample" can tighten (rebuild at a smaller fraction) or
+    * relax a stage-1 fraction the prior over-tightened, never past the
+    * caller's own fraction. EAGERNESS: constructing the returned
+    * DataFrame runs real jobs on the prefix route (the set-count agg,
+    * the prefix-index materialization, and the stage-2 count) — plan-
+    * only consumers (explain, dry planning) pay them; this has been
+    * true of the set materialization since round 14 and is the price
+    * of a pre-flight that can see real volumes. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
       shingleKeepFraction: Double = 1.0,
@@ -782,11 +795,15 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .transform(Materialize.once(_))
 
-    // pre-flight spill check (prefix route): the index pipeline's
-    // shuffle volume is LINEAR in total shingle occurrences, but linear
-    // × 100 TB exhausts a box (the round-14 sf100 probe died on disk
-    // with zero warning). One cheap agg over the just-materialized sets
-    // estimates the volume; `spillPolicy` decides what an over-budget
+    // pre-flight spill check, STAGE 1 of 2 (prefix route): the index
+    // pipeline's shuffle volume has a LINEAR term (occurrence rows
+    // shuffled by the explode → document-frequency join → rarity-rank
+    // window passes) and a CANDIDATE term (self-join output rows) —
+    // linear × 100 TB exhausts a box (the round-14 sf100 probe died on
+    // disk with zero warning). Stage 1 gates on the linear term alone
+    // from one cheap agg over the just-materialized sets; stage 2
+    // (below, after the prefix index materializes) gates on the EXACT
+    // candidate count. `spillPolicy` decides what an over-budget
     // estimate DOES (the budget is conf-tunable — aggregate cluster
     // shuffle disk is the real limit and only the session operator
     // knows it):
@@ -804,11 +821,14 @@ object Dedup {
     //     re-hash of the corpus).
     //   "fail" — refuse up front naming the knobs, for pipelines that
     //     would rather schedule a minhash pass than approximate here.
+    val budget = ngramSpillBudget(df.sparkSession)
+    var occEff = 0L // stage-1 occurrence count scaled to the fraction in force
+    var fracEff = shingleKeepFraction
     val sets: DataFrame = if (candidateGen == "lsh") sets0 else {
       val st = sets0.agg(count(lit(1)), sum(size(col("sh")))).head()
       val totalShingles = if (st.isNullAt(1)) 0L else st.getLong(1)
-      val budget = ngramSpillBudget(df.sparkSession)
-      val est = totalShingles * NgramShuffleBytesPerShingle
+      occEff = totalShingles
+      val est = totalShingles * NgramLinearBytesPerShingle
       if (est <= budget) sets0
       else spillPolicy match {
         case "advise" =>
@@ -820,15 +840,31 @@ object Dedup {
             st.getLong(0), shingleKeepFraction, est, budget, "REFUSED " +
               "(spillPolicy=fail)"))
         case "sample" =>
-          val fit = ngramFitKeepFraction(shingleKeepFraction, est, budget)
+          // ADVICE r16: the 1% floor can EXCEED a caller fraction that
+          // was already tighter — clamp so the announcement never
+          // claims a larger fraction than the data actually carries,
+          // and skip the no-op filter when nothing changes
+          val fit = math.min(shingleKeepFraction,
+            ngramFitKeepFraction(shingleKeepFraction, est, budget))
           val fitNum = math.max(1L, math.round(fit * keepDen))
-          System.err.println(ngramSpillMessage(totalShingles, st.getLong(0),
-            shingleKeepFraction, est, budget,
-            f"AUTO-SAMPLING at shingleKeepFraction=$fit%.3f " +
-              "(spillPolicy=sample; output is sampled-set Jaccard)"))
-          sets0.withColumn("sh",
-            filter(col("sh"), g => pmod(g, lit(keepDen)) < lit(fitNum)))
-            .filter(size(col("sh")) > 0)
+          if (fitNum >= keepNum) {
+            System.err.println(ngramSpillMessage(totalShingles, st.getLong(0),
+              shingleKeepFraction, est, budget,
+              "OVER BUDGET but fraction unchanged (spillPolicy=sample; " +
+                f"in-force shingleKeepFraction=$shingleKeepFraction%.3f is " +
+                "already at or below the fitting fraction)"))
+            sets0
+          } else {
+            occEff = math.round(totalShingles * (fit / shingleKeepFraction))
+            fracEff = fit
+            System.err.println(ngramSpillMessage(totalShingles, st.getLong(0),
+              shingleKeepFraction, est, budget,
+              f"AUTO-SAMPLING at shingleKeepFraction=$fit%.3f " +
+                "(spillPolicy=sample; output is sampled-set Jaccard)"))
+            sets0.withColumn("sh",
+              filter(col("sh"), g => pmod(g, lit(keepDen)) < lit(fitNum)))
+              .filter(size(col("sh")) > 0)
+          }
       }
     }
 
@@ -845,22 +881,93 @@ object Dedup {
     // every scale on corpora with normal background vocabulary overlap
     // (see scaladoc); "lsh" is the explicit opt-in.
     val useLsh = candidateGen == "lsh"
+    // the prefix index from a given (possibly resampled) sets frame;
+    // materialized because the candidate self-join consumes it twice
+    // and the stage-2 gate reads it once
+    def buildRanked(s: DataFrame): DataFrame = {
+      val inv = s.select(col("id"), size(col("sh")).as("nsh"), explode(col("sh")).as("g"))
+      // global shingle document-frequency; rare-first ordering
+      val freq = inv.groupBy("g").agg(count(lit(1)).as("gdf"))
+      inv.join(freq, Seq("g"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("id").orderBy(col("gdf"), col("g"))))
+        .filter(col("r") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
+        .select("g", "id", "nsh", "r")
+        .transform(Materialize.once(_))
+    }
+    val (setsF: DataFrame, rankedF: Option[DataFrame]) = if (useLsh) (sets, None) else {
+      // pre-flight spill check, STAGE 2: the prefix index exists now,
+      // so the candidate self-join's output volume is no longer a
+      // prior — Σ_g c·(c−1)/2 over the index's per-shingle entry
+      // counts IS the join's output row count (the size-ratio and
+      // positional filters only prune below it). One cheap agg over
+      // the just-materialized snapshot replaces the round-14..16 blunt
+      // half-budget safety factor with a measured second term; the fit
+      // can TIGHTEN (rebuild at a smaller fraction — the emergency the
+      // gate exists for) or RELAX a stage-1 fraction that the prior
+      // over-tightened (never past the caller's own fraction). The
+      // superseded snapshot after a rebuild is released by Spark's
+      // ContextCleaner once unreachable.
+      val ranked0 = buildRanked(sets)
+      val candPairs0 = rankedCandidatePairs(ranked0)
+      val spent = occEff * NgramLinearBytesPerShingle
+      val candTerm = candPairs0 * NgramCandidateBytesPerPair
+      val est2 = spent + candTerm
+      if (est2 <= budget && fracEff >= shingleKeepFraction) (sets, Some(ranked0))
+      else {
+        // single direction-agnostic fit: m× the in-force fraction such
+        // that already-spent + m×(linear rebuild + candidate join)
+        // targets the headroom'd budget; m>1 relaxes, m<1 tightens
+        val m =
+          if (spent + candTerm <= 0) 1.0
+          else (NgramFitHeadroom * budget - spent) / (spent + candTerm).toDouble
+        val fitAbs = math.min(shingleKeepFraction,
+          math.max(math.min(0.01, fracEff), fracEff * m))
+        def announce(verdict: String): Unit =
+          System.err.println(ngramCandidateSpillMessage(candPairs0, spent,
+            candTerm, budget, fracEff, verdict))
+        if (est2 <= budget) {
+          // under budget with room to spare: relax a stage-1 fraction
+          // the prior over-tightened, when the gain is worth a rebuild
+          if (fitAbs > fracEff * NgramRelaxMinGain) {
+            announce(f"RELAXING stage-1 fraction to " +
+              f"shingleKeepFraction=$fitAbs%.3f (measured candidate " +
+              "volume came in under the stage-1 prior)")
+            val s = resampleSets(sets0, fitAbs, keepDen)
+            fracEff = fitAbs
+            (s, Some(buildRanked(s)))
+          } else (sets, Some(ranked0))
+        } else spillPolicy match {
+          case "advise" =>
+            announce("ADVISORY"); (sets, Some(ranked0))
+          case "fail" =>
+            val msg = ngramCandidateSpillMessage(candPairs0, spent, candTerm,
+              budget, fracEff, "REFUSED (spillPolicy=fail)")
+            System.err.println(msg)
+            throw new IllegalStateException(msg)
+          case "sample" =>
+            if (fitAbs >= fracEff) {
+              announce("OVER BUDGET but fraction unchanged " +
+                "(spillPolicy=sample; the in-force fraction is already " +
+                "at or below the fitting fraction)")
+              (sets, Some(ranked0))
+            } else {
+              announce(f"AUTO-SAMPLING at shingleKeepFraction=$fitAbs%.3f " +
+                "(spillPolicy=sample; output is sampled-set Jaccard)")
+              val s = resampleSets(sets0, fitAbs, keepDen)
+              fracEff = fitAbs
+              (s, Some(buildRanked(s)))
+            }
+        }
+      }
+    }
     val candidates: DataFrame = if (useLsh) {
       val b = math.min(1024, math.max(128,
         math.ceil(-math.log(1e-12) / -math.log1p(-threshold)).toInt))
       val sigCfg = MinHashConfig(shingleSize = n, numHashes = b, bands = b)
       lshCandidates(sigFrame(df, idCol, textCol, sigCfg), sigCfg)
     } else {
-      val inv = sets.select(col("id"), size(col("sh")).as("nsh"), explode(col("sh")).as("g"))
-      // global shingle document-frequency; rare-first ordering
-      val freq = inv.groupBy("g").agg(count(lit(1)).as("gdf"))
-      val ranked = inv.join(freq, Seq("g"))
-        .withColumn("r", row_number().over(
-          Window.partitionBy("id").orderBy(col("gdf"), col("g"))))
-        .filter(col("r") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
-        .select("g", "id", "nsh", "r")
-        .transform(Materialize.once(_))
-
+      val ranked = rankedF.get
       // minimum overlap for J ≥ t: I/(n_a+n_b-I) ≥ t ⟺ I ≥ t(n_a+n_b)/(1+t);
       // the slack keeps double rounding from tightening the integer bound
       // at exact-threshold edges (a dropped candidate is never re-verified,
@@ -884,8 +991,8 @@ object Dedup {
     }
 
     val joined = candidates
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(setsF.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(setsF.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       // two-pointer merge over the sorted hash arrays — no per-row hash set
       .withColumn("inter", HashFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
 
@@ -907,20 +1014,51 @@ object Dedup {
   val NgramSpillBudgetDefault: Long = 32L << 30
 
   /** Estimated LOCAL-DISK bytes per shingle OCCURRENCE across the
-    * prefix pipeline (inverted-list explode → document-frequency join →
-    * per-doc rarity-rank window → candidate self-join — each pass
+    * LINEAR passes of the prefix pipeline (inverted-list explode →
+    * document-frequency join → per-doc rarity-rank window — each pass
     * shuffles the occurrence rows once, ~28-36 B serialized each, and
-    * shuffle files ACCUMULATE until the job ends rather than
-    * streaming away, so the estimate must cover their SUM plus the
-    * materialized set snapshot). Calibrated twice: the round-14 sf100
-    * probe (~500M occurrences past 47 GB) suggested 96; the round-16
-    * re-run measured 260M occurrences writing 30+ GB by the rank
-    * stage with the candidate join still ahead — ≥124 B/occ at death,
-    * end-to-end plausibly ~160-190. 192 carries that measurement with
-    * margin; an UNDER-estimate here is a mid-job ENOSPC (exactly what
-    * round 16 hit when 23 GiB-estimated work outgrew the budget's
-    * silence), an over-estimate merely samples a little early. */
-  private[graft] val NgramShuffleBytesPerShingle = 192L
+    * shuffle files ACCUMULATE until the job ends rather than streaming
+    * away, so the estimate covers their SUM plus the materialized set
+    * and index snapshots). Calibration: the round-16 sf100 re-run
+    * measured 260M occurrences writing 30+ GB cumulative BY THE RANK
+    * STAGE (i.e. the linear passes alone) — ≥124 B/occ. 128 carries
+    * that measurement; the round-14..16 single blunt constant (192,
+    * then halved again by a 0.5 safety factor) bundled the candidate
+    * self-join into this number, which stage 2 now prices from the
+    * EXACT per-shingle entry counts instead. */
+  private[graft] val NgramLinearBytesPerShingle = 128L
+
+  /** Estimated LOCAL-DISK bytes per CANDIDATE PAIR: one self-join
+    * output row through the map-side filters into the distinct
+    * exchange, plus the surviving pairs' two verify-join shuffles,
+    * amortized. Round-16 reference point: the sampled sf100 run's
+    * candidate stages wrote 36.7 GB — same order as its linear passes
+    * at t=0.2. Provisional until this round's healthy-disk sf100
+    * calibration; an over-estimate merely samples a little early. */
+  private[graft] val NgramCandidateBytesPerPair = 64L
+
+  /** Stage-1 PRIOR for the candidate-to-linear byte ratio, used only
+    * before the prefix index exists. Round-16 measurement at the
+    * worst-case bench threshold (t=0.2): candidate stages ≈ 1.2× the
+    * linear passes; 1.25 carries it. Stage 2 replaces the prior with
+    * the exact count and can relax an over-tightened stage-1 fit. */
+  private[graft] val NgramCandidatePriorRatio = 1.25
+
+  /** Fits target this share of the budget — headroom for the residual
+    * error of the calibrated per-row constants (±~30% observed), NOT
+    * the retired 0.5 blanket factor that also had to absorb a fully
+    * unmodeled candidate term. */
+  private[graft] val NgramFitHeadroom = 0.8
+
+  /** Stage 2 relaxes a stage-1-tightened fraction only when the fitted
+    * fraction exceeds the in-force one by this factor — a rebuild of
+    * the linear passes has to buy a material fidelity gain. Ceiling on
+    * the possible gain: the fit counts the stage-1 pass's shuffle
+    * files as sunk (they persist until their RDDs GC), so with zero
+    * measured candidates m = (H·B − spent)/spent = exactly the stage-1
+    * prior (1.25) — the threshold must sit below that for relax to
+    * ever fire. */
+  private[graft] val NgramRelaxMinGain = 1.15
 
   /** The session's shuffle-spill budget for the prefix route. */
   private[graft] def ngramSpillBudget(
@@ -932,33 +1070,51 @@ object Dedup {
     budget
   }
 
-  /** Safety factor on the fitted keep fraction: the per-occurrence
-    * estimate itself carries ~2x error bars (two calibrations landed at
-    * 96 and ~190 B/occ on different runs of the same operator), and a
-    * fit that targets the budget EXACTLY turns any underestimate into a
-    * mid-job ENOSPC — the round-16 first sampled sf100 run did exactly
-    * that at fraction 0.687. Targeting half the budget keeps the worst
-    * calibrated case at the budget line. */
-  private[graft] val NgramFitSafetyFactor = 0.5
-
-  /** The keep fraction that fits [[NgramFitSafetyFactor]] x budget,
-    * composed with whatever sampling is already in force (floored to 1%
-    * so the route stays meaningful). Pure (exposed for tests). */
+  /** Stage-1 fitted keep fraction: targets [[NgramFitHeadroom]] of the
+    * budget under the linear estimate plus the [[NgramCandidatePriorRatio]]
+    * prior for the not-yet-measurable candidate term, composed with
+    * whatever sampling is already in force (floored to 1% so the route
+    * stays meaningful). Pure (exposed for tests). */
   private[graft] def ngramFitKeepFraction(shingleKeepFraction: Double,
       est: Long, budget: Long): Double =
-    math.max(0.01, shingleKeepFraction * NgramFitSafetyFactor *
-      budget.toDouble / est.toDouble)
+    math.max(0.01, shingleKeepFraction * NgramFitHeadroom /
+      (1.0 + NgramCandidatePriorRatio) * budget.toDouble / est.toDouble)
 
-  /** The over-budget message, parameterized by what the policy DID
-    * (`verdict`: advisory, refusal, or the auto-chosen fraction). */
+  /** Consistent shingle sample at an ABSOLUTE fraction: membership is a
+    * pure function of the shingle hash, so filtering the full-set
+    * snapshot at fraction f ≡ having sampled at f from the start —
+    * tightening AND relaxing both derive from the same snapshot. */
+  private def resampleSets(sets0: DataFrame, fraction: Double,
+      keepDen: Long): DataFrame = {
+    val num = math.max(1L, math.round(fraction * keepDen))
+    sets0.withColumn("sh",
+      filter(col("sh"), g => pmod(g, lit(keepDen)) < lit(num)))
+      .filter(size(col("sh")) > 0)
+  }
+
+  /** EXACT candidate self-join output rows for a materialized prefix
+    * index: Σ_g c·(c−1)/2 over per-shingle entry counts (`id_a < id_b`
+    * keeps each unordered pair once; the size-ratio and positional
+    * filters prune below this, never above). One cheap two-level agg
+    * over the snapshot. */
+  private[graft] def rankedCandidatePairs(ranked: DataFrame): Long = {
+    val r = ranked.groupBy("g").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - lit(1L)) / lit(2.0))).head()
+    if (r.isNullAt(0)) 0L else math.round(r.getDouble(0))
+  }
+
+  /** The stage-1 over-budget message, parameterized by what the policy
+    * DID (`verdict`: advisory, refusal, or the auto-chosen fraction). */
   private[graft] def ngramSpillMessage(totalShingles: Long, docCount: Long,
       shingleKeepFraction: Double, est: Long, budget: Long,
       verdict: String): String = {
     val fit = ngramFitKeepFraction(shingleKeepFraction, est, budget)
     f"[graft] ngramJaccardPairs $verdict: exact prefix-index dedup over " +
       f"$docCount%,d docs / $totalShingles%,d shingle occurrences will shuffle " +
-      f"~${est / (1L << 30)}%,d GiB (budget ${budget / (1L << 30)}%,d GiB, " +
-      f"$NgramSpillBudgetKey). The volume is linear in corpus size, not a plan " +
+      f"~${est / (1L << 30)}%,d GiB in its linear passes plus a candidate " +
+      f"join priced at ${NgramCandidatePriorRatio}%.2fx that until the index " +
+      f"exists (budget ${budget / (1L << 30)}%,d GiB, $NgramSpillBudgetKey). " +
+      f"The volume is linear in corpus size, not a plan " +
       f"defect, but it can exhaust local shuffle disk. Options that compose " +
       f"soundly: shingleKeepFraction=$fit%.2f (consistent sampled-set Jaccard, " +
       f"divides the volume), or minhashPairs/minhashDedup (estimated-threshold " +
@@ -966,14 +1122,29 @@ object Dedup {
       f"spillPolicy=sample auto-applies the fitting fraction."
   }
 
+  /** The stage-2 message: exact candidate count, spent linear bytes,
+    * and what the policy did about it. */
+  private[graft] def ngramCandidateSpillMessage(candPairs: Long, spent: Long,
+      candTerm: Long, budget: Long, fracInForce: Double,
+      verdict: String): String =
+    f"[graft] ngramJaccardPairs stage-2 $verdict: the materialized prefix " +
+      f"index yields EXACTLY $candPairs%,d candidate pairs — " +
+      f"~${candTerm >> 30}%,d GiB of self-join/verify shuffle on top of " +
+      f"~${spent >> 30}%,d GiB already written by the linear passes " +
+      f"(budget ${budget >> 30}%,d GiB, $NgramSpillBudgetKey; in-force " +
+      f"shingleKeepFraction=$fracInForce%.3f). Knobs: a higher threshold " +
+      f"shrinks prefixes quadratically in candidates; " +
+      f"minhashPairs/minhashDedup bounds candidates by banding; " +
+      f"spillPolicy=sample auto-fits the fraction."
+
   /** The advisory message when the estimated prefix-index shuffle
     * volume exceeds the session's spill budget; None when it fits.
-    * Pure function of the estimate (exposed for tests). */
+    * Pure function of the stage-1 estimate (exposed for tests). */
   private[graft] def ngramSpillAdvisory(spark: org.apache.spark.sql.SparkSession,
       totalShingles: Long, docCount: Long,
       shingleKeepFraction: Double): Option[String] = {
     val budget = ngramSpillBudget(spark)
-    val est = totalShingles * NgramShuffleBytesPerShingle
+    val est = totalShingles * NgramLinearBytesPerShingle
     if (est <= budget) None
     else Some(ngramSpillMessage(totalShingles, docCount, shingleKeepFraction,
       est, budget, "ADVISORY"))
@@ -1339,7 +1510,14 @@ object Dedup {
     * even the id frame outgrows broadcast, AQE degrades every join
     * here to shuffles and the corpus pays two exchanges instead of
     * one — the price of the split — but at that matched fraction the
-    * rebuild join was corpus-sized anyway. */
+    * rebuild join was corpus-sized anyway.
+    *
+    * EAGERNESS (ADVICE r16): constructing the returned DataFrame runs
+    * the full [[repeatedWindowMatches]] job immediately and pins its
+    * spans localCheckpoint — the matched-ids split needs the spans
+    * frame materialized before the plan exists. Plan-only consumers
+    * (explain, dry planning) pay that job; callers that may never
+    * execute the result should defer calling this operator. */
   def stripRepeatedWindows(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 50, minDocs: Int = 2, keepFirst: Boolean = false,
       seed: Long = 42L): DataFrame = {

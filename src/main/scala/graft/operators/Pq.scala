@@ -332,9 +332,14 @@ object Pq {
     * a full Spark job per call). The cache key carries the commit
     * marker's modification time: appends recommit the marker
     * ([[graft.sources.FsSwap.commitArtifact]]), so a grown index is
-    * re-counted, and per-path entries replace rather than accumulate. */
+    * re-counted, and per-path entries replace rather than accumulate.
+    * The stamp pairs the marker's mtime with its LENGTH: a recommit
+    * within the same millisecond (fast unit tests; coarse-mtime
+    * filesystems) still invalidates when the marker content grew, and
+    * a MISSING marker never caches at all — an uncommitted index must
+    * not pin a stale count. */
   private val codesRowCountCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), Long)]()
 
   private def codesRowCount(spark: org.apache.spark.sql.SparkSession,
       path: String): Long = {
@@ -342,12 +347,18 @@ object Pq {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new org.apache.hadoop.fs.Path(p, graft.sources.FsSwap.CommitMarker)
     val stamp =
-      try fs.getFileStatus(marker).getModificationTime
-      catch { case _: java.io.FileNotFoundException => -1L }
-    val key = fs.makeQualified(p).toString
-    codesRowCountCache.compute(key, (_, prev) =>
-      if (prev != null && prev._1 == stamp) prev
-      else (stamp, spark.read.parquet(s"$path/codes").count()))._2
+      try {
+        val st = fs.getFileStatus(marker)
+        Some((st.getModificationTime, st.getLen))
+      } catch { case _: java.io.FileNotFoundException => None }
+    stamp match {
+      case None => spark.read.parquet(s"$path/codes").count()
+      case Some(s) =>
+        val key = fs.makeQualified(p).toString
+        codesRowCountCache.compute(key, (_, prev) =>
+          if (prev != null && prev._1 == s) prev
+          else (s, spark.read.parquet(s"$path/codes").count()))._2
+    }
   }
 
   private def resolveRerank(rerankFactor: Int, corpusRows: => Long): Int =

@@ -193,6 +193,11 @@ class BenchRenderSpec extends AnyFunSuite {
     val shared10 = (a.keySet & sf10.keySet).toSeq
     assert(shared10.count(k => a(k) != sf10(k)) >= (shared10.size * 0.9).toInt,
       "sf10 records must be distinct measurements, not copies of sf0.1")
+    // ADVICE r16: the >=90% rule alone would admit a near-wholesale
+    // copy; the shared-key TOTALS differing keeps that detection strong
+    // (scales differ by ~10x, so equal totals mean copied numbers)
+    assert(math.abs(shared10.map(a).sum - shared10.map(sf10).sum) > 1.0,
+      "sf10 shared-key total must differ materially from sf0.1's")
     assert(Bench.loadAnchors("10") == sf10)
   }
 
@@ -217,6 +222,9 @@ class BenchRenderSpec extends AnyFunSuite {
     val shared100 = (sf01.keySet & sf100.keySet).toSeq
     assert(shared100.count(k => sf01(k) != sf100(k)) >= (shared100.size * 0.9).toInt,
       "sf100 records must be distinct measurements, not copies of sf0.1")
+    // ADVICE r16: totals must differ too (see the sf10 check above)
+    assert(math.abs(shared100.map(sf01).sum - shared100.map(sf100).sum) > 1.0,
+      "sf100 shared-key total must differ materially from sf0.1's")
     assert(Bench.loadAnchors("100") == sf100)
     // negative control: replay the round-14 simhash regression (the
     // (4,1) quadratic candidate join — observed as a DNF; modelled here
@@ -256,6 +264,26 @@ class BenchRenderSpec extends AnyFunSuite {
     assert((j \ "flagged" \ "slow_q").asInstanceOf[JDouble].num == 3.0)
     assert((j \ "flagged").asInstanceOf[JObject].obj.map(_._1) == List("slow_q"))
     assert((j \ "reruns").asInstanceOf[JInt].num.toInt == 1)
+    // no disk measurement → no degradation label
+    assert((j \ "disk_degraded") == JNothing)
+  }
+
+  test("disk_degraded labels flags measured on a degraded-disk box, and only then") {
+    val res = Seq(Bench.QueryResult("slow_q", 3.0, true, 0, 0.0, 3))
+    val anchors = Map("slow_q" -> 1.0)
+    // flags + degraded disk (round-16 measured 9-22 MB/s) → labeled
+    val (_, degraded) = Bench.render(res, "/x", anchors, diskMbps = 22.0)
+    assert((parse(degraded) \ "disk_degraded").asInstanceOf[JBool].value,
+      degraded)
+    // flags + healthy disk (round-17 box: 144) → no label
+    val (_, healthy) = Bench.render(res, "/x", anchors, diskMbps = 144.0)
+    assert((parse(healthy) \ "disk_degraded") == JNothing, healthy)
+    // degraded disk but nothing flagged → no label (the rule only
+    // adjudicates flags; a clean run needs no asterisk)
+    val clean = Seq(Bench.QueryResult("fine_q", 1.5, true, 0, 0.0, 1))
+    val (_, cleanOut) = Bench.render(clean, "/x", Map("fine_q" -> 1.0),
+      diskMbps = 22.0)
+    assert((parse(cleanOut) \ "disk_degraded") == JNothing, cleanOut)
   }
 
   test("stdout carries build_sec for the persisted-index gates; full line for all") {

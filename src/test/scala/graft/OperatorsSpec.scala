@@ -1340,7 +1340,7 @@ class OperatorsSpec extends AnyFunSuite {
       totalShingles = 5L * 1000 * 1000, docCount = 50000L,
       shingleKeepFraction = 1.0)
     assert(silent.isEmpty, s"sf0.1-scale volume must be silent: $silent")
-    // ~500M occurrences × 96 B ≈ 48 GB > the 32 GiB default — the
+    // ~500M occurrences × 128 B ≈ 64 GB > the 32 GiB default — the
     // round-14 sf100 disk-exhaustion shape must fire
     val fired = Dedup.ngramSpillAdvisory(spark,
       totalShingles = 500L * 1000 * 1000, docCount = 5000000L,
@@ -1349,19 +1349,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fired.get.contains("shingleKeepFraction") &&
       fired.get.contains("minhash"), s"advisory must name the knobs: ${fired.get}")
     // the suggested fraction composes with sampling already in force:
-    // fit = inForce × budget / (occurrences × bytesPerOccurrence)
+    // fit = inForce × headroom/(1+prior) × budget / linearEstimate
     val sampledFire = Dedup.ngramSpillAdvisory(spark,
       totalShingles = 500L * 1000 * 1000, docCount = 5000000L,
       shingleKeepFraction = 0.5).get
     val expectFit = Dedup.ngramFitKeepFraction(0.5,
-      500L * 1000 * 1000 * Dedup.NgramShuffleBytesPerShingle,
+      500L * 1000 * 1000 * Dedup.NgramLinearBytesPerShingle,
       Dedup.NgramSpillBudgetDefault)
     assert(sampledFire.contains(f"shingleKeepFraction=$expectFit%.2f"),
       s"suggestion must scale the in-force fraction: $sampledFire")
-    // the fit targets HALF the budget (estimator error bars — see
-    // NgramFitSafetyFactor); a full-budget fit ENOSPC'd a real run
-    assert(expectFit < 0.5 * Dedup.NgramSpillBudgetDefault.toDouble /
-      (500L * 1000 * 1000 * Dedup.NgramShuffleBytesPerShingle).toDouble + 1e-12)
+    // the stage-1 fit reserves candidate-term headroom via the prior
+    // (the exact count only exists at stage 2); a full-budget fit
+    // ENOSPC'd a real run in round 16
+    assert(expectFit < Dedup.NgramFitHeadroom /
+      (1.0 + Dedup.NgramCandidatePriorRatio) *
+      Dedup.NgramSpillBudgetDefault.toDouble /
+      (500L * 1000 * 1000 * Dedup.NgramLinearBytesPerShingle).toDouble + 1e-12)
     // conf raises the budget → silent at the same volume
     spark.conf.set(Dedup.NgramSpillBudgetKey, (256L << 30).toString)
     try assert(Dedup.ngramSpillAdvisory(spark, 500L * 1000 * 1000, 5000000L, 1.0).isEmpty)
@@ -1384,11 +1387,13 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("ngramJaccard spillPolicy: sample auto-fits, fail refuses, both inert within budget") {
     // pure fit-fraction contract: scales the in-force fraction by
-    // safetyFactor x budget/estimate, floored at 1%
+    // headroom/(1+candidatePrior) x budget/estimate, floored at 1%
+    val stage1Factor =
+      Dedup.NgramFitHeadroom / (1.0 + Dedup.NgramCandidatePriorRatio)
     assert(math.abs(Dedup.ngramFitKeepFraction(1.0, 100L << 30, 32L << 30)
-      - 0.32 * Dedup.NgramFitSafetyFactor) < 0.001)
+      - 0.32 * stage1Factor) < 0.001)
     assert(math.abs(Dedup.ngramFitKeepFraction(0.5, 48L << 30, 32L << 30)
-      - Dedup.NgramFitSafetyFactor / 3) < 0.001)
+      - stage1Factor / 3) < 0.001)
     assert(Dedup.ngramFitKeepFraction(1.0, Long.MaxValue / 2, 1L) == 0.01)
 
     // twin docs (identical text) + disjoint-vocab rest: the exact route
@@ -1405,12 +1410,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exact == Set((0L, 100L, 1.0)), s"fixture contract: $exact")
     // generous budget: all three policies are the identical exact route
     assert(run("sample") == exact && run("fail") == exact)
-    // budget sized for fit ≈ 0.5 of the fixture's shingle volume
-    // (9 docs × 38 shingles × bytesPerOccurrence / 2). The sampled
-    // route halves the shingle volume and must still emit the twin
-    // pair at exactly 1.0 (consistent sampling).
+    // budget at 0.9× the fixture's stage-1 linear estimate (9 docs ×
+    // 38 shingles × linearBytes): the gate fires and the stage-1 fit
+    // lands at headroom/(1+prior) × 0.9 ≈ 0.32 of the shingle volume.
+    // The sampled route must still emit the twin pair at exactly 1.0
+    // (consistent sampling keeps identical sets identical).
     spark.conf.set(Dedup.NgramSpillBudgetKey,
-      (9L * 38 * Dedup.NgramShuffleBytesPerShingle / 2).toString)
+      (9L * 38 * Dedup.NgramLinearBytesPerShingle * 9 / 10).toString)
     try {
       val sampled = run("sample")
       assert(sampled == Set((0L, 100L, 1.0)),
@@ -1421,6 +1427,75 @@ class OperatorsSpec extends AnyFunSuite {
         ex.getMessage.contains("spillPolicy=fail"), ex.getMessage)
       // advise (the default) proceeds exact — unchanged results
       assert(run("advise") == exact)
+    } finally spark.conf.unset(Dedup.NgramSpillBudgetKey)
+  }
+
+  test("ngramJaccard stage-2 gate: exact candidate count tightens, refuses, relaxes") {
+    // pure contract: Σ_g c·(c−1)/2 over the index's per-shingle counts
+    val idx = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L),
+      ("g2", 1L), ("g2", 2L), ("g3", 9L)).toDF("g", "id")
+    assert(Dedup.rankedCandidatePairs(idx) == 3L + 1L)
+    assert(Dedup.rankedCandidatePairs(idx.filter(col("id") < 0)) == 0L)
+
+    def stderrOf(body: => Unit): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val old = System.err
+      System.setErr(new java.io.PrintStream(bos, true, "UTF-8"))
+      try body finally System.setErr(old)
+      bos.toString("UTF-8")
+    }
+
+    // 40 IDENTICAL docs: tiny linear volume, quadratic candidate volume
+    // — exactly the shape stage 1's linear-proportional prior cannot
+    // see and the materialized index counts exactly
+    val twins = (0 until 40).map(i =>
+      (i.toLong, (0 until 60).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, policy: String) =
+      Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.5,
+        spillPolicy = policy).as[(Long, Long, Double)].collect().toSet
+    val exact = run(twins, "advise")
+    assert(exact.size == 40 * 39 / 2 && exact.forall(_._3 == 1.0),
+      s"fixture contract: ${exact.size} pairs")
+    // budget ABOVE the stage-1 linear estimate (40×58 occurrences —
+    // stage 1 stays silent) but BELOW linear + candidate volume
+    // (30 prefix shingles × C(40,2) pairs): only stage 2 can fire
+    val occ = 40L * 58
+    assert(occ * Dedup.NgramLinearBytesPerShingle < 600000L)
+    spark.conf.set(Dedup.NgramSpillBudgetKey, "600000")
+    try {
+      // sample: tightens at the stage-2 fit; identical docs keep
+      // identical shingle samples, so every pair still scores 1.0
+      var sampled = Set.empty[(Long, Long, Double)]
+      val errS = stderrOf { sampled = run(twins, "sample") }
+      assert(errS.contains("stage-2 AUTO-SAMPLING"), errS.take(400))
+      assert(sampled == exact,
+        s"stage-2 sampling must keep all twin pairs: ${sampled.size}")
+      // fail: refuses at stage 2 naming the stage and the exact count
+      val ex = intercept[IllegalStateException](run(twins, "fail"))
+      assert(ex.getMessage.contains("stage-2") &&
+        ex.getMessage.contains("candidate pairs"), ex.getMessage)
+      // advise: warns, proceeds exact
+      var advised = Set.empty[(Long, Long, Double)]
+      val errA = stderrOf { advised = run(twins, "advise") }
+      assert(errA.contains("stage-2 ADVISORY"), errA.take(400))
+      assert(advised == exact)
+    } finally spark.conf.unset(Dedup.NgramSpillBudgetKey)
+
+    // RELAX: disjoint-vocab corpus (zero true candidates) under a
+    // budget that trips stage 1 — the prior over-tightens, the
+    // measured zero candidate term relaxes by exactly the prior ratio
+    val disjoint = (0 until 40).map(i =>
+      (i.toLong, (0 until 60).map(j => s"d${i * 1000 + j}").mkString(" ")))
+      .toDF("doc_id", "text")
+    spark.conf.set(Dedup.NgramSpillBudgetKey,
+      (occ * Dedup.NgramLinearBytesPerShingle * 9 / 10).toString)
+    try {
+      var out = Set.empty[(Long, Long, Double)]
+      val err = stderrOf { out = run(disjoint, "sample") }
+      assert(err.contains("AUTO-SAMPLING") && err.contains("RELAXING"),
+        err.take(600))
+      assert(out.isEmpty, s"disjoint docs must yield no pairs: $out")
     } finally spark.conf.unset(Dedup.NgramSpillBudgetKey)
   }
 

@@ -276,6 +276,12 @@ class PlanSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
       s"approx percentile must be a two-phase object aggregate:\n$p")
     assert(p.contains("BroadcastExchange"), s"thresholds must broadcast back:\n$p")
+    // round-17 (verdict item 4): the operator itself adds NO sort-merge
+    // join — text_ccnet_buckets' 2 SMJs are bigramLmScore's inherited
+    // doc_id resurrection join appearing once per consumer of the
+    // un-snapshotted scored frame, not a tercile join gone sort-merge
+    assert(!p.contains("SortMergeJoin"),
+      s"quantileBuckets must not sort-merge anything on a plain input:\n$p")
   }
 
   test("semanticDedupPairsByCluster: pure lazy plan — no count job, no fit, cluster-keyed self-join only") {
