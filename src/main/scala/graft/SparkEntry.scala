@@ -1343,7 +1343,9 @@ object SparkEntry {
       back.select(
         col("l_orderkey").cast("long"), col("l_linenumber").cast("int"),
         col("l_returnflag"), col("l_extendedprice").cast("double"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // total order — (l_orderkey, l_linenumber) is NOT unique in this
+        // corpus generation (see io_csv_lossy_roundtrip's note)
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
     }),
 
     "io_csv_euro_roundtrip" -> ((s, dir) => {
@@ -1365,7 +1367,8 @@ object SparkEntry {
       require(detected.contains(';'), s"sniffer picked $detected on a Euro-decimal CSV")
       back.select(col("l_orderkey").cast("long"), col("l_returnflag"),
         regexp_replace(col("euro_price"), ",", ".").cast("double").as("l_extendedprice"))
-        .orderBy("l_orderkey")
+        // total order (see io_csv_lossy_roundtrip's note)
+        .orderBy("l_orderkey", "l_returnflag", "l_extendedprice")
     }),
 
     "io_csv_lossy_roundtrip" -> ((s, dir) => {
@@ -1394,9 +1397,13 @@ object SparkEntry {
       val (back, detected) = graft.sources.Readers.readAuto(s, path,
         graft.sources.ReadConfig(lossyUtf8 = true))
       require(detected.contains(';'), s"sniffer picked $detected")
+      // TOTAL order (round-17): this corpus generation carries duplicate
+      // (l_orderkey, l_linenumber=1) rows, so orderkey alone leaves tie
+      // order to scan luck — local[N] and local-cluster disagreed and
+      // the row-order-sensitive compare went red under executors
       back.select(col("l_orderkey").cast("long"), col("l_returnflag"),
         col("l_extendedprice").cast("double"))
-        .orderBy("l_orderkey")
+        .orderBy("l_orderkey", "l_returnflag", "l_extendedprice")
     }),
 
     "io_ndjson_roundtrip" -> ((s, dir) => {
@@ -4284,11 +4291,13 @@ object SparkEntry {
 
     "io_csv_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_extendedprice""".stripMargin,
 
     "io_csv_euro_roundtrip" ->
       """SELECT l_orderkey, l_returnflag, l_extendedprice
-        |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin,
+        |FROM lineitem WHERE l_linenumber = 1
+        |ORDER BY l_orderkey, l_returnflag, l_extendedprice""".stripMargin,
 
     "io_csv_lossy_roundtrip" ->
       // the damaged appended row decodes its malformed byte to exactly
@@ -4297,7 +4306,7 @@ object SparkEntry {
         |FROM lineitem WHERE l_linenumber = 1 AND l_orderkey <= 20000
         |UNION ALL
         |SELECT 90000001, 'Z' || chr(65533) || 'Z', 1.5
-        |ORDER BY l_orderkey""".stripMargin,
+        |ORDER BY l_orderkey, l_returnflag, l_extendedprice""".stripMargin,
 
     "io_ndjson_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
