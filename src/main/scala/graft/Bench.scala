@@ -351,14 +351,34 @@ object Bench {
   /** The pinned control job: 30M-row codegen'd hash pass into a 6M-key
     * two-phase aggregate — exercises the CPU and one real shuffle with
     * ZERO dependence on the data dir or any operator under development,
-    * so its wall time moves only when the box does. */
-  private[graft] def runControl(spark: SparkSession): Double = {
-    val t0 = System.nanoTime()
-    spark.range(0L, 30L * 1000 * 1000, 1L, 32)
-      .selectExpr("pmod(xxhash64(id), 6000000) AS k", "id AS v")
-      .groupBy("k").sum("v")
-      .write.format("noop").mode("overwrite").save()
-    (System.nanoTime() - t0) / 1e9
+    * so its wall time moves only when the box does. The shuffle WIDTH
+    * is pinned too (round-17): the job used to inherit the session's
+    * `spark.sql.shuffle.partitions`, making the reading
+    * protocol-dependent in principle (the ref was calibrated at the
+    * 32-partition default; the sf100 protocol runs 128). Measured
+    * effect is small — a same-day A/B read 4.7–6.5 s across
+    * {32,128}×{8g,48g} with no monotone width effect — but a control
+    * that varies with the protocol under measure is wrong by
+    * construction, so it is pinned. NB the round-17 sf100 sweep's
+    * 10.7 s (factor 3.23) reading was neither width nor heap: it was
+    * writeback debt from a 15 GB data-generation job that finished
+    * minutes earlier (same box read 1.2–2.0 once drained) — the same
+    * first-probe hazard the disk control's best-of-2 exists for.
+    * Leave settle time after bulk writes before trusting the first
+    * control of a run. */
+  private[graft] def runControl(spark: SparkSession,
+      rows: Long = 30L * 1000 * 1000): Double = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "32")
+    try {
+      val t0 = System.nanoTime()
+      spark.range(0L, rows, 1L, 32)
+        .selectExpr("pmod(xxhash64(id), 6000000) AS k", "id AS v")
+        .groupBy("k").sum("v")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    } finally prev.foreach(spark.conf.set(key, _))
   }
 
   /** The directory Spark's shuffle files actually land in:

@@ -624,29 +624,45 @@ object Dedup {
           val floor = sessionSaltFloor(entries.sparkSession)
           // EAGER: Auto runs the occupancy probe as ONE Spark job here,
           // at plan-construction time (documented on the public pair
-          // operators). The surviving hot buckets are collected to the
-          // driver — they are destined for a broadcast join, so this
-          // adds no driver-memory bound that broadcast didn't already
-          // impose (≤ n/floor rows, each a few key columns + an int) —
-          // and re-emitted as a LOCAL relation: nothing stays persisted
-          // or checkpoint-pinned after the call, and the pair join
-          // never re-runs the aggregation
+          // operators). The probe is BOUNDED: it collects at most
+          // LocalHotRelationCap+1 hot buckets to the driver
           val hotPlan = entries.groupBy(keys: _*)
             .agg(count(lit(1)).as("__bcnt"))
             .filter(col("__bcnt") > floor)
             .select((keys :+
               least(ceil(col("__bcnt") / floor.toDouble),
                 lit(MaxAutoSalt.toLong)).cast("int").as("__g")): _*)
-          val hotRows = hotPlan.collect()
+          val localHotCap = sessionLocalHotCap(entries.sparkSession)
+          val hotRows = hotPlan.limit(localHotCap + 1).collect()
           // benign corpus (no bucket over the floor): keep the plain
           // explode-free join — Auto's only cost is this one
           // partial-aggregated probe (a hot key collapses map-side, so
           // the probe itself cannot skew)
           if (hotRows.isEmpty) return plainJoin
-          val hot = entries.sparkSession.createDataFrame(
-            java.util.Arrays.asList(hotRows: _*), hotPlan.schema)
-          entries.join(broadcast(hot), bucketCols, "left")
-            .withColumn("__g", coalesce(col("__g"), lit(1)))
+          if (hotRows.length <= localHotCap) {
+            // the common corpus: a bounded hot set rides a LOCAL
+            // relation — nothing stays persisted or checkpoint-pinned
+            // after the call, and the pair join never re-runs the
+            // aggregation
+            val hot = entries.sparkSession.createDataFrame(
+              java.util.Arrays.asList(hotRows: _*), hotPlan.schema)
+            entries.join(broadcast(hot), bucketCols, "left")
+              .withColumn("__g", coalesce(col("__g"), lit(1)))
+          } else {
+            // MANY hot buckets (a low session floor, or degenerate
+            // duplicate mass): a LocalRelation this size serializes
+            // into EVERY task closure — the round-17 sf100 sweep
+            // measured 58 MB tasks and a heap OOM from exactly this
+            // (the forced-salting gate's floor=1 turns every
+            // ≥2-occupant bucket hot, ~n/floor rows stops being
+            // small). Keep the hot frame DISTRIBUTED and let the
+            // broadcast exchange ship it once per executor instead of
+            // once per task; the occupancy agg re-runs one map-side-
+            // combined pass to build the broadcast — the honest price
+            // of not holding corpus-scale state on the driver.
+            entries.join(broadcast(hotPlan), bucketCols, "left")
+              .withColumn("__g", coalesce(col("__g"), lit(1)))
+          }
         } else entries.withColumn("__g", lit(salt))
       val salted = withG.withColumn("__salt",
         pmod(xxhash64(col(idCol)), col("__g").cast("long")).cast("int"))
@@ -1227,6 +1243,29 @@ object Dedup {
     * cells exceed the pair budget — at that point the corpus needs
     * exact dedup first, not a finer salt. */
   val MaxAutoSalt: Int = 64
+
+  /** Largest hot-bucket set the Auto-salt probe re-emits as a driver
+    * LocalRelation (rows; session-tunable via [[LocalHotCapKey]]).
+    * Below this the collected probe result is reused directly (zero
+    * recompute, plan-local); above it the hot frame stays distributed
+    * behind a broadcast exchange — a LocalRelation serializes into
+    * every task closure, so a large one multiplies by task count (the
+    * round-17 sf100 sweep: 58 MB × 128 tasks under the forced-salting
+    * gate's floor=1) while a broadcast ships once per executor. 64k
+    * rows × a few key columns ≈ low MBs — comfortably inside every
+    * driver. */
+  val LocalHotRelationCap: Int = 65536
+
+  /** Session override for [[LocalHotRelationCap]] (tests force the
+    * distributed-hot-frame branch at unit scale with it). */
+  val LocalHotCapKey = "graft.dedup.autoSalt.localHotCap"
+
+  private def sessionLocalHotCap(spark: org.apache.spark.sql.SparkSession): Int = {
+    val c = spark.conf.getOption(LocalHotCapKey).map(_.trim).filter(_.nonEmpty)
+      .map(_.toInt).getOrElse(LocalHotRelationCap)
+    require(c >= 0, s"$LocalHotCapKey must be >= 0 (got $c)")
+    c
+  }
 
   /** [[Auto]] salt resolution for one bucket's observed occupancy —
     * the scalar mirror of the plan-side formula in the salted self-join:

@@ -450,4 +450,20 @@ class BenchRenderSpec extends AnyFunSuite {
       new IllegalStateException("compaction merged nothing")))
     assert(!Bench.isInfraException(new NullPointerException()))
   }
+
+  test("runControl pins its shuffle width and restores the session conf") {
+    // the control must read the BOX, not the protocol: a control that
+    // inherits the sweep's shuffle-partition conf varies with the
+    // protocol under measure (round 17)
+    val spark = SparkTestSession.spark
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try {
+      val sec = Bench.runControl(spark, rows = 1000L)
+      assert(sec > 0)
+      assert(spark.conf.get(key) == "7",
+        "control must restore the caller's shuffle-partition conf")
+    } finally spark.conf.set(key, prev)
+  }
 }

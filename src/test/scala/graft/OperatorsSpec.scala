@@ -1305,6 +1305,43 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.unset(Dedup.SaltFloorKey)
   }
 
+  test("Auto salting: over-cap hot set stays distributed (no task-closure LocalRelation)") {
+    // the round-17 sf100 sweep OOM: floor=1 turns every >=2-occupant
+    // bucket hot, and a corpus-scale hot set re-emitted as a
+    // LocalRelation serializes into EVERY task closure (58 MB x 128
+    // tasks). Over the cap the hot frame must stay distributed behind
+    // a broadcast exchange — and the pair set must not change.
+    val n = 400
+    val docs = (0 until n).map { i =>
+      if (i < n / 2) (i.toLong, "the same exact adversarial document content repeated")
+      else (i.toLong, (0 until 30).map(j => s"u${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val expected = (n / 2).toLong * (n / 2 - 1) / 2
+    spark.conf.set(Dedup.SaltFloorKey, "100")
+    try {
+      def planOf(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString
+      val local = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      assert(planOf(local).contains("LocalTableScan"),
+        "under-cap hot set should ride the zero-recompute LocalRelation")
+      spark.conf.set(Dedup.LocalHotCapKey, "0")
+      val dist = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      val distPlan = planOf(dist)
+      assert(!distPlan.contains("LocalTableScan"),
+        "over-cap hot set must NOT be re-emitted as a LocalRelation")
+      assert(distPlan.contains("BroadcastExchange") ||
+        distPlan.contains("BroadcastHashJoin"),
+        "over-cap hot frame must still ship via a broadcast exchange")
+      assert(dist.count() == expected && local.count() == expected,
+        "both routes must emit every identical pair exactly once")
+      assert(dist.exceptAll(local).count() == 0 && local.exceptAll(dist).count() == 0,
+        "distributed-hot and local-hot pair sets must be identical")
+    } finally {
+      spark.conf.unset(Dedup.SaltFloorKey)
+      spark.conf.unset(Dedup.LocalHotCapKey)
+    }
+  }
+
   test("ngramJaccard sampled-shingle opt-in: identical pairs stay exact, high recall vs exact") {
     // 25 base texts of 60 words; each base gets an identical twin and a
     // ~0.73-Jaccard variant (3 words swapped) — plus the twin pair at 1.0
