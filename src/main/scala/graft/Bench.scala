@@ -301,6 +301,19 @@ object Bench {
           excused)
       } else first
     }
+    // END-of-run disk probe (round 17): the start-of-run control alone
+    // is blind to a MID-SWEEP device collapse — the round-17 sf100
+    // sweep started at 452 MB/s and the box was at ≤11 within the
+    // hour, leaving every late gate's timing silently uninterpretable.
+    // Recording both endpoints makes a sweep that outlived its disk
+    // self-documenting.
+    val diskMbpsEnd = {
+      val dir = shuffleLocalDir(spark)
+      val m = math.max(diskControlMbps(dir), diskControlMbps(dir))
+      System.err.println(f"[bench] disk control (end of run): $m%.0f MB/s " +
+        "synced write (best of 2)")
+      m
+    }
     if (reanchor) {
       val sfLabel = sfLabelOf(sfDir).getOrElse(sys.error(
         s"SPARK_GRAFT_REANCHOR needs a dir that spells its scale (sfX), got $sfDir"))
@@ -315,7 +328,7 @@ object Bench {
           s" (${results.size - meds.size} failed gate(s) left untouched)" else ""))
     }
     val (full, out) = render(results, sfDir, anchors, controlSec = controlSec,
-      diskMbps = diskMbps)
+      diskMbps = diskMbps, diskMbpsEnd = diskMbpsEnd)
     System.err.println(full)
     try {
       java.nio.file.Files.write(
@@ -575,7 +588,7 @@ object Bench {
   private[graft] def render(results: Seq[QueryResult],
       sfDir: String, anchors: Map[String, Double] = Map.empty,
       budget: Int = 1750, controlSec: Double = -1.0,
-      diskMbps: Double = -1.0): (String, String) = {
+      diskMbps: Double = -1.0, diskMbpsEnd: Double = -1.0): (String, String) = {
     val failedNames = results.collect { case r if !r.ok => r.name }
     // the failed list cannot be shed like the queries map, so a
     // mass-failure run (the run whose record matters most) must not blow
@@ -626,8 +639,17 @@ object Bench {
     // environment until reproduced on a healthy one (round 16: same
     // code, 10× wall, disk_mbps 9). The label rides the JSON so a
     // reader applies the rule without reconstructing the stderr.
+    // the WORST measured endpoint governs: a sweep that started at
+    // 452 MB/s and ended at 11 ran its late gates on the degraded
+    // device (round 17) — flags from such a run are environment until
+    // reproduced on a healthy disk
+    val diskWorst =
+      Seq(diskMbps, diskMbpsEnd).filter(_ > 0) match {
+        case Nil => -1.0
+        case ms => ms.min
+      }
     val diskDegraded =
-      if (flaggedEntries.nonEmpty && diskMbps > 0 && diskMbps < DiskDegradedMbps)
+      if (flaggedEntries.nonEmpty && diskWorst > 0 && diskWorst < DiskDegradedMbps)
         s""","disk_degraded":true"""
       else ""
     // one-time index-build share for the persisted-index gates, so a
@@ -652,7 +674,11 @@ object Bench {
         if (diskMbps <= 0) ""
         else s""","disk_mbps":${
           String.format(java.util.Locale.ROOT, "%.0f", Double.box(diskMbps))}"""
-      cpu + disk
+      val diskEnd =
+        if (diskMbpsEnd <= 0) ""
+        else s""","disk_mbps_end":${
+          String.format(java.util.Locale.ROOT, "%.0f", Double.box(diskMbpsEnd))}"""
+      cpu + disk + diskEnd
     }
 
     def line(entries: Seq[(String, Double)], build: String, extra: String): String = {

@@ -286,6 +286,32 @@ class BenchRenderSpec extends AnyFunSuite {
     assert((parse(cleanOut) \ "disk_degraded") == JNothing, cleanOut)
   }
 
+  test("disk_mbps_end is recorded and the WORST endpoint governs the degraded label") {
+    // the round-17 sf100 sweep: 452 MB/s at start, <=11 within the
+    // hour — late-gate flags must be labeled even though the start
+    // probe was healthy
+    val res = Seq(Bench.QueryResult("slow_q", 3.0, true, 0, 0.0, 3))
+    val anchors = Map("slow_q" -> 1.0)
+    val (full, out) = Bench.render(res, "/x", anchors,
+      diskMbps = 452.0, diskMbpsEnd = 11.0)
+    for (s <- Seq(full, out)) {
+      val j = parse(s)
+      assert((j \ "disk_mbps_end") == JInt(11) || (j \ "disk_mbps_end") == JDouble(11), s)
+      assert((j \ "disk_degraded").asInstanceOf[JBool].value,
+        "degraded END endpoint must label the run's flags")
+    }
+    // both endpoints healthy → no label, end value still recorded
+    val (_, healthy) = Bench.render(res, "/x", anchors,
+      diskMbps = 452.0, diskMbpsEnd = 380.0)
+    val hj = parse(healthy)
+    assert((hj \ "disk_mbps_end") == JInt(380) || (hj \ "disk_mbps_end") == JDouble(380))
+    assert((hj \ "disk_degraded") == JNothing, healthy)
+    // end probe not measured (old callers) → field absent, start governs
+    val (_, startOnly) = Bench.render(res, "/x", anchors, diskMbps = 22.0)
+    assert(!startOnly.contains("disk_mbps_end"))
+    assert((parse(startOnly) \ "disk_degraded").asInstanceOf[JBool].value)
+  }
+
   test("stdout carries build_sec for the persisted-index gates; full line for all") {
     val res = Seq(
       Bench.QueryResult("ann_ivfpq_index_topk", 5.0, true, 0, 3.2, 1),
