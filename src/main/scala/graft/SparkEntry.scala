@@ -81,8 +81,17 @@ object SparkEntry {
       .transform(Materialize.once(_, eager = true))
     val ivf = ivfFn(emb, queriesDf)
       .select(col("query_id"), col("id").as("neighbor_id"))
-    val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
-    val recall = hits.toDouble / brute.count()
+    // numerator and denominator in ONE job (r17): the old
+    // left_semi.count() + brute.count() pair ran two driver actions
+    // where one suffices — a LEFT join against the (query, neighbor)-
+    // unique ivf frame cannot duplicate brute rows, so count(*) is the
+    // denominator and count(match marker) the numerator of the same
+    // 50-row aggregate. Same recall value, one fewer job per ANN gate.
+    val r = brute.join(ivf.withColumn("__hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n"), count(col("__hit")).as("hits"))
+      .head()
+    val recall = r.getLong(1).toDouble / r.getLong(0)
     require(recall >= floor, f"$label recall@10 regressed: $recall%.3f < $floor%.1f")
     brute.orderBy("query_id", "rank")
   }
@@ -1520,10 +1529,29 @@ object SparkEntry {
       val df = tbl(s, dir, "orders")
       val exs = graft.meta.Introspect.sqlExamples(df.schema)
       require(exs.length == 22, s"orders template set drifted: ${exs.length}")
-      val rows = exs.zipWithIndex.map { case (q, i) =>
-        val out = SqlTransform(q.stripSuffix(";"))(df)
-        (i, out.count(), out.columns.length)
+      // plans are built SEQUENTIALLY (spark.sql analyzes eagerly, so
+      // the shared AllData temp view is resolved before the next
+      // template replaces it), then the 22 independent count jobs run
+      // from a small pool (guide §2.6: overlap independent jobs so the
+      // next job's tasks back-fill the current one's tail — these are
+      // tiny single-stage jobs that otherwise serialize 22 driver
+      // round-trips). Results are (i, count, ncols) — order-independent
+      // by construction; the output sorts by ex.
+      val outs = exs.zipWithIndex.map { case (q, i) =>
+        (i, SqlTransform(q.stripSuffix(";"))(df))
       }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val rows =
+        try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutor(pool)
+          Await.result(
+            Future.sequence(outs.map { case (i, out) =>
+              Future((i, out.count(), out.columns.length))
+            }),
+            scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
       rows.toDF("ex", "nrows", "ncols").orderBy("ex")
     }),
 

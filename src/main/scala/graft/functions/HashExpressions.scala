@@ -243,6 +243,32 @@ object HashEval {
     }
   }
 
+  /** Six-hex-digit fold of md5(UTF-8 bytes of `s`), 1-based hex window
+    * `[start, start+5]`, mod `buckets` — the native form of the
+    * declarative `pmod(fold(ascii digits of md5(key)), buckets)` idiom
+    * ([[HashFunctions.md5Fold6]]). Value-identical by construction: hex
+    * digit `i` of an md5 string IS nibble `i-1` of the digest, and the
+    * ascii arithmetic decodes exactly that nibble, so the fold is the
+    * 24-bit digest window mod buckets (non-negative, so `%` == pmod).
+    * One digest per row via the shared thread-local — the Column-tree
+    * form re-evaluated the full md5 once per digit reference (12× per
+    * key: 6 digits × the two ascii comparisons), which made the fold
+    * the dominant per-row cost of every md5-bucketed operator. */
+  def md5HexFold(s: UTF8String, start: Int, buckets: Long): Long = {
+    val md = SimHashMd5FromText.digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var k = start - 1 // 0-based nibble index
+    val end = start + 5
+    while (k < end) {
+      val b = d(k >> 1) & 0xff
+      v = (v << 4) | (if ((k & 1) == 0) b >>> 4 else b & 0xf)
+      k += 1
+    }
+    v % buckets
+  }
+
   def sortedIntersectCount(x: ArrayData, y: ArrayData): Int = {
     var i = 0; var j = 0; var n = 0
     val nx = x.numElements(); val ny = y.numElements()
@@ -528,6 +554,37 @@ object SimHashMd5FromText {
   }
 }
 
+/** `md5_hex_fold(key)` → long: six-hex-digit fold of md5(key), window
+  * starting at 1-based hex position `start`, mod `buckets` — the native
+  * single-digest form of the engine-portable md5 bucket idiom (see
+  * [[HashEval.md5HexFold]] for the value-identity argument, and
+  * [[HashFunctions.md5Fold6]] for the oracle-side SQL it replays).
+  * Null input → null. Input is the KEY string (not a precomputed hex
+  * digest — [[HashFunctions.md5HexFoldAt]] keeps the declarative fold
+  * for callers that digest once and fold several windows). */
+case class Md5HexFold(child: Expression, start: Int, buckets: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"md5_hex_fold needs a string key, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashEval.md5HexFold(input.asInstanceOf[UTF8String], start, buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashEval.md5HexFold($c, $start, ${buckets}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5HexFold =
+    copy(child = newChild)
+}
+
 /** `sorted_intersect_count(a, b)` → int: size of the intersection of two
   * SORTED long arrays via a two-pointer merge — O(n+m) with zero
   * allocation, vs array_intersect's per-row hash-set build. Inputs must
@@ -737,8 +794,27 @@ object HashFunctions {
     * feature hashing, Gumbel/A-ES draws and the JL sign matrix —
     * one definition, so cross-engine parity cannot drift per caller. */
   def md5Fold6(key: Column, buckets: Long): Column = {
-    import org.apache.spark.sql.functions._
-    md5HexFoldAt(md5(key), 1, buckets)
+    require(buckets >= 2 && 16777216L % buckets == 0,
+      s"buckets must divide 16^6 for an unbiased fold (got $buckets)")
+    // native single-digest expression — the declarative
+    // md5HexFoldAt(md5(key), …) tree re-evaluates the md5 per digit
+    // reference (12× per key); Md5HexFold is value-identical
+    // (HashCodegenSpec pins it against the declarative original)
+    toCol(Md5HexFold(toExpr(key), 1, buckets))
+  }
+
+  /** [[md5Fold6]] with a caller-chosen 1-based hex window start — the
+    * native form of `md5HexFoldAt(md5(key), start, buckets)` for
+    * callers that draw SEVERAL independent buckets from one key (CMS
+    * rows). Each draw digests the key once natively, which measures
+    * cheaper than one declarative digest plus per-digit substring/ascii
+    * trees over the materialized hex attribute. */
+  def md5FoldAt(key: Column, start: Int, buckets: Long): Column = {
+    require(buckets >= 2 && 16777216L % buckets == 0,
+      s"buckets must divide 16^6 for an unbiased fold (got $buckets)")
+    require(start >= 1 && start + 5 <= 32,
+      s"fold window [$start, ${start + 5}] must sit inside the 32 md5 hex digits")
+    toCol(Md5HexFold(toExpr(key), start, buckets))
   }
 
   /** Six-hex-digit fold of an ALREADY-COMPUTED digest column, starting

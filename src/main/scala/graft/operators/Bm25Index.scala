@@ -113,9 +113,19 @@ object Bm25Index {
     // corpus-scale storage burden that throttled the sf100 probe; the
     // token stream has exactly one consumer and pipelines into the tf
     // aggregation without ever being stored)
-    val toks = docs.select(col(idCol).as("id"),
-        TextAnalysis.bm25Words(col(textCol)).as("ws"))
-      .select(col("id"), size(col("ws")).as("dl"), explode(col("ws")).as("term"))
+    // widen before the tokenize pass (Parallelism scaladoc): the
+    // per-doc split/lower dominates, and an unsplittable source would
+    // run the whole segment build one-core
+    val toks = Parallelism.widen(docs.select(col(idCol).as("id"),
+        col(textCol).as("__t")))
+      .select(col("id"), TextAnalysis.bm25Words(col("__t")).as("ws"))
+      // explode_outer + null filter above the Generate: an inner
+      // explode pushes an inferred `size(ws) > 0` (the full tokenizer
+      // tree) into a per-row scan filter — every doc would tokenize
+      // twice (TextAnalysis.bm25TopK documents the class); the filter
+      // restores exactly the inner explode's row set
+      .select(col("id"), size(col("ws")).as("dl"), explode_outer(col("ws")).as("term"))
+      .where(col("term").isNotNull)
     val tf = Materialize.once(
       toks.groupBy("id", "term", "dl").agg(count(lit(1)).as("tf")),
       eager = true)

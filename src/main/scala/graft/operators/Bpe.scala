@@ -77,7 +77,12 @@ object Bpe {
   /** The word-type frame (word padded, freq) for a corpus — the one
     * corpus-sized pass; everything else iterates on its result. */
   private def wordTypes(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(TextAnalysis.bm25Words(col(textCol))).as("w"))
+    // explode_OUTER + null filter above the Generate — an inner explode
+    // pushes an inferred `size(words) > 0` (the full tokenizer tree)
+    // into a per-row scan filter, tokenizing every doc twice
+    // (TextAnalysis.bm25TopK documents the class)
+    docs.select(explode_outer(TextAnalysis.bm25Words(col(textCol))).as("w"))
+      .where(col("w").isNotNull)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(spacedPadded(col("w")).as("word"), col("freq"))
 
@@ -93,7 +98,12 @@ object Bpe {
     var r = 1
     var exhausted = false
     while (r <= numMerges && !exhausted) {
-      val best = w.select(explode(adjacentPairs(col("word"))).as("pr"), col("freq"))
+      // explode_OUTER (same rationale as wordTypes): the inner form's
+      // inferred filter re-inlines adjacentPairs — and, on rounds where
+      // w is an unmaterialized merge chain, the whole regexp_replace
+      // chain — into a per-row filter below the projection
+      val best = w.select(explode_outer(adjacentPairs(col("word"))).as("pr"), col("freq"))
+        .where(col("pr").isNotNull)
         .groupBy("pr").agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("pr")).limit(1)
         .collect() // exactly one row per round, numMerges rounds — bounded

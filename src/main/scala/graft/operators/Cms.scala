@@ -29,20 +29,30 @@ import graft.functions.HashFunctions
   * broadcast sketch (≤ depth·width rows, bounded by construction) and
   * takes the per-term min — map-side except one bounded-key shuffle.
   *
-  * Hashing: ONE md5 per key occurrence — row r folds hex digits
-  * [6r+1, 6r+6] of the same digest (depth ≤ 5 fits the 32 digits),
-  * and the digest lives in its own projection so the per-digit ascii
-  * reads hit a materialized attribute instead of re-running md5 (6×
-  * per digit otherwise; measured 15 s → ~3 s on the sf0.1 sketch). */
+  * Hashing: row r folds hex digits [6r+1, 6r+6] of md5(key#cms)
+  * (depth ≤ 5 fits the 32 digits) through the NATIVE
+  * [[graft.functions.Md5HexFold]] expression — one in-expression
+  * digest per (row, occurrence), no hex-string materialization, no
+  * per-digit substring/ascii trees. Value-identical to the original
+  * declarative fold (HashCodegenSpec pins it); the declarative form's
+  * history is instructive: inlining md5 into the fold re-evaluated it
+  * 6× per digit (measured 15 s → ~3 s on the sf0.1 sketch when first
+  * hoisted to its own projection), and the native expression removes
+  * the remaining per-digit tree cost as well (round 17). */
 object Cms {
 
-  /** The one digest all rows fold from. */
-  private def cmsHex(key: Column): Column =
-    md5(concat(key.cast("string"), lit("#cms")))
+  /** The salted key every row's fold digests. */
+  private def cmsKey(key: Column): Column =
+    concat(key.cast("string"), lit("#cms"))
 
-  /** Row r's bucket from an already-computed digest column. */
-  private[operators] def cellFromHex(hexCol: Column, row: Int, width: Int): Column =
-    HashFunctions.md5HexFoldAt(hexCol, 1 + 6 * row, width.toLong)
+  /** Row r's bucket: the [6r+1, 6r+6] hex window of md5(key#cms) —
+    * value-identical to the original declarative
+    * `md5HexFoldAt(md5(key#cms), 1+6r, width)` (HashCodegenSpec pins
+    * the fold identity); native per-row digest, so the depth×6
+    * substring/ascii trees over a materialized hex attribute are gone
+    * (r17 — the fold was the sketch build's dominant per-row cost). */
+  private[operators] def cmsCell(key: Column, row: Int, width: Int): Column =
+    HashFunctions.md5FoldAt(cmsKey(key), 1 + 6 * row, width.toLong)
 
   private def requireShape(depth: Int, width: Int): Unit = {
     require(depth >= 1 && depth <= 5,
@@ -60,12 +70,8 @@ object Cms {
     requireShape(depth, width)
     val k = col(keyCol)
     df.filter(k.isNotNull)
-      // the digest projection boundary is load-bearing: md5 is
-      // non-cheap, so CollapseProject leaves it evaluated ONCE here
-      // even though the next projection folds it depth×6 times
-      .select(cmsHex(k).as("__hex"))
       .select(explode(array((0 until depth).map(r =>
-        struct(lit(r).as("row"), cellFromHex(col("__hex"), r, width).as("bucket"))): _*)).as("c"))
+        struct(lit(r).as("row"), cmsCell(k, r, width).as("bucket"))): _*)).as("c"))
       .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -78,9 +84,8 @@ object Cms {
     requireShape(depth, width)
     val k = col(keyCol)
     val cells = probes.select(k.as("key")).filter(col("key").isNotNull).distinct()
-      .select(col("key"), cmsHex(col("key")).as("__hex"))
       .select(col("key"), explode(array((0 until depth).map(r =>
-        struct(lit(r).as("row"), cellFromHex(col("__hex"), r, width).as("bucket"))): _*)).as("c"))
+        struct(lit(r).as("row"), cmsCell(col("key"), r, width).as("bucket"))): _*)).as("c"))
       .select(col("key"), col("c.row").as("row"), col("c.bucket").as("bucket"))
     cells.join(broadcast(sketch), Seq("row", "bucket"), "left")
       .groupBy("key")

@@ -136,13 +136,25 @@ object Curation {
       benchmark: DataFrame, benchTextCol: String,
       n: Int = 5): DataFrame = {
     val id = col(idCol)
-    val docGrams = docs.select(
+    // widen BEFORE the gram build: the per-doc tokenize + n-gram
+    // assembly is the operator's dominant per-row cost and an
+    // unsplittable source would run it one-core (Parallelism scaladoc);
+    // the resurrection join below keeps reading `docs` directly — it
+    // only needs ids
+    val docGrams = Parallelism.widen(docs.select(id, col(textCol))).select(
       id, array_distinct(kgrams(words(col(textCol)), n)).as("grams"))
-    val benchGrams = benchmark
-      .select(explode(kgrams(words(col(benchTextCol)), n)).as("gram"))
+    // explode_OUTER on both gram streams: an inner explode makes the
+    // optimizer infer `size(grams) > 0` and push the full kgram tree
+    // below the exchange into a per-row scan filter, so every doc
+    // builds its gram array twice (plan-verified r17; guide §4.4). The
+    // outer form's null-gram rows never survive the inner gram join /
+    // the explicit null filter, so the row set is unchanged.
+    val benchGrams = Parallelism.widen(benchmark.select(col(benchTextCol)))
+      .select(explode_outer(kgrams(words(col(benchTextCol)), n)).as("gram"))
+      .where(col("gram").isNotNull)
       .distinct()
     val overlaps = docGrams
-      .select(id, explode(col("grams")).as("gram"))
+      .select(id, explode_outer(col("grams")).as("gram"))
       .join(broadcast(benchGrams), "gram")
       .groupBy(id).agg(count(lit(1)).as("n_overlap"))
     docs.select(id)

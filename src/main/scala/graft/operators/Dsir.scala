@@ -82,25 +82,39 @@ object Dsir {
     val id = col(idCol)
     // explode_OUTER: zero-feature docs ride as a null-bucket row so no
     // corpus re-join is needed downstream; the count frames filter the
-    // sentinel out via count(bucket)/non-null grouping semantics
+    // sentinel out via count(bucket)/non-null grouping semantics.
+    // widen BEFORE the explode: the per-feature md5 fold is the
+    // operator's dominant per-row cost, and an unsplittable source
+    // would otherwise run it on one core (Parallelism scaladoc)
     val feats = graft.Materialize.once(
-      raw.select(id, explode_outer(docFeatures(col(textCol))).as("f"))
+      Parallelism.widen(raw.select(id, col(textCol)))
+        .select(id, explode_outer(docFeatures(col(textCol))).as("f"))
         .select(id, hashBucket(col("f"), buckets).as("bucket")))
     val k = lit(smoothing)
     val b = lit(buckets.toDouble)
-    val p = target.select(explode(docFeatures(col(targetTextCol))).as("f"))
+    val p = Parallelism.widen(target.select(col(targetTextCol)))
+      .select(explode(docFeatures(col(targetTextCol))).as("f"))
       .select(hashBucket(col("f"), buckets).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c_p"))
     val q = feats.filter(col("bucket").isNotNull)
       .groupBy("bucket").agg(count(lit(1)).as("c_q"))
-    val totals = p.agg(coalesce(sum("c_p"), lit(0L)).cast("double").as("t_p"))
-      .crossJoin(broadcast(q.agg(coalesce(sum("c_q"), lit(0L)).cast("double").as("t_q"))))
     // B-row model over the FULL [0, buckets) domain — empty cells carry
-    // the smoothing floor, so scoring needs no out-of-model path
+    // the smoothing floor, so scoring needs no out-of-model path.
+    // Totals fold over the SAME B-row frame as a global window instead
+    // of separate p.agg/q.agg scalar frames: each count frame (and with
+    // it the full tokenize+hash fit behind it — the target pass, and a
+    // corpus-sized re-aggregation of feats) used to execute TWICE, once
+    // for its counts join and once for its total. Sum-of-longs over the
+    // full domain is value-identical to the old scalar aggregates, and
+    // the single-partition window is B-row bounded by construction
+    // (requirePow2 caps buckets at 2^20).
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     val model = spark.range(buckets).toDF("bucket")
       .join(p, Seq("bucket"), "left")
       .join(q, Seq("bucket"), "left")
-      .crossJoin(broadcast(totals))
+      .withColumn("t_p", sum(coalesce(col("c_p"), lit(0L))).over(whole).cast("double"))
+      .withColumn("t_q", sum(coalesce(col("c_q"), lit(0L))).over(whole).cast("double"))
       .select(col("bucket"),
         (log((coalesce(col("c_p"), lit(0L)).cast("double") + k) / (col("t_p") + k * b)) -
           log((coalesce(col("c_q"), lit(0L)).cast("double") + k) / (col("t_q") + k * b)))

@@ -150,18 +150,42 @@ object Pq {
   }
 
   /** Reload the codebooks written by [[buildPqIndex]]. */
+  /** Cached per COMMITTED index like [[Similarity]].loadCentroids —
+    * same (marker mtime, length) stamp, same rationale: codebooks are
+    * FROZEN between commits (appends encode with the as-built model; a
+    * rebuild recommits), so re-reading the model-params-sized table
+    * per query was pure fixed cost. Missing marker → never cached. */
+  private val pqModelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, ((Long, Long), PqModel)]()
+
   def loadPqModel(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
-    val rows = spark.read.parquet(s"$path/_codebooks")
-      .orderBy("subspace", "centroid").collect()
-    require(rows.nonEmpty, s"no codebooks at $path/_codebooks")
-    val m = rows.map(_.getInt(0)).max + 1
-    val k = rows.map(_.getInt(1)).max + 1
-    val books = Array.ofDim[Array[Double]](m, k)
-    rows.foreach { r =>
-      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    def load(): PqModel = {
+      val rows = spark.read.parquet(s"$path/_codebooks")
+        .orderBy("subspace", "centroid").collect()
+      require(rows.nonEmpty, s"no codebooks at $path/_codebooks")
+      val m = rows.map(_.getInt(0)).max + 1
+      val k = rows.map(_.getInt(1)).max + 1
+      val books = Array.ofDim[Array[Double]](m, k)
+      rows.foreach { r =>
+        books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      }
+      require(books.forall(_.forall(_ != null)), s"ragged codebooks at $path")
+      PqModel(m, k, books(0)(0).length, books)
     }
-    require(books.forall(_.forall(_ != null)), s"ragged codebooks at $path")
-    PqModel(m, k, books(0)(0).length, books)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(p, graft.sources.FsSwap.CommitMarker)
+    val stamp =
+      try {
+        val st = fs.getFileStatus(marker)
+        Some((st.getModificationTime, st.getLen))
+      } catch { case _: java.io.FileNotFoundException => None }
+    stamp match {
+      case None => load()
+      case Some(s) =>
+        pqModelCache.compute(fs.makeQualified(p).toString, (_, prev) =>
+          if (prev != null && prev._1 == s) prev else (s, load()))._2
+    }
   }
 
   /** Query a [[buildPqIndex]] index: ADC top-k over the codes scan —

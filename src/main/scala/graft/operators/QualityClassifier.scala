@@ -75,8 +75,13 @@ object QualityClassifier {
     val lbl = coalesce(when(col(labelCol).isNotNull, col(labelCol)),
       raise_error(concat(lit(s"trainNbQuality: null label in '$labelCol' — " +
         "seed labels must be non-null booleans"))).cast(BooleanType))
+    // explode_OUTER + null filter above the Generate: an inner explode
+    // makes the optimizer infer `size(words) > 0` and push the full
+    // tokenizer tree into a per-row scan filter — every training doc
+    // would tokenize twice (TextAnalysis.bm25TopK documents the class)
     val toks = docs.select(lbl.as("label"),
-      explode(TextAnalysis.bm25Words(col(textCol))).as("term"))
+      explode_outer(TextAnalysis.bm25Words(col(textCol))).as("term"))
+      .where(col("term").isNotNull)
     val counts = toks.groupBy("term").agg(
       sum(when(col("label"), 1L).otherwise(0L)).as("c_pos"),
       sum(when(col("label"), 0L).otherwise(1L)).as("c_neg"))

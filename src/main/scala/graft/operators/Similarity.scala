@@ -348,14 +348,42 @@ object Similarity {
 
   /** Reload the `cell → centroid` table written by [[buildIvfIndex]] (or
     * [[Pq.buildIvfPqIndex]] — same layout). Cell ids are dense 0..n-1 by
-    * construction, so ordering by cell yields a positional array. */
+    * construction, so ordering by cell yields a positional array.
+    *
+    * Cached per COMMITTED index (r17), keyed like
+    * [[Pq]].codesRowCountCache on the commit marker's (mtime, length):
+    * every query/append against a path re-read the model-params-sized
+    * table through a fresh schema-inference pass plus a collect job —
+    * pure per-call fixed cost, since centroids are FROZEN between
+    * commits by design (appends never touch them; a rebuild recommits
+    * the marker, which invalidates). A missing marker never caches —
+    * an uncommitted index must not pin stale centroids. */
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    String, ((Long, Long), Array[Array[Double]])]()
+
   private[operators] def loadCentroids(spark: org.apache.spark.sql.SparkSession,
       path: String): Array[Array[Double]] = {
-    val cents = spark.read.parquet(s"$path/_centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray)
-    require(cents.nonEmpty, s"no centroids at $path/_centroids")
-    cents
+    def load(): Array[Array[Double]] = {
+      val cents = spark.read.parquet(s"$path/_centroids")
+        .orderBy("cell").collect()
+        .map(_.getSeq[Double](1).toArray)
+      require(cents.nonEmpty, s"no centroids at $path/_centroids")
+      cents
+    }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(p, graft.sources.FsSwap.CommitMarker)
+    val stamp =
+      try {
+        val st = fs.getFileStatus(marker)
+        Some((st.getModificationTime, st.getLen))
+      } catch { case _: java.io.FileNotFoundException => None }
+    stamp match {
+      case None => load()
+      case Some(s) =>
+        centroidCache.compute(fs.makeQualified(p).toString, (_, prev) =>
+          if (prev != null && prev._1 == s) prev else (s, load()))._2
+    }
   }
 
   /** Query a [[buildIvfIndex]] index: per query, probe the `nprobe`

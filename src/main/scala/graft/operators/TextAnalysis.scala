@@ -98,10 +98,19 @@ object TextAnalysis {
     * exchange carries one row per distinct token per partition — vocab
     * cardinality, not corpus cardinality) and the top-k is
     * TakeOrderedAndProject (per-partition heaps, never a global sort). */
+  // NO Parallelism.widen here (measured r17): the word-keyed partial
+  // aggregate collapses map-side, so widening a narrow source
+  // multiplies the combiner output by the partition count (32× the
+  // vocab-sized partials into the exchange) and measured ~2× slower
+  // at sf0.1 — the opposite trade from the per-row-heavy operators.
   def topKWords(df: DataFrame, textCol: String, k: Int): DataFrame =
-    df.select(explode(
+    df.select(explode_outer(
         filter(split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0))
         .as("word"))
+      // outer explode + null filter above the Generate — an inner
+      // explode would push the tokenizer tree into a per-row scan
+      // filter (see bm25TopK); the filter restores the inner row set
+      .where(col("word").isNotNull)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word")).limit(k)
 
@@ -127,8 +136,12 @@ object TextAnalysis {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val id = col(idCol)
-    val toks = df.select(id, explode(
+    // explode_outer + null filter so the tokenizer tree is not
+    // duplicated into an inferred scan-side filter (see bm25TopK);
+    // no widen — measured a wash-to-loss here (topKWords note)
+    val toks = df.select(id, explode_outer(
       filter(split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0)).as("term"))
+      .where(col("term").isNotNull)
     val tf = toks.groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
       .transform(Materialize.once(_)) // consumed twice: df source + score join
     // N rides the plan as a broadcast 1-row frame — a driver-side
@@ -191,10 +204,23 @@ object TextAnalysis {
     // and re-reading the one frame guaranteed BIGGER than the corpus
     // text — the snapshot fits the page cache at sf10 and becomes real
     // disk IO at 15 GB.
-    val docBi = df.select(id, explode(bigrams2).as("bigram"))
+    // widen before the explode+count passes — the tokenize/zip_with
+    // per-row work is the cost, and an unsplittable source runs it
+    // one-core (Parallelism scaladoc). Both passes read the one
+    // widened frame (the exchange is reused across consumers).
+    val wtext = Parallelism.widen(df.select(id, col(textCol)))
+    // explode_OUTER + null filter ABOVE the Generate: an inner explode
+    // infers `size(bigrams) > 0` and pushes the whole zip_with bigram
+    // tree below the exchange into a per-row scan filter — every doc
+    // would build its bigram array twice (guide §4.4). The filter on
+    // the GENERATED attribute cannot be pushed below the Generate, so
+    // the array is built exactly once; the dropped null rows are the
+    // rows the inner explode never emitted.
+    val docBi = wtext.select(id, explode_outer(bigrams2).as("bigram"))
+      .where(col("bigram").isNotNull)
     val biCounts = docBi.groupBy("bigram").agg(count(lit(1)).as("c_bi"))
-    val uniCounts = df
-      .select(explode(w).as("w1"))
+    val uniCounts = wtext
+      .select(explode_outer(w).as("w1")).where(col("w1").isNotNull)
       .groupBy("w1").agg(count(lit(1)).as("c_uni"))
       .transform(Materialize.once(_)) // consumed twice: V and the model join
     val vocab = uniCounts.select(count(lit(1)).cast("double").as("v_size"))
@@ -340,8 +366,20 @@ object TextAnalysis {
     // row (CollapseProject keeps multiply-referenced expensive
     // expressions in their own projection instead of inlining them
     // twice)
-    val toks = docs.select(col(idCol).as("id"), words(col(textCol)).as("ws"))
-      .select(col("id"), size(col("ws")).as("dl"), explode(col("ws")).as("term"))
+    // widen before the tokenize passes: per-doc split/lower is the
+    // per-row cost and an unsplittable source runs it one-core
+    // (Parallelism scaladoc); both the postings and the stats pass
+    // read from the widened frame
+    val wdocs = Parallelism.widen(docs.select(col(idCol).as("id"),
+      col(textCol).as("__t")))
+    // explode_OUTER, not explode: an inner explode makes the optimizer
+    // infer `size(ws) > 0` and push it below the exchange to the scan
+    // — re-inlining the full tokenizer tree into a per-row scan filter,
+    // so every doc tokenizes TWICE (plan-verified; the guide §4.4
+    // duplication class). The outer explode's null-term row for empty
+    // docs is dropped by the query-term join, so results are identical.
+    val toks = wdocs.select(col("id"), words(col("__t")).as("ws"))
+      .select(col("id"), size(col("ws")).as("dl"), explode_outer(col("ws")).as("term"))
       .join(broadcast(qset), Seq("term"))
     // dl is functionally dependent on id — grouping by it too keeps the
     // aggregate single-pass without a first()/max() accessor
@@ -352,7 +390,7 @@ object TextAnalysis {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // corpus-level stats over ALL docs with >= 1 token (not just
     // query-term matches): one map-side-partial agg over the text scan
-    val stats = docs.select(size(words(col(textCol))).as("dl0"))
+    val stats = wdocs.select(size(words(col("__t"))).as("dl0"))
       .filter(col("dl0") > 0)
       .agg(count(lit(1)).cast("double").as("n_docs"),
         (sum(col("dl0")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))

@@ -1,60 +1,114 @@
 package graft.tools
 
-import graft.operators._
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+import org.apache.spark.scheduler._
+import graft.SparkEntry
 
-/** Scratch profiler for operator stages (dev tool, not part of the
-  * driver contract). */
+/** Dev tool (optimization rounds): run selected gate queries under a
+  * SparkListener and print a per-JOB breakdown — wall seconds, task
+  * count, summed executor task time, shuffle read/write bytes, spill —
+  * plus the gate's total wall and job count. The empirical half of
+  * guide §1.1: at sf0.1 a gate's seconds are often fixed per-job
+  * overhead (scheduling, codegen, tiny-file IO), and this table is how
+  * that is distinguished from real compute before any change is made.
+  *
+  *   scripts/run_main.sh graft.tools.Profile ann_ivf_index_append ...
+  *
+  * Reads SPARK_GRAFT_SF_DIR (default sf0.1) and SPARK_GRAFT_CPUS like
+  * Bench; never part of any artifact — measurement only.
+  */
 object Profile {
-  def time[T](label: String)(f: => T): T = {
-    val t0 = System.nanoTime()
-    val r = f
-    println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    r
+
+  final case class JobRow(id: Int, desc: String, wallMs: Long,
+      tasks: Int, taskTimeMs: Long, shufReadB: Long, shufWriteB: Long,
+      spillB: Long, inputB: Long)
+
+  final class Collector extends SparkListener {
+    val starts = mutable.Map[Int, (Long, String)]()
+    val rows = mutable.ArrayBuffer[JobRow]()
+    // per-stage metrics keyed by stage id, attributed to the job that
+    // submitted the stage
+    val stageToJob = mutable.Map[Int, Int]()
+    val jobAgg = mutable.Map[Int, (Int, Long, Long, Long, Long, Long)]()
+
+    override def onJobStart(js: SparkListenerJobStart): Unit = synchronized {
+      val desc = Option(js.properties)
+        .flatMap(p => Option(p.getProperty("spark.job.description")))
+        .getOrElse("")
+      starts(js.jobId) = (js.time, desc)
+      js.stageIds.foreach(sid => stageToJob(sid) = js.jobId)
+    }
+
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = synchronized {
+      val si = sc.stageInfo
+      val jid = stageToJob.getOrElse(si.stageId, -1)
+      val m = si.taskMetrics
+      val prev = jobAgg.getOrElse(jid, (0, 0L, 0L, 0L, 0L, 0L))
+      jobAgg(jid) = (
+        prev._1 + si.numTasks,
+        prev._2 + m.executorRunTime,
+        prev._3 + m.shuffleReadMetrics.totalBytesRead,
+        prev._4 + m.shuffleWriteMetrics.bytesWritten,
+        prev._5 + m.diskBytesSpilled,
+        prev._6 + m.inputMetrics.bytesRead)
+    }
+
+    override def onJobEnd(je: SparkListenerJobEnd): Unit = synchronized {
+      starts.remove(je.jobId).foreach { case (t0, desc) =>
+        val (tasks, tt, sr, sw, sp, in) =
+          jobAgg.getOrElse(je.jobId, (0, 0L, 0L, 0L, 0L, 0L))
+        rows += JobRow(je.jobId, desc, je.time - t0, tasks, tt, sr, sw, sp, in)
+      }
+    }
+
+    def drain(): Seq[JobRow] = synchronized { val r = rows.toVector; rows.clear(); r }
   }
 
+  private def fmtB(b: Long): String =
+    if (b >= 10L * 1024 * 1024) f"${b / 1024.0 / 1024.0}%.0fM"
+    else if (b >= 10 * 1024) f"${b / 1024.0}%.0fK"
+    else b.toString
+
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = graft.GraftSession.local(32, 32)
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    docs.cache().count()
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val names = if (args.nonEmpty) args.toSeq else Seq("q1_agg")
+    val spark = graft.GraftSession.local(cpus, 32)
+    spark.sparkContext.setLogLevel("WARN")
+    val coll = new Collector
+    spark.sparkContext.addSparkListener(coll)
 
-    val sets = docs.select(col("doc_id").as("id"),
-      graft.functions.HashFunctions.textShingleHashes(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // warmup (codegen, parquet footer caches) so gate 1 isn't charged for it
+    SparkEntry.queries("q1_agg")(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    Thread.sleep(300); coll.drain()
 
-    time("sets materialize")(sets.write.format("noop").mode("overwrite").save())
-
-    val inv = sets.select(col("id"), size(col("sh")).as("nsh"), explode(col("sh")).as("g"))
-    time("inv")(inv.write.format("noop").mode("overwrite").save())
-
-    val freq = inv.groupBy("g").agg(count(lit(1)).as("gdf"))
-    time("freq")(freq.write.format("noop").mode("overwrite").save())
-
-    import org.apache.spark.sql.expressions.Window
-    val ranked = inv.join(freq, Seq("g"))
-      .withColumn("r", row_number().over(Window.partitionBy("id").orderBy(col("gdf"), col("g"))))
-      .filter(col("r") <= col("nsh") - ceil(col("nsh") * 0.2) + 1)
-      .select("g", "id", "nsh")
-    time("ranked prefix")(ranked.write.format("noop").mode("overwrite").save())
-
-    val candidates = ranked.select(col("g"), col("id").as("id_a"), col("nsh").as("n_a"))
-      .join(ranked.select(col("g"), col("id").as("id_b"), col("nsh").as("n_b")), Seq("g"))
-      .filter(col("id_a") < col("id_b") &&
-        col("n_a") >= col("n_b") * 0.2 && col("n_b") >= col("n_a") * 0.2)
-      .select("id_a", "id_b").distinct()
-    time("candidates")(candidates.write.format("noop").mode("overwrite").save())
-    println("candidate count: " + time("count")(candidates.count()))
-
-    val joined = candidates
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-    time("intersect+join")(joined.write.format("noop").mode("overwrite").save())
-
-    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)
-    time("full op")(full.write.format("noop").mode("overwrite").save())
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      val t0 = System.nanoTime()
+      val df = fn(spark, dir)
+      val t1 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t2 = System.nanoTime()
+      Thread.sleep(400) // let listener events drain
+      val rows = coll.drain()
+      println(f"\n===== $n: total ${(t2 - t0) / 1e9}%.2f s " +
+        f"(build ${(t1 - t0) / 1e9}%.2f, exec ${(t2 - t1) / 1e9}%.2f), " +
+        s"${rows.length} jobs =====")
+      println(f"${"job"}%4s ${"wall_s"}%7s ${"tasks"}%5s ${"task_s"}%7s " +
+        f"${"shRead"}%7s ${"shWrite"}%8s ${"spill"}%6s ${"input"}%7s  desc")
+      rows.sortBy(_.id).foreach { r =>
+        println(f"${r.id}%4d ${r.wallMs / 1000.0}%7.2f ${r.tasks}%5d " +
+          f"${r.taskTimeMs / 1000.0}%7.2f ${fmtB(r.shufReadB)}%7s " +
+          f"${fmtB(r.shufWriteB)}%8s ${fmtB(r.spillB)}%6s ${fmtB(r.inputB)}%7s  " +
+          r.desc.take(70))
+      }
+      val gaps = rows.map(_.wallMs).sum / 1000.0
+      println(f"  sum(job wall) ${gaps}%.2f s vs gate wall — the gap is " +
+        "driver-side work (planning, collects between jobs, file ops)")
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     spark.stop()
   }
 }

@@ -140,4 +140,33 @@ class HashCodegenSpec extends AnyFunSuite {
         b => xxhash64(slice($"sig", b * 2 + 1, lit(2)), b)).as("decl")).head()
     assert(sr.getSeq[Long](0) == sr.getSeq[Long](1))
   }
+
+  test("md5_fold6: value-identical to the declarative ascii-digit fold (r17 native form)") {
+    import graft.functions.HashFunctions._
+    // every deterministic draw in the library (DSIR features, Gumbel
+    // keys, mix thresholds, weighted sampling) rides md5Fold6 — the
+    // round-17 native single-digest expression must replay the
+    // declarative md5HexFoldAt(md5(key), 1, B) tree bit for bit, or
+    // every md5-bucketed gate's oracle hash would silently change
+    val keys = (0 until 500).map(i => s"doc_$i#salt") ++
+      Seq("", " ", "ünïcødé wörds ☃", "a\tb\nc", "0", "#dsir",
+        (0 until 100).map(_ => "x").mkString)
+    val df = keys.toDF("k")
+    for (b <- Seq(2L, 256L, 4096L, 1048576L, 16777216L)) {
+      def q = df.select(
+          md5Fold6($"k", b).as("fused"),
+          md5HexFoldAt(md5($"k"), 1, b).as("declarative"))
+        .collect().toSeq
+      val (gen, interp) = bothModes(q)
+      assert(gen == interp, s"codegen and interpreted md5Fold6 must agree (B=$b)")
+      gen.foreach { r =>
+        assert(r.getLong(0) == r.getLong(1),
+          s"native fold diverged from the declarative form at B=$b: $r")
+      }
+    }
+    // null propagates
+    val nr = Seq[Option[String]](None, Some("x")).toDF("k")
+      .select(md5Fold6($"k", 256L)).collect()
+    assert(nr(0).isNullAt(0) && !nr(1).isNullAt(0))
+  }
 }
