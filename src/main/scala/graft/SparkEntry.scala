@@ -1215,9 +1215,9 @@ object SparkEntry {
       // anti-pattern at scale — the round-14 sf100 probe OOM'd
       // execution memory under exactly that storage pressure, while
       // re-deriving tokens from the scan costs one extra parquet read
-      val words = tbl(s, dir, "documents").select(explode(
-        filter(split(lower(trim(col("text"))), "\\s+"), w => length(w) > 0))
-        .as("term"))
+      val words = tbl(s, dir, "documents").select(explode_outer(
+        graft.functions.TextFunctions.lowerWsTokens(col("text"))).as("term"))
+        .where(col("term").isNotNull)
       val sketch = Cms.cmsSketch(words, "term", depth = 4, width = 64)
       val truth = words.groupBy("term").agg(count(lit(1)).as("true_cnt"))
       val top = truth.orderBy(col("true_cnt").desc, col("term")).limit(20)
@@ -2347,18 +2347,18 @@ object SparkEntry {
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", filesPerTrigger.toString)
         .parquet(s"$base/in")
-      val terms = stream.select(explode(
-        filter(split(lower(trim(col("text"))), "\\s+"), w => length(w) > 0))
-        .as("term"))
+      val terms = stream.select(explode_outer(
+        graft.functions.TextFunctions.lowerWsTokens(col("text"))).as("term"))
+        .where(col("term").isNotNull)
       val q = graft.streaming.EventStreams.cmsAccumulateSink(terms,
         s"$base/sketch", depth = 4, width = 64,
         checkpointDir = Some(s"$base/ckpt"))
       try q.processAllAvailable() finally q.stop()
       val sketch = s.read.parquet(s"$base/sketch")
       val words = graft.Materialize.once(
-        tbl(s, dir, "documents").select(explode(
-          filter(split(lower(trim(col("text"))), "\\s+"), w => length(w) > 0))
-          .as("term")))
+        tbl(s, dir, "documents").select(explode_outer(
+          graft.functions.TextFunctions.lowerWsTokens(col("text"))).as("term"))
+          .where(col("term").isNotNull))
       val truth = words.groupBy("term").agg(count(lit(1)).as("true_cnt"))
       val top = truth.orderBy(col("true_cnt").desc, col("term")).limit(20)
       val out = graft.Materialize.once(

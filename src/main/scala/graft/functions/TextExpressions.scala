@@ -458,11 +458,82 @@ case class BpeSegmentWords(child: Expression, pairs: Seq[String])
     copy(child = newChild)
 }
 
+/** `lower_ws_tokens(text)` → `array<string>`: THE engine's shared
+  * declarative tokenizer
+  * `filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)`
+  * as one native expression. Value-identical by construction
+  * (TextExpressionFuzzSpec pins it on adversarial unicode):
+  *
+  *   - `trim` removes ASCII space (0x20) from both ends —
+  *     `UTF8String.trim()` is exactly SQL trim's default;
+  *   - `lower` is `UTF8String.toLowerCase` on the WHOLE trimmed string
+  *     (Lower's own implementation), so contextual mappings (Greek
+  *     final sigma) agree with the declarative order lower(trim(x));
+  *   - tokens are maximal runs of non-`\s` bytes (Java-regex `\s` =
+  *     the [[Tokenize.isWs]] set; UTF-8 continuation bytes are ≥ 0x80
+  *     and can never collide), which is what regex-split-on-`\s+`
+  *     plus the length>0 filter leaves: consecutive separators yield
+  *     no empty tokens, and the boundary empties the split emits are
+  *     exactly the ones the filter drops;
+  *   - null text → null (the declarative chain's null propagation).
+  *
+  * Why it exists (r17): the regex split + lambda filter chain measured
+  * 10–30× slower per row than the native byte passes (sf10 same-run
+  * ladder: text_tokens' fused TextStats tokenize-count 0.8 s vs a
+  * single bm25Words corpus pass 29 s over identical documents) — the
+  * same cure as [[StopwordLangId]]/[[TextStats]], applied to the
+  * token-STRING paths (BM25 postings, NB training, BPE word types,
+  * vocab, tfidf, bigram LM, k-gram curation) that the hash-path
+  * natives ([[Tokenize]]) deliberately bypassed. Token slices share
+  * the lowered string's byte array — no per-token copy. */
+case class LowerWsTokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    LowerWsTokens.tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LowerWsTokens.tokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LowerWsTokens =
+    copy(child = newChild)
+}
+
+object LowerWsTokens {
+  def tokens(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val lowered = s.trim().toLowerCase()
+    val bytes = lowered.getBytes
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](16)
+    var i = 0
+    while (i < n) {
+      while (i < n && Tokenize.isWs(bytes(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !Tokenize.isWs(bytes(i))) i += 1
+        out += UTF8String.fromBytes(bytes, start, i - start)
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
 
   def stopwordLangId(text: Column, langs: Seq[(String, Seq[String])]): Column =
     toCol(StopwordLangId(toExpr(text), langs))
+
+  /** Lower-cased whitespace tokens — the shared tokenizer of the BM25 /
+    * NB / BPE / curation family as a native expression (see
+    * [[LowerWsTokens]] for the value-identity argument). */
+  def lowerWsTokens(text: Column): Column = toCol(LowerWsTokens(toExpr(text)))
 
   def textStats(text: Column): Column = toCol(TextStats(toExpr(text)))
 

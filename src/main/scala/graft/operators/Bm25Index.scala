@@ -113,11 +113,11 @@ object Bm25Index {
     // corpus-scale storage burden that throttled the sf100 probe; the
     // token stream has exactly one consumer and pipelines into the tf
     // aggregation without ever being stored)
-    // widen before the tokenize pass (Parallelism scaladoc): the
-    // per-doc split/lower dominates, and an unsplittable source would
-    // run the whole segment build one-core
-    val toks = Parallelism.widen(docs.select(col(idCol).as("id"),
-        col(textCol).as("__t")))
+    // no Parallelism.widen here (r17): with the tokenizer native
+    // (LowerWsTokens) the per-row cost no longer justifies the extra
+    // exchange — measured a wash at sf0.1, and corpus-scale inputs are
+    // already wide (the widen would no-op)
+    val toks = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
       .select(col("id"), TextAnalysis.bm25Words(col("__t")).as("ws"))
       // explode_outer + null filter above the Generate: an inner
       // explode pushes an inferred `size(ws) > 0` (the full tokenizer

@@ -61,9 +61,11 @@ object Curation {
   // ---- repetition (Gopher-style quality rules) ------------------------
 
   /** Lower-cased whitespace words — the shared tokenization of every
-    * operator in this file (and of [[TextAnalysis]] / [[Dedup]]). */
+    * operator in this file (and of [[TextAnalysis]] / [[Dedup]]).
+    * Native [[graft.functions.LowerWsTokens]] (r17) — value-identical
+    * to the original split/filter chain (fuzz-pinned). */
   private def words(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
+    graft.functions.TextFunctions.lowerWsTokens(text)
 
   /** Word k-grams as strings, built by zipping `w` with its own
     * k−1 shifted copies.
@@ -95,8 +97,12 @@ object Curation {
     * §A1.1) at word granularity — the synthetic corpus has no newlines,
     * and at 100 TB the line-level variants are the same expression over
     * a `split(text, '\n')` array. */
-  def dupKgramFrac(text: Column, k: Int): Column = {
-    val w = words(text)
+  /** [[dupKgramFrac]] over an already-tokenized words column — the
+    * staged form [[withRepetition]] uses so the three signals share
+    * ONE tokenize per row (each signal's tree references the words
+    * array ~2k+3 times; an inlined words TREE re-tokenizes per
+    * reference — the bm25TopK two-step-select rule, r17). */
+  private def dupKgramFracFromWords(w: Column, k: Int): Column = {
     // denominator by arithmetic, not size(g): the gram array is the
     // expensive subtree and must be evaluated once per row, not twice
     val total = size(w) - (k - 1)
@@ -105,15 +111,27 @@ object Curation {
         size(array_distinct(kgrams(w, k))).cast("double") / total.cast("double"))
   }
 
+  def dupKgramFrac(text: Column, k: Int): Column =
+    dupKgramFracFromWords(words(text), k)
+
   def repetitionColumns(text: Column): Seq[(String, Column)] = Seq(
     "dup_word_frac" -> dupKgramFrac(text, 1),
     "dup_2gram_frac" -> dupKgramFrac(text, 2),
     "dup_3gram_frac" -> dupKgramFrac(text, 3))
 
-  def withRepetition(df: DataFrame, textCol: String): DataFrame =
-    repetitionColumns(col(textCol)).foldLeft(df) { case (d, (name, c)) =>
-      d.withColumn(name, c)
-    }
+  def withRepetition(df: DataFrame, textCol: String): DataFrame = {
+    // stage the words array ONCE as its own projected attribute: the
+    // three signal trees reference it ~25 times combined, and
+    // CollapseProject keeps a multiply-referenced non-cheap alias in
+    // its own projection instead of inlining the tokenizer per
+    // reference
+    val staged = df.withColumn("__graft_rep_ws", words(col(textCol)))
+    Seq("dup_word_frac" -> 1, "dup_2gram_frac" -> 2, "dup_3gram_frac" -> 3)
+      .foldLeft(staged) { case (d, (name, k)) =>
+        d.withColumn(name, dupKgramFracFromWords(col("__graft_rep_ws"), k))
+      }
+      .drop("__graft_rep_ws")
+  }
 
   // ---- benchmark decontamination --------------------------------------
 
@@ -141,8 +159,13 @@ object Curation {
     // unsplittable source would run it one-core (Parallelism scaladoc);
     // the resurrection join below keeps reading `docs` directly — it
     // only needs ids
-    val docGrams = Parallelism.widen(docs.select(id, col(textCol))).select(
-      id, array_distinct(kgrams(words(col(textCol)), n)).as("grams"))
+    // the words array is staged as its own projected attribute: the
+    // kgram tree references it ~2(n−1)+2 times (zip_with slices + size
+    // guards), and an inlined words TREE would re-tokenize per
+    // reference (the bm25TopK two-step-select rule)
+    val docGrams = Parallelism.widen(docs.select(id, col(textCol)))
+      .select(id, words(col(textCol)).as("__ws"))
+      .select(id, array_distinct(kgrams(col("__ws"), n)).as("grams"))
     // explode_OUTER on both gram streams: an inner explode makes the
     // optimizer infer `size(grams) > 0` and push the full kgram tree
     // below the exchange into a per-row scan filter, so every doc
@@ -150,7 +173,8 @@ object Curation {
     // outer form's null-gram rows never survive the inner gram join /
     // the explicit null filter, so the row set is unchanged.
     val benchGrams = Parallelism.widen(benchmark.select(col(benchTextCol)))
-      .select(explode_outer(kgrams(words(col(benchTextCol)), n)).as("gram"))
+      .select(words(col(benchTextCol)).as("__ws"))
+      .select(explode_outer(kgrams(col("__ws"), n)).as("gram"))
       .where(col("gram").isNotNull)
       .distinct()
     val overlaps = docGrams

@@ -46,17 +46,25 @@ object Dsir {
   private[operators] def hashBucket(key: Column, buckets: Int): Column =
     graft.functions.HashFunctions.md5Fold6(key, buckets.toLong)
 
-  /** Unigrams ++ word bigrams of a text column (the DSIR feature set);
-    * tokenizer shared with the BM25/NB family, bigram shape shared
-    * with [[TextAnalysis.bigramLmScore]]. */
-  private[operators] def docFeatures(text: Column): Column = {
-    val w = TextAnalysis.bm25Words(text)
+  /** Unigrams ++ word bigrams over an ALREADY-TOKENIZED words column
+    * (the DSIR feature set); tokenizer shared with the BM25/NB family,
+    * bigram shape shared with [[TextAnalysis.bigramLmScore]]. Callers
+    * stage `bm25Words(text)` in its OWN projection and pass the
+    * attribute: this tree references the words array ~6× (the zip_with
+    * slices plus the size guards), and an inlined words TREE would be
+    * re-tokenized per reference — the bm25TopK two-step-select rule. */
+  private[operators] def docFeaturesFromWords(w: Column): Column = {
     val bi = when(size(w) < 2, array().cast("array<string>"))
       .otherwise(slice(
         zip_with(w, slice(w, lit(2), size(w)), (a, b) => concat(a, lit(" "), b)),
         lit(1), size(w) - 1))
     concat(w, bi)
   }
+
+  /** [[docFeaturesFromWords]] over raw text — TEST/SPEC convenience
+    * only; hot paths stage the words array first. */
+  private[operators] def docFeatures(text: Column): Column =
+    docFeaturesFromWords(TextAnalysis.bm25Words(text))
 
   private def requirePow2(buckets: Int): Unit =
     require(buckets >= 2 && buckets <= (1 << 20) &&
@@ -88,12 +96,19 @@ object Dsir {
     // would otherwise run it on one core (Parallelism scaladoc)
     val feats = graft.Materialize.once(
       Parallelism.widen(raw.select(id, col(textCol)))
-        .select(id, explode_outer(docFeatures(col(textCol))).as("f"))
+        .select(id, TextAnalysis.bm25Words(col(textCol)).as("__ws"))
+        .select(id, explode_outer(docFeaturesFromWords(col("__ws"))).as("f"))
         .select(id, hashBucket(col("f"), buckets).as("bucket")))
     val k = lit(smoothing)
     val b = lit(buckets.toDouble)
+    // explode_outer here too (r17): the inner form's inferred
+    // size-filter would re-inline the feature tree below the exchange
+    // (guide §4.4 duplication class); the explicit null filter on the
+    // GENERATED attribute restores exactly the inner explode's row set.
     val p = Parallelism.widen(target.select(col(targetTextCol)))
-      .select(explode(docFeatures(col(targetTextCol))).as("f"))
+      .select(TextAnalysis.bm25Words(col(targetTextCol)).as("__ws"))
+      .select(explode_outer(docFeaturesFromWords(col("__ws"))).as("f"))
+      .where(col("f").isNotNull)
       .select(hashBucket(col("f"), buckets).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c_p"))
     val q = feats.filter(col("bucket").isNotNull)

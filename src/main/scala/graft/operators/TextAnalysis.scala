@@ -68,7 +68,10 @@ object TextAnalysis {
     "pt" -> Seq("o", "os", "as", "um", "uma", "que", "em", "para"))
 
   def stopwordHits(text: Column, wordsList: Seq[String]): Column =
-    size(filter(split(lower(trim(text)), "\\s+"),
+    // native tokenizer + membership filter: lowerWsTokens drops the
+    // empty boundary tokens the raw split carried, which can never be
+    // stopwords — same count (the length>0 filter was simply implicit)
+    size(filter(graft.functions.TextFunctions.lowerWsTokens(text),
       w => w.isin(wordsList.map(lit): _*))).cast("long")
 
   /** Predicted language = argmax of stopword hits; ties and all-zero →
@@ -104,9 +107,7 @@ object TextAnalysis {
   // vocab-sized partials into the exchange) and measured ~2× slower
   // at sf0.1 — the opposite trade from the per-row-heavy operators.
   def topKWords(df: DataFrame, textCol: String, k: Int): DataFrame =
-    df.select(explode_outer(
-        filter(split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0))
-        .as("word"))
+    df.select(explode_outer(bm25Words(col(textCol))).as("word"))
       // outer explode + null filter above the Generate — an inner
       // explode would push the tokenizer tree into a per-row scan
       // filter (see bm25TopK); the filter restores the inner row set
@@ -139,8 +140,8 @@ object TextAnalysis {
     // explode_outer + null filter so the tokenizer tree is not
     // duplicated into an inferred scan-side filter (see bm25TopK);
     // no widen — measured a wash-to-loss here (topKWords note)
-    val toks = df.select(id, explode_outer(
-      filter(split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0)).as("term"))
+    val toks = df.select(id,
+      explode_outer(bm25Words(col(textCol))).as("term"))
       .where(col("term").isNotNull)
     val tf = toks.groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
       .transform(Materialize.once(_)) // consumed twice: df source + score join
@@ -187,7 +188,12 @@ object TextAnalysis {
       s"carryCols may not collide with the output columns $reserved " +
         s"(got ${carryCols.mkString(", ")})")
     val id = col(idCol)
-    val w = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    // the words array is STAGED as its own projected attribute (r17):
+    // the bigram tree below references the array ~6× (zip_with slices
+    // plus size guards), and an inlined words TREE would re-tokenize
+    // per reference — the bm25TopK two-step-select rule. `w` is the
+    // staged attribute everywhere below.
+    val w = col("__ws")
     // bigrams via the zip_with shape (arguments bind once per row —
     // never put the words tree inside a transform lambda)
     val bigrams2 = when(size(w) < 2, array().cast("array<string>"))
@@ -204,11 +210,7 @@ object TextAnalysis {
     // and re-reading the one frame guaranteed BIGGER than the corpus
     // text — the snapshot fits the page cache at sf10 and becomes real
     // disk IO at 15 GB.
-    // widen before the explode+count passes — the tokenize/zip_with
-    // per-row work is the cost, and an unsplittable source runs it
-    // one-core (Parallelism scaladoc). Both passes read the one
-    // widened frame (the exchange is reused across consumers).
-    val wtext = Parallelism.widen(df.select(id, col(textCol)))
+    val wtext = df.select(id, bm25Words(col(textCol)).as("__ws"))
     // explode_OUTER + null filter ABOVE the Generate: an inner explode
     // infers `size(bigrams) > 0` and pushes the whole zip_with bigram
     // tree below the exchange into a per-row scan filter — every doc
@@ -280,7 +282,7 @@ object TextAnalysis {
     * different order → different value. */
   def rollingHash(text: Column): Column =
     aggregate(
-      filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0),
+      graft.functions.TextFunctions.lowerWsTokens(text),
       lit(0L),
       // rotate-left-7 then xor: order-sensitive mixing with no Long
       // overflow (ANSI-safe, unlike multiply-add polynomial hashing)
@@ -324,9 +326,12 @@ object TextAnalysis {
     * top of a stored (id, term, tf, dl) table. */
   /** The one BM25 tokenizer — lowercased whitespace tokens. Shared by
     * the ad-hoc scorer and [[Bm25Index]] so a persisted index can
-    * never tokenize differently from the query side. */
+    * never tokenize differently from the query side. Native
+    * [[graft.functions.LowerWsTokens]] (r17) — value-identical to the
+    * original `filter(split(lower(trim(text)), "\\s+"), length > 0)`
+    * chain (fuzz-pinned), ~10–30× cheaper per row. */
   private[operators] def bm25Words(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
+    graft.functions.TextFunctions.lowerWsTokens(text)
 
   /** The one BM25 scoring expression over a joined frame carrying
     * (tf, dl, df, n_docs, avgdl): appends `idf` and the per-(term,doc)
@@ -366,12 +371,7 @@ object TextAnalysis {
     // row (CollapseProject keeps multiply-referenced expensive
     // expressions in their own projection instead of inlining them
     // twice)
-    // widen before the tokenize passes: per-doc split/lower is the
-    // per-row cost and an unsplittable source runs it one-core
-    // (Parallelism scaladoc); both the postings and the stats pass
-    // read from the widened frame
-    val wdocs = Parallelism.widen(docs.select(col(idCol).as("id"),
-      col(textCol).as("__t")))
+    val wdocs = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
     // explode_OUTER, not explode: an inner explode makes the optimizer
     // infer `size(ws) > 0` and push it below the exchange to the scan
     // — re-inlining the full tokenizer tree into a per-row scan filter,
@@ -389,11 +389,20 @@ object TextAnalysis {
     // tf is unique per (id, term): row count per term = doc frequency
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // corpus-level stats over ALL docs with >= 1 token (not just
-    // query-term matches): one map-side-partial agg over the text scan
+    // query-term matches): one map-side-partial agg over the text scan.
+    // CONDITIONAL aggregation instead of `.filter(dl0 > 0)` — the
+    // pushed-down form of that filter substitutes the alias and lands
+    // the full tokenizer tree in a per-row scan filter below the
+    // exchange (the same §4.4 duplication class as the inner-explode
+    // inference above, plan-verified r17); `when(dl0 > 0, …)` inside
+    // the aggregate is value-identical (dl0 is never negative and a
+    // null dl0 — null text — is skipped by both forms) and dl0 stays a
+    // multiply-referenced non-cheap alias, which CollapseProject
+    // leaves evaluated once in its own projection.
     val stats = wdocs.select(size(words(col("__t"))).as("dl0"))
-      .filter(col("dl0") > 0)
-      .agg(count(lit(1)).cast("double").as("n_docs"),
-        (sum(col("dl0")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+      .agg(count(when(col("dl0") > 0, lit(1))).cast("double").as("n_docs"),
+        (sum(when(col("dl0") > 0, col("dl0"))).cast("double") /
+          count(when(col("dl0") > 0, lit(1))).cast("double")).as("avgdl"))
     val scored = tf.join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfreq), Seq("term")) // ≤ |query terms| rows
       .crossJoin(broadcast(stats))

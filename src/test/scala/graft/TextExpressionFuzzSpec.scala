@@ -129,4 +129,40 @@ class TextExpressionFuzzSpec extends AnyFunSuite {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("t")), "NFX")
     }
   }
+
+  test("LowerWsTokens matches filter(split(lower(trim))) on 400 random docs (r17)") {
+    import graft.functions.TextFunctions
+    // the declarative original EVERY token-string operator used before
+    // round 17 — value identity here is what keeps the BM25/NB/BPE/
+    // curation oracle hashes unchanged after the native switch
+    def declarative(c: org.apache.spark.sql.Column) =
+      filter(split(lower(trim(c)), "\\s+"), w => length(w) > 0)
+    val extra = Seq(null, "", "   ", "\t\n\f\r", " leading", "trailing ",
+      "ΣΊΣΥΦΟΣ ΟΔΥΣΣΕΥΣ", // Greek capital sigma: contextual final-sigma lowering
+      "İstanbul STRASSE ßß", "a  b\tc\nd", "😀 👍\t🚀", "MiXeD CaSe")
+    val docs = sample(400) ++ extra
+    val rows = docs.toDF("t")
+      .select(TextFunctions.lowerWsTokens(col("t")).as("fused"),
+        declarative(col("t")).as("decl"))
+      .collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val doc = Option(docs(i)).map(_.map(c => f"\\u${c.toInt}%04x").mkString)
+      if (r.isNullAt(0) || r.isNullAt(1))
+        assert(r.isNullAt(0) == r.isNullAt(1), s"null disagreement on $doc")
+      else assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"token mismatch on $doc: fused ${r.getSeq[String](0)} decl ${r.getSeq[String](1)}")
+    }
+    // codegen and interpreted agree
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "CODEGEN_ONLY")
+      val gen = docs.toDF("t")
+        .select(TextFunctions.lowerWsTokens(col("t"))).collect().toSeq
+      spark.conf.set(key, "NO_CODEGEN")
+      val interp = docs.toDF("t")
+        .select(TextFunctions.lowerWsTokens(col("t"))).collect().toSeq
+      assert(gen == interp)
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }
