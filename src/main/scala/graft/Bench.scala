@@ -287,15 +287,23 @@ object Bench {
           () => runOnce(fn, name))
         (name, fn, samples, excused)
       }
-    // Adaptive pass: any passing query over 2× its BASELINE.md anchor
-    // gets topped up to 3 samples and re-summarized over ALL samples —
-    // a sandbox-noise spike rarely repeats, a real regression does.
+    // Adaptive pass: any passing query over its re-measure trigger
+    // (×anchor) gets topped up to 3 samples and re-summarized over ALL
+    // samples — a sandbox-noise spike rarely repeats, a real
+    // regression does. The trigger is BOX-FACTOR-AWARE (r18, verdict
+    // r17 item 4): on a degraded-CPU day single-sample spikes land in
+    // the 1.5-2× band — under the 2× flag, so they entered PERF as
+    // "regressed" unadjudicated (23 phantom regressions in the r17
+    // artifact, all reverting at 8 cores same-day). Healthy-day
+    // behavior is untouched: the trigger never moves off 2× unless the
+    // pinned control itself measured a slow box.
+    val trigger = adaptiveTrigger(controlSec / ControlRefSec)
     val results = initial.map { case (name, fn, samples, excused) =>
       val first = summarize(name, samples, excused)
-      val over = first.ok && anchors.get(name).exists(a => first.sec > 2 * a)
+      val over = first.ok && anchors.get(name).exists(a => first.sec > trigger * a)
       if (adaptive && over && samples.length < 3) {
-        System.err.println(f"[bench] $name ${first.sec}%.2fs > 2x anchor " +
-          f"${anchors(name)}%.2fs - re-measuring to median-of-3")
+        System.err.println(f"[bench] $name ${first.sec}%.2fs > ${trigger}%.2fx " +
+          f"anchor ${anchors(name)}%.2fs - re-measuring to median-of-3")
         summarize(name,
           samples ++ (samples.length until 3).map(_ => runOnce(fn, name)),
           excused)
@@ -353,6 +361,22 @@ object Bench {
     * comparison, so both only move when the whole anchor set is
     * re-calibrated, together, in one commit. */
   private[graft] val ControlRefSec: Double = 3.32
+
+  /** Anchor multiple above which the adaptive pass re-measures a gate
+    * to median-of-3, as a function of the measured box factor (r18).
+    * Healthy or fast box (factor ≤ 1): the historical 2× — behavior
+    * unchanged. Degraded box: the 2× flag line, read in box-factor
+    * units, sits at 2/factor× of the anchor — re-measure from there so
+    * single-sample spikes that a slow box pushes into the 1.5–2× band
+    * self-adjudicate inside the artifact instead of landing in PERF as
+    * regressions (r17: 23 phantoms on a factor-1.72 day). Floor 1.5:
+    * below ~1.5× anchor a same-box re-measure cannot distinguish noise
+    * from signal anyway, and a floorless trigger would re-run half the
+    * suite on a very sick box. A non-positive factor (control not
+    * measured) keeps the historical 2×. */
+  private[graft] def adaptiveTrigger(boxFactor: Double): Double =
+    if (boxFactor <= 0) 2.0
+    else math.min(2.0, math.max(1.5, 2.0 / boxFactor))
 
   /** disk_mbps below this labels a run's flags `disk_degraded` (see
     * render): healthy sandboxes measure 100+ MB/s synced (round-17 box:

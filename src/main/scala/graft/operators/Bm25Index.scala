@@ -129,7 +129,19 @@ object Bm25Index {
     val tf = Materialize.once(
       toks.groupBy("id", "term", "dl").agg(count(lit(1)).as("tf")),
       eager = true)
-    val nDocs = tf.select("id").distinct().count()
+    // ONE aggregate job yields the segment's corpus-stat DELTA *and*
+    // the doc count (r18; the count used to be its own
+    // distinct().count() pass over tf — the stats aggregation below
+    // already grouped by id and counted the same thing). The stats
+    // row is written back from the driver: one row, value-identical
+    // (count of the id groups = distinct ids; sum of their dl), and
+    // the zero-token-docs convention is unchanged (they never reach
+    // tf, so they contribute to neither count nor sum; an EMPTY
+    // segment still writes the (0, null) row the aggregate produced).
+    val statRow = tf.groupBy("id").agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .head()
+    val nDocs = statRow.getLong(0)
     val nParts = spark.sessionState.conf.numShufflePartitions
     // trickle segments coalesce to ONE sorted file per store (no
     // shuffle, dictionary-tight row groups); bulk segments range-split
@@ -145,11 +157,18 @@ object Bm25Index {
     shaped(tf.groupBy("term").agg(count(lit(1)).as("df")))
       .write.mode("append").options(bloomOpts("term"))
       .parquet(new Path(path, TermsDir).toString)
-    // exact integer corpus deltas; docs with zero tokens contribute to
-    // neither store (the bm25TopK convention — explode drops them from
-    // tf exactly as it dropped them from the token stream)
-    tf.groupBy("id").agg(first(col("dl")).as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // exact integer corpus deltas (collected above; re-created here as
+    // a 1-row local frame so the write is a driver-local job, not a
+    // re-aggregation); docs with zero tokens contribute to neither
+    // store (the bm25TopK convention — explode drops them from tf
+    // exactly as it dropped them from the token stream)
+    spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](statRow),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("sum_dl",
+          org.apache.spark.sql.types.LongType, nullable = true))))
       .coalesce(1).write.mode("append")
       .parquet(new Path(path, StatsDir).toString)
     nDocs

@@ -93,32 +93,56 @@ object Bpe {
   def trainBpeMerges(docs: DataFrame, textCol: String,
       numMerges: Int): Seq[(Int, String, String, Long)] = {
     require(numMerges >= 1, s"numMerges must be >= 1 (got $numMerges)")
+    val spark = docs.sparkSession
     var w = Materialize.once(wordTypes(docs, textCol), eager = true)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    var r = 1
-    var exhausted = false
-    while (r <= numMerges && !exhausted) {
-      // explode_OUTER (same rationale as wordTypes): the inner form's
-      // inferred filter re-inlines adjacentPairs — and, on rounds where
-      // w is an unmaterialized merge chain, the whole regexp_replace
-      // chain — into a per-row filter below the projection
-      val best = w.select(explode_outer(adjacentPairs(col("word"))).as("pr"), col("freq"))
-        .where(col("pr").isNotNull)
-        .groupBy("pr").agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("pr")).limit(1)
-        .collect() // exactly one row per round, numMerges rounds — bounded
-      if (best.isEmpty) exhausted = true
-      else {
-        val pair = best(0).getString(0)
-        val cnt = best(0).getLong(1)
-        val merged = pair.replace(" ", "")
-        merges += ((r, pair, merged, cnt))
-        val next = w
-          .select(applyMergeCol(col("word"), pair, merged).as("word"), col("freq"))
-          .groupBy("word").agg(sum("freq").as("freq"))
-        w = if (r % RematerializeEvery == 0) Materialize.once(next, eager = true)
-            else next
-        r += 1
+    // AQE OFF for the merge rounds (r18, guide §1.2 step 3 applied
+    // after steps 1-2): with AQE on, EVERY exchange in a round's
+    // argmax query runs as its own Spark job (one per shuffle-stage
+    // materialization plus the final take), so a round whose lineage
+    // carries c unmaterialized merge chains costs c+2 driver
+    // round-trips — measured 44 jobs for 20 merges at sf0.1, with the
+    // per-job driver gap (~0.1 s) dominating the gate. The per-round
+    // frames are vocabulary-sized with a fixed combiner-collapsed
+    // aggregate, so AQE's runtime re-planning (partition coalescing,
+    // join re-selection — there are no joins here) has nothing to buy
+    // at ANY scale; without it each round is ONE TakeOrdered job.
+    // Values are unaffected (same plan modulo AQE wrappers); the conf
+    // is restored even on failure.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= numMerges && !exhausted) {
+        // explode_OUTER (same rationale as wordTypes): the inner form's
+        // inferred filter re-inlines adjacentPairs — and, on rounds where
+        // w is an unmaterialized merge chain, the whole regexp_replace
+        // chain — into a per-row filter below the projection
+        val best = w.select(explode_outer(adjacentPairs(col("word"))).as("pr"), col("freq"))
+          .where(col("pr").isNotNull)
+          .groupBy("pr").agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("pr")).limit(1)
+          .collect() // exactly one row per round, numMerges rounds — bounded
+        if (best.isEmpty) exhausted = true
+        else {
+          val pair = best(0).getString(0)
+          val cnt = best(0).getLong(1)
+          val merged = pair.replace(" ", "")
+          merges += ((r, pair, merged, cnt))
+          val next = w
+            .select(applyMergeCol(col("word"), pair, merged).as("word"), col("freq"))
+            .groupBy("word").agg(sum("freq").as("freq"))
+          w = if (r % RematerializeEvery == 0) Materialize.once(next, eager = true)
+              else next
+          r += 1
+        }
+      }
+    } finally {
+      aqePrev match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
       }
     }
     merges.result()

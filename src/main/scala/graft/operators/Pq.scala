@@ -241,17 +241,34 @@ object Pq {
     * frame is small (≤ k·rerank rows per query) but COMPUTING it is
     * the full ADC codes scan + top-k — materialize once so the
     * coverage count, the key broadcast, and the re-join share one
-    * scan (same pattern as Similarity.queryIvfIndex). */
+    * scan (same pattern as Similarity.queryIvfIndex).
+    *
+    * The coverage check runs as ONE aggregate over a LEFT store join
+    * (r18; it was a count() action PAIR — two driver round-trips per
+    * query batch): candidate rows carry a checkpoint-frozen row id, so
+    * `countDistinct(rid)` IS the old `cand.count()` (left join keeps
+    * every cand row, null-free rid), `count(hit)` is the old
+    * inner-join count, and filtering the matched rows back out of the
+    * same materialized left join is definitionally the inner join the
+    * re-rank tail consumed before — same `missing` value, same failure
+    * messages, one job instead of two. */
   private def rerankFromStore(scored: DataFrame, k: Int, rerankFactor: Int,
       vecs: DataFrame, vidCol: String, vCol: String): DataFrame = {
+    // the row id is minted non-deterministically but FROZEN by the
+    // eager checkpoint before anything reads it — every consumer below
+    // sees the same values
     val cand = graft.Materialize.once(Similarity.topKPerKey(
       scored.select(col("query_id"), col("id"), col("acos").as("cosine"),
         col("vnorm"), col("qv"), col("nq")),
-      Seq("query_id"), col("cosine").desc, k * rerankFactor), eager = true)
+      Seq("query_id"), col("cosine").desc, k * rerankFactor)
+      .withColumn("__rid", monotonically_increasing_id()), eager = true)
     val fetched = vecs.select(col(vidCol).as("id"), col(vCol).as("v"))
       .join(broadcast(cand.select("id").distinct()), Seq("id"))
-    val withVec = graft.Materialize.once(cand.join(fetched, Seq("id")))
-    val missing = cand.count() - withVec.count()
+      .withColumn("__hit", lit(1))
+    val joined = graft.Materialize.once(cand.join(fetched, Seq("id"), "left"))
+    val cov = joined.agg(countDistinct(col("__rid")).as("cand"),
+      count(col("__hit")).as("matched")).head()
+    val missing = cov.getLong(0) - cov.getLong(1)
     require(missing == 0L,
       if (missing > 0)
         s"PQ re-rank: rerankWith frame is missing $missing candidate ids — " +
@@ -259,7 +276,7 @@ object Pq {
       else
         s"PQ re-rank: rerankWith frame repeats ${-missing} candidate ids — " +
           "ids must be unique in the vector store")
-    rerankExact(withVec, k)
+    rerankExact(joined.filter(col("__hit").isNotNull).drop("__rid", "__hit"), k)
   }
 
   /** Shared tail of every re-rank path: re-score candidates (columns
@@ -496,13 +513,15 @@ object Pq {
     graft.sources.FsSwap.requireCommitted(fs, p, "appendToIvfPqIndex")
     val cents = Similarity.loadCentroids(spark, path)
     val model = loadPqModel(spark, path)
-    // materialized once: one assignment feeds the write AND the counts
+    // materialized once: one assignment feeds the write AND the counts.
+    // LAZY (r18): the append write is the materializing job and the
+    // counts read the frozen blocks — same single-computation
+    // guarantee, one fewer job (Similarity.appendToIvfIndex rationale)
     val assigned = graft.Materialize.once(
       encode(batch, idCol, vecCol, model, keepVec = true)
         .withColumn("cell", element_at(nearestCentroids(col("v"), cents, 1), 1))
         .filter(col("cell").isNotNull)
-        .drop("v"),
-      eager = true)
+        .drop("v"))
     graft.sources.FsSwap.beginArtifact(fs, p)
     assigned.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
     graft.sources.FsSwap.commitArtifact(fs, p,
@@ -548,11 +567,12 @@ object Pq {
     // of silently shrinking the probe
     val nprobe0 = if (nprobe == Auto) resolveNprobe(cents.length) else nprobe
     // materialize the expanded probe frame ONCE before the driver-side
-    // cell collect — same consistency rationale as Similarity.queryIvfIndex
+    // cell collect — same consistency rationale (and, r18, the same
+    // LAZY discipline: the collect below is the materializing job) as
+    // Similarity.queryIvfIndex
     val q = graft.Materialize.once(
       lutQueries(queries, qidCol, qvecCol, model)
-        .withColumn("cell", explode(nearestCentroids(col("qv"), cents, nprobe0))),
-      eager = true)
+        .withColumn("cell", explode(nearestCentroids(col("qv"), cents, nprobe0))))
     val probeCells: Array[Int] =
       q.select("cell").distinct().collect().map(_.getInt(0))
     val codes = spark.read.parquet(s"$path/codes")

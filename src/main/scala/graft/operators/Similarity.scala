@@ -405,12 +405,15 @@ object Similarity {
     // materialize the expanded query frame ONCE before the driver-side
     // cell collect: without it the plan runs twice (once for the collect,
     // once inside the join), and a non-deterministic query source could
-    // even probe cells inconsistent with the cells it later joins on
+    // even probe cells inconsistent with the cells it later joins on.
+    // LAZY (r18): the cell collect below is the first action, so it is
+    // the job that materializes the checkpoint — eager=true ran a
+    // separate materialization job first, pure per-query fixed cost
+    // (the once-materialized guarantee is identical either way)
     val q = graft.Materialize.once(
       queries.select(col(qidCol).as("query_id"), col(qvecCol).as("qv"),
         norm(col(qvecCol)).as("nq"))
-        .withColumn("cell", explode(nearestCentroids(col("qv"), cents, nprobe))),
-      eager = true)
+        .withColumn("cell", explode(nearestCentroids(col("qv"), cents, nprobe))))
     val probeCells: Array[Int] =
       q.select("cell").distinct().collect().map(_.getInt(0))
     val idx = spark.read.parquet(s"$path/vectors")
@@ -449,13 +452,17 @@ object Similarity {
     val cents = loadCentroids(spark, path)
     // materialized once: the assignment feeds BOTH the appended write
     // and the occupancy counts — re-running a non-deterministic batch
-    // source could write one assignment and report another
+    // source could write one assignment and report another. LAZY
+    // (r18): the append write below is the first action, so it is the
+    // job that populates the checkpoint and the counts collect reads
+    // the frozen blocks — eager=true ran a separate materialization
+    // job first, one extra driver round-trip per append for the same
+    // single-computation guarantee
     val assigned = graft.Materialize.once(
       batch.select(col(idCol).as("id"), col(vecCol).as("v"),
           norm(col(vecCol)).as("nv"),
           element_at(nearestCentroids(col(vecCol), cents, 1), 1).as("cell"))
-        .filter(col("cell").isNotNull), // non-finite vectors are unindexable
-      eager = true)
+        .filter(col("cell").isNotNull)) // non-finite vectors are unindexable
     graft.sources.FsSwap.beginArtifact(fs, p)
     assigned.write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
     graft.sources.FsSwap.commitArtifact(fs, p, "ivf append (frozen centroids)")

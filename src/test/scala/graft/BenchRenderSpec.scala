@@ -35,6 +35,24 @@ class BenchRenderSpec extends AnyFunSuite {
       !f2.contains("disk_mbps"))
   }
 
+  test("adaptiveTrigger: 2x on healthy/fast/unmeasured boxes, 2/factor floored at 1.5 on degraded ones") {
+    // healthy-day behavior untouched: the trigger never leaves 2x for
+    // factor <= 1 (fast box must NOT re-measure more aggressively) or
+    // when the control wasn't measured
+    assert(Bench.adaptiveTrigger(1.0) == 2.0)
+    assert(Bench.adaptiveTrigger(0.7) == 2.0)
+    assert(Bench.adaptiveTrigger(0.0) == 2.0)
+    assert(Bench.adaptiveTrigger(-1.0) == 2.0)
+    // degraded box: the 2x flag line in box-factor units
+    assert(math.abs(Bench.adaptiveTrigger(1.6) - 1.25) > 0.2) // floored, not 2/1.6
+    assert(Bench.adaptiveTrigger(1.6) == 1.5)
+    assert(math.abs(Bench.adaptiveTrigger(1.25) - 1.6) < 1e-9)
+    assert(Bench.adaptiveTrigger(1.72) == 1.5)
+    assert(Bench.adaptiveTrigger(4.0) == 1.5) // floor holds on a very sick box
+    // continuity at the healthy boundary
+    assert(math.abs(Bench.adaptiveTrigger(1.0 + 1e-12) - 2.0) < 1e-6)
+  }
+
   test("real query set at realistic timings: stdout line fits the tail cap and parses") {
     // worst realistic case: every one of the real queries present, each
     // with a 3-decimal sub-10s timing
