@@ -2064,6 +2064,8 @@ object SparkEntry {
           else fs.getContentSummary(path).getLength
         }
         val sidecarB = bytesOf(s"$base/sketches")
+        val bandsB = bytesOf(s"$base/sketches/bands")
+        val setsB = bytesOf(s"$base/sketches/sets")
         val inFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/in"))
           .filter(_.isFile)
         val avgBatchB =
@@ -2072,11 +2074,32 @@ object SparkEntry {
           val ratio = sidecarB.toDouble / avgBatchB
           graft.GateMetrics.put("stream_semantic_ingest",
             "sidecar_batch_byte_ratio", math.rint(ratio * 100) / 100)
+          // v2 two-store cost model (r18): the legacy ratio above
+          // prices the RETIRED flat layout (whole sidecar re-read per
+          // batch). What a v2 batch actually reads from the sidecar:
+          //  - bands: the full skinny (band_hash,id) store on the BULK
+          //    arm only (scan-side pruning is information-theoretically
+          //    out there — m uniform probe hashes over G row groups hit
+          //    ≈ min(m, G) of them under ANY layout, bloom, range or
+          //    directory partition; SketchSidecar doc), bloom-pruned
+          //    row groups on the trickle arm;
+          //  - sets: candidate-pruned past PruneMinStoreBytes, full
+          //    below it (bounded by that threshold by definition).
+          // Track both stores against batch bytes so the crossover
+          // conversation prices the layout that exists.
+          graft.GateMetrics.put("stream_semantic_ingest",
+            "bands_batch_byte_ratio",
+            math.rint(bandsB.toDouble / avgBatchB * 100) / 100)
+          graft.GateMetrics.put("stream_semantic_ingest",
+            "sets_batch_byte_ratio",
+            math.rint(setsB.toDouble / avgBatchB * 100) / 100)
           val verdict =
-            if (ratio > 50) "CROSSOVER EXCEEDED - band-partitioned sidecar layout indicated"
+            if (ratio > 50) "legacy flat-layout ratio over 50x (v2 per-batch " +
+              "reads are the bands/sets ratios - see gate_metrics)"
             else f"under the ~50x crossover (headroom ${50 / math.max(ratio, 1e-9)}%.0fx)"
           System.err.println(f"[graft] stream_semantic_ingest sidecar/batch " +
             f"byte ratio: $ratio%.2f (sidecar ${sidecarB / 1024 / 1024} MB, " +
+            f"bands ${bandsB / 1024 / 1024} MB, sets ${setsB / 1024 / 1024} MB, " +
             f"avg batch ${avgBatchB / 1024 / 1024} MB) - $verdict")
         }
       }

@@ -49,12 +49,20 @@ object Pq {
     * keep their previous centroid. */
   def fit(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, k: Int = 16, seed: Long = 42L, iters: Int = 10,
-      sampleSize: Int = 10000): PqModel = {
-    require(m >= 1 && k >= 2, s"need m >= 1, k >= 2 (got m=$m k=$k)")
+      sampleSize: Int = 10000): PqModel =
     // same deterministic bounded sampler as every other model fit —
     // RAW vectors here (PQ quantizes unnormalized subspaces; cosine is
     // reconstructed from the stored exact norms at query time)
-    val sample = Similarity.sampleRawVectors(corpus, idCol, vecCol, sampleSize, seed)
+    fitFromSample(
+      Similarity.sampleRawVectors(corpus, idCol, vecCol, sampleSize, seed),
+      m, k, seed, iters)
+
+  /** [[fit]] from an already-collected [[Similarity.sampleRawVectors]]
+    * sample — composite builders (IVF-PQ) collect ONE sample and share
+    * it between the coarse-centroid and codebook fits (r18). */
+  private[operators] def fitFromSample(sample: Array[Array[Double]],
+      m: Int, k: Int, seed: Long, iters: Int): PqModel = {
+    require(m >= 1 && k >= 2, s"need m >= 1, k >= 2 (got m=$m k=$k)")
     require(sample.nonEmpty, "Pq.fit: corpus has no usable vectors")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
@@ -422,6 +430,10 @@ object Pq {
     require((nprobe == Auto || nprobe >= 1) && (rerankFactor == Auto || rerankFactor >= 1),
       s"need nprobe >= 1 or Auto, rerankFactor >= 1 or Auto (got $nprobe, $rerankFactor)")
     val rerank0 = resolveRerank(rerankFactor, corpus.count())
+    // prefix of the caller's model-fit sample when the seeds agree —
+    // kept as its own bounded collect here (the caller's PqModel fit
+    // already happened outside; re-deriving its sample would guess at
+    // its sampleSize). sampleCentroids stays the documented path.
     val cents = Similarity.sampleCentroids(corpus, idCol, vecCol, numCentroids, seed)
     val nprobe0 = if (nprobe == Auto) resolveNprobe(cents.length) else nprobe
     val enc = encode(corpus, idCol, vecCol, model, keepVec = true)
@@ -467,9 +479,16 @@ object Pq {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     graft.sources.FsSwap.beginArtifact(fs, new org.apache.hadoop.fs.Path(path))
+    // ONE hash-ordered raw sample feeds BOTH model fits (r18): the
+    // centroid fit's n-row sample is by construction the first n rows
+    // of the codebook fit's larger sample (same md5(id ++ seed) total
+    // order), so sharing the collect changes no value — it drops one
+    // corpus scan + TakeOrdered job per build
+    val raw = Similarity.sampleRawVectors(corpus, idCol, vecCol,
+      math.max(10000, numCentroids), seed)
     val cents = Similarity.fitCentroids(corpus, idCol, vecCol,
-      numCentroids, seed, kmeansIters)
-    val model = fit(corpus, idCol, vecCol, m, k, seed, iters)
+      numCentroids, seed, kmeansIters, rawSample = Some(raw))
+    val model = fitFromSample(raw, m, k, seed, iters)
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")

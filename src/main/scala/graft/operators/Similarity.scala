@@ -118,6 +118,18 @@ object Similarity {
     rows.map(unitNormalize)
   }
 
+  /** [[sampleCentroids]] from an ALREADY-COLLECTED [[sampleRawVectors]]
+    * sample (same idCol/vecCol/seed, length ≥ numCentroids or the whole
+    * corpus): the hash order is a total order, so the first
+    * `numCentroids` rows of a larger sample ARE `sampleCentroids`'
+    * rows — callers that also fit a PQ codebook share one sample
+    * collect instead of scanning the corpus twice (r18). */
+  private[operators] def centroidsFromRawSample(rows: Array[Array[Double]],
+      numCentroids: Int): Array[Array[Double]] = {
+    require(rows.nonEmpty, "sampleCentroids: corpus has no non-null vectors")
+    rows.take(numCentroids).map(unitNormalize)
+  }
+
   /** k-means++ seeding over a bounded, deterministic corpus sample: the
     * first center is the hash-minimal sample vector; each next center is
     * drawn with probability ∝ squared chordal distance to its nearest
@@ -193,7 +205,8 @@ object Similarity {
     * argmax-cosine contract of [[ivfCentroidTopK]]. */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int, seed: Long, iters: Int = 5,
-      sampleFraction: Double = 1.0, plusPlusSample: Int = 0): Array[Array[Double]] = {
+      sampleFraction: Double = 1.0, plusPlusSample: Int = 0,
+      seedSample: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
     import graft.functions.HashFunctions.nearestCentroids
     require(iters >= 0, s"iters must be >= 0 (got $iters)")
     val base = corpus
@@ -215,11 +228,13 @@ object Similarity {
     val sampled = if (iters > 0) Materialize.once(sampled0) else sampled0
     // plusPlusSample > 0 → D²-weighted k-means++ seeds over that many
     // sampled vectors (better-spread starting centers); 0 → the plain
-    // hash-minimal sample
+    // hash-minimal sample (from the caller's shared raw sample when
+    // one is supplied — same rows, one fewer corpus scan)
     var cents =
       if (plusPlusSample > 0)
         kmeansPlusPlusSeeds(corpus, idCol, vecCol, numCentroids, seed, plusPlusSample)
-      else sampleCentroids(corpus, idCol, vecCol, numCentroids, seed)
+      else seedSample.map(centroidsFromRawSample(_, numCentroids))
+        .getOrElse(sampleCentroids(corpus, idCol, vecCol, numCentroids, seed))
     val dim = cents.head.length
     var it = 0
     while (it < iters) {
@@ -268,10 +283,13 @@ object Similarity {
     * Lloyd-refined when `kmeansIters > 0`, plain deterministic sample
     * otherwise. */
   private[operators] def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      numCentroids: Int, seed: Long, kmeansIters: Int): Array[Array[Double]] =
+      numCentroids: Int, seed: Long, kmeansIters: Int,
+      rawSample: Option[Array[Array[Double]]] = None): Array[Array[Double]] =
     if (kmeansIters > 0)
-      kmeansCentroids(corpus, idCol, vecCol, numCentroids, seed, kmeansIters)
-    else sampleCentroids(corpus, idCol, vecCol, numCentroids, seed)
+      kmeansCentroids(corpus, idCol, vecCol, numCentroids, seed, kmeansIters,
+        seedSample = rawSample)
+    else rawSample.map(centroidsFromRawSample(_, numCentroids))
+      .getOrElse(sampleCentroids(corpus, idCol, vecCol, numCentroids, seed))
 
   /** Shared probe tail of every cell-based ANN path: equi-join the cell
     * frames (query side broadcast), drop self-pairs, cosine via
