@@ -96,26 +96,33 @@ object Bpe {
     val spark = docs.sparkSession
     var w = Materialize.once(wordTypes(docs, textCol), eager = true)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    // AQE OFF for the merge rounds (r18, guide §1.2 step 3 applied
-    // after steps 1-2): with AQE on, EVERY exchange in a round's
-    // argmax query runs as its own Spark job (one per shuffle-stage
-    // materialization plus the final take), so a round whose lineage
-    // carries c unmaterialized merge chains costs c+2 driver
-    // round-trips — measured 44 jobs for 20 merges at sf0.1, with the
-    // per-job driver gap (~0.1 s) dominating the gate. The per-round
-    // frames are vocabulary-sized with a fixed combiner-collapsed
-    // aggregate, so AQE's runtime re-planning (partition coalescing,
-    // join re-selection — there are no joins here) has nothing to buy
-    // at ANY scale; without it each round is ONE TakeOrdered job.
-    // Values are unaffected (same plan modulo AQE wrappers); the conf
-    // is restored even on failure.
+    // AQE OFF for DEPTH-0 rounds only (r18, guide §1.2 step 3 applied
+    // after steps 1-2, then NARROWED by an sf100 A/B): with AQE on,
+    // every exchange in a round's argmax runs as its own Spark job, so
+    // even a round reading straight off a checkpoint costs 2 driver
+    // round-trips (44 jobs for 20 merges at sf0.1, per-job gap ~0.1 s
+    // dominating the gate). For a depth-0 round — argmax directly on a
+    // just-materialized word frame, ONE exchange, no joins — AQE has
+    // nothing to re-plan (the take is per-partition top-1 either way),
+    // so turning it off there is compute-identical at every scale and
+    // halves that round's driver trips. For CHAINED rounds it is NOT
+    // free: an all-rounds AQE-off measured 26.1 s vs 16.8-18.5 s
+    // same-box solo at sf100 (the uncoalesced full-width chained
+    // aggregates cost more than the saved round-trips), so chained
+    // rounds keep AQE. Values are unaffected either way (same plan
+    // modulo AQE wrappers); the conf is restored even on failure.
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqePrev = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false")
+    def restoreAqe(): Unit = aqePrev match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None => spark.conf.unset(aqeKey)
+    }
     try {
       var r = 1
       var exhausted = false
+      var depth0 = true // round 1 reads the eager wordTypes checkpoint
       while (r <= numMerges && !exhausted) {
+        if (depth0) spark.conf.set(aqeKey, "false") else restoreAqe()
         // explode_OUTER (same rationale as wordTypes): the inner form's
         // inferred filter re-inlines adjacentPairs — and, on rounds where
         // w is an unmaterialized merge chain, the whole regexp_replace
@@ -134,17 +141,20 @@ object Bpe {
           val next = w
             .select(applyMergeCol(col("word"), pair, merged).as("word"), col("freq"))
             .groupBy("word").agg(sum("freq").as("freq"))
-          w = if (r % RematerializeEvery == 0) Materialize.once(next, eager = true)
-              else next
+          if (r % RematerializeEvery == 0) {
+            // the re-materialize job itself is a single chained DAG —
+            // run it (and the next round) with AQE restored
+            restoreAqe()
+            w = Materialize.once(next, eager = true)
+            depth0 = true
+          } else {
+            w = next
+            depth0 = false
+          }
           r += 1
         }
       }
-    } finally {
-      aqePrev match {
-        case Some(v) => spark.conf.set(aqeKey, v)
-        case None => spark.conf.unset(aqeKey)
-      }
-    }
+    } finally restoreAqe()
     merges.result()
   }
 
